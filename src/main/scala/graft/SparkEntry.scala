@@ -1,13 +1,57 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.{CoreQueries => Q, Oracle}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Each entry in [[queries]] is a deterministic batch twin of one operator
+  * family from SURVEY.md §2; [[oracleSql]] carries its DuckDB formulation.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query (reference Q/AverageSensorReadings.java:61-79) on
+    * sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Q.q04(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_stateless_pipeline" -> (Q.q01 _),
+    "q02_rolling_max"        -> (Q.q02 _),
+    "q03_rolling_sum"        -> (Q.q03 _),
+    "q04_window_avg"         -> (Q.q04 _),
+    "q05_broadcast_alert"    -> (Q.q05 _),
+    "q06_sliding_window"     -> (Q.q06 _),
+    "q07_session_window"     -> (Q.q07 _),
+    "q08_delta_alert"        -> (Q.q08 _),
+    "q09_interval_join"      -> (Q.q09 _),
+    "q10_window_join"        -> (Q.q10 _),
+    "q11_union"              -> (Q.q11 _),
+    "q12_late_data"          -> (Q.q12 _),
+    "q13_count_window"       -> (Q.q13 _),
+    "q14_udaf_avg"           -> (Q.q14 _),
+    "q15_txn_sink"           -> (Q.q15 _),
+    "q16_lineitem_pricing"   -> (Q.q16 _),
+    "q17_segment_revenue"    -> (Q.q17 _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q01_stateless_pipeline" -> Oracle.q01,
+    "q02_rolling_max"        -> Oracle.q02,
+    "q03_rolling_sum"        -> Oracle.q03,
+    "q04_window_avg"         -> Oracle.q04,
+    "q05_broadcast_alert"    -> Oracle.q05,
+    "q06_sliding_window"     -> Oracle.q06,
+    "q07_session_window"     -> Oracle.q07,
+    "q08_delta_alert"        -> Oracle.q08,
+    "q09_interval_join"      -> Oracle.q09,
+    "q10_window_join"        -> Oracle.q10,
+    "q11_union"              -> Oracle.q11,
+    "q12_late_data"          -> Oracle.q12,
+    "q13_count_window"       -> Oracle.q13,
+    "q14_udaf_avg"           -> Oracle.q14,
+    "q15_txn_sink"           -> Oracle.q15,
+    "q16_lineitem_pricing"   -> Oracle.q16,
+    "q17_segment_revenue"    -> Oracle.q17,
+  )
 }

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time as-of join against a SMALL right side.
+  *
+  * This is the deterministic Spark rendering of the reference's
+  * broadcast-control-stream pattern (reference
+  * Q/MultiStreamTransformations.java:62-69: a low-rate SmokeLevel stream is
+  * broadcast to every task and each sensor event sees the latest smoke
+  * level). Flink's arrival interleaving is nondeterministic
+  * (정리/3주차.md:79-81); we determinize as "the control row with the
+  * greatest timestamp at-or-before the event's timestamp".
+  *
+  * Implementation: turn the control rows into half-open validity intervals
+  * [ts, next_ts) with a lead() window (single-partition, but only over the
+  * control side — which by construction is tiny: the reference emits 1
+  * control event/second), then broadcast the intervals and range-join.
+  * Each event matches exactly one interval, so no post-dedup is needed.
+  * At 100 TB the left side streams through executors unshuffled; the only
+  * requirement is that the control table fits in a broadcast, exactly the
+  * assumption Flink's broadcast state makes.
+  */
+object AsOfJoin {
+  /** @param events   big side, must carry `tsCol`
+    * @param control  small side, must carry `tsCol`; all its columns are kept
+    * @param tsCol    integer epoch column name present on both sides
+    */
+  def latestAtOrBefore(events: DataFrame, control: DataFrame, tsCol: String): DataFrame = {
+    val ctrl = control
+      .withColumnRenamed(tsCol, "__ctrl_ts")
+      .withColumn("__ctrl_next", lead(col("__ctrl_ts"), 1).over(Window.orderBy(col("__ctrl_ts"))))
+    events.join(
+      broadcast(ctrl),
+      col(tsCol) >= col("__ctrl_ts") &&
+        (col("__ctrl_next").isNull || col(tsCol) < col("__ctrl_next")))
+      .drop("__ctrl_ts", "__ctrl_next")
+  }
+}

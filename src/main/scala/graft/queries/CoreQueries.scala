@@ -1,0 +1,235 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Determinism, SumCountAvg}
+import graft.operators.AsOfJoin
+import graft.sinks.TxnFileSink
+import graft.sources.Tables
+
+/** Deterministic batch twins of the reference's operator inventory
+  * (SURVEY.md §2, FIXTURES.md §3 Q1–Q15). Every query here has an
+  * equivalent DuckDB SQL in [[Oracle]]; the driver hash-compares the two.
+  *
+  * Scale posture: all queries are declarative DataFrame plans — filters and
+  * projections push to the parquet scan, aggregations get map-side partial
+  * combine, the one small-side join is broadcast. The only intentionally
+  * single-partition constructs are (a) the lead() over the tiny control
+  * stream in q05 and (b) the arrival-order determinization in q12, which
+  * models a globally-ordered stream by definition.
+  */
+object CoreQueries {
+
+  /** q01 — stateless pipeline: filter -> map-to-id -> flatMap(split).
+    * Reference: Q/BasicTransformations.java:54-74 (T1,T3,T6). */
+  def q01(spark: SparkSession, dir: String): DataFrame =
+    Tables.sensorReadings(spark, dir)
+      .filter(col("value") >= 25)
+      .select(explode(split(col("sensor_id"), "_")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** q02 — keyed rolling max-by: final state of the per-key running argmax.
+    * Reference: Q/KeyedTransformations.java:55-62 (A1,A2). */
+  def q02(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("sensor_id").orderBy(col("value").desc, col("event_id").asc)
+    Tables.sensorReadings(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("sensor_id", "event_id", "value")
+  }
+
+  /** q03 — rolling sum over the reference's canonical tuples.
+    * Reference: Q/RollingSum.java:34-39 (S3,A3). */
+  def q03(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq((1L, 2L, 2L), (2L, 3L, 1L), (2L, 2L, 4L), (1L, 5L, 3L))
+      .toDF("f0", "f1", "f2")
+      .groupBy("f0")
+      .agg(sum("f1").as("sum_f1"))
+  }
+
+  /** q04 — FLAGSHIP: °F→°C map then per-sensor 5 s tumbling window average.
+    * Reference: Q/AverageSensorReadings.java:61-79 (W1,T5,E1). */
+  def q04(spark: SparkSession, dir: String): DataFrame =
+    Tables.sensorReadings(spark, dir)
+      .withColumn("temp_c", (col("value") - 32) * 5.0 / 9.0)
+      .groupBy(col("sensor_id"), window(col("ts"), "5 seconds"))
+      .agg(Determinism.exactAvg(col("temp_c"), 1e6).as("avg_temp"))
+      .select(col("sensor_id"), unix_millis(col("window.end")).as("window_end_ms"), col("avg_temp"))
+
+  /** q05 — broadcast control stream co-process: alert when the latest
+    * control event at-or-before the reading is HIGH and temp > 100.
+    * Reference: Q/MultiStreamTransformations.java:62-100 (M2,P4). */
+  def q05(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.sensorReadings(spark, dir)
+    val control = s.filter(col("event_type") === "error")
+      .select(col("ts_us"),
+        when(col("value") > 150, "HIGH").otherwise("LOW").as("level"))
+    val readings = s.filter(col("event_type") =!= "error" && col("value") > 100)
+      .select("event_id", "sensor_id", "ts_us", "value")
+    AsOfJoin.latestAtOrBefore(readings, control, "ts_us")
+      .where(col("level") === "HIGH")
+      .select("event_id", "sensor_id", "value", "level")
+  }
+
+  /** q06 — sliding event-time window (60 s length, 15 s slide): count + avg.
+    * Reference: 정리/4주차.md:178-180 (W3). */
+  def q06(spark: SparkSession, dir: String): DataFrame =
+    Tables.sensorReadings(spark, dir)
+      .groupBy(col("sensor_id"), window(col("ts"), "60 seconds", "15 seconds"))
+      .agg(count(lit(1)).as("cnt"), Determinism.exactAvg(col("value"), 1e6).as("avg_value"))
+      .select(col("sensor_id"), unix_millis(col("window.end")).as("window_end_ms"),
+        col("cnt"), col("avg_value"))
+
+  /** q07 — session window (gap 1 minute) per user: count, start, duration.
+    * Reference: 정리/4주차.md:181-183 (W4). */
+  def q07(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("timestamp_micros(ts div 1000)").as("ts"),
+        expr("ts div 1000000").as("ts_ms"))
+      .groupBy(col("user_id"), session_window(col("ts"), "1 minute"))
+      .agg(count(lit(1)).as("n_events"),
+        min("ts_ms").as("session_start_ms"),
+        (max("ts_ms") - min("ts_ms")).as("duration_ms"))
+      .select("user_id", "session_start_ms", "n_events", "duration_ms")
+
+  /** q08 — ValueState delta alert: |value − previous value per key| > 1.7.
+    * Reference: 정리/5주차.md:24-54 (F4); streaming twin in
+    * graft.streaming.DeltaAlertProcessor. */
+  def q08(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("sensor_id").orderBy(col("ts_us"), col("event_id"))
+    Tables.sensorReadings(spark, dir)
+      .withColumn("prev_value", lag("value", 1).over(w))
+      .where(abs(col("value") - col("prev_value")) > 1.7)
+      .select(col("sensor_id"), col("event_id"), col("value"),
+        (col("value") - col("prev_value")).as("delta"))
+  }
+
+  /** q09 — interval join: keyed self-join, ts2 in [ts1 − 1 h, ts1 + 15 min].
+    * Reference: 정리/4주차.md:319-323 (M5). */
+  def q09(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.sensorReadings(spark, dir)
+    val a = s.select(col("sensor_id"), col("ts_ms").as("ts1"))
+    val b = s.select(col("sensor_id").as("sid2"), col("ts_ms").as("ts2"))
+    a.join(b, col("sensor_id") === col("sid2") &&
+        col("ts2") >= col("ts1") - 3600000L && col("ts2") <= col("ts1") + 900000L)
+      .groupBy("sensor_id")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** q10 — window join: orders × lineitem co-bucketed into 1-day windows.
+    * Reference: 정리/4주차.md:327-333 (M6). */
+  def q10(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), expr("unix_millis(o_orderdate) div 86400000").as("o_day"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), expr("unix_millis(l_shipdate) div 86400000").as("l_day"))
+    o.join(li, col("o_orderkey") === col("l_orderkey") && col("o_day") === col("l_day"))
+      .groupBy(col("o_day"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select((col("o_day") * 86400000L).as("day_ms"), col("n_pairs"))
+  }
+
+  /** q11 — union (FIFO merge, no dedup) of two disjoint slices.
+    * Reference: 정리/3주차.md:72-74 (M1). */
+  def q11(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.filter(col("event_type") === "click")
+      .unionByName(ev.filter(col("event_type") === "purchase"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), Determinism.exactSum(col("value"), 100.0).as("sum_value"))
+  }
+
+  /** q12 — watermark late-data semantics, determinized on arrival order
+    * (event_id): a row is late iff its event time is below
+    * max-event-time-so-far minus the delay. Strict delay 5 s (E6) vs
+    * lenient 10 s = 5 s out-of-orderness + 5 s allowedLateness (E7; Spark
+    * fuses lateness into the watermark delay, SURVEY.md §2.6).
+    * Reference: 정리/4주차.md:335-358. */
+  def q12(spark: SparkSession, dir: String): DataFrame = {
+    val arrival = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
+    Tables.sensorReadings(spark, dir)
+      .withColumn("max_prev_ms", max("ts_ms").over(arrival))
+      .withColumn("keep_strict",
+        col("max_prev_ms").isNull || col("ts_ms") >= col("max_prev_ms") - 5000L)
+      .withColumn("keep_late",
+        col("max_prev_ms").isNull || col("ts_ms") >= col("max_prev_ms") - 10000L)
+      .withColumn("window_end_ms", expr("((ts_ms div 5000) + 1) * 5000"))
+      .groupBy("sensor_id", "window_end_ms")
+      .agg(sum(when(col("keep_strict"), 1L).otherwise(0L)).as("cnt_strict"),
+        sum(when(col("keep_late"), 1L).otherwise(0L)).as("cnt_late"))
+  }
+
+  /** q13 — count window: per-sensor tumbling groups of 10 events in
+    * (ts, event_id) order. Reference: 정리/1주차.md:152 (W12); streaming
+    * twin in graft.streaming.CountWindowProcessor. */
+  def q13(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("sensor_id").orderBy(col("ts_us"), col("event_id"))
+    Tables.sensorReadings(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("grp", expr("CAST((rn - 1) div 10 AS BIGINT)"))
+      .groupBy("sensor_id", "grp")
+      .agg(count(lit(1)).as("n_events"), Determinism.exactAvg(col("value"), 1e6).as("avg_value"))
+  }
+
+  /** q14 — AggregateFunction-shaped UDAF: (sum,count)→avg Aggregator.
+    * Values are quantized to cents first so the double sum is exact and
+    * engine-order-independent. Reference: 정리/4주차.md:201-226 (A5). */
+  def q14(spark: SparkSession, dir: String): DataFrame = {
+    val myAvg = udaf(SumCountAvg)
+    Tables.sensorReadings(spark, dir)
+      .withColumn("value_cents", floor(col("value") * 100.0 + 0.5).cast("double"))
+      .groupBy("sensor_id")
+      .agg((myAvg(col("value_cents")) / 100.0).as("avg_value"))
+  }
+
+  /** q15 — exactly-once transactional file sink: commit the flagship query
+    * twice under the same batchId, read back, prove no duplicates (the
+    * oracle is q04's SQL). Reference: 정리/6주차.md:123-147,334-401 (K3,K7). */
+  def q15(spark: SparkSession, dir: String): DataFrame = {
+    val root = new java.io.File(sys.props("java.io.tmpdir"), "graft_q15_txn").getAbsolutePath
+    TxnFileSink.clear(spark, root)
+    val out = q04(spark, dir)
+    TxnFileSink.commit(out, root, batchId = 42L)
+    TxnFileSink.commit(out, root, batchId = 42L) // replay: must be a no-op
+    spark.read.parquet(s"$root/batch=42")
+      .select("sensor_id", "window_end_ms", "avg_temp")
+  }
+
+  /** q16 — pricing summary over lineitem (bench headline: full-scan
+    * aggregation with map-side partial combine; money sums quantized to
+    * 1e-4 so they are order-exact). */
+  def q16(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val discPrice = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    val charge = col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))
+    li.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        Determinism.exactSum(col("l_quantity"), 100.0).as("sum_qty"),
+        Determinism.exactSum(col("l_extendedprice"), 100.0).as("sum_base_price"),
+        Determinism.exactSum(discPrice, 10000.0).as("sum_disc_price"),
+        Determinism.exactSum(charge, 10000.0).as("sum_charge"),
+        Determinism.exactAvg(col("l_quantity"), 100.0).as("avg_qty"),
+        Determinism.exactAvg(col("l_extendedprice"), 100.0).as("avg_price"),
+        Determinism.exactAvg(col("l_discount"), 10000.0).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** q17 — star join (bench headline): revenue per market segment via
+    * customer ⋈ orders ⋈ lineitem; the customer dimension is broadcast. */
+  def q17(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_items"), Determinism.exactSum(col("rev"), 10000.0).as("revenue"))
+  }
+}
