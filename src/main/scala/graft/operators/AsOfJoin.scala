@@ -29,7 +29,15 @@ object AsOfJoin {
     * @param tsCol    integer epoch column name present on both sides
     */
   def latestAtOrBefore(events: DataFrame, control: DataFrame, tsCol: String): DataFrame = {
-    val ctrl = control
+    // Duplicate control timestamps would produce empty [ts, ts) intervals
+    // with a nondeterministic survivor; collapse them deterministically by
+    // keeping the struct-max of the remaining columns per timestamp.
+    val others = control.columns.filter(_ != tsCol)
+    val deduped = control
+      .groupBy(col(tsCol))
+      .agg(max(struct(others.map(col): _*)).as("__s"))
+      .select(col(tsCol) +: others.map(n => col(s"__s.$n").as(n)): _*)
+    val ctrl = deduped
       .withColumnRenamed(tsCol, "__ctrl_ts")
       .withColumn("__ctrl_next", lead(col("__ctrl_ts"), 1).over(Window.orderBy(col("__ctrl_ts"))))
     events.join(

@@ -110,24 +110,35 @@ object CoreQueries {
   }
 
   /** q09 — interval join: keyed self-join, ts2 in [ts1 − 1 h, ts1 + 15 min].
-    * Reference: 정리/4주차.md:319-323 (M5). */
+    * Reference: 정리/4주차.md:319-323 (M5).
+    *
+    * Since the output is only pair COUNTS per sensor, the quadratic banded
+    * self-join collapses to a range-frame window: each row's partner count
+    * is the number of same-key rows with ts in [ts−1h, ts+15min], i.e. one
+    * count() over a RANGE frame — a single shuffle + per-key sort,
+    * O(n log n) instead of O(Σ n_k²). This is the plan that survives 100×. */
   def q09(spark: SparkSession, dir: String): DataFrame = {
-    val s = Tables.sensorReadings(spark, dir)
-    val a = s.select(col("sensor_id"), col("ts_ms").as("ts1"))
-    val b = s.select(col("sensor_id").as("sid2"), col("ts_ms").as("ts2"))
-    a.join(b, col("sensor_id") === col("sid2") &&
-        col("ts2") >= col("ts1") - 3600000L && col("ts2") <= col("ts1") + 900000L)
+    val band = Window.partitionBy("sensor_id").orderBy(col("ts_ms"))
+      .rangeBetween(-3600000L, 900000L)
+    Tables.sensorReadings(spark, dir)
+      .select("sensor_id", "ts_ms")
+      .withColumn("n_in_band", count(lit(1)).over(band))
       .groupBy("sensor_id")
-      .agg(count(lit(1)).as("n_pairs"))
+      .agg(sum("n_in_band").as("n_pairs"))
   }
 
   /** q10 — window join: orders × lineitem co-bucketed into 1-day windows.
     * Reference: 정리/4주차.md:327-333 (M6). */
   def q10(spark: SparkSession, dir: String): DataFrame = {
+    // The date columns are parquet TIMESTAMP(isAdjustedToUTC=false) →
+    // TIMESTAMP_NTZ in Spark 4; unix_millis needs TIMESTAMP. The cast is
+    // lossless because the session time zone is pinned to UTC.
     val o = Tables.orders(spark, dir)
-      .select(col("o_orderkey"), expr("unix_millis(o_orderdate) div 86400000").as("o_day"))
+      .select(col("o_orderkey"),
+        expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000").as("o_day"))
     val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), expr("unix_millis(l_shipdate) div 86400000").as("l_day"))
+      .select(col("l_orderkey"),
+        expr("unix_millis(CAST(l_shipdate AS TIMESTAMP)) div 86400000").as("l_day"))
     o.join(li, col("o_orderkey") === col("l_orderkey") && col("o_day") === col("l_day"))
       .groupBy(col("o_day"))
       .agg(count(lit(1)).as("n_pairs"))
@@ -151,9 +162,29 @@ object CoreQueries {
     * fuses lateness into the watermark delay, SURVEY.md §2.6).
     * Reference: 정리/4주차.md:335-358. */
   def q12(spark: SparkSession, dir: String): DataFrame = {
-    val arrival = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
-    Tables.sensorReadings(spark, dir)
-      .withColumn("max_prev_ms", max("ts_ms").over(arrival))
+    // Two-phase prefix max, so the arrival-order scan parallelizes:
+    // (1) bucket by event_id range and compute the running max WITHIN each
+    //     bucket (window partitioned by bucket — shuffles, but no single-
+    //     partition funnel);
+    // (2) prefix-combine the per-bucket maxima (one tiny row per bucket)
+    //     and broadcast the carry-in back onto the buckets;
+    // (3) max_prev = greatest(local running max, carry-in).
+    // Semantics are identical to max(ts_ms) OVER (ORDER BY event_id ROWS
+    // UNBOUNDED PRECEDING TO 1 PRECEDING), but the plan survives 100×.
+    val s = Tables.sensorReadings(spark, dir)
+    val maxId = s.agg(max("event_id")).head.getLong(0)
+    val width = math.max(4096L, maxId / 10000L + 1) // result is width-independent
+    val bucketed = s.withColumn("bucket", expr(s"event_id div ${width}L"))
+    val localPrev = Window.partitionBy("bucket").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = bucketed.groupBy("bucket").agg(max("ts_ms").as("bucket_max"))
+      .withColumn("carry_in", // tiny: one row per bucket
+        max("bucket_max").over(Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)))
+      .select("bucket", "carry_in")
+    bucketed
+      .withColumn("local_prev_ms", max("ts_ms").over(localPrev))
+      .join(broadcast(carries), "bucket")
+      .withColumn("max_prev_ms", greatest(col("local_prev_ms"), col("carry_in")))
       .withColumn("keep_strict",
         col("max_prev_ms").isNull || col("ts_ms") >= col("max_prev_ms") - 5000L)
       .withColumn("keep_late",

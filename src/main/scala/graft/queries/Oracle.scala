@@ -52,14 +52,22 @@ object Oracle {
        |SELECT sensor_id, window_end_ms, ${exactAvg("temp_c", "1000000.0")} AS avg_temp
        |FROM t GROUP BY sensor_id, window_end_ms""".stripMargin
 
+  /** NOTE: deliberately NOT DuckDB ASOF JOIN — DuckDB pushes a post-join
+    * level filter into the as-of match, which changes semantics to "latest
+    * HIGH control" instead of "latest control, kept only if HIGH". We build
+    * the same lead() validity intervals the Spark AsOfJoin uses. Duplicate
+    * control timestamps are collapsed with max(level), mirroring
+    * AsOfJoin's deterministic max-struct dedup. */
   val q05: String =
     s"""WITH $SENSOR,
-       |control AS (SELECT ts_us, CASE WHEN value > 150 THEN 'HIGH' ELSE 'LOW' END AS level
-       |            FROM sensor WHERE event_type = 'error'),
+       |control AS (SELECT ts_us, max(CASE WHEN value > 150 THEN 'HIGH' ELSE 'LOW' END) AS level
+       |            FROM sensor WHERE event_type = 'error' GROUP BY ts_us),
+       |c2 AS (SELECT ts_us, level, lead(ts_us) OVER (ORDER BY ts_us) AS next_ts FROM control),
        |readings AS (SELECT event_id, sensor_id, ts_us, value FROM sensor
        |             WHERE event_type <> 'error' AND value > 100)
        |SELECT r.event_id, r.sensor_id, r.value, c.level
-       |FROM readings r ASOF JOIN control c ON r.ts_us >= c.ts_us
+       |FROM readings r JOIN c2 c
+       |  ON r.ts_us >= c.ts_us AND (c.next_ts IS NULL OR r.ts_us < c.next_ts)
        |WHERE c.level = 'HIGH'""".stripMargin
 
   val q06: String =
