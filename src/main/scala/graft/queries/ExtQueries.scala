@@ -1,0 +1,301 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Determinism
+import graft.sources.Tables
+
+/** The large-scale training-data-pipeline operator family (builder brief +
+  * VERDICT round-1 task #4): deduplication (exact, MinHash+LSH, SimHash,
+  * n-gram Jaccard), similarity search (brute-force + LSH-bucketed ANN),
+  * text analysis (token stats, language-ID, regex tokenization,
+  * fingerprinting) and multimodal binary columns.
+  *
+  * Every query is a declarative Catalyst plan with a bit-identical DuckDB
+  * oracle in [[ExtOracle]]. All hashing is explicit integer arithmetic
+  * (Horner char fold, polynomial shingle combine, affine MinHash) chosen to
+  * be exactly representable in both engines — no engine-private hash
+  * functions, no floating-point accumulation (see graft.functions.
+  * Determinism for the float policy).
+  *
+  * Scale posture (100 TB): no all-pairs joins anywhere — near-dup and ANN
+  * candidates come from LSH band/bucket equi-joins; top-k is two-phase
+  * (per-partition pre-prune, then final rank); text stats are one pass of
+  * map-side-combinable aggregates; the only broadcast is the small query
+  * vector set.
+  */
+object ExtQueries {
+
+  // ---- shared deterministic text hashing (Spark SQL expression strings) --
+
+  /** Non-empty whitespace tokens. */
+  private val WORDS = "filter(split(text, ' '), w -> length(w) > 0)"
+
+  /** Horner char-fold word hash, mod 1e6+3: identical to the oracle's
+    * list_reduce over ascii codes. Max pre-mod value 122*31^8 ≈ 1e14 —
+    * exact in Long in both engines. */
+  private val WORD_HASHES =
+    s"transform($WORDS, w -> aggregate(split(w, ''), 0L, (a, c) -> a*31 + ascii(c)) % 1000003)"
+
+  /** Distinct 3-gram shingle hashes over word hashes (set semantics for
+    * Jaccard/MinHash): s = ((w1*1009 + w2) % p * 1009 + w3) % p. */
+  private val SHINGLES =
+    s"""array_distinct(transform(
+       |  sequence(0, size($WORD_HASHES) - 3),
+       |  i -> ((element_at($WORD_HASHES, i+1) * 1009 + element_at($WORD_HASHES, i+2)) % 2147483647
+       |        * 1009 + element_at($WORD_HASHES, i+3)) % 2147483647))""".stripMargin
+
+  /** k-th MinHash over the shingle set: min of (a_k*s + b_k) mod p. */
+  private def minhash(k: Int): String = {
+    val a = 1000003L * (k + 1) + 17
+    val b = 917L * (k + 1)
+    s"aggregate(shingles, 9223372036854775807L, (m, s) -> least(m, ($a * s + $b) % 2147483647))"
+  }
+
+  /** LSH band signature folding `rows` minhash columns mh{lo}..mh{hi}. */
+  private def bandSig(lo: Int, hi: Int): String =
+    (lo to hi).map(k => s"mh$k").foldLeft("0L") { (acc, mh) =>
+      s"(($acc * 31 + $mh) % 2147483647)"
+    }
+
+  // ------------------------------------------------------------------ QX1
+
+  /** qx1 — exact deduplication: an at-least-once replay (every 7th event
+    * delivered twice) is collapsed by hash-partitioned dropDuplicates on
+    * the record key; aggregates must equal the original table's. The
+    * dedup is one shuffle on event_id — the 100 TB plan. */
+  def qx1(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.unionByName(ev.where(col("event_id") % 7 === 0))
+      .dropDuplicates("event_id")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), Determinism.exactSum(col("value"), 100.0).as("sum_value"))
+  }
+
+  // ----------------------------------------------------- similarity search
+
+  /** Embeddings with exact integer views: iv = floor(x*1e6+0.5) per dim,
+    * n2 = Σ iv² (exact in Long). Cosine later = dot/(√n2a·√n2b) — every
+    * step IEEE-deterministic and identical in DuckDB. */
+  private def intEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).select(
+      col("vec_id"),
+      expr("transform(embedding, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))").as("iv"))
+      .withColumn("n2", expr("aggregate(transform(iv, x -> x*x), 0L, (a, b) -> a + b)"))
+
+  private val COSINE =
+    "CAST(dot AS DOUBLE) / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE)))"
+
+  /** Two-phase top-k: per-partition prune to k (distributed, bounded
+    * memory), then final rank per query — the shuffle carries ≤ k rows per
+    * (query, partition) instead of the full candidate set. */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val local = Window.partitionBy("qid", "pid").orderBy(col("cosine").desc, col("vec_id").asc)
+    val global = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id").asc)
+    scored
+      .withColumn("r1", row_number().over(local)).where(col("r1") <= k)
+      .withColumn("rk", row_number().over(global)).where(col("rk") <= k)
+      .select("qid", "rk", "vec_id", "cosine")
+  }
+
+  /** qx2 — brute-force cosine top-5 for the query set (vec_id % 50 == 0):
+    * the correctness baseline. The query side is broadcast; the base table
+    * streams through executors unshuffled — at 100 TB this is one scan. */
+  def qx2(spark: SparkSession, dir: String): DataFrame = {
+    val base = intEmbeddings(spark, dir)
+    val q = base.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("n2").as("qn2"))
+    val scored = base.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("dot", expr("aggregate(zip_with(iv, qiv, (x, y) -> x*y), 0L, (a, b) -> a + b)"))
+      .withColumn("cosine", expr(COSINE))
+      .withColumn("pid", spark_partition_id())
+    topK(scored, 5)
+  }
+
+  /** qx3 — LSH-bucketed ANN (the scale path): 8 deterministic Rademacher
+    * hyperplanes → 256 sign buckets; candidates are bucket-equal vectors
+    * only, so the join is an equi-join on bucket, never all-pairs. Recall
+    * is approximate by design; the oracle implements the identical bucket
+    * math so the gate still hash-matches. */
+  def qx3(spark: SparkSession, dir: String): DataFrame = {
+    def sign(p: Int) = s"(CASE WHEN (($p * 1000003 + d * 97) % 31) % 2 = 0 THEN 1 ELSE -1 END)"
+    val planeCols = (0 until 8).map { p =>
+      expr(s"CASE WHEN aggregate(transform(sequence(0, 63), d -> element_at(iv, d+1) * ${sign(p)}), " +
+        s"0L, (a, b) -> a + b) >= 0 THEN ${1 << p}L ELSE 0L END").as(s"bit$p")
+    }
+    val bucketed = intEmbeddings(spark, dir)
+      .select(col("vec_id") +: col("iv") +: col("n2") +: planeCols: _*)
+      .withColumn("bucket", (0 until 8).map(p => col(s"bit$p")).reduce(_ + _))
+      .select("vec_id", "iv", "n2", "bucket")
+    val q = bucketed.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("qn2"), col("bucket"))
+      .withColumnRenamed("qn2", "qn2_tmp")
+    val qRenamed = bucketed.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("n2").as("qn2"),
+        col("bucket").as("qbucket"))
+    val scored = bucketed.join(broadcast(qRenamed), col("bucket") === col("qbucket"))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("dot", expr("aggregate(zip_with(iv, qiv, (x, y) -> x*y), 0L, (a, b) -> a + b)"))
+      .withColumn("cosine", expr(COSINE))
+      .withColumn("pid", spark_partition_id())
+    topK(scored, 5)
+  }
+
+  // ------------------------------------------------------- near-dup dedup
+
+  /** Per-doc MinHash signature table: doc_id, mh0..mh15. */
+  private def minhashed(spark: SparkSession, dir: String): DataFrame = {
+    val mhCols = (0 until 16).map(k => expr(minhash(k)).as(s"mh$k"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), expr(SHINGLES).as("shingles"))
+      .where(size(col("shingles")) > 0)
+      .select(col("doc_id") +: col("shingles") +: mhCols: _*)
+  }
+
+  /** qx4 — MinHash + LSH near-duplicate candidate pairs: 16 minhashes in
+    * 4 bands of 4; docs sharing any band signature are candidates. The
+    * pair generation is an equi-join on (band, sig) — hash-partitioned,
+    * no all-pairs — then distinct. This is the canonical web-scale dedup
+    * shape (shingle → minhash → band → bucket-join). */
+  def qx4(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashed(spark, dir).select(
+      col("doc_id"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"), expr(bandSig(4 * b, 4 * b + 3)).as("sig"))): _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val a = sigs.as("a"); val b = sigs.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
+      && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** qx5 — SimHash document fingerprints: 16-bit simhash over the word-hash
+    * multiset (bit b set iff Σ_words ±1 on that bit of the hash is
+    * positive). One explode + one map-side-combinable aggregation — the
+    * near-dup grouping is then a plain groupBy on the fingerprint. */
+  def qx5(spark: SparkSession, dir: String): DataFrame = {
+    val perWord = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(expr(WORD_HASHES)).as("wh"))
+    val bitSums = (0 until 16).map(bit =>
+      sum(expr(s"((wh div ${1L << bit}) % 2) * 2 - 1")).as(s"s$bit"))
+    perWord.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("simhash",
+        (0 until 16).map(bit =>
+          when(col(s"s$bit") > 0, lit(1L << bit)).otherwise(lit(0L))).reduce(_ + _))
+      .select("doc_id", "simhash")
+  }
+
+  /** qx6 — exact n-gram Jaccard, verified on the LSH candidates only (the
+    * scale-safe order: cheap LSH recall first, exact verification on the
+    * surviving pairs — never all-pairs). Emits pairs with J ≥ 0.5. */
+  def qx6(spark: SparkSession, dir: String): DataFrame = {
+    val shingled = Tables.documents(spark, dir)
+      .select(col("doc_id"), expr(SHINGLES).as("shingles"))
+      .where(size(col("shingles")) > 0)
+    val cands = qx4(spark, dir)
+    val exploded = shingled.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val sizes = shingled.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
+    val inter = cands
+      .join(exploded.as("ea"), col("doc_a") === col("ea.doc_id"))
+      .join(exploded.as("eb"), col("doc_b") === col("eb.doc_id") && col("ea.s") === col("eb.s"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("inter").cast("double") /
+          (col("na.n") + col("nb.n") - col("inter")).cast("double")).as("jaccard"))
+      .where(col("jaccard") >= 0.5)
+  }
+
+  // --------------------------------------------------------- text analysis
+
+  /** qx7 — corpus quality stats per (lang, source): token counts, char
+    * counts, stopword ratio — single-pass integer aggregates (the quality-
+    * scoring features of a pretraining filter). */
+  def qx7(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("source"),
+        expr(s"size($WORDS)").cast("long").as("n_tokens"),
+        expr(s"aggregate($WORDS, 0L, (a, w) -> a + length(w))").as("n_word_chars"),
+        expr(s"size(filter($WORDS, w -> w IN ('the', 'a')))").cast("long").as("n_stop"),
+        col("n_chars"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("sum_tokens"),
+        sum("n_word_chars").as("sum_word_chars"),
+        sum("n_stop").as("sum_stop"),
+        sum("n_chars").as("sum_chars"),
+        (sum("n_stop").cast("double") / sum("n_tokens").cast("double")).as("stop_ratio"))
+
+  /** qx8 — n-gram language-ID heuristic: predict 'en' when the English
+    * stopword ratio clears 0.05; report confusion counts per source
+    * against the labeled lang. (The synthetic corpus shares one vocabulary
+    * across langs, so accuracy is honest-but-low — the operator under test
+    * is the scalable scoring pass, not the model.) */
+  def qx8(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), col("lang"),
+        (expr(s"size(filter($WORDS, w -> w IN ('the', 'a')))").cast("double") /
+          expr(s"size($WORDS)").cast("double")).as("stop_ratio"))
+      .withColumn("pred_en", col("stop_ratio") > 0.05)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pred_en"), 1L).otherwise(0L)).as("n_pred_en"),
+        sum(when(col("pred_en") === (col("lang") === "en"), 1L).otherwise(0L)).as("n_correct"))
+
+  /** qx9 — BPE-ish regex tokenization: runs of letters, runs of digits, or
+    * single other non-space chars; per-source token totals. One scan,
+    * codegen'd regexp, map-side combine. */
+  def qx9(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).cast("long").as("n_bpe"),
+        expr(s"size($WORDS)").cast("long").as("n_ws"))
+      .groupBy("source")
+      .agg(sum("n_bpe").as("sum_bpe_tokens"), sum("n_ws").as("sum_ws_tokens"))
+
+  /** qx10 — rolling-hash document fingerprint: order-sensitive Horner fold
+    * of the word-hash sequence (content-defined identity; equal docs ⇒
+    * equal fingerprint, reordered docs ⇒ different). Per-doc row output. */
+  def qx10(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr(s"aggregate($WORD_HASHES, 0L, (a, h) -> (a * 1000003 + h) % 2147483647)").as("fingerprint"))
+
+  // ----------------------------------------------------------- multimodal
+
+  /** qx11 — multimodal column plumbing: an opaque BINARY payload column +
+    * typed metadata, with the decode step as a typed mapPartitions stub.
+    *
+    * The payload here is a deterministic 16-byte fake (md5 of the props
+    * json) because this container has no image/audio codecs — the REAL
+    * parts under test are the Spark-side plumbing: a BinaryType column
+    * flowing through the plan, metadata extracted from JSON, and a
+    * partition-parallel typed decode pass with a stable batch shape
+    * (exactly where mapInPandas/a JNI decoder would slot in at 100 TB).
+    * The stub "decoder" reads payload length + first byte. */
+  def qx11(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.events(spark, dir).select(
+      col("event_id"), col("event_type"),
+      get_json_object(col("props"), "$.k").cast("long").as("k"),
+      unhex(md5(col("props"))).as("payload"))
+    val decoded = media.as[(Long, String, Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // DECODE STUB — deterministic fake: a real implementation would
+        // decode image/audio here (batch-wise, one codec per partition).
+        rows.map { case (id, tpe, k, payload) =>
+          (id, tpe, k, payload.length.toLong, (payload(0) & 0xff).toLong)
+        }
+      }
+      .toDF("event_id", "event_type", "k", "payload_len", "first_byte")
+    decoded.groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sum("k").as("sum_k"),
+        sum("first_byte").as("sum_first_byte"), max("payload_len").as("max_len"))
+  }
+}

@@ -27,16 +27,25 @@ object TxnFileSink {
     val fs = rootPath.getFileSystem(hconf)
     val finalDir = new Path(rootPath, s"batch=$batchId")
     if (fs.exists(finalDir)) return false // idempotent re-run: already committed
-    val staging = new Path(rootPath, s"_staging_$batchId")
-    fs.delete(staging, true) // clear debris from a failed previous attempt
+    // Each attempt stages under its own directory (beginTransaction):
+    // concurrent committers must never share scratch space, or a losing
+    // attempt's cleanup would delete the winner's in-flight files.
+    val staging = new Path(rootPath,
+      s"_staging_${batchId}_${java.util.UUID.randomUUID().toString.take(8)}")
     df.write.mode("overwrite").parquet(staging.toString)
     fs.mkdirs(rootPath)
     // Atomic publish. If a concurrent committer won the race, drop ours.
+    // Two filesystem contracts to handle: HDFS-style rename fails when the
+    // destination exists (the !rename branch); POSIX-style rename "onto" an
+    // existing directory succeeds but moves the source INSIDE it (the
+    // nested-dir check).
     if (!fs.rename(staging, finalDir)) {
       if (!fs.exists(finalDir)) sys.error(s"TxnFileSink: commit of $finalDir failed")
       fs.delete(staging, true)
       return false
     }
+    val nested = new Path(finalDir, staging.getName)
+    if (fs.exists(nested)) { fs.delete(nested, true); return false } // lost the race
     true
   }
 

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.streaming.Model._
+import graft.streaming.Pipelines
+
+/** SURVEY §5.3 — stream-vs-batch equivalence property: for arbitrary event
+  * sequences, the streaming windowed aggregation (Append mode, windows
+  * closed by the watermark) equals the batch groupBy over the same rows —
+  * the determinism event time is supposed to buy (정리/4주차.md:7-9).
+  * ScalaCheck generators are driven directly with fixed seeds (the
+  * scalatest/scalacheck bridge artifact is not in the offline cache).
+  */
+class EquivalenceSpec extends SparkTestBase {
+
+  private val eventsGen: Gen[List[SensorEvent]] = for {
+    n <- Gen.choose(5, 40)
+    evs <- Gen.listOfN(n, for {
+      sensor <- Gen.oneOf("s0", "s1", "s2")
+      tsMs <- Gen.choose(0L, 60000L)
+      value <- Gen.choose(-50.0, 150.0)
+    } yield (sensor, tsMs, value))
+  } yield evs.zipWithIndex.map { case ((s, t, v), i) =>
+    SensorEvent(s, i.toLong, t * 1000, v)
+  }
+
+  test("q04 window-average property: streaming == batch for random sequences") {
+    implicit val enc = Encoders.product[SensorEvent]
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    (1 to 5).foreach { trial =>
+      val events = eventsGen.pureApply(Gen.Parameters.default, Seed(trial.toLong))
+      locally {
+        val input = MemoryStream[SensorEvent]
+        val name = s"equiv_${System.nanoTime()}"
+        val agg = Pipelines.withEventTime(input.toDS(), "0 seconds")
+          .groupBy(col("sensor_id"), window(col("ts"), "5 seconds"))
+          .agg(count(lit(1)).as("cnt"), sum(floor(col("value") * 1e6 + 0.5)).as("s"))
+          .select(col("sensor_id"), unix_millis(col("window.end")).as("end_ms"),
+            col("cnt"), col("s"))
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("append").option("checkpointLocation", tmpDir("ckpt_eq")).start()
+        try {
+          input.addData(events)
+          q.processAllAvailable()
+          // A far-future row closes every window the events opened.
+          input.addData(SensorEvent("s0", 1L << 40, 1L << 50, 0.0))
+          q.processAllAvailable()
+        } finally q.stop()
+
+        val streamed = spark.table(name).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        val batch = events.toDS()
+          .groupBy(col("sensor_id"), window(timestamp_micros(col("ts_us")), "5 seconds"))
+          .agg(count(lit(1)).as("cnt"), sum(floor(col("value") * 1e6 + 0.5)).as("s"))
+          .select(col("sensor_id"), unix_millis(col("window.end")), col("cnt"), col("s"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        assert(streamed == batch)
+      }
+    }
+  }
+}
