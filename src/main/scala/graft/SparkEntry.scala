@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CoreQueries => Q, Oracle}
+import graft.queries.{CoreQueries => Q, ExtOracle, ExtQueries => X, Oracle}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Each entry in [[queries]] is a deterministic batch twin of one operator
@@ -31,6 +31,19 @@ object SparkEntry {
     "q15_txn_sink"           -> (Q.q15 _),
     "q16_lineitem_pricing"   -> (Q.q16 _),
     "q17_segment_revenue"    -> (Q.q17 _),
+    "q18_rolling_minmax"     -> (Q.q18 _),
+    "q19_median"             -> (Q.q19 _),
+    "qx1_exact_dedup"        -> (X.qx1 _),
+    "qx2_cosine_topk"        -> (X.qx2 _),
+    "qx3_ann_lsh"            -> (X.qx3 _),
+    "qx4_minhash_lsh"        -> (X.qx4 _),
+    "qx5_simhash"            -> (X.qx5 _),
+    "qx6_ngram_jaccard"      -> (X.qx6 _),
+    "qx7_text_stats"         -> (X.qx7 _),
+    "qx8_langid"             -> (X.qx8 _),
+    "qx9_token_count"        -> (X.qx9 _),
+    "qx10_fingerprint"       -> (X.qx10 _),
+    "qx11_multimodal"        -> (X.qx11 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -53,5 +66,18 @@ object SparkEntry {
     "q15_txn_sink"           -> Oracle.q15,
     "q16_lineitem_pricing"   -> Oracle.q16,
     "q17_segment_revenue"    -> Oracle.q17,
+    "q18_rolling_minmax"     -> Oracle.q18,
+    "q19_median"             -> Oracle.q19,
+    "qx1_exact_dedup"        -> ExtOracle.qx1,
+    "qx2_cosine_topk"        -> ExtOracle.qx2,
+    "qx3_ann_lsh"            -> ExtOracle.qx3,
+    "qx4_minhash_lsh"        -> ExtOracle.qx4,
+    "qx5_simhash"            -> ExtOracle.qx5,
+    "qx6_ngram_jaccard"      -> ExtOracle.qx6,
+    "qx7_text_stats"         -> ExtOracle.qx7,
+    "qx8_langid"             -> ExtOracle.qx8,
+    "qx9_token_count"        -> ExtOracle.qx9,
+    "qx10_fingerprint"       -> ExtOracle.qx10,
+    "qx11_multimodal"        -> ExtOracle.qx11,
   )
 }

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.broadcast
+
+/** P1–P6 — the reference's physical redistribution surface
+  * (정리/3주차.md:86-108) as thin, typed wrappers over Spark's exchange
+  * operators. These exist so a user of the reference's API finds the same
+  * verbs; the mapping is the SURVEY.md §2.8 table.
+  *
+  * On a 1000-executor cluster each of these is exactly one Exchange node:
+  * round-robin (shuffle/rebalance), narrow coalesce (rescale), broadcast
+  * replication, single-partition funnel (global — use knowingly!), or
+  * hash/range/custom key partitioning (partitionCustom).
+  */
+object Partitioning {
+
+  /** P1 — shuffle(): uniform random redistribution across n partitions. */
+  def shuffle(df: DataFrame, n: Int): DataFrame = df.repartition(n)
+
+  /** P2 — rebalance(): round-robin over all downstream tasks (same
+    * exchange as P1 in Spark: RoundRobinPartitioning). */
+  def rebalance(df: DataFrame, n: Int): DataFrame = df.repartition(n)
+
+  /** P3 — rescale(): narrow redistribution to a local subset of tasks —
+    * no shuffle, partitions are merged executor-locally. */
+  def rescale(df: DataFrame, n: Int): DataFrame = df.coalesce(n)
+
+  /** P4 — broadcast(): replicate every record to all tasks (as a join-side
+    * hint — Spark broadcasts relations, not streams). */
+  def broadcastAll(df: DataFrame): DataFrame = broadcast(df)
+
+  /** P5 — global(): send everything to one task. The reference warns this
+    * serializes the stream; same caveat at 100 TB — diagnostics only. */
+  def global(df: DataFrame): DataFrame = df.repartition(1)
+
+  /** P6 — partitionCustom(partitioner, field): user-controlled key
+    * placement. Hash flavor. */
+  def partitionCustom(df: DataFrame, n: Int, keys: Column*): DataFrame =
+    df.repartition(n, keys: _*)
+
+  /** P6 range flavor — co-locate key ranges (the building block q12's
+    * two-phase prefix scan relies on). */
+  def partitionByRange(df: DataFrame, n: Int, keys: Column*): DataFrame =
+    df.repartitionByRange(n, keys: _*)
+}

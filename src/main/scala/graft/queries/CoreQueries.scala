@@ -231,6 +231,41 @@ object CoreQueries {
       .select("sensor_id", "window_end_ms", "avg_temp")
   }
 
+  /** q18 — rolling min/max/minBy/maxBy family (A4): final per-key state of
+    * all four rolling aggregates, determinized with the same
+    * (value, event_id) tie-break the q02 rolling max uses.
+    * Reference: 정리/3주차.md:59-64. */
+  def q18(spark: SparkSession, dir: String): DataFrame = {
+    val wAsc = Window.partitionBy("sensor_id").orderBy(col("value").asc, col("event_id").asc)
+    val wDesc = Window.partitionBy("sensor_id").orderBy(col("value").desc, col("event_id").asc)
+    Tables.sensorReadings(spark, dir)
+      .withColumn("rn_min", row_number().over(wAsc))
+      .withColumn("rn_max", row_number().over(wDesc))
+      .where(col("rn_min") === 1 || col("rn_max") === 1)
+      .groupBy("sensor_id")
+      .agg(min("value").as("min_value"),
+        max("value").as("max_value"),
+        max(when(col("rn_min") === 1, col("event_id"))).as("argmin_event"),
+        max(when(col("rn_max") === 1, col("event_id"))).as("argmax_event"))
+  }
+
+  /** q19 — exact per-key median (W7's full-window computation as a batch
+    * twin; the streaming form is graft.streaming.Processors.
+    * WindowMedianProcessor): avg of the middle one/two values in
+    * (value, event_id) order. A rank-based two-phase plan — no
+    * collect_list buffering, survives wide keys. */
+  def q19(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("sensor_id").orderBy(col("value").asc, col("event_id").asc)
+    Tables.sensorReadings(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("sensor_id")))
+      // Integer div, NOT `/`: Spark's `/` on longs is double division, so
+      // for even counts (cnt+1)/2 lands on x.5 and matches no rank.
+      .where(col("rn") === expr("(cnt + 1) div 2") || col("rn") === expr("(cnt + 2) div 2"))
+      .groupBy("sensor_id")
+      .agg((sum("value") / count(lit(1))).as("median_value"))
+  }
+
   /** q16 — pricing summary over lineitem (bench headline: full-scan
     * aggregation with map-side partial combine; money sums quantized to
     * 1e-4 so they are order-exact). */

@@ -1,0 +1,185 @@
+package graft.queries
+
+/** DuckDB-SQL twins of [[ExtQueries]]. Every hash is the same explicit
+  * integer arithmetic as the Spark side (Horner char fold, polynomial
+  * shingle combine, affine MinHash, Rademacher hyperplane signs) so the
+  * two engines produce bit-identical integers; every float expression
+  * repeats the Spark shape operation-for-operation (see Determinism).
+  */
+object ExtOracle {
+
+  private val P = "2147483647"
+
+  /** Shared doc CTEs: ws = non-empty words, h = word hashes, sh = distinct
+    * 3-gram shingle hashes (only docs with ≥3 words shingle — same set as
+    * the Spark side's size(shingles) > 0 filter). */
+  private val DOCS =
+    s"""docs AS (SELECT doc_id, lang, source, n_chars,
+       |               list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+       |        FROM documents),
+       |wh AS (SELECT *, list_transform(ws,
+       |          w -> list_reduce([CAST(0 AS BIGINT)] ||
+       |                 list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT)),
+       |                           (a, b) -> a*31 + b) % 1000003) AS h
+       |       FROM docs),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(h) - 1),
+       |          i -> ((h[i]*1009 + h[i+1]) % $P * 1009 + h[i+2]) % $P)) AS shingles
+       |       FROM wh WHERE len(h) >= 3)""".stripMargin
+
+  private def mhExpr(k: Int): String = {
+    val a = 1000003L * (k + 1) + 17
+    val b = 917L * (k + 1)
+    s"list_min(list_transform(shingles, s -> ($a * s + $b) % $P))"
+  }
+
+  private def bandSigSql(lo: Int, hi: Int): String =
+    (lo to hi).map(k => s"m[${k + 1}]").foldLeft("0") { (acc, mh) =>
+      s"(($acc * 31 + $mh) % $P)"
+    }
+
+  val qx1: String =
+    """SELECT event_type, count(*) AS cnt,
+      |       CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** Shared embedding CTEs: exact integer vectors + norms + query set. */
+  private val EMB =
+    """iv AS (SELECT vec_id,
+      |         -- CAST to DOUBLE first: DuckDB would otherwise multiply in
+      |         -- FLOAT precision (Spark promotes float*decimal to double).
+      |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS v
+      |       FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |        CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2 FROM iv),
+      |q AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM n WHERE vec_id % 50 = 0)""".stripMargin
+
+  val qx2: String =
+    s"""WITH $EMB,
+       |scored AS (
+       |  SELECT q.qid, n.vec_id,
+       |         CAST(CAST(list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * qv[i])) AS BIGINT) AS DOUBLE)
+       |           / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE))) AS cosine
+       |  FROM n CROSS JOIN q WHERE n.vec_id <> q.qid)
+       |SELECT qid, rk, vec_id, cosine
+       |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rk
+       |      FROM scored) t
+       |WHERE rk <= 5""".stripMargin
+
+  val qx3: String =
+    s"""WITH $EMB,
+       |dims AS (SELECT vec_id, i - 1 AS d, v[i] AS val FROM n, generate_series(1, 64) t(i)),
+       |pb AS (SELECT vec_id, p,
+       |         sum(CASE WHEN ((p * 1000003 + d * 97) % 31) % 2 = 0 THEN val ELSE -val END) AS s
+       |       FROM dims, generate_series(0, 7) tp(p) GROUP BY vec_id, p),
+       |buck AS (SELECT vec_id, CAST(sum(CASE WHEN s >= 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket
+       |         FROM pb GROUP BY vec_id),
+       |nb AS (SELECT n.vec_id, v, n2, bucket FROM n JOIN buck USING (vec_id)),
+       |qb AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2, bucket AS qbucket FROM nb WHERE vec_id % 50 = 0),
+       |scored AS (
+       |  SELECT qb.qid, nb.vec_id,
+       |         CAST(CAST(list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * qv[i])) AS BIGINT) AS DOUBLE)
+       |           / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE))) AS cosine
+       |  FROM nb JOIN qb ON nb.bucket = qb.qbucket WHERE nb.vec_id <> qb.qid)
+       |SELECT qid, rk, vec_id, cosine
+       |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rk
+       |      FROM scored) t
+       |WHERE rk <= 5""".stripMargin
+
+  private val MH_TABLE: String = {
+    val mhs = (0 until 16).map(mhExpr).mkString("[", ", ", "]")
+    s"mh AS (SELECT doc_id, $mhs AS m FROM sh)"
+  }
+
+  private val BANDS: String = {
+    val sigs = (0 until 4).map(b => s"WHEN ${b} THEN ${bandSigSql(4 * b, 4 * b + 3)}").mkString(" ")
+    s"""bands AS (SELECT doc_id, b, CASE b $sigs END AS sig
+       |          FROM mh, generate_series(0, 3) t(b))""".stripMargin
+  }
+
+  val qx4: String =
+    s"""WITH $DOCS, $MH_TABLE, $BANDS
+       |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |FROM bands x JOIN bands y ON x.b = y.b AND x.sig = y.sig AND x.doc_id < y.doc_id""".stripMargin
+
+  val qx5: String = {
+    val sums = (0 until 16)
+      .map(bit => s"sum(((x // ${1L << bit}) % 2) * 2 - 1) AS s$bit").mkString(", ")
+    val combine = (0 until 16)
+      .map(bit => s"CASE WHEN s$bit > 0 THEN ${1L << bit} ELSE 0 END").mkString(" + ")
+    s"""WITH $DOCS,
+       |pw AS (SELECT doc_id, unnest(h) AS x FROM wh),
+       |bs AS (SELECT doc_id, $sums FROM pw GROUP BY doc_id)
+       |SELECT doc_id, CAST($combine AS BIGINT) AS simhash FROM bs""".stripMargin
+  }
+
+  val qx6: String =
+    s"""WITH $DOCS, $MH_TABLE, $BANDS,
+       |cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |          FROM bands x JOIN bands y ON x.b = y.b AND x.sig = y.sig AND x.doc_id < y.doc_id),
+       |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |sizes AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM sh),
+       |inter AS (SELECT doc_a, doc_b, count(*) AS inter
+       |          FROM cands
+       |          JOIN ex ea ON cands.doc_a = ea.doc_id
+       |          JOIN ex eb ON cands.doc_b = eb.doc_id AND ea.s = eb.s
+       |          GROUP BY doc_a, doc_b)
+       |SELECT doc_a, doc_b, inter,
+       |       CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) AS jaccard
+       |FROM inter JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id
+       |WHERE CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) >= 0.5""".stripMargin
+
+  val qx7: String =
+    s"""WITH $DOCS,
+       |per AS (SELECT lang, source, n_chars,
+       |          CAST(len(ws) AS BIGINT) AS n_tokens,
+       |          CAST(COALESCE(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT) AS n_word_chars,
+       |          CAST(len(list_filter(ws, w -> w = 'the' OR w = 'a')) AS BIGINT) AS n_stop
+       |        FROM docs)
+       |SELECT lang, source, count(*) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |       CAST(sum(n_word_chars) AS BIGINT) AS sum_word_chars,
+       |       CAST(sum(n_stop) AS BIGINT) AS sum_stop,
+       |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |       CAST(sum(n_stop) AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE) AS stop_ratio
+       |FROM per GROUP BY lang, source""".stripMargin
+
+  val qx8: String =
+    s"""WITH $DOCS,
+       |per AS (SELECT source, lang,
+       |          CAST(len(list_filter(ws, w -> w = 'the' OR w = 'a')) AS DOUBLE)
+       |            / CAST(len(ws) AS DOUBLE) > 0.05 AS pred_en
+       |        FROM docs)
+       |SELECT source, count(*) AS n_docs,
+       |       CAST(sum(CASE WHEN pred_en THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_en,
+       |       CAST(sum(CASE WHEN pred_en = (lang = 'en') THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+       |FROM per GROUP BY source""".stripMargin
+
+  val qx9: String =
+    """WITH per AS (SELECT source,
+      |          CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe,
+      |          CAST(len(list_filter(string_split(text, ' '), w -> length(w) > 0)) AS BIGINT) AS n_ws
+      |        FROM documents)
+      |SELECT source, CAST(sum(n_bpe) AS BIGINT) AS sum_bpe_tokens,
+      |       CAST(sum(n_ws) AS BIGINT) AS sum_ws_tokens
+      |FROM per GROUP BY source""".stripMargin
+
+  val qx10: String =
+    s"""WITH $DOCS
+       |SELECT doc_id,
+       |       list_reduce([CAST(0 AS BIGINT)] || h, (a, b) -> (a * 1000003 + b) % $P) AS fingerprint
+       |FROM wh""".stripMargin
+
+  val qx11: String =
+    """WITH per AS (
+      |  SELECT event_type,
+      |         CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+      |         (strpos('0123456789abcdef', substr(md5(props), 1, 1)) - 1) * 16
+      |           + strpos('0123456789abcdef', substr(md5(props), 2, 1)) - 1 AS first_byte,
+      |         16 AS payload_len
+      |  FROM events)
+      |SELECT event_type, count(*) AS cnt,
+      |       CAST(sum(k) AS BIGINT) AS sum_k,
+      |       CAST(sum(first_byte) AS BIGINT) AS sum_first_byte,
+      |       CAST(max(payload_len) AS BIGINT) AS max_len
+      |FROM per GROUP BY event_type""".stripMargin
+}

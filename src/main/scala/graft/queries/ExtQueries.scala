@@ -130,9 +130,6 @@ object ExtQueries {
       .select(col("vec_id") +: col("iv") +: col("n2") +: planeCols: _*)
       .withColumn("bucket", (0 until 8).map(p => col(s"bit$p")).reduce(_ + _))
       .select("vec_id", "iv", "n2", "bucket")
-    val q = bucketed.where(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("qn2"), col("bucket"))
-      .withColumnRenamed("qn2", "qn2_tmp")
     val qRenamed = bucketed.where(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("n2").as("qn2"),
         col("bucket").as("qbucket"))

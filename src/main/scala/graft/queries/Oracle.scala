@@ -149,6 +149,28 @@ object Oracle {
 
   val q15: String = q04 // the txn sink must reproduce the flagship result exactly
 
+  val q18: String =
+    s"""WITH $SENSOR,
+       |r AS (SELECT sensor_id, event_id, value,
+       |        row_number() OVER (PARTITION BY sensor_id ORDER BY value ASC, event_id ASC) AS rn_min,
+       |        row_number() OVER (PARTITION BY sensor_id ORDER BY value DESC, event_id ASC) AS rn_max
+       |      FROM sensor)
+       |SELECT sensor_id, min(value) AS min_value, max(value) AS max_value,
+       |       max(CASE WHEN rn_min = 1 THEN event_id END) AS argmin_event,
+       |       max(CASE WHEN rn_max = 1 THEN event_id END) AS argmax_event
+       |FROM r WHERE rn_min = 1 OR rn_max = 1
+       |GROUP BY sensor_id""".stripMargin
+
+  val q19: String =
+    s"""WITH $SENSOR,
+       |r AS (SELECT sensor_id, value,
+       |        row_number() OVER (PARTITION BY sensor_id ORDER BY value ASC, event_id ASC) AS rn,
+       |        count(*) OVER (PARTITION BY sensor_id) AS cnt
+       |      FROM sensor)
+       |SELECT sensor_id, sum(value) / count(*) AS median_value
+       |FROM r WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+       |GROUP BY sensor_id""".stripMargin
+
   val q16: String =
     s"""SELECT l_returnflag, l_linestatus,
        |  ${exactSum("l_quantity", "100.0")} AS sum_qty,
