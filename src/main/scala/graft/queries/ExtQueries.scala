@@ -39,19 +39,37 @@ object ExtQueries {
   private val WORD_HASHES =
     s"transform($WORDS, w -> aggregate(split(w, ''), 0L, (a, c) -> a*31 + ascii(c)) % 1000003)"
 
-  /** Distinct 3-gram shingle hashes over word hashes (set semantics for
-    * Jaccard/MinHash): s = ((w1*1009 + w2) % p * 1009 + w3) % p. */
-  private val SHINGLES =
-    s"""array_distinct(transform(
-       |  sequence(0, size($WORD_HASHES) - 3),
-       |  i -> ((element_at($WORD_HASHES, i+1) * 1009 + element_at($WORD_HASHES, i+2)) % 2147483647
-       |        * 1009 + element_at($WORD_HASHES, i+3)) % 2147483647))""".stripMargin
+  /** documents → DISTINCT (doc_id, s) 3-gram shingle-hash rows:
+    * s = ((w1*1009 + w2) % p * 1009 + w3) % p over consecutive word hashes.
+    *
+    * Deliberately row-oriented, not array-HOF: an earlier array version
+    * (transform over sequence + element_at) was collapsed by Catalyst into
+    * every downstream minhash column, re-evaluating the whole chain ~48×
+    * per row (172 s at sf0.1). Exploding to rows keeps every stage a
+    * codegen'd scalar expression: one explode, one per-doc window for the
+    * two lead()s, one distinct — all hash-partitioned on doc_id, the shape
+    * that survives 100 TB. */
+  private def shingleRows(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .where(length(col("w")) > 0)
+      .withColumn("wh", expr("aggregate(split(w, ''), 0L, (a, c) -> a*31 + ascii(c)) % 1000003"))
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    words
+      .withColumn("h2", lead("wh", 1).over(byPos))
+      .withColumn("h3", lead("wh", 2).over(byPos))
+      .where(col("h3").isNotNull)
+      .select(col("doc_id"),
+        expr("((wh * 1009 + h2) % 2147483647 * 1009 + h3) % 2147483647").as("s"))
+      .distinct()
+  }
 
-  /** k-th MinHash over the shingle set: min of (a_k*s + b_k) mod p. */
-  private def minhash(k: Int): String = {
+  /** k-th MinHash over the shingle-row set: min of (a_k*s + b_k) mod p —
+    * an aggregate over rows (partial min map-side), not an array fold. */
+  private def minhash(k: Int) = {
     val a = 1000003L * (k + 1) + 17
     val b = 917L * (k + 1)
-    s"aggregate(shingles, 9223372036854775807L, (m, s) -> least(m, ($a * s + $b) % 2147483647))"
+    min(expr(s"($a * s + $b) % 2147483647")).as(s"mh$k")
   }
 
   /** LSH band signature folding `rows` minhash columns mh{lo}..mh{hi}. */
@@ -143,13 +161,11 @@ object ExtQueries {
 
   // ------------------------------------------------------- near-dup dedup
 
-  /** Per-doc MinHash signature table: doc_id, mh0..mh15. */
+  /** Per-doc MinHash signature table: doc_id, mh0..mh15 — one hash
+    * aggregation over the shingle rows. */
   private def minhashed(spark: SparkSession, dir: String): DataFrame = {
-    val mhCols = (0 until 16).map(k => expr(minhash(k)).as(s"mh$k"))
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), expr(SHINGLES).as("shingles"))
-      .where(size(col("shingles")) > 0)
-      .select(col("doc_id") +: col("shingles") +: mhCols: _*)
+    val mhCols = (0 until 16).map(minhash)
+    shingleRows(spark, dir).groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
   }
 
   /** qx4 — MinHash + LSH near-duplicate candidate pairs: 16 minhashes in
@@ -190,12 +206,9 @@ object ExtQueries {
     * scale-safe order: cheap LSH recall first, exact verification on the
     * surviving pairs — never all-pairs). Emits pairs with J ≥ 0.5. */
   def qx6(spark: SparkSession, dir: String): DataFrame = {
-    val shingled = Tables.documents(spark, dir)
-      .select(col("doc_id"), expr(SHINGLES).as("shingles"))
-      .where(size(col("shingles")) > 0)
     val cands = qx4(spark, dir)
-    val exploded = shingled.select(col("doc_id"), explode(col("shingles")).as("s"))
-    val sizes = shingled.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
+    val exploded = shingleRows(spark, dir)
+    val sizes = exploded.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cands
       .join(exploded.as("ea"), col("doc_a") === col("ea.doc_id"))
       .join(exploded.as("eb"), col("doc_b") === col("eb.doc_id") && col("ea.s") === col("eb.s"))
