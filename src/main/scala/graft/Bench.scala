@@ -10,6 +10,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm up the JVM/codegen paths once so the first measured query is
+    // not charged session bring-up cost.
+    spark.range(1000).selectExpr("sum(id)").collect()
     // A failing query must surface as an explicit error, never as an
     // innocent-looking fast time.
     val outcomes = SparkEntry.queries.map { case (name, fn) =>

@@ -1,0 +1,28 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Plan inspector: prints the formatted physical plan of each named query
+  * (default: the scale-sensitive ones) so shuffle/broadcast/pushdown
+  * regressions are visible without running anything.
+  * Usage: runMain graft.Explain [sfDir] [name ...]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("q04_window_avg", "q16_lineitem_pricing", "q17_segment_revenue",
+        "qx2_cosine_topk", "qx3_ann_lsh", "qx4_minhash_lsh", "qx6_ngram_jaccard")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

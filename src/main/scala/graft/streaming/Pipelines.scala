@@ -36,6 +36,15 @@ object Pipelines {
       .as[SensorEvent]
   }
 
+  /** E9 — ingestion time: stamp arrival time as the event-time column
+    * (the reference's IngestionTime characteristic, 정리/4주차.md:10-12).
+    * Processing semantics downstream are identical to event time on the
+    * stamped column. */
+  def withIngestionTime(ds: Dataset[SensorEvent]): Dataset[SensorEvent] = {
+    implicit val enc = Encoders.product[SensorEvent]
+    ds.withColumn("ts", current_timestamp()).as[SensorEvent]
+  }
+
   /** F4 — |Δvalue| > threshold alerts (streaming twin of q08). */
   def deltaAlerts(ds: Dataset[SensorEvent], threshold: Double = 1.7): Dataset[DeltaAlert] = {
     implicit val out = Encoders.product[DeltaAlert]

@@ -228,6 +228,46 @@ object Processors {
     }
   }
 
+  /** W8/W9/W10 — custom window machinery in one processor: a GlobalWindow
+    * (W8: all events of a key share one unbounded window) with a custom
+    * count Trigger (W9: FIRE when `fireEvery` events have accumulated,
+    * then PURGE — the reference's CONTINUE/FIRE/FIRE_AND_PURGE protocol,
+    * 정리/4주차.md:305-308) and an Evictor (W10: before evaluation, drop
+    * buffered elements below the `evictBelow` threshold,
+    * 정리/4주차.md:310-311). Emits (key, fire#, kept-count, avg-of-kept).
+    *
+    * ListState is the window buffer; clearing it on fire is the W11
+    * trigger-state cleanup the reference warns about. */
+  class CustomTriggerWindowProcessor(fireEvery: Int, evictBelow: Double)
+      extends StatefulProcessor[String, SensorEvent, CountWindowRow] {
+    @transient private var buf: ListState[Double] = _
+    @transient private var meta: ValueState[CountAcc] = _ // grp = fire#, cnt = since-last-fire
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState[Double]("winbuf", Encoders.scalaDouble, TTLConfig.NONE)
+      meta = getHandle.getValueState[CountAcc]("winmeta", Encoders.product[CountAcc], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[SensorEvent],
+                                 tv: TimerValues): Iterator[CountWindowRow] = {
+      val out = Seq.newBuilder[CountWindowRow]
+      var m = if (meta.exists) meta.get else CountAcc(0L, 0L, 0L)
+      sorted(rows).foreach { r =>
+        buf.appendValue(r.value)
+        m = m.copy(cnt = m.cnt + 1)
+        if (m.cnt >= fireEvery) { // Trigger: FIRE_AND_PURGE
+          val kept = buf.get.toArray.filter(_ >= evictBelow) // Evictor
+          if (kept.nonEmpty)
+            out += CountWindowRow(key, m.grp, kept.length.toLong, kept.sum / kept.length)
+          buf.clear() // PURGE + W11 cleanup
+          m = CountAcc(m.grp + 1, 0L, 0L)
+        }
+      }
+      meta.update(m)
+      out.result().iterator
+    }
+  }
+
   /** W7 — full-window process function: per (key, tumbling event-time
     * window) buffer all values in ListState and emit the exact median when
     * the watermark passes window end (event-time timer at window end —
