@@ -24,11 +24,22 @@ import org.apache.spark.sql.functions._
   * assumption Flink's broadcast state makes.
   */
 object AsOfJoin {
+  /** Hard ceiling on control-side rows: the lead() window and the
+    * broadcast both assume a small control stream (the reference emits
+    * 1/s). Exceeding it should be a loud plan-time error, not a driver
+    * OOM at broadcast time on a 100 TB run. */
+  val MaxControlRows: Long = 5_000_000L
+
   /** @param events   big side, must carry `tsCol`
     * @param control  small side, must carry `tsCol`; all its columns are kept
     * @param tsCol    integer epoch column name present on both sides
     */
   def latestAtOrBefore(events: DataFrame, control: DataFrame, tsCol: String): DataFrame = {
+    val controlRows = control.count()
+    require(controlRows <= MaxControlRows,
+      s"AsOfJoin: control side has $controlRows rows (max $MaxControlRows). " +
+        "This operator broadcasts the control stream; a control side this " +
+        "large needs a shuffled range join instead.")
     // Duplicate control timestamps would produce empty [ts, ts) intervals
     // with a nondeterministic survivor; collapse them deterministically by
     // keeping the struct-max of the remaining columns per timestamp.

@@ -76,13 +76,26 @@ object CoreQueries {
   }
 
   /** q06 — sliding event-time window (60 s length, 15 s slide): count + avg.
-    * Reference: 정리/4주차.md:178-180 (W3). */
-  def q06(spark: SparkSession, dir: String): DataFrame =
-    Tables.sensorReadings(spark, dir)
-      .groupBy(col("sensor_id"), window(col("ts"), "60 seconds", "15 seconds"))
-      .agg(count(lit(1)).as("cnt"), Determinism.exactAvg(col("value"), 1e6).as("avg_value"))
-      .select(col("sensor_id"), unix_millis(col("window.end")).as("window_end_ms"),
-        col("cnt"), col("avg_value"))
+    * Reference: 정리/4주차.md:178-180 (W3).
+    *
+    * Pane-optimized: rows are first combined into non-overlapping 15 s
+    * panes (the slide), then each pane feeds the 4 windows containing it —
+    * the explode happens AFTER partial aggregation, so the shuffle carries
+    * one row per (sensor, pane) instead of 4× the input. Integer-quantized
+    * sums make pane-wise re-aggregation exact (same totals the row-wise
+    * plan produces, hence the same oracle hash). */
+  def q06(spark: SparkSession, dir: String): DataFrame = {
+    val panes = Tables.sensorReadings(spark, dir)
+      .groupBy(col("sensor_id"), expr("ts_ms div 15000").as("pane"))
+      .agg(count(lit(1)).as("cnt"), sum(Determinism.scaledLong(col("value"), 1e6)).as("s"))
+    panes
+      .select(col("sensor_id"), col("pane"), col("cnt"), col("s"),
+        explode(expr("sequence(0, 3)")).as("i"))
+      .withColumn("window_end_ms", (col("pane") - col("i")) * 15000L + 60000L)
+      .groupBy("sensor_id", "window_end_ms")
+      .agg(sum("cnt").as("cnt"),
+        ((sum("s").cast("double") / sum("cnt").cast("double")) / 1e6).as("avg_value"))
+  }
 
   /** q07 — session window (gap 1 minute) per user: count, start, duration.
     * Reference: 정리/4주차.md:181-183 (W4). */

@@ -20,6 +20,9 @@ trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     // testdata events.ts is parquet TIMESTAMP(NANOS) (see Tables).
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Keep saveAsTable artifacts (bucketing tests) out of the repo tree.
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
     .getOrCreate()
 
   locally { spark.sparkContext.setLogLevel("WARN") }
