@@ -33,11 +33,13 @@ object AsOfJoin {
   /** @param events   big side, must carry `tsCol`
     * @param control  small side, must carry `tsCol`; all its columns are kept
     * @param tsCol    integer epoch column name present on both sides
+    * @param maxControlRows broadcast-safety ceiling (see [[MaxControlRows]])
     */
-  def latestAtOrBefore(events: DataFrame, control: DataFrame, tsCol: String): DataFrame = {
+  def latestAtOrBefore(events: DataFrame, control: DataFrame, tsCol: String,
+                       maxControlRows: Long = MaxControlRows): DataFrame = {
     val controlRows = control.count()
-    require(controlRows <= MaxControlRows,
-      s"AsOfJoin: control side has $controlRows rows (max $MaxControlRows). " +
+    require(controlRows <= maxControlRows,
+      s"AsOfJoin: control side has $controlRows rows (max $maxControlRows). " +
         "This operator broadcasts the control stream; a control side this " +
         "large needs a shuffled range join instead.")
     // Duplicate control timestamps would produce empty [ts, ts) intervals

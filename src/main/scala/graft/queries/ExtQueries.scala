@@ -206,9 +206,14 @@ object ExtQueries {
     * scale-safe order: cheap LSH recall first, exact verification on the
     * surviving pairs — never all-pairs). Emits pairs with J ≥ 0.5. */
   def qx6(spark: SparkSession, dir: String): DataFrame = {
+    // The shingle table feeds candidate generation (via qx4's minhash),
+    // the intersection join (twice), and the set sizes — persist it so the
+    // explode/window pipeline runs once, the same materialize-the-shingle-
+    // table step a 100 TB dedup job would checkpoint.
+    val sh = shingleRows(spark, dir).persist()
     val cands = qx4(spark, dir)
-    val exploded = shingleRows(spark, dir)
-    val sizes = exploded.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val exploded = sh
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cands
       .join(exploded.as("ea"), col("doc_a") === col("ea.doc_id"))
       .join(exploded.as("eb"), col("doc_b") === col("eb.doc_id") && col("ea.s") === col("eb.s"))

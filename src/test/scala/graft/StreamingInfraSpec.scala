@@ -1,0 +1,89 @@
+package graft
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.sql.streaming.StreamingQueryListener._
+
+import graft.operators.AsOfJoin
+import graft.streaming.Model._
+
+/** Streaming infrastructure: F9 commit/progress notifications, K3 native
+  * streaming file sink, and AsOfJoin edge semantics.
+  */
+class StreamingInfraSpec extends SparkTestBase {
+
+  test("F9: StreamingQueryListener delivers per-epoch progress (commit notifications)") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[SensorEvent]
+    val progressed = mutable.Buffer.empty[Long]
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        progressed.synchronized { progressed += e.progress.batchId }
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    try {
+      val input = MemoryStream[SensorEvent]
+      val q = input.toDS().writeStream.format("memory").queryName("listener_q")
+        .option("checkpointLocation", tmpDir("ckpt_listener")).start()
+      try {
+        input.addData(SensorEvent("a", 1, 1, 1.0)); q.processAllAvailable()
+        input.addData(SensorEvent("a", 2, 2, 2.0)); q.processAllAvailable()
+      } finally q.stop()
+      // Listener delivery is async; give it a beat.
+      val deadline = System.currentTimeMillis() + 10000
+      while (progressed.synchronized(progressed.size) < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      // The reference's CheckpointListener.notifyCheckpointComplete maps to
+      // exactly these per-epoch progress callbacks.
+      assert(progressed.synchronized(progressed.toSet).intersect(Set(0L, 1L)) == Set(0L, 1L))
+    } finally spark.streams.removeListener(listener)
+  }
+
+  test("K3: native streaming parquet sink commits via _spark_metadata, readable exactly-once") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[SensorEvent]
+    val out = tmpDir("k3_out")
+    val input = MemoryStream[SensorEvent]
+    input.addData(SensorEvent("a", 1, 1, 1.0), SensorEvent("b", 2, 2, 2.0))
+    input.addData(SensorEvent("c", 3, 3, 3.0))
+    val q = input.toDS().writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", tmpDir("ckpt_k3"))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(new java.io.File(out, "_spark_metadata").exists()) // commit manifest
+    val back = spark.read.parquet(out)
+    assert(back.count() == 3)
+    assert(back.select("event_id").collect().map(_.getLong(0)).sorted.sameElements(Array(1L, 2L, 3L)))
+  }
+
+  test("AsOfJoin: duplicate control timestamps collapse deterministically") {
+    import spark.implicits._
+    val events = Seq((10L, "e1"), (20L, "e2")).toDF("ts", "name")
+    // Two control rows at ts=5 with different levels: the struct-max dedup
+    // must deterministically keep the greater ("HIGH" > "COOL").
+    val control = Seq((5L, "COOL"), (5L, "HIGH"), (15L, "LOW")).toDF("ts", "level")
+    val joined = AsOfJoin.latestAtOrBefore(events, control, "ts")
+      .select("name", "level").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(joined == Set(("e1", "HIGH"), ("e2", "LOW")))
+  }
+
+  test("AsOfJoin: oversized control side fails loudly instead of broadcasting") {
+    import spark.implicits._
+    val events = Seq((1L, "x")).toDF("ts", "name")
+    val control = spark.range(0, 100).toDF("ts").withColumn("lvl", lit("a"))
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.latestAtOrBefore(events, control, "ts", maxControlRows = 10L)
+    }
+    assert(e.getMessage.contains("control side has 100 rows"))
+    // Under the ceiling the join proceeds normally.
+    val ok = AsOfJoin.latestAtOrBefore(events, control, "ts", maxControlRows = 1000L)
+    assert(ok.columns.contains("lvl"))
+  }
+}
