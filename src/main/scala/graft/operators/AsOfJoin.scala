@@ -37,9 +37,11 @@ object AsOfJoin {
     */
   def latestAtOrBefore(events: DataFrame, control: DataFrame, tsCol: String,
                        maxControlRows: Long = MaxControlRows): DataFrame = {
-    val controlRows = control.count()
+    // limit(max+1) bounds the guard's scan: we only need to know whether
+    // the ceiling is exceeded, not the true count.
+    val controlRows = control.limit(math.min(maxControlRows + 1, Int.MaxValue.toLong - 1).toInt).count()
     require(controlRows <= maxControlRows,
-      s"AsOfJoin: control side has $controlRows rows (max $maxControlRows). " +
+      s"AsOfJoin: control side exceeds $maxControlRows rows. " +
         "This operator broadcasts the control stream; a control side this " +
         "large needs a shuffled range join instead.")
     // Duplicate control timestamps would produce empty [ts, ts) intervals

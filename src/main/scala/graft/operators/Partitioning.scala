@@ -23,8 +23,12 @@ object Partitioning {
   def rebalance(df: DataFrame, n: Int): DataFrame = df.repartition(n)
 
   /** P3 — rescale(): narrow redistribution to a local subset of tasks —
-    * no shuffle, partitions are merged executor-locally. */
-  def rescale(df: DataFrame, n: Int): DataFrame = df.coalesce(n)
+    * no shuffle, partitions are merged executor-locally. coalesce can only
+    * merge downward; a target ABOVE the current partition count falls back
+    * to a round-robin shuffle (Flink's rescale redistributes both ways; a
+    * silent no-op would hand the caller 4× less parallelism than asked). */
+  def rescale(df: DataFrame, n: Int): DataFrame =
+    if (n > df.rdd.getNumPartitions) df.repartition(n) else df.coalesce(n)
 
   /** P4 — broadcast(): replicate every record to all tasks (as a join-side
     * hint — Spark broadcasts relations, not streams). */

@@ -20,7 +20,7 @@ object ExtOracle {
        |wh AS (SELECT *, list_transform(ws,
        |          w -> list_reduce([CAST(0 AS BIGINT)] ||
        |                 list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT)),
-       |                           (a, b) -> a*31 + b) % 1000003) AS h
+       |                           (a, b) -> (a*31 + b) % 1000003)) AS h
        |       FROM docs),
        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(h) - 1),
        |          i -> ((h[i]*1009 + h[i+1]) % $P * 1009 + h[i+2]) % $P)) AS shingles

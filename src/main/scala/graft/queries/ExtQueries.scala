@@ -33,11 +33,13 @@ object ExtQueries {
   /** Non-empty whitespace tokens. */
   private val WORDS = "filter(split(text, ' '), w -> length(w) > 0)"
 
-  /** Horner char-fold word hash, mod 1e6+3: identical to the oracle's
-    * list_reduce over ascii codes. Max pre-mod value 122*31^8 ≈ 1e14 —
-    * exact in Long in both engines. */
+  /** Horner char-fold word hash with the modulus applied per step, so the
+    * accumulator stays < 1000003*31 + 122 ≈ 3.1e7 regardless of word
+    * length (an end-only mod overflows Long at ~13 chars — silently
+    * wrapping in Spark but erroring in DuckDB). Identical fold in the
+    * oracle's list_reduce. */
   private val WORD_HASHES =
-    s"transform($WORDS, w -> aggregate(split(w, ''), 0L, (a, c) -> a*31 + ascii(c)) % 1000003)"
+    s"transform($WORDS, w -> aggregate(split(w, ''), 0L, (a, c) -> (a*31 + ascii(c)) % 1000003))"
 
   /** documents → DISTINCT (doc_id, s) 3-gram shingle-hash rows:
     * s = ((w1*1009 + w2) % p * 1009 + w3) % p over consecutive word hashes.
@@ -53,7 +55,7 @@ object ExtQueries {
     val words = Tables.documents(spark, dir)
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
       .where(length(col("w")) > 0)
-      .withColumn("wh", expr("aggregate(split(w, ''), 0L, (a, c) -> a*31 + ascii(c)) % 1000003"))
+      .withColumn("wh", expr("aggregate(split(w, ''), 0L, (a, c) -> (a*31 + ascii(c)) % 1000003)"))
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
     words
       .withColumn("h2", lead("wh", 1).over(byPos))
@@ -206,14 +208,13 @@ object ExtQueries {
     * scale-safe order: cheap LSH recall first, exact verification on the
     * surviving pairs — never all-pairs). Emits pairs with J ≥ 0.5. */
   def qx6(spark: SparkSession, dir: String): DataFrame = {
-    // The shingle table feeds candidate generation (via qx4's minhash),
-    // the intersection join (twice), and the set sizes — persist it so the
-    // explode/window pipeline runs once, the same materialize-the-shingle-
-    // table step a 100 TB dedup job would checkpoint.
-    val sh = shingleRows(spark, dir).persist()
+    // (A 100 TB dedup job would materialize the shingle table once and
+    // reuse it; a session-lifetime persist() here measured as noise at
+    // bench scale and pins executor memory for later queries, so the
+    // recompute is the better trade at this size.)
     val cands = qx4(spark, dir)
-    val exploded = sh
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val exploded = shingleRows(spark, dir)
+    val sizes = exploded.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cands
       .join(exploded.as("ea"), col("doc_a") === col("ea.doc_id"))
       .join(exploded.as("eb"), col("doc_b") === col("eb.doc_id") && col("ea.s") === col("eb.s"))

@@ -26,7 +26,10 @@ object TxnFileSink {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(hconf)
     val finalDir = new Path(rootPath, s"batch=$batchId")
-    if (fs.exists(finalDir)) return false // idempotent re-run: already committed
+    if (fs.exists(finalDir)) { // idempotent re-run: already committed
+      sweepDebris(fs, rootPath, batchId)
+      return false
+    }
     // Each attempt stages under its own directory (beginTransaction):
     // concurrent committers must never share scratch space, or a losing
     // attempt's cleanup would delete the winner's in-flight files.
@@ -46,7 +49,23 @@ object TxnFileSink {
     }
     val nested = new Path(finalDir, staging.getName)
     if (fs.exists(nested)) { fs.delete(nested, true); return false } // lost the race
+    sweepDebris(fs, rootPath, batchId)
     true
+  }
+
+  /** Remove staging dirs abandoned by crashed attempts of `batchId`.
+    * Per-attempt staging names mean a dead attempt's scratch is never
+    * reused, so it must be swept here — but only debris older than an
+    * hour: a younger sibling may be a live concurrent attempt mid-write,
+    * and deleting under it would fail its tasks. */
+  private def sweepDebris(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+                          batchId: Long): Unit = {
+    val prefix = s"_staging_${batchId}_"
+    val cutoff = System.currentTimeMillis() - 3600_000L
+    if (fs.exists(root))
+      fs.listStatus(root)
+        .filter(s => s.getPath.getName.startsWith(prefix) && s.getModificationTime < cutoff)
+        .foreach(s => fs.delete(s.getPath, true))
   }
 
   /** Remove all committed batches under `root` (test helper). */

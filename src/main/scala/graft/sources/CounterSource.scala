@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -61,18 +61,31 @@ private case class CountOffset(count: Long) extends Offset {
   override def json(): String = count.toString
 }
 
-private class CounterMicroBatchStream(rowsPerBatch: Long, maxRows: Long) extends MicroBatchStream {
-  // Driver-side high-water mark: each latestOffset() call makes one more
-  // batch of numbers available, up to maxRows (the reference source
-  // emitted continuously; micro-batching quantizes that into per-trigger
-  // chunks, and the cap makes the stream drainable for tests).
+private class CounterMicroBatchStream(rowsPerBatch: Long, maxRows: Long)
+    extends MicroBatchStream with SupportsAdmissionControl {
+  // Driver-side high-water mark: each trigger makes one more batch of
+  // numbers available, up to maxRows (the reference source emitted
+  // continuously; micro-batching quantizes that into per-trigger chunks,
+  // and the cap makes the stream drainable for tests).
+  //
+  // SupportsAdmissionControl matters for recovery: after a restart this
+  // object is fresh (available = 0), and the argless latestOffset() would
+  // report an offset BELOW the checkpoint's committed start — rewinding
+  // the WAL and re-emitting rows. The (start, limit) overload hands us the
+  // restart position so the high-water mark resumes from it, which is
+  // what "read position survives failure" means for a driver-side source.
   @volatile private var available: Long = 0L
 
   override def initialOffset(): Offset = CountOffset(0L)
-  override def latestOffset(): Offset = {
-    available = math.min(maxRows, available + rowsPerBatch)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this method")
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[CountOffset].count
+    available = math.min(maxRows, math.max(available, from) + rowsPerBatch)
     CountOffset(available)
   }
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
   override def deserializeOffset(json: String): Offset = CountOffset(json.toLong)
   override def commit(end: Offset): Unit = () // WAL-managed; nothing external
 

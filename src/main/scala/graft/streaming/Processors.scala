@@ -287,6 +287,11 @@ object Processors {
 
     override def handleInputRows(key: String, rows: Iterator[SensorEvent],
                                  tv: TimerValues): Iterator[CountWindowRow] = {
+      // fired == true marks an already-emitted window: rows arriving after
+      // the fire (possible when the caller's watermark delay lets them
+      // through) are dropped, never re-fired — a second median row for the
+      // same window would contradict Append mode.
+      if (fired.exists && fired.get) return Iterator.empty
       val end = key.substring(key.indexOf('|') + 1).toLong
       if (!fired.exists) { getHandle.registerTimer(end); fired.update(false) }
       rows.foreach(r => buf.appendValue(r.value))
@@ -296,7 +301,8 @@ object Processors {
     override def handleExpiredTimer(key: String, tv: TimerValues,
                                     info: ExpiredTimerInfo): Iterator[CountWindowRow] = {
       val vs = buf.get.toArray.sorted
-      buf.clear(); fired.clear() // W11: window state freed at end-of-window
+      buf.clear() // W11: the (large) buffer is freed at end-of-window;
+      fired.update(true) // the small fired flag stays as the late-row fence
       if (vs.isEmpty) Iterator.empty
       else {
         val median =

@@ -94,13 +94,13 @@ object ReferencePrograms {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val programs: Map[String, Int => Unit] = Map(
-      "average" -> (s => StreamingMain.main(Array(s.toString))),
+      "average" -> (s => StreamingMain.run(spark, s, 100)),
       "basic" -> (s => basic(spark, s)),
       "keyed" -> (s => keyed(spark, s)),
       "rollingsum" -> (s => rollingSum(spark, s)),
       "multi" -> (s => multi(spark, s)))
     program match {
-      case "all" => Seq("basic", "keyed", "rollingsum", "multi").foreach { p =>
+      case "all" => Seq("average", "basic", "keyed", "rollingsum", "multi").foreach { p =>
         println(s"=== $p ==="); programs(p)(seconds)
       }
       case p => programs(p)(seconds)

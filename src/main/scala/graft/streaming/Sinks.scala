@@ -88,14 +88,15 @@ object Sinks {
   /** E8 — side-output late data: Spark has no OutputTag, so the demux runs
     * in foreachBatch (SURVEY.md §2.6 E8): rows whose event time is below
     * (max event time seen so far − lateness) go to the `late` sink, the
-    * rest to `main`. The high-water mark is carried across batches in the
-    * committed output itself (max over main), so the split is
-    * deterministic under replay. Both writes are TxnFileSink-committed —
-    * exactly-once on both outputs. */
+    * rest to `main`. The high-water mark is computed from main batches
+    * with id STRICTLY BELOW the current one — a replayed batch therefore
+    * recomputes the identical cutoff even if its own main commit survived
+    * the crash, so the split is deterministic under replay. Both writes
+    * are TxnFileSink-committed — exactly-once on both outputs. */
   def lateDemux(mainRoot: String, lateRoot: String, tsCol: String, latenessMs: Long)
                (df: DataFrame, batchId: Long): Unit = {
     val spark = df.sparkSession
-    val prevMax: Option[Long] = currentHighWater(spark, mainRoot, tsCol)
+    val prevMax: Option[Long] = highWaterBefore(spark, mainRoot, tsCol, batchId)
     val cutoff = prevMax.map(_ - latenessMs)
     val withFlag = cutoff match {
       case Some(c) => df.withColumn("__late", col(tsCol) < c)
@@ -105,12 +106,19 @@ object Sinks {
     TxnFileSink.commit(withFlag.where(col("__late")).drop("__late"), lateRoot, batchId)
   }
 
-  private def currentHighWater(spark: SparkSession, root: String, tsCol: String): Option[Long] = {
+  /** Max `tsCol` over committed `batch=<id>` dirs with id < `beforeBatch`. */
+  private def highWaterBefore(spark: SparkSession, root: String, tsCol: String,
+                              beforeBatch: Long): Option[Long] = {
     val p = new org.apache.hadoop.fs.Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p) || fs.listStatus(p).isEmpty) None
+    if (!fs.exists(p)) return None
+    val dirs = fs.listStatus(p).map(_.getPath)
+      .filter(_.getName.startsWith("batch="))
+      .filter(_.getName.stripPrefix("batch=").toLong < beforeBatch)
+      .map(_.toString)
+    if (dirs.isEmpty) None
     else {
-      val head = spark.read.parquet(s"$root/batch=*").agg(max(col(tsCol))).head
+      val head = spark.read.parquet(dirs: _*).agg(max(col(tsCol))).head
       if (head.isNullAt(0)) None else Some(head.getLong(0))
     }
   }

@@ -29,7 +29,13 @@ object StreamingMain {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, durationSec, rowsPerSec)
+    spark.stop()
+  }
 
+  /** The flagship pipeline on a caller-owned session (ReferencePrograms
+    * shares one session across all five programs — only main() may stop it). */
+  def run(spark: SparkSession, durationSec: Int, rowsPerSec: Int): Unit = {
     val checkpoint = Files.createTempDirectory("graft_flagship_ckpt").toString
     val readings = SensorSource.stream(spark, rowsPerSec)
       // °F→°C map (T5) then event-time + watermark (E1, 5 s bound —
@@ -50,6 +56,5 @@ object StreamingMain {
       .start()
     query.awaitTermination(durationSec * 1000L)
     query.stop()
-    spark.stop()
   }
 }

@@ -33,6 +33,28 @@ class OperatorSpec extends SparkTestBase {
     assert(ns.toSeq == (1L to 2000L)) // gap-free, duplicate-free
   }
 
+  test("S6: CounterSource resumes from the checkpointed offset after restart") {
+    val ckpt = tmpDir("ckpt_counter_restart")
+    val out = tmpDir("counter_restart_out")
+    def runOnce(maxRows: Long): Unit = {
+      val q = spark.readStream
+        .format("graft.sources.CounterSource")
+        .option("rowsPerBatch", "250")
+        .option("maxRows", maxRows.toString)
+        .load()
+        .writeStream
+        .foreachBatch(graft.streaming.Sinks.walBatchWriter(out))
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce(maxRows = 1000) // run 1: counts 1..1000, then kill
+    runOnce(maxRows = 2000) // run 2: fresh stream object, same checkpoint
+    val ns = spark.read.parquet(s"$out/batch=*").collect().map(_.getLong(0)).sorted
+    // The restarted stream must resume at 1001 — not rewind and re-emit.
+    assert(ns.toSeq == (1L to 2000L))
+  }
+
   test("P1-P6: partitioning wrappers produce the declared exchanges") {
     import spark.implicits._
     val df = (1 to 100).toDF("n")

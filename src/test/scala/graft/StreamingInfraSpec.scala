@@ -81,7 +81,7 @@ class StreamingInfraSpec extends SparkTestBase {
     val e = intercept[IllegalArgumentException] {
       AsOfJoin.latestAtOrBefore(events, control, "ts", maxControlRows = 10L)
     }
-    assert(e.getMessage.contains("control side has 100 rows"))
+    assert(e.getMessage.contains("control side exceeds 10 rows"))
     // Under the ceiling the join proceeds normally.
     val ok = AsOfJoin.latestAtOrBefore(events, control, "ts", maxControlRows = 1000L)
     assert(ok.columns.contains("lvl"))

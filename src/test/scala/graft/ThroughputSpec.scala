@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Model._
+import graft.streaming.Pipelines
+
+/** BASELINE.md engine targets: sustain ≥ 100 × P events/s through the
+  * source → window-avg → sink pipeline with micro-batch turnaround ≤ 5 s
+  * (the reference emits 100 ev/s per subtask; P = 4 local cores here), and
+  * the W3 sliding window in its live streaming form.
+  */
+class ThroughputSpec extends SparkTestBase {
+
+  test("throughput: windowed-avg pipeline sustains >> 400 ev/s with <= 5 s batches") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[SensorEvent]
+    val input = MemoryStream[SensorEvent]
+    val agg = Pipelines.withEventTime(input.toDS(), "5 seconds")
+      .withColumn("temp_c", (col("value") - 32) * 5.0 / 9.0)
+      .groupBy(col("sensor_id"), window(col("ts"), "5 seconds"))
+      .agg(avg("temp_c").as("avg_temp"))
+    val q = agg.writeStream.format("memory").queryName("throughput_q")
+      .outputMode("update").option("checkpointLocation", tmpDir("ckpt_tp")).start()
+    val target = 100 * 4 // 100 ev/s × P=4, the reference's aggregate rate
+    val events = (0 until target * 10).map { i => // 10 simulated seconds
+      SensorEvent(s"sensor_${i % 40}", i.toLong, i.toLong * 2500, 65.0 + i % 10)
+    }
+    val t0 = System.nanoTime()
+    try {
+      events.grouped(events.size / 5 + 1).foreach { chunk =>
+        input.addData(chunk); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    val evPerSec = events.size / wallSec
+    info(f"processed ${events.size} events in $wallSec%.1f s = $evPerSec%.0f ev/s")
+    assert(evPerSec > target, s"throughput $evPerSec ev/s below target $target")
+    // Micro-batch turnaround ≤ 5 s (the window size): each of the 5 chunks
+    // must have cleared well inside the latency budget on average.
+    assert(wallSec / 5 <= 5.0)
+  }
+
+  test("W3 streaming: sliding 60s/15s window emits the overlapping buckets live") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[SensorEvent]
+    val input = MemoryStream[SensorEvent]
+    val slid = Pipelines.withEventTime(input.toDS(), "0 seconds")
+      .groupBy(col("sensor_id"), window(col("ts"), "60 seconds", "15 seconds"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("sensor_id"), unix_millis(col("window.end")).as("end_ms"), col("cnt"))
+    val q = slid.writeStream.format("memory").queryName("sliding_live")
+      .outputMode("append").option("checkpointLocation", tmpDir("ckpt_w3")).start()
+    try {
+      // One event at t=20 s belongs to 4 overlapping 60 s windows
+      // (ends 30/45/60/75 s).
+      input.addData(SensorEvent("s", 1, 20_000_000L, 1.0))
+      q.processAllAvailable()
+      input.addData(SensorEvent("s", 2, 500_000_000L, 1.0)) // close them all
+      q.processAllAvailable()
+    } finally q.stop()
+    val ends = spark.table("sliding_live").collect()
+      .filter(_.getLong(2) == 1L).map(_.getLong(1)).sorted
+    assert(ends.containsSlice(Array(30000L, 45000L, 60000L, 75000L)))
+  }
+}
