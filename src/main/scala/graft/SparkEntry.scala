@@ -44,6 +44,7 @@ object SparkEntry {
     "qx9_token_count"        -> (X.qx9 _),
     "qx10_fingerprint"       -> (X.qx10 _),
     "qx11_multimodal"        -> (X.qx11 _),
+    "qx12_embed_neardup"     -> (X.qx12 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -79,5 +80,6 @@ object SparkEntry {
     "qx9_token_count"        -> ExtOracle.qx9,
     "qx10_fingerprint"       -> ExtOracle.qx10,
     "qx11_multimodal"        -> ExtOracle.qx11,
+    "qx12_embed_neardup"     -> ExtOracle.qx12,
   )
 }

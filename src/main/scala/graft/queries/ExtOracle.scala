@@ -85,6 +85,22 @@ object ExtOracle {
        |      FROM scored) t
        |WHERE rk <= 5""".stripMargin
 
+  val qx12: String =
+    s"""WITH $EMB,
+       |dims AS (SELECT vec_id, i - 1 AS d, v[i] AS val FROM n, generate_series(1, 64) t(i)),
+       |pb AS (SELECT vec_id, p,
+       |         sum(CASE WHEN ((p * 1000003 + d * 97) % 31) % 2 = 0 THEN val ELSE -val END) AS s
+       |       FROM dims, generate_series(0, 7) tp(p) GROUP BY vec_id, p),
+       |buck AS (SELECT vec_id, CAST(sum(CASE WHEN s >= 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket
+       |         FROM pb GROUP BY vec_id),
+       |nb AS (SELECT n.vec_id, v, n2, bucket FROM n JOIN buck USING (vec_id)),
+       |pairs AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |         CAST(CAST(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) AS BIGINT) AS DOUBLE)
+       |           / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cosine
+       |  FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.35""".stripMargin
+
   private val MH_TABLE: String = {
     val mhs = (0 until 16).map(mhExpr).mkString("[", ", ", "]")
     s"mh AS (SELECT doc_id, $mhs AS m FROM sh)"

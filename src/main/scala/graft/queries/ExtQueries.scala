@@ -140,16 +140,22 @@ object ExtQueries {
     * only, so the join is an equi-join on bucket, never all-pairs. Recall
     * is approximate by design; the oracle implements the identical bucket
     * math so the gate still hash-matches. */
-  def qx3(spark: SparkSession, dir: String): DataFrame = {
+  /** vec_id, iv, n2, bucket — 8 deterministic Rademacher hyperplanes fold
+    * each vector into one of 256 sign buckets. */
+  private def lshBucketed(spark: SparkSession, dir: String): DataFrame = {
     def sign(p: Int) = s"(CASE WHEN (($p * 1000003 + d * 97) % 31) % 2 = 0 THEN 1 ELSE -1 END)"
     val planeCols = (0 until 8).map { p =>
       expr(s"CASE WHEN aggregate(transform(sequence(0, 63), d -> element_at(iv, d+1) * ${sign(p)}), " +
         s"0L, (a, b) -> a + b) >= 0 THEN ${1 << p}L ELSE 0L END").as(s"bit$p")
     }
-    val bucketed = intEmbeddings(spark, dir)
+    intEmbeddings(spark, dir)
       .select(col("vec_id") +: col("iv") +: col("n2") +: planeCols: _*)
       .withColumn("bucket", (0 until 8).map(p => col(s"bit$p")).reduce(_ + _))
       .select("vec_id", "iv", "n2", "bucket")
+  }
+
+  def qx3(spark: SparkSession, dir: String): DataFrame = {
+    val bucketed = lshBucketed(spark, dir)
     val qRenamed = bucketed.where(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("n2").as("qn2"),
         col("bucket").as("qbucket"))
@@ -159,6 +165,25 @@ object ExtQueries {
       .withColumn("cosine", expr(COSINE))
       .withColumn("pid", spark_partition_id())
     topK(scored, 5)
+  }
+
+  /** qx12 — embedding-cosine near-duplicate pairs: vectors in the same
+    * LSH sign bucket whose exact cosine clears the threshold are duplicate
+    * candidates (the semantic-dedup complement to the lexical MinHash
+    * pipeline). Same no-all-pairs shape as qx3: bucket equi-join for
+    * recall, exact cosine only on bucket-mates. Threshold 0.35 is
+    * calibrated to the synthetic corpus (its random vectors top out at
+    * cosine ≈ 0.44 — a real embedding space would use ~0.9). */
+  def qx12(spark: SparkSession, dir: String): DataFrame = {
+    val bucketed = lshBucketed(spark, dir)
+    val right = bucketed.select(col("vec_id").as("vec_b"), col("iv").as("biv"),
+      col("n2").as("bn2"), col("bucket").as("bbucket"))
+    bucketed.join(right, col("bucket") === col("bbucket") && col("vec_id") < col("vec_b"))
+      .withColumn("dot", expr("aggregate(zip_with(iv, biv, (x, y) -> x*y), 0L, (a, b) -> a + b)"))
+      .withColumn("cosine",
+        expr("CAST(dot AS DOUBLE) / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(bn2 AS DOUBLE)))"))
+      .where(col("cosine") >= 0.35)
+      .select(col("vec_id").as("vec_a"), col("vec_b"), col("cosine"))
   }
 
   // ------------------------------------------------------- near-dup dedup
