@@ -116,6 +116,18 @@ class WatermarkSpec extends SparkTestBase {
     assert(got.contains((10000L, 3L, 5.0)) && got.contains((20000L, 2L, 3.0)))
   }
 
+  test("E9: ingestion time stamps arrival time as the event-time column") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = org.apache.spark.sql.Encoders.product[SensorEvent]
+    import spark.implicits._
+    val before = new java.sql.Timestamp(System.currentTimeMillis() - 60000)
+    val stamped = Pipelines.withIngestionTime(
+      Seq(SensorEvent("a", 1, 999L, 1.0)).toDS())
+    val ts = stamped.toDF().select("ts").head.getTimestamp(0)
+    val after = new java.sql.Timestamp(System.currentTimeMillis() + 60000)
+    assert(ts.after(before) && ts.before(after)) // arrival time, not the 999µs event time
+  }
+
   test("streaming dedup: dropDuplicatesWithinWatermark removes replayed events") {
     implicit val sqlCtx = spark.sqlContext
     implicit val enc = Encoders.product[SensorEvent]
