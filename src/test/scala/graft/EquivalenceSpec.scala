@@ -29,6 +29,51 @@ class EquivalenceSpec extends SparkTestBase {
     SensorEvent(s, i.toLong, t * 1000, v)
   }
 
+  test("session-window property: streaming merge == batch gap-split for random sequences") {
+    implicit val enc = Encoders.product[SensorEvent]
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    (1 to 3).foreach { trial =>
+      val events = eventsGen.pureApply(Gen.Parameters.default, Seed(100L + trial))
+      locally {
+        val input = MemoryStream[SensorEvent]
+        val name = s"equiv_sess_${System.nanoTime()}"
+        val agg = Pipelines.withEventTime(input.toDS(), "0 seconds")
+          .groupBy(col("sensor_id"), session_window(col("ts"), "7 seconds"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(col("sensor_id"), unix_millis(col("session_window.start")).as("start_ms"),
+            col("cnt"))
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("append").option("checkpointLocation", tmpDir("ckpt_eqs")).start()
+        try {
+          input.addData(events)
+          q.processAllAvailable()
+          input.addData(SensorEvent("s0", 1L << 40, 1L << 50, 0.0)) // close all
+          q.processAllAvailable()
+        } finally q.stop()
+        val streamed = spark.table(name).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+        // Batch twin: classic gap-split with lag() + running session ids.
+        val batch = events.toDS()
+          .selectExpr("sensor_id", "ts_us div 1000 AS ts_ms")
+          .selectExpr("sensor_id", "ts_ms",
+            "CASE WHEN lag(ts_ms) OVER (PARTITION BY sensor_id ORDER BY ts_ms) IS NULL " +
+              "OR ts_ms - lag(ts_ms) OVER (PARTITION BY sensor_id ORDER BY ts_ms) >= 7000 " +
+              "THEN 1 ELSE 0 END AS new_s")
+          .selectExpr("sensor_id", "ts_ms",
+            "sum(new_s) OVER (PARTITION BY sensor_id ORDER BY ts_ms " +
+              "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid")
+          .groupBy("sensor_id", "sid")
+          .agg(min("ts_ms").as("start_ms"), count(lit(1)).as("cnt"))
+          .select("sensor_id", "start_ms", "cnt")
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+        assert(streamed == batch)
+      }
+    }
+  }
+
   test("q04 window-average property: streaming == batch for random sequences") {
     implicit val enc = Encoders.product[SensorEvent]
     implicit val sqlCtx = spark.sqlContext
