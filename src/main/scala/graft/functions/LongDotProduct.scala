@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** `long_dot(a, b)` — exact integer dot product of two ARRAY<BIGINT>
+  * columns, as a native Catalyst expression with code generation.
+  *
+  * The ANN queries score candidates with Σ aᵢ·bᵢ over integerized
+  * embeddings. The declarative spelling —
+  * `aggregate(zip_with(a, b, (x,y) -> x*y), 0L, (s,v) -> s+v)` — allocates
+  * an intermediate array and evaluates two interpreted lambdas per row;
+  * this expression is one fused long loop inside whole-stage codegen
+  * (brief preference order: native Expression > HOF chain > UDF for hot
+  * paths). Semantics match the HOF form exactly: null if either side is
+  * null, summation over the shorter length, wrap-around on overflow —
+  * callers quantize so products stay ≪ 2⁶³.
+  */
+case class LongDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "long_dot"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(LongType, _) => true
+      case org.apache.spark.sql.types.NullType => true // NULL literal → null result
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"long_dot expects (ARRAY<BIGINT>, ARRAY<BIGINT>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // Fresh names: this snippet may be inlined multiple times into one
+      // generated method, so fixed local names would collide.
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) { $acc += $a.getLong($i) * $b.getLong($i); }
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

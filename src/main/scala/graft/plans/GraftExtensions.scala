@@ -1,0 +1,24 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.LongDotProduct
+
+/** Engine extension point: registers the custom Catalyst expressions with
+  * the session's FunctionRegistry, so SQL/expr() can call them by name.
+  * Activate with `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`
+  * (or `.withExtensions(new GraftExtensions)`).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("long_dot"),
+      new ExpressionInfo(classOf[LongDotProduct].getName, "long_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "long_dot expects exactly 2 arguments")
+        LongDotProduct(children.head, children(1))
+      }))
+  }
+}

@@ -103,7 +103,7 @@ object ExtQueries {
     Tables.embeddings(spark, dir).select(
       col("vec_id"),
       expr("transform(embedding, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))").as("iv"))
-      .withColumn("n2", expr("aggregate(transform(iv, x -> x*x), 0L, (a, b) -> a + b)"))
+      .withColumn("n2", expr("long_dot(iv, iv)"))
 
   private val COSINE =
     "CAST(dot AS DOUBLE) / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE)))"
@@ -129,7 +129,7 @@ object ExtQueries {
       .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("n2").as("qn2"))
     val scored = base.crossJoin(broadcast(q))
       .where(col("vec_id") =!= col("qid"))
-      .withColumn("dot", expr("aggregate(zip_with(iv, qiv, (x, y) -> x*y), 0L, (a, b) -> a + b)"))
+      .withColumn("dot", expr("long_dot(iv, qiv)"))
       .withColumn("cosine", expr(COSINE))
       .withColumn("pid", spark_partition_id())
     topK(scored, 5)
@@ -161,7 +161,7 @@ object ExtQueries {
         col("bucket").as("qbucket"))
     val scored = bucketed.join(broadcast(qRenamed), col("bucket") === col("qbucket"))
       .where(col("vec_id") =!= col("qid"))
-      .withColumn("dot", expr("aggregate(zip_with(iv, qiv, (x, y) -> x*y), 0L, (a, b) -> a + b)"))
+      .withColumn("dot", expr("long_dot(iv, qiv)"))
       .withColumn("cosine", expr(COSINE))
       .withColumn("pid", spark_partition_id())
     topK(scored, 5)
@@ -179,7 +179,7 @@ object ExtQueries {
     val right = bucketed.select(col("vec_id").as("vec_b"), col("iv").as("biv"),
       col("n2").as("bn2"), col("bucket").as("bbucket"))
     bucketed.join(right, col("bucket") === col("bbucket") && col("vec_id") < col("vec_b"))
-      .withColumn("dot", expr("aggregate(zip_with(iv, biv, (x, y) -> x*y), 0L, (a, b) -> a + b)"))
+      .withColumn("dot", expr("long_dot(iv, biv)"))
       .withColumn("cosine",
         expr("CAST(dot AS DOUBLE) / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(bn2 AS DOUBLE)))"))
       .where(col("cosine") >= 0.35)

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The custom Catalyst expression `long_dot` (codegen'd integer dot
+  * product): semantic equality with the declarative HOF form, null
+  * handling, whole-stage-codegen participation, and the speedup that
+  * justifies its existence.
+  */
+class LongDotProductSpec extends SparkTestBase {
+
+  private val HOF = "aggregate(zip_with(a, b, (x, y) -> x*y), 0L, (s, v) -> s + v)"
+
+  test("long_dot equals the HOF formulation on random arrays and handles nulls") {
+    // Values bounded like the quantized embeddings (products ≪ 2⁶³): under
+    // ANSI mode the HOF side would otherwise throw on overflow while
+    // long_dot wraps, and the comparison would be vacuous.
+    val df = spark.range(0, 1000)
+      .selectExpr("id",
+        "transform(sequence(0, 63), d -> CAST(hash(id, d) % 1000000 AS BIGINT)) AS a",
+        "transform(sequence(0, 63), d -> CAST(hash(d, id) % 1000000 AS BIGINT)) AS b")
+    val cmp = df.selectExpr(s"long_dot(a, b) AS fast", s"$HOF AS slow")
+      .where(col("fast") =!= col("slow"))
+    assert(cmp.count() == 0)
+    val nulls = spark.sql(
+      "SELECT long_dot(NULL, array(1L)) AS x, long_dot(array(1L, 2L), array(3L)) AS y")
+    val row = nulls.head
+    assert(row.isNullAt(0)) // null propagates
+    assert(row.getLong(1) == 3L) // shorter-length semantics, like zip_with
+  }
+
+  test("long_dot runs inside WholeStageCodegen") {
+    val df = spark.range(0, 10)
+      .selectExpr("transform(sequence(0, 7), d -> d + id) AS a")
+      .selectExpr("long_dot(a, a) AS n2")
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(n)" is the executedPlan notation for a WholeStageCodegen stage;
+    // the long_dot projection must sit inside one.
+    assert(plan.linesIterator.exists(l => l.contains("long_dot") && l.trim.startsWith("*(")))
+    df.collect() // and it executes (i.e. doGenCode compiles)
+  }
+
+  test("long_dot is measurably faster than the interpreted HOF chain") {
+    val df = spark.range(0, 200000)
+      .selectExpr(
+        "transform(sequence(0, 63), d -> CAST(hash(id, d) % 1000 AS BIGINT)) AS a",
+        "transform(sequence(0, 63), d -> CAST(hash(d, id) % 1000 AS BIGINT)) AS b")
+    def time(exprStr: String): Double = {
+      val t0 = System.nanoTime()
+      df.selectExpr(s"$exprStr AS d").agg(sum("d")).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    time("long_dot(a, b)") // warm both paths once
+    time(HOF)
+    // Min-of-3 per side: single-shot wall times flake under suite load.
+    val fast = (1 to 3).map(_ => time("long_dot(a, b)")).min
+    val slow = (1 to 3).map(_ => time(HOF)).min
+    info(f"long_dot: $fast%.2f s, HOF chain: $slow%.2f s (${slow / fast}%.1fx)")
+    assert(fast < slow) // the custom expression must actually pay its way
+  }
+}

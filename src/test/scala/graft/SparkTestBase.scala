@@ -20,6 +20,7 @@ trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     // testdata events.ts is parquet TIMESTAMP(NANOS) (see Tables).
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     // Keep saveAsTable artifacts (bucketing tests) out of the repo tree.
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
