@@ -34,16 +34,18 @@ class GraftStream[T](val ds: Dataset[T]) {
 
   /** A1 — keyBy(KeySelector). */
   def keyBy[K: Encoder](f: T => K): KeyedGraftStream[K, T] =
-    new KeyedGraftStream(ds.groupByKey(f), ds)
+    new KeyedGraftStream(ds.groupByKey(f))
 
-  /** K1 — print(): console sink for a live stream, show() for a batch. */
-  def print(intervalMs: Long = 1000L): Option[StreamingQuery] =
+  /** K1 — print(): console sink for a live stream, show() for a batch.
+    * Pass a checkpoint dir for a resumable console query; the default is a
+    * throwaway temp dir (debug usage — it is NOT cleaned up or reused). */
+  def print(intervalMs: Long = 1000L, checkpointLocation: Option[String] = None): Option[StreamingQuery] =
     if (ds.isStreaming)
       Some(ds.writeStream.format("console")
         .outputMode("append")
         .option("truncate", "false")
-        .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft_print_ckpt").toString)
+        .option("checkpointLocation", checkpointLocation.getOrElse(
+          java.nio.file.Files.createTempDirectory("graft_print_ckpt").toString))
         .trigger(Trigger.ProcessingTime(s"$intervalMs milliseconds"))
         .start())
     else { ds.show(truncate = false); None }
@@ -55,7 +57,7 @@ class GraftStream[T](val ds: Dataset[T]) {
 
 /** Keyed stream — the target of keyBy (SURVEY.md §1.3: KeyedStream ↦
   * KeyValueGroupedDataset). */
-class KeyedGraftStream[K, T](val kv: KeyValueGroupedDataset[K, T], origin: Dataset[T]) {
+class KeyedGraftStream[K, T](val kv: KeyValueGroupedDataset[K, T]) {
 
   /** A2/A3/A4 — rolling reduce with per-event emission, the exact
     * Update-mode semantics of the reference's `keyBy(..).reduce(..)`

@@ -15,9 +15,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * an intermediate array and evaluates two interpreted lambdas per row;
   * this expression is one fused long loop inside whole-stage codegen
   * (brief preference order: native Expression > HOF chain > UDF for hot
-  * paths). Semantics match the HOF form exactly: null if either side is
-  * null, summation over the shorter length, wrap-around on overflow —
-  * callers quantize so products stay ≪ 2⁶³.
+  * paths). Semantics match the HOF form exactly: NULL if either side is
+  * null, if the lengths differ (zip_with pads the shorter side with nulls,
+  * poisoning the sum), or if any element is null; wrap-around on
+  * overflow — callers quantize so products stay ≪ 2⁶³.
   */
 case class LongDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -37,13 +38,20 @@ case class LongDotProduct(left: Expression, right: Expression)
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
 
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0L
     var i = 0
-    while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
     acc
   }
 
@@ -55,10 +63,17 @@ case class LongDotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) { $acc += $a.getLong($i) * $b.getLong($i); }
-         |${ev.value} = $acc;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |}
        """.stripMargin
     })
 

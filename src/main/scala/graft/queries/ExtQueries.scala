@@ -143,10 +143,14 @@ object ExtQueries {
   /** vec_id, iv, n2, bucket — 8 deterministic Rademacher hyperplanes fold
     * each vector into one of 256 sign buckets. */
   private def lshBucketed(spark: SparkSession, dir: String): DataFrame = {
-    def sign(p: Int) = s"(CASE WHEN (($p * 1000003 + d * 97) % 31) % 2 = 0 THEN 1 ELSE -1 END)"
+    // Each plane's ±1 signs are a CONSTANT vector — fold them at plan
+    // build time and score with the codegen'd long_dot instead of an
+    // interpreted per-element HOF (same arithmetic, same oracle).
+    def signs(p: Int): String =
+      (0 until 64).map(d => if (((p * 1000003 + d * 97) % 31) % 2 == 0) "1L" else "-1L")
+        .mkString("array(", ", ", ")")
     val planeCols = (0 until 8).map { p =>
-      expr(s"CASE WHEN aggregate(transform(sequence(0, 63), d -> element_at(iv, d+1) * ${sign(p)}), " +
-        s"0L, (a, b) -> a + b) >= 0 THEN ${1 << p}L ELSE 0L END").as(s"bit$p")
+      expr(s"CASE WHEN long_dot(iv, ${signs(p)}) >= 0 THEN ${1 << p}L ELSE 0L END").as(s"bit$p")
     }
     intEmbeddings(spark, dir)
       .select(col("vec_id") +: col("iv") +: col("n2") +: planeCols: _*)
