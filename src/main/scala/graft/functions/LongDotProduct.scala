@@ -15,10 +15,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * an intermediate array and evaluates two interpreted lambdas per row;
   * this expression is one fused long loop inside whole-stage codegen
   * (brief preference order: native Expression > HOF chain > UDF for hot
-  * paths). Semantics match the HOF form exactly: NULL if either side is
+  * paths). Null semantics match the HOF form: NULL if either side is
   * null, if the lengths differ (zip_with pads the shorter side with nulls,
-  * poisoning the sum), or if any element is null; wrap-around on
-  * overflow — callers quantize so products stay ≪ 2⁶³.
+  * poisoning the sum), or if any element is null. Overflow DIVERGES from
+  * the HOF form under Spark 4's default ANSI mode: the aggregate/zip_with
+  * chain throws ArithmeticException on Long overflow while long_dot wraps
+  * silently (Java arithmetic) — so the equivalence holds only on the
+  * quantized range callers maintain (|elem| ≤ ~2e6 ⇒ |term| ≤ 4e12,
+  * |sum| ≤ 64·4e12 ≪ 2⁶³; LongDotProductSpec pins the in-range behavior).
   */
 case class LongDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {

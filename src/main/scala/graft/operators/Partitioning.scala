@@ -26,9 +26,19 @@ object Partitioning {
     * no shuffle, partitions are merged executor-locally. coalesce can only
     * merge downward; a target ABOVE the current partition count falls back
     * to a round-robin shuffle (Flink's rescale redistributes both ways; a
-    * silent no-op would hand the caller 4× less parallelism than asked). */
-  def rescale(df: DataFrame, n: Int): DataFrame =
-    if (n > df.rdd.getNumPartitions) df.repartition(n) else df.coalesce(n)
+    * silent no-op would hand the caller 4× less parallelism than asked).
+    *
+    * Batch-only: the partition-count probe needs a materialized physical
+    * plan, which a streaming frame does not have before execution (its
+    * micro-batch plans are per-trigger). Streaming redistribution is P1/P6
+    * (repartition works on streams). The probe uses queryExecution.toRdd —
+    * the internal-row RDD, no deserializing wrapper, no job launched. */
+  def rescale(df: DataFrame, n: Int): DataFrame = {
+    require(!df.isStreaming,
+      "rescale is batch-only (streaming frames have no pre-execution " +
+        "partition count); use shuffle/partitionCustom on streams")
+    if (n > df.queryExecution.toRdd.getNumPartitions) df.repartition(n) else df.coalesce(n)
+  }
 
   /** P4 — broadcast(): replicate every record to all tasks (as a join-side
     * hint — Spark broadcasts relations, not streams). */

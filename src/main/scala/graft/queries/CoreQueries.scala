@@ -56,6 +56,11 @@ object CoreQueries {
     *
     * The tumbling bucket is integer epoch arithmetic rather than the
     * window() struct: same grouping, plain long key, smaller shuffle rows.
+    * `div` truncates toward zero while window() floors, so the two agree
+    * only for ts_ms >= 0 — guaranteed here because event times are
+    * unsigned epoch millis by construction (Tables.sensorReadings derives
+    * them from parquet TIMESTAMP values; ScaleTechniqueSpec asserts the
+    * invariant). Pre-epoch event times would need floor-div semantics.
     * (Runtime here is dominated by group cardinality — the testdata has
     * ~1 event per (sensor, window), so the agg barely reduces — which is a
     * property of the data, not a scale hazard: group count grows linearly
@@ -91,7 +96,8 @@ object CoreQueries {
     * the explode happens AFTER partial aggregation, so the shuffle carries
     * one row per (sensor, pane) instead of 4× the input. Integer-quantized
     * sums make pane-wise re-aggregation exact (same totals the row-wise
-    * plan produces, hence the same oracle hash). */
+    * plan produces, hence the same oracle hash). Pane assignment shares
+    * q04's ts_ms >= 0 assumption (`div` truncates, window() floors). */
   def q06(spark: SparkSession, dir: String): DataFrame = {
     val panes = Tables.sensorReadings(spark, dir)
       .groupBy(col("sensor_id"), expr("ts_ms div 15000").as("pane"))
@@ -192,9 +198,16 @@ object CoreQueries {
     // (3) max_prev = greatest(local running max, carry-in).
     // Semantics are identical to max(ts_ms) OVER (ORDER BY event_id ROWS
     // UNBOUNDED PRECEDING TO 1 PRECEDING), but the plan survives 100×.
+    //
+    // The bucket width is a FIXED constant: the result is width-independent
+    // (any width yields the same max_prev), so sizing it from max(event_id)
+    // would buy nothing but an extra plan-time scan (round-2 verdict #3).
+    // 8192 gives dense-id corpora ≥12 buckets per 100k events for step-1
+    // parallelism while keeping the step-2 carry table at one row per 8192
+    // ids; a sparse 1e12-wide id space would switch to a two-level prefix
+    // (bucket the carries again) rather than re-introducing the scan.
     val s = Tables.sensorReadings(spark, dir)
-    val maxId = s.agg(max("event_id")).head.getLong(0)
-    val width = math.max(4096L, maxId / 10000L + 1) // result is width-independent
+    val width = 8192L
     val bucketed = s.withColumn("bucket", expr(s"event_id div ${width}L"))
     val localPrev = Window.partitionBy("bucket").orderBy("event_id")
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -62,15 +62,18 @@ object Sinks {
   def keyedUpsert(root: String, keyCol: String, versionCol: String)
                  (df: DataFrame, batchId: Long): Unit = {
     val spark = df.sparkSession
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val current = currentVersionDir(spark, root)
     val base = current.map(d => spark.read.parquet(d)).getOrElse(df.limit(0))
-    val merged = base.unionByName(df)
+    // Tag provenance so a (key, version) tie resolves deterministically to
+    // the INCOMING row (upsert-wins) instead of whichever row the shuffle
+    // happened to order first — replay then converges to the same table
+    // even when a payload changed under an unchanged version.
+    val merged = base.withColumn("__src", lit(0))
+      .unionByName(df.withColumn("__src", lit(1)))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keyCol).orderBy(col(versionCol).desc)
+      .partitionBy(keyCol).orderBy(col(versionCol).desc, col("__src").desc)
     val next = merged.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1).drop("__rn")
+      .where(col("__rn") === 1).drop("__rn", "__src")
     TxnFileSink.commit(next, root, batchId)
   }
 

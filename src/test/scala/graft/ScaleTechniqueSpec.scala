@@ -28,6 +28,19 @@ class ScaleTechniqueSpec extends SparkTestBase {
     assert(spread > 1)
   }
 
+  test("testdata event times are non-negative (div-vs-floor window invariant)") {
+    // q04/q06/q12/q15 bucket event time with integer `div`, which truncates
+    // toward zero; window() floors. The two agree iff ts_ms >= 0 — pin the
+    // invariant the batch twins rely on (CoreQueries.q04 doc).
+    val dir = "/root/testdata/sf0.001"
+    val minTs = graft.sources.Tables.sensorReadings(spark, dir)
+      .agg(min("ts_ms")).head.getLong(0)
+    assert(minTs >= 0L, s"pre-epoch ts_ms $minTs breaks div-bucket windows")
+    val minEvTs = graft.sources.Tables.events(spark, dir)
+      .agg(min("ts")).head.getLong(0)
+    assert(minEvTs >= 0L)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     import spark.implicits._
     spark.sql("DROP TABLE IF EXISTS b_orders")
