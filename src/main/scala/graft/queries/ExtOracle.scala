@@ -65,21 +65,37 @@ object ExtOracle {
        |      FROM scored) t
        |WHERE rk <= 5""".stripMargin
 
+  /** Banded corpus-sized LSH signatures (EmbeddingLsh twin): p planes per
+    * band derived from n with pure integer arithmetic (length(bin(x))−1 ==
+    * floor(log2(x)) == 63 − numberOfLeadingZeros(x)), 8 bands, plane index
+    * g = band·p + bit, identical Rademacher sign family. Produces
+    * sig(vec_id, band, sig). */
+  private val LSH =
+    """params AS (SELECT count(*) AS n FROM embeddings),
+      |pp AS (SELECT CAST(least(24, greatest(6, length(bin(greatest(n // 32, 2))) - 1)) AS BIGINT) AS p
+      |       FROM params),
+      |dims AS (SELECT vec_id, i - 1 AS d, v[i] AS val FROM n, generate_series(1, 64) t(i)),
+      |pg AS (SELECT g FROM pp, unnest(range(0, 8 * p)) AS t(g)),
+      |pd AS (SELECT vec_id, g,
+      |         sum(CASE WHEN ((g * 1000003 + d * 97 + 7) * (g * 1000003 + d * 97 + 7))
+      |                        % 2147483647 % 2 = 0 THEN val ELSE -val END) AS s
+      |       FROM dims, pg GROUP BY vec_id, g),
+      |sig AS (SELECT vec_id, g // p AS band,
+      |          CAST(sum(CASE WHEN s >= 0 THEN (1 << (g % p)) ELSE 0 END) AS BIGINT) AS sig
+      |        FROM pd, pp GROUP BY vec_id, g // p)""".stripMargin
+
   val qx3: String =
     s"""WITH $EMB,
-       |dims AS (SELECT vec_id, i - 1 AS d, v[i] AS val FROM n, generate_series(1, 64) t(i)),
-       |pb AS (SELECT vec_id, p,
-       |         sum(CASE WHEN ((p * 1000003 + d * 97) % 31) % 2 = 0 THEN val ELSE -val END) AS s
-       |       FROM dims, generate_series(0, 7) tp(p) GROUP BY vec_id, p),
-       |buck AS (SELECT vec_id, CAST(sum(CASE WHEN s >= 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket
-       |         FROM pb GROUP BY vec_id),
-       |nb AS (SELECT n.vec_id, v, n2, bucket FROM n JOIN buck USING (vec_id)),
-       |qb AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2, bucket AS qbucket FROM nb WHERE vec_id % 50 = 0),
+       |$LSH,
+       |qsig AS (SELECT vec_id AS qid, band, sig FROM sig WHERE vec_id % 50 = 0),
+       |cand AS (SELECT DISTINCT s.vec_id, qs.qid
+       |         FROM sig s JOIN qsig qs ON s.band = qs.band AND s.sig = qs.sig
+       |         WHERE s.vec_id <> qs.qid),
        |scored AS (
-       |  SELECT qb.qid, nb.vec_id,
+       |  SELECT cand.qid, cand.vec_id,
        |         CAST(CAST(list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * qv[i])) AS BIGINT) AS DOUBLE)
        |           / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE))) AS cosine
-       |  FROM nb JOIN qb ON nb.bucket = qb.qbucket WHERE nb.vec_id <> qb.qid)
+       |  FROM cand JOIN n ON cand.vec_id = n.vec_id JOIN q ON cand.qid = q.qid)
        |SELECT qid, rk, vec_id, cosine
        |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rk
        |      FROM scored) t
@@ -87,18 +103,15 @@ object ExtOracle {
 
   val qx12: String =
     s"""WITH $EMB,
-       |dims AS (SELECT vec_id, i - 1 AS d, v[i] AS val FROM n, generate_series(1, 64) t(i)),
-       |pb AS (SELECT vec_id, p,
-       |         sum(CASE WHEN ((p * 1000003 + d * 97) % 31) % 2 = 0 THEN val ELSE -val END) AS s
-       |       FROM dims, generate_series(0, 7) tp(p) GROUP BY vec_id, p),
-       |buck AS (SELECT vec_id, CAST(sum(CASE WHEN s >= 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket
-       |         FROM pb GROUP BY vec_id),
-       |nb AS (SELECT n.vec_id, v, n2, bucket FROM n JOIN buck USING (vec_id)),
+       |$LSH,
+       |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |         FROM sig x JOIN sig y ON x.band = y.band AND x.sig = y.sig
+       |         WHERE x.vec_id < y.vec_id),
        |pairs AS (
-       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  SELECT vec_a, vec_b,
        |         CAST(CAST(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) AS BIGINT) AS DOUBLE)
        |           / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cosine
-       |  FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |  FROM cand JOIN n a ON vec_a = a.vec_id JOIN n b ON vec_b = b.vec_id)
        |SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.35""".stripMargin
 
   private val MH_TABLE: String = {

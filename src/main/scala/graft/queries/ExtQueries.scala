@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Determinism
+import graft.operators.EmbeddingLsh
 import graft.sources.Tables
 
 /** The large-scale training-data-pipeline operator family (builder brief +
@@ -135,59 +136,62 @@ object ExtQueries {
     topK(scored, 5)
   }
 
-  /** qx3 — LSH-bucketed ANN (the scale path): 8 deterministic Rademacher
-    * hyperplanes → 256 sign buckets; candidates are bucket-equal vectors
-    * only, so the join is an equi-join on bucket, never all-pairs. Recall
-    * is approximate by design; the oracle implements the identical bucket
-    * math so the gate still hash-matches. */
-  /** vec_id, iv, n2, bucket — 8 deterministic Rademacher hyperplanes fold
-    * each vector into one of 256 sign buckets. */
-  private def lshBucketed(spark: SparkSession, dir: String): DataFrame = {
-    // Each plane's ±1 signs are a CONSTANT vector — fold them at plan
-    // build time and score with the codegen'd long_dot instead of an
-    // interpreted per-element HOF (same arithmetic, same oracle).
-    def signs(p: Int): String =
-      (0 until 64).map(d => if (((p * 1000003 + d * 97) % 31) % 2 == 0) "1L" else "-1L")
-        .mkString("array(", ", ", ")")
-    val planeCols = (0 until 8).map { p =>
-      expr(s"CASE WHEN long_dot(iv, ${signs(p)}) >= 0 THEN ${1 << p}L ELSE 0L END").as(s"bit$p")
-    }
-    intEmbeddings(spark, dir)
-      .select(col("vec_id") +: col("iv") +: col("n2") +: planeCols: _*)
-      .withColumn("bucket", (0 until 8).map(p => col(s"bit$p")).reduce(_ + _))
-      .select("vec_id", "iv", "n2", "bucket")
+  /** Banded, corpus-sized LSH signatures for the embeddings table — see
+    * [[graft.operators.EmbeddingLsh]] for the design (8 band tables ×
+    * log2(n/32) planes each; candidate pairs stay ~linear in n at any
+    * scale). The count() is a metadata-only sizing pass on parquet. */
+  private def lshSigs(spark: SparkSession, dir: String): DataFrame = {
+    val planes = EmbeddingLsh.planesFor(Tables.embeddings(spark, dir).count())
+    EmbeddingLsh.bandSigs(intEmbeddings(spark, dir).select("vec_id", "iv"), planes)
   }
 
+  /** qx3 — LSH-bucketed ANN (the scale path): a query's candidates are
+    * vectors sharing ANY band signature with it; exact cosine is computed
+    * on candidates only, then two-phase top-k. The candidate join is an
+    * equi-join on (band, sig) followed by a distinct on bare ids — the
+    * 64-long vectors are re-joined only for the surviving candidates, so
+    * neither the 8× band explode nor the shuffle ever carries an array.
+    * Recall is approximate by design; the oracle implements the identical
+    * plane/bucket math so the gate still hash-matches. */
   def qx3(spark: SparkSession, dir: String): DataFrame = {
-    val bucketed = lshBucketed(spark, dir)
-    val qRenamed = bucketed.where(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("n2").as("qn2"),
-        col("bucket").as("qbucket"))
-    val scored = bucketed.join(broadcast(qRenamed), col("bucket") === col("qbucket"))
-      .where(col("vec_id") =!= col("qid"))
+    val base = intEmbeddings(spark, dir)
+    val sigs = lshSigs(spark, dir)
+    val qsigs = sigs.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("band").as("qband"), col("sig").as("qsig"))
+    val cand = sigs.join(broadcast(qsigs),
+        col("band") === col("qband") && col("sig") === col("qsig") &&
+          col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id").distinct()
+    val q = base.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("n2").as("qn2"))
+    val scored = cand
+      .join(base, "vec_id")
+      .join(broadcast(q), "qid")
       .withColumn("dot", expr("long_dot(iv, qiv)"))
       .withColumn("cosine", expr(COSINE))
       .withColumn("pid", spark_partition_id())
     topK(scored, 5)
   }
 
-  /** qx12 — embedding-cosine near-duplicate pairs: vectors in the same
-    * LSH sign bucket whose exact cosine clears the threshold are duplicate
-    * candidates (the semantic-dedup complement to the lexical MinHash
-    * pipeline). Same no-all-pairs shape as qx3: bucket equi-join for
-    * recall, exact cosine only on bucket-mates. Threshold 0.35 is
-    * calibrated to the synthetic corpus (its random vectors top out at
-    * cosine ≈ 0.44 — a real embedding space would use ~0.9). */
+  /** qx12 — embedding-cosine near-duplicate pairs: vectors colliding in
+    * any LSH band whose exact cosine clears the threshold are duplicates
+    * (the semantic-dedup complement to the lexical MinHash pipeline).
+    * Same narrow-candidates shape as qx3: banded equi-join for recall
+    * (8 bands ≫ the old single table), id-only distinct, vectors fetched
+    * per side for the survivors only. Threshold 0.35 is calibrated to the
+    * synthetic corpus (its random vectors top out at cosine ≈ 0.44 — a
+    * real embedding space would use ~0.9). */
   def qx12(spark: SparkSession, dir: String): DataFrame = {
-    val bucketed = lshBucketed(spark, dir)
-    val right = bucketed.select(col("vec_id").as("vec_b"), col("iv").as("biv"),
-      col("n2").as("bn2"), col("bucket").as("bbucket"))
-    bucketed.join(right, col("bucket") === col("bbucket") && col("vec_id") < col("vec_b"))
-      .withColumn("dot", expr("long_dot(iv, biv)"))
+    val base = intEmbeddings(spark, dir)
+    val cand = EmbeddingLsh.candidatePairs(lshSigs(spark, dir))
+    val a = base.select(col("vec_id").as("vec_a"), col("iv").as("aiv"), col("n2").as("an2"))
+    val b = base.select(col("vec_id").as("vec_b"), col("iv").as("biv"), col("n2").as("bn2"))
+    cand.join(a, "vec_a").join(b, "vec_b")
+      .withColumn("dot", expr("long_dot(aiv, biv)"))
       .withColumn("cosine",
-        expr("CAST(dot AS DOUBLE) / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(bn2 AS DOUBLE)))"))
+        expr("CAST(dot AS DOUBLE) / (sqrt(CAST(an2 AS DOUBLE)) * sqrt(CAST(bn2 AS DOUBLE)))"))
       .where(col("cosine") >= 0.35)
-      .select(col("vec_id").as("vec_a"), col("vec_b"), col("cosine"))
+      .select("vec_a", "vec_b", "cosine")
   }
 
   // ------------------------------------------------------- near-dup dedup
