@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Determinism
-import graft.operators.EmbeddingLsh
+import graft.operators.{EmbeddingLsh, MultimodalCodec}
 import graft.sources.Tables
 
 /** The large-scale training-data-pipeline operator family (builder brief +
@@ -319,31 +319,24 @@ object ExtQueries {
   // ----------------------------------------------------------- multimodal
 
   /** qx11 — multimodal column plumbing: an opaque BINARY payload column +
-    * typed metadata, with the decode step as a typed mapPartitions stub.
+    * typed metadata, decoded at the [[graft.operators.MultimodalCodec]]
+    * boundary.
     *
     * The payload here is a deterministic 16-byte fake (md5 of the props
     * json) because this container has no image/audio codecs — the REAL
     * parts under test are the Spark-side plumbing: a BinaryType column
-    * flowing through the plan, metadata extracted from JSON, and a
-    * partition-parallel typed decode pass with a stable batch shape
-    * (exactly where mapInPandas/a JNI decoder would slot in at 100 TB).
-    * The stub "decoder" reads payload length + first byte. */
+    * flowing through the plan, metadata extracted from JSON, and a decode
+    * boundary with a stable schema. The stub's outputs are relational, so
+    * this query takes the columnar (all-codegen) rendering; the typed
+    * mapPartitions slot a real codec needs is MultimodalCodec.decodeTyped,
+    * proven output-identical in MultimodalCodecSpec. */
   def qx11(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val media = Tables.events(spark, dir).select(
       col("event_id"), col("event_type"),
       get_json_object(col("props"), "$.k").cast("long").as("k"),
       unhex(md5(col("props"))).as("payload"))
-    val decoded = media.as[(Long, String, Long, Array[Byte])]
-      .mapPartitions { rows =>
-        // DECODE STUB — deterministic fake: a real implementation would
-        // decode image/audio here (batch-wise, one codec per partition).
-        rows.map { case (id, tpe, k, payload) =>
-          (id, tpe, k, payload.length.toLong, (payload(0) & 0xff).toLong)
-        }
-      }
-      .toDF("event_id", "event_type", "k", "payload_len", "first_byte")
-    decoded.groupBy("event_type")
+    MultimodalCodec.decodeColumnar(media)
+      .groupBy("event_type")
       .agg(count(lit(1)).as("cnt"), sum("k").as("sum_k"),
         sum("first_byte").as("sum_first_byte"), max("payload_len").as("max_len"))
   }
