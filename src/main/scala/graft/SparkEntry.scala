@@ -19,6 +19,7 @@ object SparkEntry {
     "q03_rolling_sum"        -> (Q.q03 _),
     "q04_window_avg"         -> (Q.q04 _),
     "q05_broadcast_alert"    -> (Q.q05 _),
+    "q05b_asof_shuffled"     -> (Q.q05b _),
     "q06_sliding_window"     -> (Q.q06 _),
     "q07_session_window"     -> (Q.q07 _),
     "q08_delta_alert"        -> (Q.q08 _),
@@ -55,6 +56,7 @@ object SparkEntry {
     "q03_rolling_sum"        -> Oracle.q03,
     "q04_window_avg"         -> Oracle.q04,
     "q05_broadcast_alert"    -> Oracle.q05,
+    "q05b_asof_shuffled"     -> Oracle.q05, // same semantics, shuffled plan
     "q06_sliding_window"     -> Oracle.q06,
     "q07_session_window"     -> Oracle.q07,
     "q08_delta_alert"        -> Oracle.q08,

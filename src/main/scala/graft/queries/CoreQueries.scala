@@ -76,14 +76,28 @@ object CoreQueries {
   /** q05 — broadcast control stream co-process: alert when the latest
     * control event at-or-before the reading is HIGH and temp > 100.
     * Reference: Q/MultiStreamTransformations.java:62-100 (M2,P4). */
-  def q05(spark: SparkSession, dir: String): DataFrame = {
+  def q05(spark: SparkSession, dir: String): DataFrame =
+    q05Impl(spark, dir, AsOfJoin.latestAtOrBefore(_, _, "ts_us"))
+
+  /** q05b — the SAME semantics routed through the shuffled as-of fallback
+    * (no control broadcast; bucketed range join with carry-in — the path
+    * a beyond-broadcast control stream takes). 10⁴-second buckets over
+    * the ~30-day corpus ≈ 259 buckets, most without an in-bucket control,
+    * so the carry path is exercised hard. Shares q05's oracle: both
+    * plans must hash-match the identical DuckDB result. */
+  def q05b(spark: SparkSession, dir: String): DataFrame =
+    q05Impl(spark, dir,
+      AsOfJoin.latestAtOrBeforeShuffled(_, _, "ts_us", bucketWidth = 10_000_000_000L))
+
+  private def q05Impl(spark: SparkSession, dir: String,
+                      asOf: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val s = Tables.sensorReadings(spark, dir)
     val control = s.filter(col("event_type") === "error")
       .select(col("ts_us"),
         when(col("value") > 150, "HIGH").otherwise("LOW").as("level"))
     val readings = s.filter(col("event_type") =!= "error" && col("value") > 100)
       .select("event_id", "sensor_id", "ts_us", "value")
-    AsOfJoin.latestAtOrBefore(readings, control, "ts_us")
+    asOf(readings, control)
       .where(col("level") === "HIGH")
       .select("event_id", "sensor_id", "value", "level")
   }
