@@ -111,6 +111,16 @@ object Pipelines {
       .groupByKey(_.sensor_id)(Encoders.STRING)
       .transformWithState(processor, TimeMode.None(), OutputMode.Update())
 
+  /** F6 — MapState-backed concurrent tumbling windows per sensor (the
+    * per-key-map state primitive). Input must carry a watermark
+    * ([[withEventTime]]); rows emit as the watermark closes each window. */
+  def mapWindowCounts(ds: Dataset[SensorEvent], windowMs: Long): Dataset[CountWindowRow] = {
+    implicit val out = Encoders.product[CountWindowRow]
+    ds.groupByKey(_.sensor_id)(Encoders.STRING)
+      .transformWithState(new MapWindowCountsProcessor(windowMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** F10 — TTL'd dedup by event_id. */
   def dedupWithTtl(ds: Dataset[SensorEvent], ttl: java.time.Duration): Dataset[SensorEvent] = {
     implicit val out = Encoders.product[SensorEvent]

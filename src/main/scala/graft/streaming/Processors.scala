@@ -209,6 +209,54 @@ object Processors {
     }
   }
 
+  /** F6 — MapState: per-key CONCURRENT tumbling event-time windows, the
+    * canonical per-key-map workload (reference 정리/5주차.md:10 declares
+    * MapState alongside Value/ListState). A key can have many windows
+    * open at once — out-of-order events reopen older windows while newer
+    * ones accumulate — which a single ValueState cannot hold: the state
+    * is a MAP window-end → (count, quantized sum). Each new map entry
+    * registers an event-time timer at its window end; on expiry exactly
+    * that entry is emitted and removed (W11-style per-window cleanup,
+    * leaving sibling windows untouched). Quantization matches
+    * Determinism.exactAvg, so emitted averages are bit-identical to a
+    * batch groupBy twin. */
+  class MapWindowCountsProcessor(windowMs: Long)
+      extends StatefulProcessor[String, SensorEvent, CountWindowRow] {
+    @transient private var wins: MapState[Long, CountAcc] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      wins = getHandle.getMapState[Long, CountAcc]("wins", Encoders.scalaLong,
+        Encoders.product[CountAcc], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[SensorEvent],
+                                 tv: TimerValues): Iterator[CountWindowRow] = {
+      sorted(rows).foreach { r =>
+        val end = (r.ts_us / 1000L / windowMs + 1L) * windowMs
+        val scaled = math.floor(r.value * 1e6 + 0.5).toLong
+        if (wins.containsKey(end)) {
+          val a = wins.getValue(end)
+          wins.updateValue(end, CountAcc(end, a.cnt + 1, a.sumScaled + scaled))
+        } else {
+          getHandle.registerTimer(end) // first event of this window
+          wins.updateValue(end, CountAcc(end, 1L, scaled))
+        }
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: String, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[CountWindowRow] = {
+      val end = info.getExpiryTimeInMs
+      if (!wins.containsKey(end)) Iterator.empty
+      else {
+        val a = wins.getValue(end)
+        wins.removeKey(end)
+        Iterator.single(
+          CountWindowRow(key, end, a.cnt, (a.sumScaled.toDouble / a.cnt.toDouble) / 1e6))
+      }
+    }
+  }
+
   /** F10 — TTL'd seen-keys dedup: drop events whose id was seen within the
     * TTL window. Demonstrates native state TTL (reference 정리/5주차.md:
     * 143-149 prevents state leaks with cleanup timers; Spark 4 folds that

@@ -130,6 +130,37 @@ class StatefulProcessorSpec extends SparkTestBase {
     assert(got == Set(("s1", 3L)))
   }
 
+  test("F6: MapWindowCountsProcessor holds concurrent windows in MapState") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[SensorEvent]
+    val input = MemoryStream[SensorEvent]
+    val out = Pipelines.mapWindowCounts(
+      Pipelines.withEventTime(input.toDS(), "0 seconds"), windowMs = 5000L)
+    val q = out.writeStream.format("memory").queryName("map_windows")
+      .outputMode("append").option("checkpointLocation", tmpDir("ckpt_mw")).start()
+    try {
+      // One batch, three windows per key OPEN AT ONCE and interleaved —
+      // the shape a single ValueState cannot hold.
+      input.addData(
+        SensorEvent("a", 1, 1_000_000L, 10.0), // window end 5000
+        SensorEvent("a", 2, 6_000_000L, 20.0), // window end 10000
+        SensorEvent("a", 3, 2_000_000L, 30.0), // reopens 5000
+        SensorEvent("b", 4, 11_000_000L, 40.0), // window end 15000
+        SensorEvent("a", 5, 12_000_000L, 50.0)) // window end 15000
+      q.processAllAvailable()
+      input.addData(SensorEvent("a", 99, 1L << 50, 0.0)) // watermark closer
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("map_windows").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), round9(r.getDouble(3)))).toSet
+    val expected = Set(
+      ("a", 5000L, 2L, 20.0),  // events 1+3
+      ("a", 10000L, 1L, 20.0), // event 2
+      ("a", 15000L, 1L, 50.0), // event 5
+      ("b", 15000L, 1L, 40.0)) // event 4
+    assert(got == expected)
+  }
+
   test("F10: TtlDedupProcessor keeps first occurrence per event_id") {
     implicit val sqlCtx = spark.sqlContext
     implicit val enc = Encoders.product[SensorEvent]
