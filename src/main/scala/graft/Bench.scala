@@ -14,13 +14,22 @@ object Bench {
     // Warm up the JVM/codegen paths once so the first measured query is
     // not charged session bring-up cost.
     spark.range(1000).selectExpr("sum(id)").collect()
+    // Round-2 verdict #7: single-shot times carried ±2 s JIT/bench-order
+    // jitter that read as regressions. Run each query `reps` times and
+    // report the per-query MIN — the stable, noise-floor number.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt
     // A failing query must surface as an explicit error, never as an
     // innocent-looking fast time.
     val outcomes = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
       val res: Either[String, Double] =
-        try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable =>
+        try {
+          val times = (1 to reps).map { _ =>
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          Right(times.min)
+        } catch { case e: Throwable =>
           Left(Option(e.getMessage).getOrElse(e.getClass.getName).takeWhile(_ != '\n').take(200))
         }
       name -> res
@@ -30,7 +39,7 @@ object Bench {
     val qs = outcomes.collect { case (k, Right(v)) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val errs = outcomes.collect { case (k, Left(m)) => s"\"$k\":${jstr(m)}" }.mkString("{", ",", "}")
     val total = outcomes.values.collect { case Right(v) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$reps,"stat":"min","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
