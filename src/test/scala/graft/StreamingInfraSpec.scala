@@ -74,16 +74,18 @@ class StreamingInfraSpec extends SparkTestBase {
     assert(joined == Set(("e1", "HIGH"), ("e2", "LOW")))
   }
 
-  test("AsOfJoin: oversized control side fails loudly instead of broadcasting") {
+  test("AsOfJoin: oversized control side routes to the shuffled fallback, no broadcast") {
     import spark.implicits._
-    val events = Seq((1L, "x")).toDF("ts", "name")
-    val control = spark.range(0, 100).toDF("ts").withColumn("lvl", lit("a"))
-    val e = intercept[IllegalArgumentException] {
-      AsOfJoin.latestAtOrBefore(events, control, "ts", maxControlRows = 10L)
-    }
-    assert(e.getMessage.contains("control side exceeds 10 rows"))
-    // Under the ceiling the join proceeds normally.
+    val events = Seq((1L, "x"), (50L, "y")).toDF("ts", "name")
+    val control = spark.range(0, 100).toDF("ts").withColumn("lvl", concat(lit("c"), col("ts")))
+    // Past the ceiling the join no longer errors (round-2 missing #5): it
+    // takes the bucketed range-join path — and the plan must NOT contain
+    // a broadcast of the (big) control relation.
+    val routed = AsOfJoin.latestAtOrBefore(events, control, "ts", maxControlRows = 10L)
+    val rows = routed.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(rows == Set((1L, "x", "c1"), (50L, "y", "c50")))
+    // Under the ceiling the broadcast join proceeds normally, same rows.
     val ok = AsOfJoin.latestAtOrBefore(events, control, "ts", maxControlRows = 1000L)
-    assert(ok.columns.contains("lvl"))
+    assert(ok.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet == rows)
   }
 }
