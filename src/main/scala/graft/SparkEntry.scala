@@ -46,6 +46,7 @@ object SparkEntry {
     "qx10_fingerprint"       -> (X.qx10 _),
     "qx11_multimodal"        -> (X.qx11 _),
     "qx12_embed_neardup"     -> (X.qx12 _),
+    "qx13_ann_ivf"           -> (X.qx13 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -83,5 +84,6 @@ object SparkEntry {
     "qx10_fingerprint"       -> ExtOracle.qx10,
     "qx11_multimodal"        -> ExtOracle.qx11,
     "qx12_embed_neardup"     -> ExtOracle.qx12,
+    "qx13_ann_ivf"           -> ExtOracle.qx13,
   )
 }

@@ -24,11 +24,17 @@ import org.apache.spark.sql.functions._
   * assumption Flink's broadcast state makes.
   */
 object AsOfJoin {
-  /** Hard ceiling on control-side rows: the lead() window and the
-    * broadcast both assume a small control stream (the reference emits
-    * 1/s). Exceeding it should be a loud plan-time error, not a driver
-    * OOM at broadcast time on a 100 TB run. */
-  val MaxControlRows: Long = 5_000_000L
+  /** Routing ceiling on control-side rows. The broadcast path is a
+    * non-equi join against the control's validity intervals — Spark
+    * executes it as a broadcast nested loop, O(|events| · |controls|)
+    * comparisons (a 10× probe measured 234× wall time for 10× rows once
+    * the control side hit 200k). The per-event cost is what matters at
+    * 100 TB: ≤4096 controls ≈ 4k comparisons/event, the same budget as
+    * one bucket of the shuffled path; past that the shuffled
+    * O((E+C)·log) plan wins despite its extra shuffle, so we route
+    * there. (The reference's control stream is 1 ev/s — comfortably
+    * broadcast.) */
+  val MaxControlRows: Long = 4096L
 
   /** @param events   big side, must carry `tsCol`
     * @param control  small side, must carry `tsCol`; all its columns are kept
@@ -42,13 +48,21 @@ object AsOfJoin {
     // the ceiling is exceeded, not the true count.
     val controlRows = control.limit(math.min(maxControlRows + 1, Int.MaxValue.toLong - 1).toInt).count()
     if (controlRows > maxControlRows) {
-      // Too big to broadcast: route to the shuffled range join, sized so
-      // the per-bucket sort stays parallel and the bucket-level carry
-      // table stays broadcastable (≤ ~4k rows).
+      // Too big to broadcast: route to the shuffled range join. Width =
+      // span/1024 keeps the per-bucket sort parallel while the bucket-
+      // level carry table (≤ ~1025 rows) stays far under any ceiling —
+      // sizing it at span/ceiling once produced ceiling+1 carry rows and
+      // an unbounded re-route recursion at exactly the boundary.
       val span = control.agg(min(col(tsCol)), max(col(tsCol))).head
-      val width = math.max(1L, (span.getLong(1) - span.getLong(0)) / 4096L)
+      val width = math.max(1L, (span.getLong(1) - span.getLong(0)) / 1024L)
       return latestAtOrBeforeShuffled(events, control, tsCol, width)
     }
+    broadcastPath(events, control, tsCol)
+  }
+
+  /** The broadcast interval join, no size guard — callers are responsible
+    * for the control side being small. */
+  private def broadcastPath(events: DataFrame, control: DataFrame, tsCol: String): DataFrame = {
     // Duplicate control timestamps would produce empty [ts, ts) intervals
     // with a nondeterministic survivor; collapse them deterministically by
     // keeping the struct-max of the remaining columns per timestamp.
@@ -116,11 +130,15 @@ object AsOfJoin {
     // bucket STRICTLY before each event bucket (+1 shifts the inclusive
     // as-of bound to strictly-before). One row per control bucket —
     // broadcastable by the bucketWidth contract.
+    // The bucket-level as-of goes straight to the broadcast core (no size
+    // guard, no count job): one row per control bucket is small by the
+    // bucketWidth contract, and routing through the guarded entry could
+    // re-route back here — recursion doing a Spark job per level.
     val bucketLatest = deduped
       .withColumn("__cb", expr(s"`$tsCol` div ${bucketWidth}L") + 1L)
       .groupBy("__cb").agg(max(ctrlStruct).as("__carry"))
     val evBuckets = events.select(expr(s"`$tsCol` div ${bucketWidth}L").as("__cb")).distinct()
-    val carries = latestAtOrBefore(evBuckets, bucketLatest, "__cb")
+    val carries = broadcastPath(evBuckets, bucketLatest, "__cb")
       .select(col("__cb").as("__bucket"), col("__carry"))
 
     withIn.where(col("__side") === 1)

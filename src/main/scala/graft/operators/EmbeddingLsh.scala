@@ -25,16 +25,17 @@ import org.apache.spark.sql.functions._
   * dim d: +1 iff the low bit of (g·1000003 + d·97 + 7)² mod 2³¹−1 is 0 —
   * quadratic-residue parity; the round-2 linear-mod-31 form repeated
   * planes with period 31 and skewed buckets badly past one band), scored
-  * with the codegen'd `long_dot` over plan-time-constant sign arrays — so
-  * the DuckDB oracle reproduces every bucket bit-identically with integer
-  * arithmetic (h ≤ ~1.9e8 ⇒ h² < 2⁶³, exact in both engines).
+  * with the codegen'd `long_dot` against a broadcast sign-vector table —
+  * so the DuckDB oracle reproduces every bucket bit-identically with
+  * integer arithmetic (h ≤ ~1.9e8 ⇒ h² < 2⁶³, exact in both engines).
   *
-  * The plane count must be known at PLAN time (the sign vectors fold into
-  * constants), so sizing needs `n` up front: one count() on the embeddings
-  * table — metadata-only on parquet, the LSH analogue of the statistics
-  * pass every ANN index build does. The oracle derives the identical p
-  * with integer SQL: least(24, greatest(6, length(bin(greatest(n//32,2)))−1)),
-  * which equals 63 − numberOfLeadingZeros(max(n/32, 2)) for all n.
+  * The plane count must be known at PLAN time (table size and bit
+  * positions are plan constants), so sizing needs `n` up front: one
+  * count() on the embeddings table — metadata-only on parquet, the LSH
+  * analogue of the statistics pass every ANN index build does. The oracle
+  * derives the identical p with integer SQL:
+  * least(24, greatest(6, length(bin(greatest(n//32,2)))−1)), which equals
+  * 63 − numberOfLeadingZeros(max(n/32, 2)) for all n.
   */
 object EmbeddingLsh {
 
@@ -55,28 +56,38 @@ object EmbeddingLsh {
     math.min(MaxPlanes, math.max(MinPlanes, floorLog2))
   }
 
-  /** Plane g's ±1 sign vector as a plan-time constant array literal. */
-  def signsArray(g: Int, dims: Int = 64): String =
-    (0 until dims).map { d =>
-      val h = g.toLong * 1000003L + d.toLong * 97L + 7L
-      if ((h * h) % 2147483647L % 2L == 0L) "1L" else "-1L"
-    }.mkString("array(", ", ", ")")
+  /** The bands·planes sign vectors as a (g, sv) table — one row per
+    * plane, built by expression and always broadcastable.
+    *
+    * A table, NOT plan-time constant arrays: constants make the generated
+    * code grow as planes·dims, and past ~50 planes Janino compilation of
+    * the split-up methods dominates the query (the 10× probe caught
+    * executors spending minutes in UnitCompiler at planes=9). A broadcast
+    * join keeps code size O(1) in the plane count — the same shape
+    * [[IvfAnn]] uses for its centroid table. */
+  def planeTable(spark: org.apache.spark.sql.SparkSession, planes: Int,
+                 bands: Int = Bands): DataFrame =
+    spark.range(bands.toLong * planes).select(
+      col("id").as("g"),
+      expr("transform(sequence(0, 63), d -> CASE WHEN " +
+        "((id * 1000003 + d * 97 + 7) * (id * 1000003 + d * 97 + 7)) % 2147483647 % 2 = 0 " +
+        "THEN 1L ELSE -1L END)").as("sv"))
 
   /** `emb` must carry `vec_id` and `iv` (ARRAY<BIGINT>, the integerized
     * embedding); returns one (vec_id, band, sig) row per (vector, band).
-    * Each sig bit p is sign(iv · plane_{band·planes+p}); the per-band
-    * explode happens AFTER the narrow projection so the (8×) row blowup
-    * carries only (id, band, sig) — never the 64-long array. */
+    * Sig bit (g mod planes) of band (g div planes) is sign(iv · sv_g):
+    * one broadcast crossJoin against the plane table, one map-side-
+    * combinable bit fold — the only shuffle carries (vec_id, band, sig)
+    * triples, never the 64-long array. */
   def bandSigs(emb: DataFrame, planes: Int, bands: Int = Bands): DataFrame = {
-    val bandCols = (0 until bands).map { b =>
-      val sig = (0 until planes).map { p =>
-        val g = b * planes + p
-        s"(CASE WHEN long_dot(iv, ${signsArray(g)}) >= 0 THEN ${1L << p}L ELSE 0L END)"
-      }.mkString(" + ")
-      struct(lit(b.toLong).as("band"), expr(sig).as("sig"))
-    }
-    emb.select(col("vec_id"), explode(array(bandCols: _*)).as("bs"))
-      .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val spark = emb.sparkSession
+    emb.select(col("vec_id"), col("iv"))
+      .crossJoin(broadcast(planeTable(spark, planes, bands)))
+      .select(col("vec_id"), expr(s"g div $planes").as("band"),
+        expr(s"CASE WHEN long_dot(iv, sv) >= 0 " +
+          s"THEN shiftleft(1L, CAST(g % $planes AS INT)) ELSE 0L END").as("bitval"))
+      .groupBy("vec_id", "band")
+      .agg(sum("bitval").cast("long").as("sig"))
   }
 
   /** Distinct unordered candidate pairs (vec_a < vec_b) colliding in ≥1

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) coarse quantization for embedding ANN — the
+  * second scale path next to [[EmbeddingLsh]] (builder brief: "an IVF or
+  * LSH-bucketed variant as the scale path").
+  *
+  * Shape: K pseudo-random integer centroids partition the corpus into
+  * inverted lists (assignment = argmax centroid dot product); a query
+  * probes its `nprobe` best lists and scores exact cosine only against
+  * their members. Search cost per query ≈ nprobe · n/K candidates;
+  * K = n/targetListSize keeps list size — and therefore per-query work —
+  * constant as the corpus grows. Build cost is the classic IVF n·K
+  * assignment pass, here one crossJoin against a BROADCAST K-row centroid
+  * table + a map-side argmax (no shuffle of the big side).
+  *
+  * Everything is exact integer arithmetic reproducible in DuckDB: centroid
+  * c's dim d is ((c·1000003 + d·97 + 13)² mod 2³¹−1) mod 2001 − 1000 (the
+  * quadratic-residue mix of EmbeddingLsh, different salt, folded into
+  * [−1000, 1000]), so both engines materialize identical centroids from
+  * pure SQL — no trained k-means state to ship. A production index would
+  * swap trained centroids in; every plan shape stays the same.
+  */
+object IvfAnn {
+
+  val TargetListSize = 64L
+  val MinCentroids = 4L
+  val MaxCentroids = 65536L
+
+  /** K sized so expected list length stays ≈ TargetListSize. */
+  def centroidsFor(n: Long): Long =
+    math.min(MaxCentroids, math.max(MinCentroids, n / TargetListSize))
+
+  /** K centroids as (cid, cv ARRAY<BIGINT>), built by expression — K rows
+    * only, always broadcastable. */
+  def centroids(spark: org.apache.spark.sql.SparkSession, k: Long): DataFrame =
+    spark.range(k).select(col("id").as("cid"),
+      expr("transform(sequence(0, 63), d -> " +
+        "((cast(id as bigint) * 1000003 + d * 97 + 13) * (cast(id as bigint) * 1000003 + d * 97 + 13)) " +
+        "% 2147483647 % 2001 - 1000)").as("cv"))
+
+  /** (vec_id, cid): each vector's inverted list = argmax centroid dot,
+    * ties to the smallest cid. One broadcast crossJoin + per-vec argmax —
+    * the shuffle carries (vec_id, dot, cid) triples, never the vector. */
+  def assignments(emb: DataFrame, cents: DataFrame): DataFrame =
+    emb.select("vec_id", "iv").crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"), expr("long_dot(iv, cv)").as("dot"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("dot"), (-col("cid")).as("negcid"))).as("best"))
+      .select(col("vec_id"), (-col("best.negcid")).as("cid"))
+
+  /** (qid, cid) pairs for each query's `nprobe` best centroids, same
+    * ordering contract as [[assignments]]. */
+  def probes(queries: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
+    val byQ = Window.partitionBy("qid").orderBy(col("dot").desc, col("cid").asc)
+    queries.select(col("qid"), col("qiv")).crossJoin(broadcast(cents))
+      .select(col("qid"), col("cid"), expr("long_dot(qiv, cv)").as("dot"))
+      .withColumn("pr", row_number().over(byQ))
+      .where(col("pr") <= nprobe)
+      .select("qid", "cid")
+  }
+}

@@ -114,6 +114,39 @@ object ExtOracle {
        |  FROM cand JOIN n a ON vec_a = a.vec_id JOIN n b ON vec_b = b.vec_id)
        |SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.35""".stripMargin
 
+  /** IvfAnn twin: K = clamp(n/64, 4, 65536) integer-hashed centroids,
+    * argmax-dot assignment (ties → smallest cid), queries probe their 2
+    * best lists; exact cosine + top-5 on list members. Queries reuse the
+    * base assignment dots (they are base rows), exactly like the Spark
+    * plan's shared centroid table. */
+  val qx13: String =
+    s"""WITH $EMB,
+       |params AS (SELECT count(*) AS n FROM embeddings),
+       |kk AS (SELECT CAST(least(65536, greatest(4, n // 64)) AS BIGINT) AS k FROM params),
+       |cents AS (SELECT c AS cid, d,
+       |            ((c * 1000003 + d * 97 + 13) * (c * 1000003 + d * 97 + 13))
+       |              % 2147483647 % 2001 - 1000 AS cval
+       |          FROM kk, unnest(range(0, k)) AS t(c), generate_series(0, 63) td(d)),
+       |dims AS (SELECT vec_id, i - 1 AS d, v[i] AS val FROM n, generate_series(1, 64) t(i)),
+       |adot AS (SELECT vec_id, cid, sum(val * cval) AS dot
+       |         FROM dims JOIN cents USING (d) GROUP BY vec_id, cid),
+       |assign AS (SELECT vec_id, cid FROM (
+       |             SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid ASC) AS rn
+       |             FROM adot) WHERE rn = 1),
+       |qprobe AS (SELECT qid, cid FROM (
+       |             SELECT a.vec_id AS qid, cid, row_number() OVER (PARTITION BY a.vec_id ORDER BY dot DESC, cid ASC) AS rn
+       |             FROM adot a WHERE a.vec_id % 50 = 0) WHERE rn <= 2),
+       |cand AS (SELECT qid, vec_id FROM qprobe JOIN assign USING (cid) WHERE vec_id <> qid),
+       |scored AS (
+       |  SELECT cand.qid, cand.vec_id,
+       |         CAST(CAST(list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * qv[i])) AS BIGINT) AS DOUBLE)
+       |           / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE))) AS cosine
+       |  FROM cand JOIN n ON cand.vec_id = n.vec_id JOIN q ON cand.qid = q.qid)
+       |SELECT qid, rk, vec_id, cosine
+       |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rk
+       |      FROM scored) t
+       |WHERE rk <= 5""".stripMargin
+
   private val MH_TABLE: String = {
     val mhs = (0 until 16).map(mhExpr).mkString("[", ", ", "]")
     s"mh AS (SELECT doc_id, $mhs AS m FROM sh)"

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Determinism
-import graft.operators.{EmbeddingLsh, MultimodalCodec}
+import graft.operators.{EmbeddingLsh, IvfAnn, MultimodalCodec}
 import graft.sources.Tables
 
 /** The large-scale training-data-pipeline operator family (builder brief +
@@ -192,6 +192,32 @@ object ExtQueries {
         expr("CAST(dot AS DOUBLE) / (sqrt(CAST(an2 AS DOUBLE)) * sqrt(CAST(bn2 AS DOUBLE)))"))
       .where(col("cosine") >= 0.35)
       .select("vec_a", "vec_b", "cosine")
+  }
+
+  /** qx13 — IVF-bucketed ANN (the second scale path, complementing qx3's
+    * LSH): corpus-sized K pseudo-random integer centroids partition
+    * vectors into inverted lists; a query probes its 2 best lists and
+    * scores exact cosine on their members only. Per-query work stays
+    * ≈ nprobe · targetListSize as n grows (K tracks n). See
+    * [[graft.operators.IvfAnn]]. */
+  def qx13(spark: SparkSession, dir: String): DataFrame = {
+    val base = intEmbeddings(spark, dir)
+    val k = IvfAnn.centroidsFor(Tables.embeddings(spark, dir).count())
+    val cents = IvfAnn.centroids(spark, k)
+    val assign = IvfAnn.assignments(base, cents)
+    val q = base.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("n2").as("qn2"))
+    val cand = IvfAnn.probes(q, cents, nprobe = 2)
+      .join(assign, "cid")
+      .where(col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id")
+    val scored = cand
+      .join(base, "vec_id")
+      .join(broadcast(q), "qid")
+      .withColumn("dot", expr("long_dot(iv, qiv)"))
+      .withColumn("cosine", expr(COSINE))
+      .withColumn("pid", spark_partition_id())
+    topK(scored, 5)
   }
 
   // ------------------------------------------------------- near-dup dedup
