@@ -10,8 +10,10 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.drop(1).toSeq
-      else Seq("q04_window_avg", "q16_lineitem_pricing", "q17_segment_revenue",
-        "qx2_cosine_topk", "qx3_ann_lsh", "qx4_minhash_lsh", "qx6_ngram_jaccard")
+      else Seq("q04_window_avg", "q05b_asof_shuffled", "q16_lineitem_pricing",
+        "q17_segment_revenue", "qx2_cosine_topk", "qx3_ann_lsh",
+        "qx4_minhash_lsh", "qx6_ngram_jaccard", "qx11_multimodal",
+        "qx12_embed_neardup", "qx13_ann_ivf")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+/** Physical-plan regressions the 100 TB posture depends on, pinned as
+  * tests: pushdown reaching the parquet scan, column pruning, broadcast
+  * choice on the star join, and the no-join rewrite of the interval join.
+  * (Shapes that already have a home — qx11's codegen span in
+  * MultimodalCodecSpec, exchange shapes in OperatorSpec, bucketed joins
+  * in ScaleTechniqueSpec — stay there.)
+  */
+class PlanShapeSpec extends SparkTestBase {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def sparkPlan(name: String) =
+    SparkEntry.queries(name)(spark, dir).queryExecution.sparkPlan
+
+  private def scans(name: String): Seq[FileSourceScanExec] =
+    sparkPlan(name).collect { case f: FileSourceScanExec => f }.toSeq
+
+  test("q01: the value filter reaches the parquet scan") {
+    assert(scans("q01_stateless_pipeline").exists(
+      _.metadata.get("PushedFilters").exists(_.contains("value"))))
+  }
+
+  test("q16: lineitem scan is column-pruned to what the aggregates need") {
+    val read = scans("q16_lineitem_pricing").head.requiredSchema.fieldNames.toSet
+    assert(read == Set("l_returnflag", "l_linestatus", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax"))
+  }
+
+  test("q17: the customer dimension joins as a broadcast hash join") {
+    assert(sparkPlan("q17_segment_revenue").toString.contains("BroadcastHashJoin"))
+  }
+
+  test("q09: interval join compiles to a window plan with no join at all") {
+    val p = sparkPlan("q09_interval_join").toString
+    assert(!p.contains("Join"), "the range-frame rewrite must not join")
+    assert(p.contains("Window"))
+  }
+
+  test("q05b: shuffled as-of windows per bucket and hash-joins the carries") {
+    val p = sparkPlan("q05b_asof_shuffled").toString
+    assert(p.contains("Window"))
+    assert(p.contains("BroadcastHashJoin"), "carries must join by bucket equality")
+  }
+
+  test("qx3/qx13: candidate generation never shuffles array columns") {
+    // The (band,sig)/(cid) candidate columns are narrow ids; the 64-long
+    // iv arrays must not appear in any Exchange's output schema.
+    // (sparkPlan predates EnsureRequirements and AQE hides the tree, so
+    // plan without AQE for this assertion.)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      for (q <- Seq("qx3_ann_lsh", "qx13_ann_ivf")) {
+        val exchanges = SparkEntry.queries(q)(spark, dir)
+          .queryExecution.executedPlan.collect {
+            case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+          }
+        assert(exchanges.nonEmpty)
+        val leaky = exchanges.filter(_.child.output.exists(a =>
+          a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]))
+        assert(leaky.isEmpty, s"$q shuffles array columns: ${leaky.map(_.child.output)}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+}
