@@ -111,6 +111,49 @@ object Pipelines {
       .groupByKey(_.sensor_id)(Encoders.STRING)
       .transformWithState(processor, TimeMode.None(), OutputMode.Update())
 
+  /** M5 streaming — stream-stream interval join: (left, right) pairs with
+    * equal keys and right.ts_us ∈ [left.ts_us − beforeUs, left.ts_us +
+    * afterUs]. Both sides get watermarks; the range condition is what
+    * lets Spark bound each side's buffered state (rows outside
+    * watermark±range are evicted) — the reference's interval-join state
+    * contract (정리/4주차.md:319-323). Append mode: a pair emits once both
+    * matching rows have arrived. */
+  def intervalJoin(left: Dataset[SensorEvent], right: Dataset[SensorEvent],
+                   beforeUs: Long, afterUs: Long, delay: String = "0 seconds"): DataFrame = {
+    val l = left.toDF().withColumn("l_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("l_ts", delay)
+      .select(col("sensor_id").as("l_key"), col("event_id").as("l_event"),
+        col("ts_us").as("l_us"), col("l_ts"))
+    val r = right.toDF().withColumn("r_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("r_ts", delay)
+      .select(col("sensor_id").as("r_key"), col("event_id").as("r_event"),
+        col("ts_us").as("r_us"), col("r_ts"))
+    l.join(r, col("l_key") === col("r_key") &&
+      col("r_ts") >= col("l_ts") - expr(s"INTERVAL ${beforeUs / 1000} MILLISECONDS") &&
+      col("r_ts") <= col("l_ts") + expr(s"INTERVAL ${afterUs / 1000} MILLISECONDS"))
+      .select(col("l_key").as("sensor_id"), col("l_event"), col("r_event"),
+        col("l_us"), col("r_us"))
+  }
+
+  /** M6 streaming — window join: both streams bucketed into the same
+    * tumbling event-time window, joined on (key, window) equality
+    * (정리/4주차.md:327-333). Equality on the window struct keeps this a
+    * plain stream-stream equi-join with watermark-bounded state. */
+  def windowJoin(left: Dataset[SensorEvent], right: Dataset[SensorEvent],
+                 windowDuration: String, delay: String = "0 seconds"): DataFrame = {
+    val l = left.toDF().withColumn("l_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("l_ts", delay)
+      .select(col("sensor_id").as("l_key"), col("event_id").as("l_event"),
+        window(col("l_ts"), windowDuration).as("l_win"))
+    val r = right.toDF().withColumn("r_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("r_ts", delay)
+      .select(col("sensor_id").as("r_key"), col("event_id").as("r_event"),
+        window(col("r_ts"), windowDuration).as("r_win"))
+    l.join(r, col("l_key") === col("r_key") && col("l_win") === col("r_win"))
+      .select(col("l_key").as("sensor_id"), unix_millis(col("l_win.end")).as("window_end_ms"),
+        col("l_event"), col("r_event"))
+  }
+
   /** F6 — MapState-backed concurrent tumbling windows per sensor (the
     * per-key-map state primitive). Input must carry a watermark
     * ([[withEventTime]]); rows emit as the watermark closes each window. */
