@@ -32,6 +32,35 @@ class GraftStream[T](val ds: Dataset[T]) {
   def union(other: GraftStream[T]): GraftStream[T] =
     new GraftStream(ds.union(other.ds))
 
+  /** E1 — assignTimestampsAndWatermarks: derive the event-time column
+    * from a µs epoch column and attach the bounded-out-of-orderness
+    * watermark (reference Q/util/SensorTimeAssigner.java:33). The new
+    * `eventTimeCol` rides along; typed verbs ignore it. */
+  def assignTimestampsAndWatermarks(tsUsCol: String, delay: String,
+                                    eventTimeCol: String = "ts")
+                                   (implicit enc: Encoder[T]): GraftStream[T] =
+    new GraftStream(ds
+      .withColumn(eventTimeCol, timestamp_micros(col(tsUsCol)))
+      .withWatermark(eventTimeCol, delay)
+      .as[T])
+
+  /** M5 — intervalJoin(other).between(lowerMs, upperMs), Flink's keyed
+    * two-stream range join: emits (left, right) pairs with equal
+    * `keyCol` and right.time ∈ [left.time + lowerMs, left.time +
+    * upperMs] (lower typically negative). On streams both sides must
+    * carry a watermark on `eventTimeCol` (assignTimestampsAndWatermarks),
+    * which is what bounds the join state — see Pipelines.intervalJoin
+    * for the state contract. The typed (T, U) pair output is the
+    * ProcessJoinFunction input shape. */
+  def intervalJoin[U](other: GraftStream[U], keyCol: String, eventTimeCol: String,
+                      lowerMs: Long, upperMs: Long): GraftStream[(T, U)] = {
+    val l = ds; val r = other.ds
+    new GraftStream(l.joinWith(r,
+      l(keyCol) === r(keyCol) &&
+        r(eventTimeCol) >= l(eventTimeCol) + expr(s"INTERVAL $lowerMs MILLISECONDS") &&
+        r(eventTimeCol) <= l(eventTimeCol) + expr(s"INTERVAL $upperMs MILLISECONDS")))
+  }
+
   /** A1 — keyBy(KeySelector). */
   def keyBy[K: Encoder](f: T => K): KeyedGraftStream[K, T] =
     new KeyedGraftStream(ds.groupByKey(f))

@@ -67,4 +67,19 @@ class FluentApiSpec extends SparkTestBase {
     val u = a.union(b).ds.collect().sorted
     assert(u.sameElements(Array(1L, 2L, 2L, 3L))) // FIFO merge, no dedup
   }
+  test("intervalJoin chain: keyed range join emits typed pairs (M5 fluent)") {
+    implicit val enc = Encoders.product[SensorEvent]
+    // Batch form of the same verb (stream form proven in StreamJoinSpec).
+    val left = GraftStream.fromElements(spark,
+      SensorEvent("a", 1, 10_000_000L, 1.0), SensorEvent("b", 2, 20_000_000L, 2.0))
+      .assignTimestampsAndWatermarks("ts_us", "0 seconds")
+    val right = GraftStream.fromElements(spark,
+      SensorEvent("a", 11, 8_000_000L, 0.0),  // -2s from l1: inside [-5s, 2s]
+      SensorEvent("a", 12, 13_000_000L, 0.0), // +3s: outside
+      SensorEvent("b", 13, 21_000_000L, 0.0)) // +1s from l2: inside
+      .assignTimestampsAndWatermarks("ts_us", "0 seconds")
+    val pairs = left.intervalJoin(right, "sensor_id", "ts", lowerMs = -5000L, upperMs = 2000L)
+      .map { case (l, r) => (l.event_id, r.event_id) }(Encoders.product[(Long, Long)])
+    assert(pairs.ds.collect().toSet == Set((1L, 11L), (2L, 13L)))
+  }
 }
