@@ -47,6 +47,7 @@ object SparkEntry {
     "qx11_multimodal"        -> (X.qx11 _),
     "qx12_embed_neardup"     -> (X.qx12 _),
     "qx13_ann_ivf"           -> (X.qx13 _),
+    "qx14_simhash_neardup"   -> (X.qx14 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -85,5 +86,6 @@ object SparkEntry {
     "qx11_multimodal"        -> ExtOracle.qx11,
     "qx12_embed_neardup"     -> ExtOracle.qx12,
     "qx13_ann_ivf"           -> ExtOracle.qx13,
+    "qx14_simhash_neardup"   -> ExtOracle.qx14,
   )
 }

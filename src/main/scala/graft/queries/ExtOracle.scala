@@ -174,6 +174,27 @@ object ExtOracle {
        |SELECT doc_id, CAST($combine AS BIGINT) AS simhash FROM bs""".stripMargin
   }
 
+  val qx14: String = {
+    val sums = (0 until 60)
+      .map(b => s"sum(CASE WHEN ((x*31 + $b*97 + 11) * (x*31 + $b*97 + 11)) " +
+        s"% $P % 2 = 0 THEN 1 ELSE -1 END) AS s$b").mkString(", ")
+    val combine = (0 until 60)
+      .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    val bandSig = (0 until 4)
+      .map(k => s"WHEN $k THEN (simhash // ${1L << (15 * k)}) % 32768").mkString(" ")
+    s"""WITH $DOCS,
+       |pw AS (SELECT doc_id, unnest(h) AS x FROM wh),
+       |bs AS (SELECT doc_id, $sums FROM pw GROUP BY doc_id),
+       |shash AS (SELECT doc_id, CAST($combine AS BIGINT) AS simhash FROM bs),
+       |bands AS (SELECT doc_id, simhash, b, CASE b $bandSig END AS sig
+       |          FROM shash, generate_series(0, 3) t(b)),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |                x.simhash AS ha, y.simhash AS hb
+       |         FROM bands x JOIN bands y ON x.b = y.b AND x.sig = y.sig AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin
+  }
+
   val qx6: String =
     s"""WITH $DOCS, $MH_TABLE, $BANDS,
        |cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b

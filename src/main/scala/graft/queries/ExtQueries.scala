@@ -263,6 +263,42 @@ object ExtQueries {
       .select("doc_id", "simhash")
   }
 
+  /** qx14 — SimHash near-duplicate pairs: a 60-bit simhash (each bit an
+    * independent hash-parity ±1 vote over the word-hash multiset — the
+    * 16-bit qx5 fingerprint is too narrow for pair mining, birthday
+    * collisions swamp it), banded 4 × 15 bits; by pigeonhole any pair
+    * within Hamming distance 3 agrees on ≥1 band, so candidates come
+    * from a band equi-join and the exact Hamming check runs on
+    * candidates only — the same no-all-pairs shape as qx4/qx12. Fixed
+    * 15-bit bands serve corpora up to n ≪ 2¹⁵·occupancy; the corpus-
+    * sized generalization is EmbeddingLsh's derived-width pattern. */
+  def qx14(spark: SparkSession, dir: String): DataFrame = {
+    val perWord = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(expr(WORD_HASHES)).as("x"))
+    val bitSums = (0 until 60).map(b =>
+      sum(expr(s"CASE WHEN ((x*31 + $b*97 + 11) * (x*31 + $b*97 + 11)) " +
+        s"% 2147483647 % 2 = 0 THEN 1 ELSE -1 END")).as(s"s$b"))
+    val sh = perWord.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("simhash",
+        (0 until 60).map(b =>
+          when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _))
+      .select("doc_id", "simhash")
+    val bands = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(k =>
+        struct(lit(k).as("b"),
+          expr(s"(simhash div ${1L << (15 * k)}L) % 32768").as("sig"))): _*)).as("bs"))
+      .select(col("doc_id"), col("simhash"), col("bs.b").as("b"), col("bs.sig").as("sig"))
+    bands.as("x").join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.simhash").as("ha"), col("y.simhash").as("hb"))
+      .distinct()
+      .withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
+      .where(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   /** qx6 — exact n-gram Jaccard, verified on the LSH candidates only (the
     * scale-safe order: cheap LSH recall first, exact verification on the
     * surviving pairs — never all-pairs). Emits pairs with J ≥ 0.5. */
