@@ -124,7 +124,9 @@ object ExtOracle {
        |params AS (SELECT count(*) AS n FROM embeddings),
        |kk AS (SELECT CAST(least(65536, greatest(4, n // 64)) AS BIGINT) AS k FROM params),
        |cents AS (SELECT c AS cid, d,
-       |            ((c * 1000003 + d * 97 + 13) * (c * 1000003 + d * 97 + 13))
+       |            -- reduce mod p BEFORE squaring: (h%p)^2 == h^2 (mod p) but
+       |            -- never overflows BIGINT (the raw square errors past c~3037)
+       |            (((c * 1000003 + d * 97 + 13) % 2147483647) * ((c * 1000003 + d * 97 + 13) % 2147483647))
        |              % 2147483647 % 2001 - 1000 AS cval
        |          FROM kk, unnest(range(0, k)) AS t(c), generate_series(0, 63) td(d)),
        |dims AS (SELECT vec_id, i - 1 AS d, v[i] AS val FROM n, generate_series(1, 64) t(i)),

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.IvfAnn
+
+/** Round-3 ADVICE (medium): the centroid hash squared its raw Horner value,
+  * overflowing signed 64-bit past cid ≈ 3037 — an ANSI-mode
+  * ArithmeticException at exactly the corpus sizes (n > ~194k) the IVF
+  * index exists for, and a silent MaxCentroids ceiling at ~3k. The fix
+  * reduces mod p before squaring ((h mod p)² ≡ h² (mod p), so values are
+  * unchanged where both are exact). This spec pins:
+  *   (a) the full MaxCentroids centroid table evaluates without error,
+  *   (b) the reduced form equals the exact BigInt value everywhere,
+  *   (c) per-query probe work stays flat while K tracks n (the
+  *       single-level design contract below the MaxCentroids knee).
+  */
+class IvfAnnSpec extends SparkTestBase {
+
+  test("centroids(MaxCentroids) evaluates without overflow, values in range") {
+    // ANSI mode ON so any 64-bit overflow in the hash is an error, not a wrap
+    // (Spark 4 defaults to ANSI; pin it anyway so the spec can't rot).
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      val stats = IvfAnn.centroids(spark, IvfAnn.MaxCentroids)
+        .select(explode(col("cv")).as("v"))
+        .agg(count(lit(1)).as("n"), min("v").as("lo"), max("v").as("hi"))
+        .head()
+      assert(stats.getLong(0) == IvfAnn.MaxCentroids * 64)
+      assert(stats.getLong(1) >= -1000L && stats.getLong(2) <= 1000L)
+    } finally spark.conf.unset("spark.sql.ansi.enabled")
+  }
+
+  test("reduced-before-square hash is exact: matches BigInt arithmetic") {
+    val p = BigInt(2147483647L)
+    def exact(c: Long, d: Long): Long = {
+      val h = BigInt(c) * 1000003 + BigInt(d) * 97 + 13
+      ((h * h) mod p mod 2001).toLong - 1000L
+    }
+    // Sample cids spanning the old overflow boundary (~3037) up to the cap.
+    val cids = Seq(0L, 1L, 3036L, 3037L, 3038L, 40000L, IvfAnn.MaxCentroids - 1)
+    val got = IvfAnn.centroids(spark, IvfAnn.MaxCentroids)
+      .where(col("cid").isin(cids: _*))
+      .select(col("cid"), col("cv"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1))
+      .toMap
+    for (c <- cids; d <- 0 until 64)
+      assert(got(c)(d) == exact(c, d), s"centroid value diverges at cid=$c d=$d")
+  }
+
+  test("per-query probe candidates stay flat while K tracks n") {
+    // Deterministic pseudo-random integer vectors (same quantized range as
+    // the real table), no driver-side data.
+    def corpus(n: Long) = spark.range(n).select(
+      col("id").as("vec_id"),
+      expr("transform(sequence(0, 63), d -> " +
+        "CAST(pmod(xxhash64(id * 64 + d), 2000001) - 1000000 AS BIGINT))").as("iv"))
+
+    val meanCands = Seq(1024L, 4096L, 16384L).map { n =>
+      val k = IvfAnn.centroidsFor(n)
+      val cents = IvfAnn.centroids(spark, k)
+      val base = corpus(n)
+      val assign = IvfAnn.assignments(base, cents)
+      val q = base.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("iv").as("qiv"))
+      val cand = IvfAnn.probes(q, cents, nprobe = 2).join(assign, "cid")
+        .where(col("vec_id") =!= col("qid"))
+      val perQuery = cand.count().toDouble / q.count()
+      n -> perQuery
+    }
+    info(s"mean probe candidates per query: $meanCands")
+    // Design contract: ≈ nprobe · n/K = 2 · TargetListSize = 128, FLAT in n
+    // (pseudo-random centroids make lists uneven — allow a wide band — but
+    // growth across 16× corpus must be nowhere near 16×).
+    val ratio = meanCands.last._2 / meanCands.head._2
+    assert(ratio < 4.0, s"per-query candidates grew ${ratio}x over 16x corpus — list length not flat")
+    meanCands.foreach { case (n, c) =>
+      assert(c > 8 && c < 2048, s"n=$n: mean per-query candidates $c outside sane band")
+    }
+  }
+}
