@@ -176,26 +176,35 @@ object ExtOracle {
        |SELECT doc_id, CAST($combine AS BIGINT) AS simhash FROM bs""".stripMargin
   }
 
-  val qx14: String = {
-    val sums = (0 until 60)
-      .map(b => s"sum(CASE WHEN ((x*31 + $b*97 + 11) * (x*31 + $b*97 + 11)) " +
-        s"% $P % 2 = 0 THEN 1 ELSE -1 END) AS s$b").mkString(", ")
-    val combine = (0 until 60)
-      .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
-    val bandSig = (0 until 4)
-      .map(k => s"WHEN $k THEN (simhash // ${1L << (15 * k)}) % 32768").mkString(" ")
+  /** SimHashLsh twin: 4 fixed bands × w = max(15, p) fingerprint bits with
+    * p derived key bits (p in lockstep with SimHashLsh.keyBitsFor:
+    * least(30, greatest(6, length(bin(greatest(n//32, 2))) − 1))),
+    * identical quadratic-residue vote parity, per-band sig longs, bucket
+    * key = sig mod 2^p, Hamming = Σ_bands bit_count(xor). */
+  val qx14: String =
     s"""WITH $DOCS,
+       |params AS (SELECT count(*) AS n FROM documents),
+       |pp AS (SELECT CAST(least(30, greatest(6, length(bin(greatest(n // 32, 2))) - 1)) AS BIGINT) AS p,
+       |              CAST(greatest(15, least(30, greatest(6, length(bin(greatest(n // 32, 2))) - 1))) AS BIGINT) AS w
+       |       FROM params),
        |pw AS (SELECT doc_id, unnest(h) AS x FROM wh),
-       |bs AS (SELECT doc_id, $sums FROM pw GROUP BY doc_id),
-       |shash AS (SELECT doc_id, CAST($combine AS BIGINT) AS simhash FROM bs),
-       |bands AS (SELECT doc_id, simhash, b, CASE b $bandSig END AS sig
-       |          FROM shash, generate_series(0, 3) t(b)),
-       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-       |                x.simhash AS ha, y.simhash AS hb
-       |         FROM bands x JOIN bands y ON x.b = y.b AND x.sig = y.sig AND x.doc_id < y.doc_id)
-       |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
-       |FROM cand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin
-  }
+       |votes AS (SELECT doc_id, g,
+       |            sum(CASE WHEN ((x*31 + g*97 + 11) * (x*31 + g*97 + 11))
+       |                           % $P % 2 = 0 THEN 1 ELSE -1 END) AS s
+       |          FROM pw, pp, unnest(range(0, 4 * w)) AS t(g) GROUP BY doc_id, g),
+       |sigs AS (SELECT doc_id, g // w AS band,
+       |           CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << (g % w)) ELSE 0 END) AS BIGINT) AS sig
+       |         FROM votes, pp GROUP BY doc_id, g // w),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |         FROM sigs x JOIN sigs y ON x.band = y.band AND x.doc_id < y.doc_id,
+       |              pp
+       |         WHERE x.sig % (CAST(1 AS BIGINT) << p) = y.sig % (CAST(1 AS BIGINT) << p)),
+       |ham AS (SELECT doc_a, doc_b, CAST(sum(bit_count(xor(a.sig, b.sig))) AS BIGINT) AS hamming
+       |        FROM cand
+       |        JOIN sigs a ON cand.doc_a = a.doc_id
+       |        JOIN sigs b ON cand.doc_b = b.doc_id AND a.band = b.band
+       |        GROUP BY doc_a, doc_b)
+       |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3""".stripMargin
 
   val qx6: String =
     s"""WITH $DOCS, $MH_TABLE, $BANDS,
