@@ -1,5 +1,11 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Encoders, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Model._
+import graft.streaming.Pipelines
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -16,30 +22,76 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     // Round-2 verdict #7: single-shot times carried ±2 s JIT/bench-order
     // jitter that read as regressions. Run each query `reps` times and
-    // report the per-query MIN — the stable, noise-floor number.
+    // report the per-query MIN — the stable, noise-floor number — AND the
+    // per-query MAX (round-4 verdict #3: a polluted run showed up as
+    // inexplicable min-of-3 spikes on untouched queries; with max in the
+    // artifact, "all reps slow" (environment) vs "best rep slow"
+    // (regression) is decidable from the JSON alone).
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt
     // A failing query must surface as an explicit error, never as an
     // innocent-looking fast time.
     val outcomes = SparkEntry.queries.map { case (name, fn) =>
-      val res: Either[String, Double] =
+      val res: Either[String, (Double, Double)] =
         try {
           val times = (1 to reps).map { _ =>
             val t0 = System.nanoTime()
             fn(spark, sfDir).count()
             (System.nanoTime() - t0) / 1e9
           }
-          Right(times.min)
+          Right((times.min, times.max))
         } catch { case e: Throwable =>
           Left(Option(e.getMessage).getOrElse(e.getClass.getName).takeWhile(_ != '\n').take(200))
         }
       name -> res
     }
+
+    // Streaming throughput (round-3 verdict task #5): drive the reference
+    // windowed-avg pipeline (source → event-time window avg → sink)
+    // through MemoryStream and record events/sec + mean micro-batch
+    // turnaround, so streaming-path regressions are visible in the
+    // round-over-round artifact, not only as a ScalaTest threshold.
+    // Runs AFTER the batch queries so its state-store/GC footprint cannot
+    // pollute their timings.
+    val streaming: Either[String, (Double, Double)] =
+      try {
+        implicit val sqlCtx = spark.sqlContext
+        implicit val enc = Encoders.product[SensorEvent]
+        val input = MemoryStream[SensorEvent]
+        val agg = Pipelines.withEventTime(input.toDS(), "5 seconds")
+          .withColumn("temp_c", (col("value") - 32) * 5.0 / 9.0)
+          .groupBy(col("sensor_id"), window(col("ts"), "5 seconds"))
+          .agg(avg("temp_c").as("avg_temp"))
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_bench_ckpt").toString
+        val q = agg.writeStream.format("memory").queryName("bench_throughput")
+          .outputMode("update").option("checkpointLocation", ckpt).start()
+        val nEvents = 40000
+        val nChunks = 5
+        val events = (0 until nEvents).map { i =>
+          SensorEvent(s"sensor_${i % 40}", i.toLong, i.toLong * 2500, 65.0 + i % 10)
+        }
+        val t0 = System.nanoTime()
+        try {
+          events.grouped(nEvents / nChunks + 1).foreach { chunk =>
+            input.addData(chunk); q.processAllAvailable()
+          }
+        } finally q.stop()
+        val wallSec = (System.nanoTime() - t0) / 1e9
+        Right((nEvents / wallSec, wallSec / nChunks))
+      } catch { case e: Throwable =>
+        Left(Option(e.getMessage).getOrElse(e.getClass.getName).takeWhile(_ != '\n').take(200))
+      }
+
     def jstr(s: String): String =
       "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString } + "\""
-    val qs = outcomes.collect { case (k, Right(v)) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    val qs = outcomes.collect { case (k, Right((mn, _))) => s"\"$k\":$mn" }.mkString("{", ",", "}")
+    val qsMax = outcomes.collect { case (k, Right((_, mx))) => s"\"$k\":$mx" }.mkString("{", ",", "}")
     val errs = outcomes.collect { case (k, Left(m)) => s"\"$k\":${jstr(m)}" }.mkString("{", ",", "}")
-    val total = outcomes.values.collect { case Right(v) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$reps,"stat":"min","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val total = outcomes.values.collect { case Right((mn, _)) => mn }.sum
+    val streamJson = streaming match {
+      case Right((evs, lat)) => s"""{"ev_per_sec":${math.round(evs)},"batch_sec":$lat}"""
+      case Left(m)           => s"""{"error":${jstr(m)}}"""
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$reps,"stat":"min","queries":$qs,"queries_max":$qsMax,"errors":$errs,"streaming":$streamJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

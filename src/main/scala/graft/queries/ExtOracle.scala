@@ -176,16 +176,15 @@ object ExtOracle {
        |SELECT doc_id, CAST($combine AS BIGINT) AS simhash FROM bs""".stripMargin
   }
 
-  /** SimHashLsh twin: 4 fixed bands × w = max(15, p) fingerprint bits with
-    * p derived key bits (p in lockstep with SimHashLsh.keyBitsFor:
-    * least(30, greatest(6, length(bin(greatest(n//32, 2))) − 1))),
-    * identical quadratic-residue vote parity, per-band sig longs, bucket
-    * key = sig mod 2^p, Hamming = Σ_bands bit_count(xor). */
+  /** SimHashLsh twin: 4 fixed bands × w = max(15, keyBitsFor) derived
+    * fingerprint bits per band (keyBitsFor = least(30, greatest(6,
+    * length(bin(greatest(n//32, 2))) − 1))), identical quadratic-residue
+    * vote parity, per-band sig longs, bucket key = the FULL band sig,
+    * Hamming = Σ_bands bit_count(xor). */
   val qx14: String =
     s"""WITH $DOCS,
        |params AS (SELECT count(*) AS n FROM documents),
-       |pp AS (SELECT CAST(least(30, greatest(6, length(bin(greatest(n // 32, 2))) - 1)) AS BIGINT) AS p,
-       |              CAST(greatest(15, least(30, greatest(6, length(bin(greatest(n // 32, 2))) - 1))) AS BIGINT) AS w
+       |pp AS (SELECT CAST(greatest(15, least(30, greatest(6, length(bin(greatest(n // 32, 2))) - 1))) AS BIGINT) AS w
        |       FROM params),
        |pw AS (SELECT doc_id, unnest(h) AS x FROM wh),
        |votes AS (SELECT doc_id, g,
@@ -196,9 +195,8 @@ object ExtOracle {
        |           CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << (g % w)) ELSE 0 END) AS BIGINT) AS sig
        |         FROM votes, pp GROUP BY doc_id, g // w),
        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |         FROM sigs x JOIN sigs y ON x.band = y.band AND x.doc_id < y.doc_id,
-       |              pp
-       |         WHERE x.sig % (CAST(1 AS BIGINT) << p) = y.sig % (CAST(1 AS BIGINT) << p)),
+       |         FROM sigs x JOIN sigs y
+       |           ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
        |ham AS (SELECT doc_a, doc_b, CAST(sum(bit_count(xor(a.sig, b.sig))) AS BIGINT) AS hamming
        |        FROM cand
        |        JOIN sigs a ON cand.doc_a = a.doc_id

@@ -268,22 +268,23 @@ object ExtQueries {
     * 16-bit qx5 fingerprint is too narrow for pair mining, birthday
     * collisions swamp it), banded and CORPUS-SIZED: 4 fixed bands (by
     * pigeonhole any pair within Hamming distance 3 agrees on ≥1 band) ×
-    * log2(n/32) derived bucket-key bits per band, so candidate pairs stay
-    * ~linear in n at any scale — the round-3 verdict's last fixed hash
-    * space, closed with the same derivation qx3/qx12 use. The fingerprint
-    * keeps the reference 60-bit precision (widening past ~1M docs);
-    * buckets project each band sig to the derived key bits, which keeps
-    * recall total (equal band ⇒ equal key). The exact Hamming check runs
+    * max(15, log2(n/32)) derived fingerprint bits per band, so candidate
+    * pairs stay ~linear in n at any scale — the round-3 verdict's last
+    * fixed hash space, closed with the same derivation qx3/qx12 use. The
+    * fingerprint keeps the reference 60-bit precision (widening past ~1M
+    * docs); buckets key on the FULL band sig, so recall is total by
+    * pigeonhole and occupancy is bounded by the derived width at every
+    * scale. The exact Hamming check runs
     * on band-collision candidates only — the same no-all-pairs shape as
     * qx4/qx12. See [[graft.operators.SimHashLsh]] for the width math;
-    * the count() is a metadata-only sizing pass. */
+    * the count() sizing pass is answered from footer metadata by parquet
+    * (count pushdown) but costs one extra scan on sources without it —
+    * size from catalog statistics there. */
   def qx14(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val n = docs.count()
     val perWord = docs.select(col("doc_id"), explode(expr(WORD_HASHES)).as("x"))
-    SimHashLsh.nearDupPairs(
-      SimHashLsh.bandSigs(perWord, SimHashLsh.bandWidthFor(n)),
-      SimHashLsh.keyBitsFor(n))
+    SimHashLsh.nearDupPairs(SimHashLsh.bandSigs(perWord, SimHashLsh.bandWidthFor(n)))
   }
 
   /** qx6 — exact n-gram Jaccard, verified on the LSH candidates only (the

@@ -128,9 +128,11 @@ object Pipelines {
       .withWatermark("r_ts", delay)
       .select(col("sensor_id").as("r_key"), col("event_id").as("r_event"),
         col("ts_us").as("r_us"), col("r_ts"))
+    // µs-exact bounds (round-4 ADVICE): the old MILLISECONDS form silently
+    // truncated sub-ms bounds to 0.
     l.join(r, col("l_key") === col("r_key") &&
-      col("r_ts") >= col("l_ts") - expr(s"INTERVAL ${beforeUs / 1000} MILLISECONDS") &&
-      col("r_ts") <= col("l_ts") + expr(s"INTERVAL ${afterUs / 1000} MILLISECONDS"))
+      col("r_ts") >= col("l_ts") - expr(s"INTERVAL $beforeUs MICROSECOND") &&
+      col("r_ts") <= col("l_ts") + expr(s"INTERVAL $afterUs MICROSECOND"))
       .select(col("l_key").as("sensor_id"), col("l_event"), col("r_event"),
         col("l_us"), col("r_us"))
   }
