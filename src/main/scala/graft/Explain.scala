@@ -13,7 +13,8 @@ object Explain {
       else Seq("q04_window_avg", "q05b_asof_shuffled", "q16_lineitem_pricing",
         "q17_segment_revenue", "qx2_cosine_topk", "qx3_ann_lsh",
         "qx4_minhash_lsh", "qx6_ngram_jaccard", "qx11_multimodal",
-        "qx12_embed_neardup", "qx13_ann_ivf")
+        "qx12_embed_neardup", "qx13_ann_ivf", "qx14_simhash_neardup",
+        "qx15_ann_imi")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -48,6 +48,7 @@ object SparkEntry {
     "qx12_embed_neardup"     -> (X.qx12 _),
     "qx13_ann_ivf"           -> (X.qx13 _),
     "qx14_simhash_neardup"   -> (X.qx14 _),
+    "qx15_ann_imi"           -> (X.qx15 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -87,5 +88,6 @@ object SparkEntry {
     "qx12_embed_neardup"     -> ExtOracle.qx12,
     "qx13_ann_ivf"           -> ExtOracle.qx13,
     "qx14_simhash_neardup"   -> ExtOracle.qx14,
+    "qx15_ann_imi"           -> ExtOracle.qx15,
   )
 }

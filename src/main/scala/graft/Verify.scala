@@ -16,6 +16,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Compute the qx4/qx5/qx6/qx14 base derivations (word-hash and
+    // shingle rows) once for the whole run instead of once per query
+    // (round-4 verdict task #8). Opt-out via env for A/B timing.
+    if (!sys.env.get("SPARK_GRAFT_NO_SHARE").contains("1"))
+      queries.ExtQueries.enableSharedDerivations(spark, sfDir)
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

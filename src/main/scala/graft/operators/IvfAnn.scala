@@ -47,11 +47,11 @@ object IvfAnn {
     *    expected list length grows as n/65536, so per-query probe work
     *    grows linearly again — with slope 1/65536: at n = 10⁹ a probe
     *    scores ~2·15k candidates, still ~30k of 10⁹ (0.003%). The
-    *    two-level escape (coarse cells → per-cell sub-quantizer, per-query
-    *    work O(√n)-ish) keeps every plan shape here and swaps the
-    *    assignment join for two chained ones; it needs trained centroids
-    *    to be worth it, so it is left to the production-index slot
-    *    documented above.
+    *    two-level escape is implemented below (the IMI family, qx15):
+    *    K×K product cells from 2K broadcast rows move the same knee to
+    *    K²·64 ≈ 2.7·10¹⁴ vectors. The flat index stays the default below
+    *    its knee — one assignment argmax beats two, and non-product
+    *    centroids quantize better when K alone suffices.
     *
     * [[IvfAnnSpec]] pins the contract below the knee: per-query candidates
     * flat while K tracks n. */
@@ -90,5 +90,80 @@ object IvfAnn {
       .withColumn("pr", row_number().over(byQ))
       .where(col("pr") <= nprobe)
       .select("qid", "cid")
+  }
+
+  // ------------- two-level inverted multi-index (IMI) — the scale escape
+
+  /** Two-level IMI (inverted multi-index, Babenko & Lempitsky CVPR'12
+    * shape): the 64-dim vector splits into two 32-dim halves, each half
+    * quantized independently against its own K-centroid codebook, and the
+    * inverted list key is the PRODUCT cell (c1, c2) — K² cells addressed
+    * with only 2K broadcast centroid rows and 2K dots per vector. K per
+    * level is sized so K² tracks n/TargetListSize: the flat index's
+    * 4.2M-vector knee moves to MaxCentroids²·64 ≈ 2.7·10¹⁴ vectors while
+    * the broadcast stays ≤ 2·65536 rows ≈ 32 MB and the build pass is
+    * n·2K dots — SUBLINEAR in cell count. Queries probe the
+    * `perLevel`-best half-centroids per level crossed into perLevel²
+    * cells; exact cosine rescores list members only.
+    *
+    * Same quadratic-residue integer centroid family as [[centroids]]
+    * (salts 13 / 29 per level, absolute dim indices), so DuckDB
+    * materializes identical codebooks from pure SQL. */
+  val ImiProbesPerLevel = 2
+
+  /** Per-level K: 2^ceil(log2(n/TargetListSize)/2) clamped to
+    * [MinCentroids, MaxCentroids] — a power of two so the derivation is
+    * integer-only in BOTH engines (lockstep with the oracle's
+    * `1 << ((length(bin(m)) - 1 + 1) // 2)`); K² ∈ (m/2, 2m] keeps
+    * expected cell occupancy in [TargetListSize/2, 2·TargetListSize). */
+  def imiCentroidsFor(n: Long): Long = {
+    val m = math.max(n / TargetListSize, 2L)
+    val b = 63 - java.lang.Long.numberOfLeadingZeros(m)
+    math.min(MaxCentroids, math.max(MinCentroids, 1L << ((b + 1) / 2)))
+  }
+
+  /** One level's codebook: K rows of (cid, lvl, cv ARRAY<BIGINT>(32)),
+    * over absolute dims [32·lvl, 32·lvl + 32). */
+  def halfCentroids(spark: org.apache.spark.sql.SparkSession, k: Long,
+                    lvl: Int, salt: Int): DataFrame =
+    spark.range(k).select(col("id").as("cid"), lit(lvl).as("lvl"),
+      expr(s"transform(sequence(${32 * lvl}, ${32 * lvl + 31}), d -> " +
+        s"(((cast(id as bigint) * 1000003 + d * 97 + $salt) % 2147483647) * " +
+        s"((cast(id as bigint) * 1000003 + d * 97 + $salt) % 2147483647)) " +
+        "% 2147483647 % 2001 - 1000)").as("cv"))
+
+  /** Both codebooks, tagged by level — broadcast once, 2K rows. */
+  def imiCodebooks(spark: org.apache.spark.sql.SparkSession, k: Long): DataFrame =
+    halfCentroids(spark, k, 0, 13).unionByName(halfCentroids(spark, k, 1, 29))
+
+  /** (vec_id, cell): cell = argmax₁ · K + argmax₂, both argmaxes from ONE
+    * broadcast crossJoin + one map-side combine (the per-level argmax is
+    * a conditional struct-max). Ties to the smallest cid, as
+    * [[assignments]]. */
+  def imiCells(emb: DataFrame, books: DataFrame, k: Long): DataFrame =
+    emb.select("vec_id", "iv").crossJoin(broadcast(books))
+      .select(col("vec_id"), col("lvl"), col("cid"),
+        expr("long_dot(slice(iv, 1 + 32 * lvl, 32), cv)").as("dot"))
+      .groupBy("vec_id")
+      .agg(
+        max(when(col("lvl") === 0, struct(col("dot"), (-col("cid")).as("negcid")))).as("b0"),
+        max(when(col("lvl") === 1, struct(col("dot"), (-col("cid")).as("negcid")))).as("b1"))
+      .select(col("vec_id"),
+        ((-col("b0.negcid")) * k + (-col("b1.negcid"))).as("cell"))
+
+  /** (qid, cell) for each query's `perLevel`² probed cells: top-perLevel
+    * half-centroids per level, crossed per query. */
+  def imiProbeCells(queries: DataFrame, books: DataFrame, k: Long,
+                    perLevel: Int = ImiProbesPerLevel): DataFrame = {
+    val byQL = Window.partitionBy("qid", "lvl")
+      .orderBy(col("dot").desc, col("cid").asc)
+    val ranked = queries.select(col("qid"), col("qiv")).crossJoin(broadcast(books))
+      .select(col("qid"), col("lvl"), col("cid"),
+        expr("long_dot(slice(qiv, 1 + 32 * lvl, 32), cv)").as("dot"))
+      .withColumn("pr", row_number().over(byQL))
+      .where(col("pr") <= perLevel)
+    ranked.where(col("lvl") === 0).select(col("qid"), col("cid").as("c0"))
+      .join(ranked.where(col("lvl") === 1).select(col("qid"), col("cid").as("c1")), "qid")
+      .select(col("qid"), (col("c0") * k + col("c1")).as("cell"))
   }
 }

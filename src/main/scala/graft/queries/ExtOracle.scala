@@ -149,6 +149,49 @@ object ExtOracle {
        |      FROM scored) t
        |WHERE rk <= 5""".stripMargin
 
+  /** IvfAnn IMI twin (qx15): per-level K = 2^(len(bin(m))//2) clamped
+    * [4, 65536] (lockstep with imiCentroidsFor's (floorLog2(m)+1)/2 —
+    * len(bin(m)) = floorLog2(m)+1), two 32-dim codebooks (salts 13/29,
+    * absolute dim indices), product cell = c0·K + c1, 2×2 probed cells,
+    * exact integer cosine rescore. */
+  val qx15: String =
+    s"""WITH $EMB,
+       |params AS (SELECT count(*) AS n FROM embeddings),
+       |kk AS (SELECT CAST(least(65536, greatest(4,
+       |         1 << ((length(bin(greatest(n // 64, 2))) - 1 + 1) // 2))) AS BIGINT) AS k
+       |       FROM params),
+       |cents AS (SELECT l.lvl, c AS cid, d + 32 * l.lvl AS d,
+       |            (((c * 1000003 + (d + 32 * l.lvl) * 97 + CASE l.lvl WHEN 0 THEN 13 ELSE 29 END) % 2147483647)
+       |             * ((c * 1000003 + (d + 32 * l.lvl) * 97 + CASE l.lvl WHEN 0 THEN 13 ELSE 29 END) % 2147483647))
+       |              % 2147483647 % 2001 - 1000 AS cval
+       |          FROM kk, unnest(range(0, k)) AS t(c), generate_series(0, 31) td(d),
+       |               (VALUES (0), (1)) l(lvl)),
+       |dims AS (SELECT vec_id, i - 1 AS d, v[i] AS val FROM n, generate_series(1, 64) t(i)),
+       |adot AS (SELECT vec_id, lvl, cid, sum(val * cval) AS dot
+       |         FROM dims JOIN cents USING (d) GROUP BY vec_id, lvl, cid),
+       |asg AS (SELECT vec_id, lvl, cid FROM (
+       |          SELECT vec_id, lvl, cid, row_number() OVER (PARTITION BY vec_id, lvl ORDER BY dot DESC, cid ASC) AS rn
+       |          FROM adot) WHERE rn = 1),
+       |cells AS (SELECT a0.vec_id, a0.cid * k + a1.cid AS cell
+       |          FROM asg a0, asg a1, kk
+       |          WHERE a0.vec_id = a1.vec_id AND a0.lvl = 0 AND a1.lvl = 1),
+       |qpr AS (SELECT qid, lvl, cid FROM (
+       |          SELECT vec_id AS qid, lvl, cid, row_number() OVER (PARTITION BY vec_id, lvl ORDER BY dot DESC, cid ASC) AS rn
+       |          FROM adot WHERE vec_id % 50 = 0) WHERE rn <= 2),
+       |qcells AS (SELECT p0.qid, p0.cid * k + p1.cid AS cell
+       |           FROM qpr p0, qpr p1, kk
+       |           WHERE p0.qid = p1.qid AND p0.lvl = 0 AND p1.lvl = 1),
+       |cand AS (SELECT qid, vec_id FROM qcells JOIN cells USING (cell) WHERE vec_id <> qid),
+       |scored AS (
+       |  SELECT cand.qid, cand.vec_id,
+       |         CAST(CAST(list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * qv[i])) AS BIGINT) AS DOUBLE)
+       |           / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE))) AS cosine
+       |  FROM cand JOIN n ON cand.vec_id = n.vec_id JOIN q ON cand.qid = q.qid)
+       |SELECT qid, rk, vec_id, cosine
+       |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rk
+       |      FROM scored) t
+       |WHERE rk <= 5""".stripMargin
+
   private val MH_TABLE: String = {
     val mhs = (0 until 16).map(mhExpr).mkString("[", ", ", "]")
     s"mh AS (SELECT doc_id, $mhs AS m FROM sh)"

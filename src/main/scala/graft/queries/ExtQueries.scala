@@ -29,6 +29,40 @@ import graft.sources.Tables
   */
 object ExtQueries {
 
+  // ---- session-shared base derivations (round-4 verdict task #8) --------
+
+  /** Opt-in share of the expensive per-corpus bases — (doc_id, pos, wh)
+    * word-hash rows (qx5/qx14, and the shingle derivation) and the
+    * distinct (doc_id, s) shingle rows (qx4/qx6, where qx6 re-runs qx4's
+    * whole chain for its candidates). The gate runner ([[graft.Verify]])
+    * computes each once per (session, dir) and persists; the queries
+    * pick the shared table up transparently. Standalone callers (and the
+    * bench, whose per-query numbers must stay honest) are unaffected. */
+  private val sharedDerivs =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def sharedKey(kind: String, spark: SparkSession, dir: String) =
+    s"$kind|${System.identityHashCode(spark)}|$dir"
+  private def sharedOr(kind: String, spark: SparkSession, dir: String)
+                      (base: => DataFrame): DataFrame =
+    Option(sharedDerivs.get(sharedKey(kind, spark, dir))).getOrElse(base)
+
+  def enableSharedDerivations(spark: SparkSession, dir: String): Unit = {
+    sharedDerivs.computeIfAbsent(sharedKey("words", spark, dir), _ =>
+      wordHashRowsBase(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    sharedDerivs.computeIfAbsent(sharedKey("shingles", spark, dir), _ =>
+      shingleRowsBase(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  def clearSharedDerivations(spark: SparkSession): Unit = {
+    val marker = s"|${System.identityHashCode(spark)}|"
+    sharedDerivs.keySet.removeIf { k =>
+      if (k.contains(marker)) { sharedDerivs.get(k).unpersist(); true }
+      else false
+    }
+  }
+
   // ---- shared deterministic text hashing (Spark SQL expression strings) --
 
   /** Non-empty whitespace tokens. */
@@ -52,13 +86,12 @@ object ExtQueries {
     * codegen'd scalar expression: one explode, one per-doc window for the
     * two lead()s, one distinct — all hash-partitioned on doc_id, the shape
     * that survives 100 TB. */
-  private def shingleRows(spark: SparkSession, dir: String): DataFrame = {
-    val words = Tables.documents(spark, dir)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-      .where(length(col("w")) > 0)
-      .withColumn("wh", expr("aggregate(split(w, ''), 0L, (a, c) -> (a*31 + ascii(c)) % 1000003)"))
+  private def shingleRows(spark: SparkSession, dir: String): DataFrame =
+    sharedOr("shingles", spark, dir)(shingleRowsBase(spark, dir))
+
+  private def shingleRowsBase(spark: SparkSession, dir: String): DataFrame = {
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
-    words
+    wordHashRows(spark, dir)
       .withColumn("h2", lead("wh", 1).over(byPos))
       .withColumn("h3", lead("wh", 2).over(byPos))
       .where(col("h3").isNotNull)
@@ -66,6 +99,19 @@ object ExtQueries {
         expr("((wh * 1009 + h2) % 2147483647 * 1009 + h3) % 2147483647").as("s"))
       .distinct()
   }
+
+  /** (doc_id, pos, wh) word-hash rows — the base the shingle table and
+    * the simhash queries (qx5/qx14) all derive from; exactly the
+    * [[WORD_HASHES]] multiset, exploded with positions. */
+  private def wordHashRows(spark: SparkSession, dir: String): DataFrame =
+    sharedOr("words", spark, dir)(wordHashRowsBase(spark, dir))
+
+  private def wordHashRowsBase(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .where(length(col("w")) > 0)
+      .select(col("doc_id"), col("pos"),
+        expr("aggregate(split(w, ''), 0L, (a, c) -> (a*31 + ascii(c)) % 1000003)").as("wh"))
 
   /** k-th MinHash over the shingle-row set: min of (a_k*s + b_k) mod p —
     * an aggregate over rows (partial min map-side), not an array fold. */
@@ -220,6 +266,33 @@ object ExtQueries {
     topK(scored, 5)
   }
 
+  /** qx15 — two-level IMI ANN (the scale escape past qx13's single-level
+    * knee): the vector's two 32-dim halves are quantized independently
+    * against K-centroid codebooks and the inverted-list key is the K×K
+    * PRODUCT cell — 2K broadcast rows and n·2K build dots address K²
+    * cells, moving the flat index's 4.2M-vector knee to ≈ 2.7·10¹⁴.
+    * Queries probe their 2×2 best cells; exact cosine rescores members
+    * only. See [[graft.operators.IvfAnn]] IMI section. */
+  def qx15(spark: SparkSession, dir: String): DataFrame = {
+    val base = intEmbeddings(spark, dir)
+    val k = IvfAnn.imiCentroidsFor(Tables.embeddings(spark, dir).count())
+    val books = IvfAnn.imiCodebooks(spark, k)
+    val cells = IvfAnn.imiCells(base, books, k)
+    val q = base.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("n2").as("qn2"))
+    val cand = IvfAnn.imiProbeCells(q, books, k)
+      .join(cells, "cell")
+      .where(col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id")
+    val scored = cand
+      .join(base, "vec_id")
+      .join(broadcast(q), "qid")
+      .withColumn("dot", expr("long_dot(iv, qiv)"))
+      .withColumn("cosine", expr(COSINE))
+      .withColumn("pid", spark_partition_id())
+    topK(scored, 5)
+  }
+
   // ------------------------------------------------------- near-dup dedup
 
   /** Per-doc MinHash signature table: doc_id, mh0..mh15 — one hash
@@ -252,8 +325,7 @@ object ExtQueries {
     * positive). One explode + one map-side-combinable aggregation — the
     * near-dup grouping is then a plain groupBy on the fingerprint. */
   def qx5(spark: SparkSession, dir: String): DataFrame = {
-    val perWord = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(expr(WORD_HASHES)).as("wh"))
+    val perWord = wordHashRows(spark, dir).select(col("doc_id"), col("wh"))
     val bitSums = (0 until 16).map(bit =>
       sum(expr(s"((wh div ${1L << bit}) % 2) * 2 - 1")).as(s"s$bit"))
     perWord.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
@@ -283,7 +355,7 @@ object ExtQueries {
   def qx14(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val n = docs.count()
-    val perWord = docs.select(col("doc_id"), explode(expr(WORD_HASHES)).as("x"))
+    val perWord = wordHashRows(spark, dir).select(col("doc_id"), col("wh").as("x"))
     SimHashLsh.nearDupPairs(SimHashLsh.bandSigs(perWord, SimHashLsh.bandWidthFor(n)))
   }
 
@@ -292,9 +364,10 @@ object ExtQueries {
     * surviving pairs — never all-pairs). Emits pairs with J ≥ 0.5. */
   def qx6(spark: SparkSession, dir: String): DataFrame = {
     // (A 100 TB dedup job would materialize the shingle table once and
-    // reuse it; a session-lifetime persist() here measured as noise at
-    // bench scale and pins executor memory for later queries, so the
-    // recompute is the better trade at this size.)
+    // reuse it — that is exactly what [[enableSharedDerivations]] does
+    // for the gate runner. Standalone, the recompute is the better
+    // trade: an unconditional persist() measured as noise at bench
+    // scale and pins executor memory for later queries.)
     val cands = qx4(spark, dir)
     val exploded = shingleRows(spark, dir)
     val sizes = exploded.groupBy("doc_id").agg(count(lit(1)).as("n"))

@@ -49,6 +49,53 @@ class IvfAnnSpec extends SparkTestBase {
       assert(got(c)(d) == exact(c, d), s"centroid value diverges at cid=$c d=$d")
   }
 
+  test("IMI: per-level K derivation in lockstep with the oracle SQL; knee math") {
+    // Scala: 1 << ((floorLog2(m) + 1) / 2). SQL: 1 << (length(bin(m)) // 2).
+    // length(bin(m)) = floorLog2(m) + 1, so the two are identical — pin it.
+    for (n <- Seq(0L, 100L, 2000L, 200000L, 4200000L, 1000000000L, 270000000000000L)) {
+      val m = math.max(n / IvfAnn.TargetListSize, 2L)
+      val sqlForm = 1L << (java.lang.Long.toBinaryString(m).length / 2)
+      val clamped = math.min(IvfAnn.MaxCentroids, math.max(IvfAnn.MinCentroids, sqlForm))
+      assert(IvfAnn.imiCentroidsFor(n) == clamped, s"derivations diverge at n=$n")
+    }
+    // K² ∈ (m/2, 2m] (K rounds b/2 to a power of two): expected cell
+    // occupancy in [TargetListSize/2, 2·TargetListSize) below the clamp.
+    for (n <- Seq(10000L, 1000000L, 100000000L, 10000000000L)) {
+      val m = math.max(n / IvfAnn.TargetListSize, 2L)
+      val k = IvfAnn.imiCentroidsFor(n)
+      if (k < IvfAnn.MaxCentroids)
+        assert(k * k > m / 2 && k * k <= 2 * m, s"K²=${k * k} outside (m/2, 2m] at n=$n (m=$m)")
+    }
+    // The knee moves: the flat index saturates at MaxCentroids·64 ≈ 4.2M,
+    // the IMI at MaxCentroids²·64 ≈ 2.7e14.
+    assert(IvfAnn.imiCentroidsFor(IvfAnn.MaxCentroids * IvfAnn.MaxCentroids * 64) == IvfAnn.MaxCentroids)
+    assert(IvfAnn.imiCentroidsFor(4200000L) < IvfAnn.MaxCentroids)
+  }
+
+  test("IMI: product cells partition the corpus; per-query candidates bounded") {
+    def corpus(n: Long) = spark.range(n).select(
+      col("id").as("vec_id"),
+      expr("transform(sequence(0, 63), d -> " +
+        "CAST(pmod(xxhash64(id * 64 + d), 2000001) - 1000000 AS BIGINT))").as("iv"))
+    val n = 8192L
+    val k = IvfAnn.imiCentroidsFor(n)
+    val books = IvfAnn.imiCodebooks(spark, k)
+    val cells = IvfAnn.imiCells(corpus(n), books, k)
+    // Every vector gets exactly one cell, and cell ids stay inside [0, K²).
+    assert(cells.count() == n)
+    val span = cells.agg(min("cell"), max("cell")).head
+    assert(span.getLong(0) >= 0L && span.getLong(1) < k * k)
+    // 2×2 probes: mean per-query candidate count ≈ 4 · n/K² — bounded well
+    // under brute force (n).
+    val q = corpus(n).where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("iv").as("qiv"))
+    val cand = IvfAnn.imiProbeCells(q, books, k).join(cells, "cell")
+      .where(col("vec_id") =!= col("qid"))
+    val perQuery = cand.count().toDouble / q.count()
+    info(f"mean IMI candidates per query: $perQuery%.1f (n=$n, K=$k, cells=${k * k})")
+    assert(perQuery < n / 4.0, s"IMI probes $perQuery of $n — not selective")
+  }
+
   test("per-query probe candidates stay flat while K tracks n") {
     // Deterministic pseudo-random integer vectors (same quantized range as
     // the real table), no driver-side data.
