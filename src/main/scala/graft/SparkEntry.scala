@@ -49,6 +49,7 @@ object SparkEntry {
     "qx13_ann_ivf"           -> (X.qx13 _),
     "qx14_simhash_neardup"   -> (X.qx14 _),
     "qx15_ann_imi"           -> (X.qx15 _),
+    "qx16_ann_kmeans"        -> (X.qx16 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -89,5 +90,6 @@ object SparkEntry {
     "qx13_ann_ivf"           -> ExtOracle.qx13,
     "qx14_simhash_neardup"   -> ExtOracle.qx14,
     "qx15_ann_imi"           -> ExtOracle.qx15,
+    "qx16_ann_kmeans"        -> ExtOracle.qx16,
   )
 }

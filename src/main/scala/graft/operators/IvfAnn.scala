@@ -166,4 +166,89 @@ object IvfAnn {
       .join(ranked.where(col("lvl") === 1).select(col("qid"), col("cid").as("c1")), "qid")
       .select(col("qid"), (col("c0") * k + col("c1")).as("cell"))
   }
+
+  // ------------- trained centroids (Lloyd/k-means) — the production slot
+
+  /** K for the TRAINED flat index: ≈ √n as a power of two, clamped
+    * [4, 65536] — the balanced single-level point. Training costs
+    * iters·n·K dots, so K = n/64 (the hashed index's sizing) would make
+    * every Lloyd pass quadratic in n; K = √n keeps build O(n^1.5) and
+    * expected list length √n, the classic flat-index compromise (the IMI
+    * product cells stay the answer past that — a production system trains
+    * the two 32-dim codebooks below the same way). Bit-halving form is
+    * integer-exact in both engines: 1 << ((floorLog2(n)+1)/2) =
+    * SQL's `1 << (length(bin(n)) // 2)`. */
+  def kmeansCentroidsFor(n: Long): Long = {
+    val m = math.max(n, 2L)
+    val b = 63 - java.lang.Long.numberOfLeadingZeros(m)
+    math.min(MaxCentroids, math.max(MinCentroids, 1L << ((b + 1) / 2)))
+  }
+
+  /** Centroids carried with their exact squared norm: (cid, cv, cn2).
+    * Under L2, argmin ‖x−c‖² = argmax (2·x·c − ‖c‖²) — the ‖x‖² term is
+    * constant per vector, so assignment needs no per-vector norm and stays
+    * pure integer arithmetic. */
+  private def withNorm(cents: DataFrame): DataFrame =
+    cents.withColumn("cn2", expr("long_dot(cv, cv)"))
+
+  /** (vec_id, cid) by argmin L2 against a broadcast codebook, ties to the
+    * smallest cid. Same shuffle shape as [[assignments]]: narrow triples,
+    * never the vectors. */
+  def l2Assignments(emb: DataFrame, cents: DataFrame): DataFrame =
+    emb.select("vec_id", "iv").crossJoin(broadcast(withNorm(cents)))
+      .select(col("vec_id"), col("cid"),
+        (lit(2L) * expr("long_dot(iv, cv)") - col("cn2")).as("sc"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("sc"), (-col("cid")).as("negcid"))).as("best"))
+      .select(col("vec_id"), (-col("best.negcid")).as("cid"))
+
+  /** (qid, cid) for each query's `nprobe` closest centroids under the
+    * same L2 score [[l2Assignments]] ranks with. */
+  def l2Probes(queries: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
+    val byQ = Window.partitionBy("qid").orderBy(col("sc").desc, col("cid").asc)
+    queries.select(col("qid"), col("qiv")).crossJoin(broadcast(withNorm(cents)))
+      .select(col("qid"), col("cid"),
+        (lit(2L) * expr("long_dot(qiv, cv)") - col("cn2")).as("sc"))
+      .withColumn("pr", row_number().over(byQ))
+      .where(col("pr") <= nprobe)
+      .select("qid", "cid")
+  }
+
+  /** One Lloyd step: assign by L2, then per-cluster integer mean per
+    * dimension (Σ div count — BOTH engines truncate integer division
+    * toward zero, so the means are bit-identical; sums stay well inside
+    * Long: n·|iv| ≤ n·2²¹). Empty clusters keep their previous centroid.
+    * Plan shape per step: one broadcast crossJoin (assignment), one
+    * explode to (cid, d, v) with a map-side partial sum to K·64 rows, one
+    * K-row collect — scale-safe at any n, cost n·K dots + one n·64-row
+    * aggregation pass. */
+  def lloydStep(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val asg = l2Assignments(emb, cents)
+    val trained = emb.select("vec_id", "iv").join(asg, "vec_id")
+      .select(col("cid"), posexplode(col("iv")).as(Seq("d", "v")))
+      .groupBy("cid", "d")
+      .agg(expr("sum(v) div count(1)").as("m"))
+      .groupBy("cid")
+      .agg(expr("transform(array_sort(collect_list(struct(d, m))), p -> p.m)").as("tcv"))
+    cents.select("cid", "cv").join(trained, Seq("cid"), "left")
+      .select(col("cid"), coalesce(col("tcv"), col("cv")).as("cv"))
+  }
+
+  /** `iters` Lloyd steps from the deterministic seed family. Each step's
+    * K-row codebook is materialized through the driver into a
+    * LocalRelation (the same bounded exchange MLlib's KMeans does per
+    * iteration): left as pure lineage, every downstream reference would
+    * re-execute the whole previous step — 2^iters assignment passes —
+    * and inlining the rows as expression literals instead would blow up
+    * generated code (the constant-array Janino cliff EmbeddingLsh
+    * documents). A LocalRelation is data, not code: ≤ K·64 longs ≈ 32 MB
+    * at the cap, broadcast from there. The heavy side (emb) never leaves
+    * the executors. */
+  def trainedCentroids(emb: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
+    val spark = emb.sparkSession
+    (1 to iters).foldLeft(seeds) { (c, _) =>
+      val step = lloydStep(emb, c)
+      spark.createDataFrame(java.util.Arrays.asList(step.collect(): _*), step.schema)
+    }
+  }
 }

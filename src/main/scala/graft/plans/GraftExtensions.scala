@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.LongDotProduct
+import graft.functions.{LongDotProduct, TopKBy}
 
 /** Engine extension point: registers the custom Catalyst expressions with
   * the session's FunctionRegistry, so SQL/expr() can call them by name.
@@ -19,6 +19,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "long_dot expects exactly 2 arguments")
         LongDotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("topk_by"),
+      new ExpressionInfo(classOf[TopKBy].getName, "topk_by"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "topk_by expects exactly 3 arguments")
+        TopKBy(children.head, children(1), children(2))
       }))
   }
 }

@@ -192,6 +192,66 @@ object ExtOracle {
        |      FROM scored) t
        |WHERE rk <= 5""".stripMargin
 
+  /** Trained-IVF twin (qx16): K = 2^(length(bin(n))//2) clamped [4,65536]
+    * (lockstep with kmeansCentroidsFor — length(bin(n)) = floorLog2(n)+1),
+    * seeds = qx13's integer centroid family, two Lloyd steps (argmin L2 as
+    * argmax 2·dot − ‖c‖², ties to smallest cid; update = per-dim Σ // count
+    * — BOTH engines truncate integer division toward zero; empty clusters
+    * keep their previous centroid), then assign/probe-2/rescore exactly as
+    * qx13. Every intermediate is integer-exact. */
+  val qx16: String = {
+    // One Lloyd step from centroid CTE `cin` → `cout` (names parameterized
+    // so the two unrolled iterations share the SQL shape).
+    def step(cin: String, cout: String, i: Int): String =
+      s"""cn$i AS (SELECT cid, sum(cval*cval) AS cn2 FROM $cin GROUP BY cid),
+         |ad$i AS (SELECT vec_id, cid, sum(val * cval) AS dot
+         |         FROM dims JOIN $cin USING (d) GROUP BY vec_id, cid),
+         |as$i AS (SELECT vec_id, cid FROM (
+         |          SELECT vec_id, ad$i.cid,
+         |                 row_number() OVER (PARTITION BY vec_id
+         |                   ORDER BY (2*dot - cn2) DESC, ad$i.cid ASC) AS rn
+         |          FROM ad$i JOIN cn$i USING (cid)) WHERE rn = 1),
+         |up$i AS (SELECT cid, d, CAST(sum(val) // count(*) AS BIGINT) AS m
+         |         FROM dims JOIN as$i USING (vec_id) GROUP BY cid, d),
+         |$cout AS (SELECT s.cid, s.d, COALESCE(u.m, s.cval) AS cval
+         |          FROM $cin s LEFT JOIN up$i u ON s.cid = u.cid AND s.d = u.d)""".stripMargin
+    s"""WITH $EMB,
+       |params AS (SELECT count(*) AS n FROM embeddings),
+       |kk AS (SELECT CAST(least(65536, greatest(4,
+       |         1 << (length(bin(greatest(n, 2))) // 2))) AS BIGINT) AS k
+       |       FROM params),
+       |c0 AS (SELECT c AS cid, d,
+       |         (((c * 1000003 + d * 97 + 13) % $P) * ((c * 1000003 + d * 97 + 13) % $P))
+       |           % $P % 2001 - 1000 AS cval
+       |       FROM kk, unnest(range(0, k)) AS t(c), generate_series(0, 63) td(d)),
+       |dims AS (SELECT vec_id, i - 1 AS d, v[i] AS val FROM n, generate_series(1, 64) t(i)),
+       |${step("c0", "c1", 0)},
+       |${step("c1", "c2", 1)},
+       |cnf AS (SELECT cid, sum(cval*cval) AS cn2 FROM c2 GROUP BY cid),
+       |adf AS (SELECT vec_id, cid, sum(val * cval) AS dot
+       |        FROM dims JOIN c2 USING (d) GROUP BY vec_id, cid),
+       |assign AS (SELECT vec_id, cid FROM (
+       |             SELECT vec_id, adf.cid,
+       |                    row_number() OVER (PARTITION BY vec_id
+       |                      ORDER BY (2*dot - cn2) DESC, adf.cid ASC) AS rn
+       |             FROM adf JOIN cnf USING (cid)) WHERE rn = 1),
+       |qprobe AS (SELECT qid, cid FROM (
+       |             SELECT a.vec_id AS qid, a.cid,
+       |                    row_number() OVER (PARTITION BY a.vec_id
+       |                      ORDER BY (2*dot - cn2) DESC, a.cid ASC) AS rn
+       |             FROM adf a JOIN cnf USING (cid) WHERE a.vec_id % 50 = 0) WHERE rn <= 2),
+       |cand AS (SELECT qid, vec_id FROM qprobe JOIN assign USING (cid) WHERE vec_id <> qid),
+       |scored AS (
+       |  SELECT cand.qid, cand.vec_id,
+       |         CAST(CAST(list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * qv[i])) AS BIGINT) AS DOUBLE)
+       |           / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE))) AS cosine
+       |  FROM cand JOIN n ON cand.vec_id = n.vec_id JOIN q ON cand.qid = q.qid)
+       |SELECT qid, rk, vec_id, cosine
+       |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rk
+       |      FROM scored) t
+       |WHERE rk <= 5""".stripMargin
+  }
+
   private val MH_TABLE: String = {
     val mhs = (0 until 16).map(mhExpr).mkString("[", ", ", "]")
     s"mh AS (SELECT doc_id, $mhs AS m FROM sh)"

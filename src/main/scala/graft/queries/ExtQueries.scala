@@ -22,8 +22,9 @@ import graft.sources.Tables
   * Determinism for the float policy).
   *
   * Scale posture (100 TB): no all-pairs joins anywhere — near-dup and ANN
-  * candidates come from LSH band/bucket equi-joins; top-k is two-phase
-  * (per-partition pre-prune, then final rank); text stats are one pass of
+  * candidates come from LSH band/bucket equi-joins; top-k is a bounded
+  * partial aggregate (map tasks prune to k before the exchange — see
+  * [[graft.functions.TopKBy]]); text stats are one pass of
   * map-side-combinable aggregates; the only broadcast is the small query
   * vector set.
   */
@@ -155,17 +156,21 @@ object ExtQueries {
   private val COSINE =
     "CAST(dot AS DOUBLE) / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE)))"
 
-  /** Two-phase top-k: per-partition prune to k (distributed, bounded
-    * memory), then final rank per query — the shuffle carries ≤ k rows per
-    * (query, partition) instead of the full candidate set. */
-  private def topK(scored: DataFrame, k: Int): DataFrame = {
-    val local = Window.partitionBy("qid", "pid").orderBy(col("cosine").desc, col("vec_id").asc)
-    val global = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id").asc)
+  /** Distributed top-k via the [[graft.functions.TopKBy]] bounded-heap
+    * aggregate: the partial pass prunes each map task's slice to ≤ k
+    * entries per query BEFORE the exchange, so the shuffle carries one
+    * ~k·16-byte buffer per (query, map task). (The previous two-phase
+    * window spelling had to cluster first — `Window.partitionBy` exchanged
+    * the ENTIRE scored candidate set, n·q rows for qx2, before discarding
+    * all but k; the 100× probe surfaced that exchange as the bottleneck.)
+    * Output (qid, rk, vec_id, cosine) is row-identical: the aggregate's
+    * (score DESC, id ASC) order is the window's ORDER BY. */
+  private def topK(scored: DataFrame, k: Int): DataFrame =
     scored
-      .withColumn("r1", row_number().over(local)).where(col("r1") <= k)
-      .withColumn("rk", row_number().over(global)).where(col("rk") <= k)
-      .select("qid", "rk", "vec_id", "cosine")
-  }
+      .groupBy("qid").agg(expr(s"topk_by(cosine, vec_id, $k)").as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("p", "t")))
+      .select(col("qid"), (col("p") + 1).as("rk"),
+        col("t.vec_id").as("vec_id"), col("t.cosine").as("cosine"))
 
   /** qx2 — brute-force cosine top-5 for the query set (vec_id % 50 == 0):
     * the correctness baseline. The query side is broadcast; the base table
@@ -178,7 +183,6 @@ object ExtQueries {
       .where(col("vec_id") =!= col("qid"))
       .withColumn("dot", expr("long_dot(iv, qiv)"))
       .withColumn("cosine", expr(COSINE))
-      .withColumn("pid", spark_partition_id())
     topK(scored, 5)
   }
 
@@ -215,7 +219,6 @@ object ExtQueries {
       .join(broadcast(q), "qid")
       .withColumn("dot", expr("long_dot(iv, qiv)"))
       .withColumn("cosine", expr(COSINE))
-      .withColumn("pid", spark_partition_id())
     topK(scored, 5)
   }
 
@@ -262,7 +265,6 @@ object ExtQueries {
       .join(broadcast(q), "qid")
       .withColumn("dot", expr("long_dot(iv, qiv)"))
       .withColumn("cosine", expr(COSINE))
-      .withColumn("pid", spark_partition_id())
     topK(scored, 5)
   }
 
@@ -289,7 +291,38 @@ object ExtQueries {
       .join(broadcast(q), "qid")
       .withColumn("dot", expr("long_dot(iv, qiv)"))
       .withColumn("cosine", expr(COSINE))
-      .withColumn("pid", spark_partition_id())
+    topK(scored, 5)
+  }
+
+  /** qx16 — TRAINED flat IVF (the production-index slot the hashed
+    * families of qx13/qx15 deliberately leave open): K ≈ √n seed
+    * centroids are refined by two deterministic Lloyd iterations —
+    * argmin-L2 assignment, per-cluster integer-mean update, all exact
+    * integer arithmetic so DuckDB derives the identical codebook — then
+    * the trained codebook serves the same assign/probe/rescore plan as
+    * qx13. K = √n keeps each training pass n·K = n^1.5 (K = n/64 would
+    * make training quadratic); each iteration's K-row codebook
+    * round-trips through the driver as a LocalRelation exactly like
+    * MLlib's KMeans (see [[graft.operators.IvfAnn.trainedCentroids]]).
+    * Two iterations is the gate's fixed budget — production would loop
+    * to movement-threshold convergence; every per-iteration plan shape
+    * is already the converged one. */
+  def qx16(spark: SparkSession, dir: String): DataFrame = {
+    val base = intEmbeddings(spark, dir)
+    val k = IvfAnn.kmeansCentroidsFor(Tables.embeddings(spark, dir).count())
+    val cents = IvfAnn.trainedCentroids(base, IvfAnn.centroids(spark, k), iters = 2)
+    val assign = IvfAnn.l2Assignments(base, cents)
+    val q = base.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("n2").as("qn2"))
+    val cand = IvfAnn.l2Probes(q, cents, nprobe = 2)
+      .join(assign, "cid")
+      .where(col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id")
+    val scored = cand
+      .join(base, "vec_id")
+      .join(broadcast(q), "qid")
+      .withColumn("dot", expr("long_dot(iv, qiv)"))
+      .withColumn("cosine", expr(COSINE))
     topK(scored, 5)
   }
 

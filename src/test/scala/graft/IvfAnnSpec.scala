@@ -126,4 +126,58 @@ class IvfAnnSpec extends SparkTestBase {
       assert(c > 8 && c < 2048, s"n=$n: mean per-query candidates $c outside sane band")
     }
   }
+
+  test("k-means: K derivation in oracle lockstep; training cost stays n^1.5") {
+    // Scala 1 << ((floorLog2(n)+1)/2) vs SQL 1 << (length(bin(n)) // 2).
+    for (n <- Seq(0L, 100L, 500L, 5000L, 200000L, 1000000000L)) {
+      val m = math.max(n, 2L)
+      val sqlForm = 1L << (java.lang.Long.toBinaryString(m).length / 2)
+      val clamped = math.min(IvfAnn.MaxCentroids, math.max(IvfAnn.MinCentroids, sqlForm))
+      assert(IvfAnn.kmeansCentroidsFor(n) == clamped, s"derivations diverge at n=$n")
+    }
+    // K ≈ √n: K² ∈ (n/2, 2n] below the clamp — one training pass costs
+    // n·K ≈ n^1.5 dots, never the quadratic n²/64 a K = n/64 sizing gives.
+    for (n <- Seq(10000L, 1000000L, 100000000L)) {
+      val k = IvfAnn.kmeansCentroidsFor(n)
+      if (k < IvfAnn.MaxCentroids)
+        assert(k * k > n / 2 && k * k <= 2 * n, s"K=$k not √n-shaped at n=$n")
+    }
+  }
+
+  test("k-means: Lloyd steps move centroids into the data, assignment total") {
+    def corpus(n: Long) = spark.range(n).select(
+      col("id").as("vec_id"),
+      expr("transform(sequence(0, 63), d -> " +
+        "CAST(pmod(xxhash64(id * 64 + d), 1000001) - 500000 AS BIGINT))").as("iv"))
+    val n = 4096L
+    val emb = corpus(n)
+    val k = IvfAnn.kmeansCentroidsFor(n)
+    val seeds = IvfAnn.centroids(spark, k)
+    val trained = IvfAnn.trainedCentroids(emb, seeds, iters = 2)
+    // Codebook stays complete: K rows, 64 dims each, and training moved
+    // the centroids out of the seeds' ±1000 box into the data's range.
+    val rows = trained.select(col("cid"), col("cv")).collect()
+    assert(rows.length == k)
+    assert(rows.forall(_.getSeq[Long](1).length == 64))
+    assert(rows.exists(_.getSeq[Long](1).exists(v => math.abs(v) > 1000L)),
+      "no centroid left the seed range — Lloyd update did not run")
+    // Every vector lands in exactly one list.
+    val asg = IvfAnn.l2Assignments(emb, trained)
+    assert(asg.count() == n)
+    assert(asg.select("vec_id").distinct().count() == n)
+    // The trained index must quantize better than the seeds: total
+    // within-cluster L2 cost (Σ ‖x‖²−2x·c+‖c‖² over assignments) drops.
+    def cost(cents: org.apache.spark.sql.DataFrame): Long = {
+      val withN = cents.withColumn("cn2", expr("long_dot(cv, cv)"))
+      emb.withColumn("n2", expr("long_dot(iv, iv)"))
+        .join(IvfAnn.l2Assignments(emb, cents), "vec_id")
+        .join(withN, "cid")
+        .select((col("n2") - lit(2L) * expr("long_dot(iv, cv)") + col("cn2")).as("c"))
+        .agg(sum("c")).head().getLong(0)
+    }
+    val seedCost = cost(seeds)
+    val trainedCost = cost(trained)
+    assert(trainedCost < seedCost,
+      s"training did not reduce quantization cost: $trainedCost >= $seedCost")
+  }
 }
