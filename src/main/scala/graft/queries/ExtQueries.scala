@@ -256,7 +256,9 @@ object ExtQueries {
     val assign = IvfAnn.assignments(base, cents)
     val q = base.where(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("n2").as("qn2"))
-    val cand = IvfAnn.probes(q, cents, nprobe = 2)
+    // The probe table is q·nprobe rows — broadcast it so the n-row
+    // assignment table never sorts/shuffles for this join.
+    val cand = broadcast(IvfAnn.probes(q, cents, nprobe = 2))
       .join(assign, "cid")
       .where(col("vec_id") =!= col("qid"))
       .select("qid", "vec_id")
@@ -282,7 +284,8 @@ object ExtQueries {
     val cells = IvfAnn.imiCells(base, books, k)
     val q = base.where(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("n2").as("qn2"))
-    val cand = IvfAnn.imiProbeCells(q, books, k)
+    // q·4 probed cells — broadcast, as qx13's probe join.
+    val cand = broadcast(IvfAnn.imiProbeCells(q, books, k))
       .join(cells, "cell")
       .where(col("vec_id") =!= col("qid"))
       .select("qid", "vec_id")
@@ -314,7 +317,8 @@ object ExtQueries {
     val assign = IvfAnn.l2Assignments(base, cents)
     val q = base.where(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("n2").as("qn2"))
-    val cand = IvfAnn.l2Probes(q, cents, nprobe = 2)
+    // q·nprobe probe rows — broadcast, as qx13's probe join.
+    val cand = broadcast(IvfAnn.l2Probes(q, cents, nprobe = 2))
       .join(assign, "cid")
       .where(col("vec_id") =!= col("qid"))
       .select("qid", "vec_id")
