@@ -14,7 +14,8 @@ object Explain {
         "q17_segment_revenue", "qx2_cosine_topk", "qx3_ann_lsh",
         "qx4_minhash_lsh", "qx6_ngram_jaccard", "qx11_multimodal",
         "qx12_embed_neardup", "qx13_ann_ivf", "qx14_simhash_neardup",
-        "qx15_ann_imi", "qx16_ann_kmeans")
+        "qx15_ann_imi", "qx16_ann_kmeans",
+        "qx17_substring_dup")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -50,6 +50,7 @@ object SparkEntry {
     "qx14_simhash_neardup"   -> (X.qx14 _),
     "qx15_ann_imi"           -> (X.qx15 _),
     "qx16_ann_kmeans"        -> (X.qx16 _),
+    "qx17_substring_dup"     -> (X.qx17 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -91,5 +92,6 @@ object SparkEntry {
     "qx14_simhash_neardup"   -> ExtOracle.qx14,
     "qx15_ann_imi"           -> ExtOracle.qx15,
     "qx16_ann_kmeans"        -> ExtOracle.qx16,
+    "qx17_substring_dup"     -> ExtOracle.qx17,
   )
 }

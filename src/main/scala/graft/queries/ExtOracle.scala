@@ -252,6 +252,23 @@ object ExtOracle {
        |WHERE rk <= 5""".stripMargin
   }
 
+  /** qx17 twin: identical rolling 8-word window hash, ≥2-and-≤64 doc
+    * frequency cap, pair count of shared windows. */
+  val qx17: String = {
+    val W = 8
+    val fold = (1 until W).foldLeft("h[i]")((acc, j) => s"(($acc) * 1009 + h[i+$j]) % $P")
+    s"""WITH $DOCS,
+       |wins AS (SELECT DISTINCT doc_id,
+       |           unnest(list_transform(range(1, len(h) - ${W - 2}), i -> $fold)) AS s
+       |         FROM wh WHERE len(h) >= $W),
+       |keep AS (SELECT s FROM (SELECT s, count(*) AS cnt FROM wins GROUP BY s)
+       |         WHERE cnt BETWEEN 2 AND 64)
+       |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS shared_windows
+       |FROM wins x JOIN wins y USING (s) JOIN keep USING (s)
+       |WHERE x.doc_id < y.doc_id
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   private val MH_TABLE: String = {
     val mhs = (0 until 16).map(mhExpr).mkString("[", ", ", "]")
     s"mh AS (SELECT doc_id, $mhs AS m FROM sh)"

@@ -396,6 +396,44 @@ object ExtQueries {
     SimHashLsh.nearDupPairs(SimHashLsh.bandSigs(perWord, SimHashLsh.bandWidthFor(n)))
   }
 
+  /** qx17 — exact substring duplication: pairs of documents sharing at
+    * least one identical 8-word window (rolling polynomial hash over the
+    * word-hash sequence — the exact-match complement to qx4/qx14's
+    * similarity mining, and the standard "memorized span" screen a
+    * training-data pipeline runs before near-dedup). Emits
+    * (doc_a, doc_b, shared_windows).
+    *
+    * Scale shape: windows come from the SAME per-doc lead() chain the
+    * 3-gram shingles use (hash-partitioned by doc_id), then ONE
+    * equi-join on the window hash. The skew guard is the frequency cap:
+    * window hashes appearing in more than 64 documents (boilerplate —
+    * licenses, templates, navigation) are dropped before the self-join,
+    * bounding per-key join fan-out at 64²/2 pairs no matter how common
+    * the phrase; true duplicated CONTENT survives because it is rare
+    * across the corpus by definition. The cap is integer-deterministic
+    * and mirrored in the oracle. */
+  def qx17(spark: SparkSession, dir: String): DataFrame = {
+    val W = 8
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val leads = (1 until W).foldLeft(
+      wordHashRows(spark, dir).withColumnRenamed("wh", "h0")) {
+      (df, i) => df.withColumn(s"h$i", lead("h0", i).over(byPos))
+    }
+    val foldExpr = (1 until W).foldLeft("h0")((acc, i) => s"(($acc) * 1009 + h$i) % 2147483647")
+    val wins = leads.where(col(s"h${W - 1}").isNotNull)
+      .select(col("doc_id"), expr(foldExpr).as("s"))
+      .distinct()
+    val keep = wins.groupBy("s").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 2 && col("cnt") <= 64)
+      .select("s")
+    wins.select(col("s"), col("doc_id").as("doc_a"))
+      .join(wins.select(col("s"), col("doc_id").as("doc_b")), "s")
+      .where(col("doc_a") < col("doc_b"))
+      .join(keep, "s")
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared_windows"))
+  }
+
   /** qx6 — exact n-gram Jaccard, verified on the LSH candidates only (the
     * scale-safe order: cheap LSH recall first, exact verification on the
     * surviving pairs — never all-pairs). Emits pairs with J ≥ 0.5. */
