@@ -51,6 +51,7 @@ object SparkEntry {
     "qx15_ann_imi"           -> (X.qx15 _),
     "qx16_ann_kmeans"        -> (X.qx16 _),
     "qx17_substring_dup"     -> (X.qx17 _),
+    "qx18_distinct_sketch"   -> (X.qx18 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -93,5 +94,6 @@ object SparkEntry {
     "qx15_ann_imi"           -> ExtOracle.qx15,
     "qx16_ann_kmeans"        -> ExtOracle.qx16,
     "qx17_substring_dup"     -> ExtOracle.qx17,
+    "qx18_distinct_sketch"   -> ExtOracle.qx18,
   )
 }

@@ -269,6 +269,23 @@ object ExtOracle {
        |GROUP BY 1, 2""".stripMargin
   }
 
+  /** qx18 twin: per-source distinct shingles + KMV estimate from the
+    * k-th smallest affine hash (k = 128), exact below k. */
+  val qx18: String =
+    s"""WITH $DOCS,
+       |srcsh AS (SELECT DISTINCT d.source, t.s
+       |          FROM sh JOIN documents d USING (doc_id), unnest(sh.shingles) AS t(s)),
+       |hashed AS (SELECT source, (s * 1000003 + 997) % $P AS h FROM srcsh),
+       |ranked AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h ASC) AS rn,
+       |                  count(*) OVER (PARTITION BY source) AS cnt
+       |           FROM hashed)
+       |SELECT source, CAST(max(cnt) AS BIGINT) AS n_exact,
+       |       CASE WHEN max(cnt) <= 128 OR max(CASE WHEN rn = 128 THEN h END) = 0
+       |            THEN CAST(max(cnt) AS DOUBLE)
+       |            ELSE 127.0 * 2147483647.0 / max(CASE WHEN rn = 128 THEN h END)
+       |       END AS kmv_est
+       |FROM ranked GROUP BY source""".stripMargin
+
   private val MH_TABLE: String = {
     val mhs = (0 until 16).map(mhExpr).mkString("[", ", ", "]")
     s"mh AS (SELECT doc_id, $mhs AS m FROM sh)"

@@ -434,6 +434,42 @@ object ExtQueries {
       .agg(count(lit(1)).as("shared_windows"))
   }
 
+  /** qx18 — KMV (k-minimum-values) distinct-count sketch, per source: the
+    * "how many distinct shingles does each slice contribute" profiling
+    * question answered WITHOUT a full count-distinct shuffle. The KMV
+    * estimator keeps the k smallest hash values of the set; the k-th
+    * smallest h_k estimates |S| ≈ (k−1)·p/h_k (uniform order statistics).
+    *
+    * The sketch is computed with [[graft.functions.TopKBy]] — min-k is
+    * top-k by the NEGATED hash — so it inherits the bounded
+    * partial-aggregation shape: every map task reduces its slice to ≤ k
+    * values per source before the exchange, the exact property that makes
+    * sketch profiling viable at 100 TB (a per-group collect would buffer
+    * the full distinct set). Slices with ≤ k distinct values report
+    * exactly. All hashing is the affine integer family; the single
+    * estimate division is one IEEE double op spelled identically in the
+    * oracle. Exact distinct counts ride along as calibration — the column
+    * a production profile drops. */
+  def qx18(spark: SparkSession, dir: String): DataFrame = {
+    val K = 128
+    val bySrc = shingleRows(spark, dir)
+      .join(Tables.documents(spark, dir).select("doc_id", "source"), "doc_id")
+      .select(col("source"), col("s")).distinct()
+      .withColumn("h", expr("(s * 1000003 + 997) % 2147483647"))
+    bySrc.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_exact"),
+        expr(s"topk_by(CAST(-h AS DOUBLE), h, $K)").as("mink"))
+      .select(col("source"), col("n_exact"),
+        // CaseWhen short-circuits per row: the n_exact <= K branch fires
+        // first, so mink[K-1] (ANSI errors on out-of-bounds) is only
+        // touched when the buffer is provably full.
+        when(col("n_exact") <= K, col("n_exact").cast("double"))
+          .when(expr(s"mink[${K - 1}].vec_id") === 0L, col("n_exact").cast("double"))
+          .otherwise(lit((K - 1).toDouble * 2147483647.0) / expr(s"mink[${K - 1}].vec_id"))
+          .as("kmv_est"))
+  }
+
   /** qx6 — exact n-gram Jaccard, verified on the LSH candidates only (the
     * scale-safe order: cheap LSH recall first, exact verification on the
     * surviving pairs — never all-pairs). Emits pairs with J ≥ 0.5. */
