@@ -52,6 +52,7 @@ object SparkEntry {
     "qx16_ann_kmeans"        -> (X.qx16 _),
     "qx17_substring_dup"     -> (X.qx17 _),
     "qx18_distinct_sketch"   -> (X.qx18 _),
+    "qx19_heavy_hitters"     -> (X.qx19 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -95,5 +96,6 @@ object SparkEntry {
     "qx16_ann_kmeans"        -> ExtOracle.qx16,
     "qx17_substring_dup"     -> ExtOracle.qx17,
     "qx18_distinct_sketch"   -> ExtOracle.qx18,
+    "qx19_heavy_hitters"     -> ExtOracle.qx19,
   )
 }

@@ -286,6 +286,22 @@ object ExtOracle {
        |       END AS kmv_est
        |FROM ranked GROUP BY source""".stripMargin
 
+  /** qx19 twin: word-hash frequency per language (multiset), top-20 by
+    * (count DESC, hash ASC). */
+  val qx19: String =
+    s"""WITH $DOCS,
+       |whm AS (SELECT lang, unnest(list_transform(ws,
+       |          w -> list_reduce([CAST(0 AS BIGINT)] ||
+       |                 list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT)),
+       |                           (a, b) -> (a*31 + b) % 1000003))) AS wh
+       |        FROM docs),
+       |cnts AS (SELECT lang, wh, count(*) AS cnt FROM whm GROUP BY lang, wh)
+       |SELECT lang, rk, wh, cnt
+       |FROM (SELECT lang, wh, cnt,
+       |             CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, wh ASC) AS INT) AS rk
+       |      FROM cnts) t
+       |WHERE rk <= 20""".stripMargin
+
   private val MH_TABLE: String = {
     val mhs = (0 until 16).map(mhExpr).mkString("[", ", ", "]")
     s"mh AS (SELECT doc_id, $mhs AS m FROM sh)"

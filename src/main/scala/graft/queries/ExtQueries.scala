@@ -470,6 +470,26 @@ object ExtQueries {
           .as("kmv_est"))
   }
 
+  /** qx19 — heavy hitters: the 20 most frequent word hashes per language
+    * with their counts (corpus-level frequency profiling — stopword
+    * discovery, vocabulary skew, contamination screens). Two bounded
+    * aggregations end to end: a map-side-combinable (lang, wh) count,
+    * then [[graft.functions.TopKBy]] per language — so the second
+    * shuffle carries ≤ k entries per (lang, map task), never the
+    * vocabulary. Ties break deterministically by hash asc (the
+    * aggregate's (score DESC, id ASC) order). */
+  def qx19(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(col("lang"), explode(expr(WORD_HASHES)).as("wh"))
+      .groupBy("lang", "wh").agg(count(lit(1)).as("cnt"))
+    counts
+      .groupBy("lang")
+      .agg(expr("topk_by(CAST(cnt AS DOUBLE), wh, 20)").as("tk"))
+      .select(col("lang"), posexplode(col("tk")).as(Seq("p", "t")))
+      .select(col("lang"), (col("p") + 1).as("rk"), col("t.vec_id").as("wh"),
+        col("t.cosine").cast("long").as("cnt"))
+  }
+
   /** qx6 — exact n-gram Jaccard, verified on the LSH candidates only (the
     * scale-safe order: cheap LSH recall first, exact verification on the
     * surviving pairs — never all-pairs). Emits pairs with J ≥ 0.5. */
