@@ -28,9 +28,17 @@ object Bench {
     // artifact, "all reps slow" (environment) vs "best rep slow"
     // (regression) is decidable from the JSON alone).
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt
+    // Round-5 verdict #6: qx13's deliberately-quadratic build (the
+    // documented K-tracks-n demonstration index, superseded by qx15/qx16
+    // for building at scale) is the suite's run-to-run noise source at
+    // large sf. Skip it in the headline bench by default — it stays in
+    // the correctness gate — and record the skip in the artifact so the
+    // round-over-round record shows WHY the number is absent.
+    val skip = sys.env.getOrElse("SPARK_GRAFT_BENCH_SKIP", "qx13_ann_ivf")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
     // A failing query must surface as an explicit error, never as an
     // innocent-looking fast time.
-    val outcomes = SparkEntry.queries.map { case (name, fn) =>
+    val outcomes = SparkEntry.queries.filterNot(kv => skip(kv._1)).map { case (name, fn) =>
       val res: Either[String, (Double, Double)] =
         try {
           val times = (1 to reps).map { _ =>
@@ -91,7 +99,18 @@ object Bench {
       case Right((evs, lat)) => s"""{"ev_per_sec":${math.round(evs)},"batch_sec":$lat}"""
       case Left(m)           => s"""{"error":${jstr(m)}}"""
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$reps,"stat":"min","queries":$qs,"queries_max":$qsMax,"errors":$errs,"streaming":$streamJson,"sf":"$sfDir"}""")
+    val skipped = skip.toSeq.sorted.map(jstr).mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","n":$reps,"stat":"min","queries":$qs,"queries_max":$qsMax,"errors":$errs,"skipped":$skipped,"streaming":$streamJson,"sf":"$sfDir"}"""
+    println(line)
+    // Round-5 verdict #2: BENCH_r05's stdout tail capture truncated
+    // mid-JSON, losing the total and half the per-query mins. Write the
+    // identical line to a file so the artifact can never silently degrade
+    // with the driver's capture window.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"bench_out write failed: ${e.getMessage}") }
     spark.stop()
   }
 }

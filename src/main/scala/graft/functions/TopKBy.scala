@@ -33,7 +33,7 @@ final class TopKBuffer(val k: Int) {
 }
 
 /** `topk_by(score, id, k)` — bounded top-k as a Catalyst aggregate:
-  * returns ARRAY<STRUCT<vec_id BIGINT, cosine DOUBLE>> of the k largest
+  * returns ARRAY<STRUCT<id BIGINT, score DOUBLE>> of the k largest
   * (score, id) pairs, ordered (score DESC, id ASC) — exactly the prefix a
   * `row_number() OVER (ORDER BY score DESC, id ASC) <= k` window keeps.
   *
@@ -72,9 +72,12 @@ case class TopKBy(
 
   override def prettyName: String = "topk_by"
   override def nullable: Boolean = false
+  // Neutral field names: topk_by serves ANN top-k (qx2/qx3/qx13/qx15/
+  // qx16), KMV min-k hashes (qx18) and heavy-hitter counts (qx19) —
+  // callers alias on select.
   override def dataType: DataType = ArrayType(StructType(Seq(
-    StructField("vec_id", LongType, nullable = false),
-    StructField("cosine", DoubleType, nullable = false))), containsNull = false)
+    StructField("id", LongType, nullable = false),
+    StructField("score", DoubleType, nullable = false))), containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (score.dataType != DoubleType)

@@ -120,12 +120,20 @@ object AsOfJoin {
     * tick granularity are unsplittable by construction), the in-unit
     * window still orders by (ts, side), and the strictly-before carry at
     * g granularity covers earlier sub-units of the same bucket. Costs:
-    * one extra pruned-column pass over events for the histogram, a
-    * broadcast tick map of |hot buckets|·[[FineTicksPerBucket]] rows
-    * (hot buckets ≤ |events|/skewTarget intrinsically), and carry rows
-    * grow by ≈ |events|/skewTarget (at 10¹² events and the 1M default:
-    * ~10⁶ extra tiny rows — still broadcastable). Set `skewTarget ≤ 0`
-    * to disable detection.
+    * one extra pruned-column pass over events for the histogram; a
+    * broadcast tick map of |hot buckets|·[[FineTicksPerBucket]] rows;
+    * carry rows grow by ≈ |events|/skewTarget sub-units.
+    *
+    * PRECONDITION (tick-map size): the tick map is bounded by the BUCKET
+    * count, not the event count — hot buckets ≤ total buckets, so the
+    * auto-route's span/1024 width caps it at ~1025·256 ≈ 262k tiny rows
+    * (a few MB, broadcastable). A caller-chosen narrow `bucketWidth`
+    * loses that cap: hot buckets are then bounded only by
+    * |events|/skewTarget, and at the 10¹²-event example that is 10⁶ hot
+    * buckets whose 256× tick fan-out is ~2.6·10⁸ broadcast rows —
+    * gigabytes, NOT broadcastable. Keep the bucket count
+    * (span/bucketWidth) ≲ a few thousand, or raise skewTarget in
+    * proportion. Set `skewTarget ≤ 0` to disable detection.
     */
   def latestAtOrBeforeShuffled(events: DataFrame, control: DataFrame, tsCol: String,
                                bucketWidth: Long,

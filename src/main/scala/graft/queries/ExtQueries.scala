@@ -170,7 +170,7 @@ object ExtQueries {
       .groupBy("qid").agg(expr(s"topk_by(cosine, vec_id, $k)").as("tk"))
       .select(col("qid"), posexplode(col("tk")).as(Seq("p", "t")))
       .select(col("qid"), (col("p") + 1).as("rk"),
-        col("t.vec_id").as("vec_id"), col("t.cosine").as("cosine"))
+        col("t.id").as("vec_id"), col("t.score").as("cosine"))
 
   /** qx2 — brute-force cosine top-5 for the query set (vec_id % 50 == 0):
     * the correctness baseline. The query side is broadcast; the base table
@@ -426,10 +426,15 @@ object ExtQueries {
     val keep = wins.groupBy("s").agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= 2 && col("cnt") <= 64)
       .select("s")
-    wins.select(col("s"), col("doc_id").as("doc_a"))
-      .join(wins.select(col("s"), col("doc_id").as("doc_b")), "s")
+    // The cap MUST bound the self-join's inputs, not filter its output:
+    // Spark keeps inner joins left-deep as written (no CBO reorder), so
+    // joining first and capping after would fan a 10⁶-doc license phrase
+    // into ~5·10¹¹ intermediate pair rows. Semi-join each side against
+    // `keep` first; PlanShapeSpec pins this order.
+    val capped = wins.join(keep, Seq("s"), "left_semi")
+    capped.select(col("s"), col("doc_id").as("doc_a"))
+      .join(capped.select(col("s"), col("doc_id").as("doc_b")), "s")
       .where(col("doc_a") < col("doc_b"))
-      .join(keep, "s")
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("shared_windows"))
   }
@@ -465,8 +470,8 @@ object ExtQueries {
         // first, so mink[K-1] (ANSI errors on out-of-bounds) is only
         // touched when the buffer is provably full.
         when(col("n_exact") <= K, col("n_exact").cast("double"))
-          .when(expr(s"mink[${K - 1}].vec_id") === 0L, col("n_exact").cast("double"))
-          .otherwise(lit((K - 1).toDouble * 2147483647.0) / expr(s"mink[${K - 1}].vec_id"))
+          .when(expr(s"mink[${K - 1}].id") === 0L, col("n_exact").cast("double"))
+          .otherwise(lit((K - 1).toDouble * 2147483647.0) / expr(s"mink[${K - 1}].id"))
           .as("kmv_est"))
   }
 
@@ -486,8 +491,8 @@ object ExtQueries {
       .groupBy("lang")
       .agg(expr("topk_by(CAST(cnt AS DOUBLE), wh, 20)").as("tk"))
       .select(col("lang"), posexplode(col("tk")).as(Seq("p", "t")))
-      .select(col("lang"), (col("p") + 1).as("rk"), col("t.vec_id").as("wh"),
-        col("t.cosine").cast("long").as("cnt"))
+      .select(col("lang"), (col("p") + 1).as("rk"), col("t.id").as("wh"),
+        col("t.score").cast("long").as("cnt"))
   }
 
   /** qx6 — exact n-gram Jaccard, verified on the LSH candidates only (the

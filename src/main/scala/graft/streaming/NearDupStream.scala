@@ -128,14 +128,24 @@ object NearDupStream {
   /** The pipeline: documents → per-band bucket rows (typed map, no
     * shuffle) → one keyed-state shuffle on the bucket → matches. The only
     * exchange carries (bucket, doc_id, 4 longs) — the streaming analogue
-    * of the batch miner's single (band, sig) exchange. */
+    * of the batch miner's single (band, sig) exchange.
+    *
+    * `distinctPairs = true` (round-5 verdict #5) appends a streaming
+    * `dropDuplicates(doc_a, doc_b)` so the batch miner's distinct pair
+    * set is available ON the stream, not only after a batch post-pass: a
+    * pair colliding in ≥2 bands otherwise emits once per colliding band.
+    * Cost: a second keyed state store holding one entry per DISTINCT
+    * emitted pair — bounded by the true near-dup count, not the corpus,
+    * but unbounded in time (TimeMode.None has no watermark to expire
+    * it); pair TTL, when needed, follows the bucket-member `ttl`. */
   def nearDupMatches(docs: Dataset[DocText], bits: Int,
                      maxHamming: Int = SimHashLsh.HammingRadius,
-                     ttl: Option[java.time.Duration] = None): Dataset[NearDupMatch] = {
+                     ttl: Option[java.time.Duration] = None,
+                     distinctPairs: Boolean = false): Dataset[NearDupMatch] = {
     require(maxHamming <= SimHashLsh.Bands - 1, "pigeonhole guarantee needs maxHamming <= bands - 1")
     implicit val rowEnc = Encoders.product[DocBandRow]
     implicit val outEnc = Encoders.product[NearDupMatch]
-    docs.flatMap { d =>
+    val matches = docs.flatMap { d =>
       val sigs = docSigs(d.text, bits)
       (0 until SimHashLsh.Bands).map(b =>
         DocBandRow((b.toLong << 32) | sigs(b), d.doc_id, sigs(0), sigs(1), sigs(2), sigs(3)))
@@ -143,5 +153,9 @@ object NearDupStream {
       .groupByKey(_.bucket)(Encoders.scalaLong)
       .transformWithState(new NearDupProcessor(maxHamming, ttl),
         TimeMode.None(), OutputMode.Update())
+    // A pair's hamming is exact over ALL bands, so every multi-band
+    // emission of (doc_a, doc_b) is byte-identical — dedup on the pair
+    // key alone is lossless.
+    if (distinctPairs) matches.dropDuplicates("doc_a", "doc_b") else matches
   }
 }

@@ -74,6 +74,40 @@ class NearDupStreamSpec extends SparkTestBase {
       s"stream/batch divergence: only-stream=${streamed -- batch}, only-batch=${batch -- streamed}")
   }
 
+  test("distinctPairs flag: the RAW sink equals the batch miner exactly") {
+    // Round-5 verdict #5: with the flag on, the batch-identical DISTINCT
+    // pair set must land in the sink itself — no post-pass. Assert on the
+    // raw sink rows: no duplicates, and set-equality with the batch miner.
+    val docs = corpus()
+    val w = bits(docs.size)
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[DocText]
+    val input = MemoryStream[DocText]
+    val q = NearDupStream.nearDupMatches(input.toDS(), w, distinctPairs = true)
+      .writeStream.format("memory").queryName("neardup_distinct")
+      .outputMode("update").option("checkpointLocation", tmpDir("ckpt_ndd")).start()
+    try {
+      docs.grouped(docs.size / 3 + 1).foreach { wave =>
+        input.addData(wave.map { case (id, t) => DocText(id, t) })
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val raw = spark.table("neardup_distinct")
+      .select("doc_a", "doc_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(raw.size == raw.distinct.size,
+      s"duplicate pair reached the raw sink: ${raw.groupBy(identity).filter(_._2.size > 1).keys}")
+    val perWord = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .where(length(col("word")) > 0)
+      .select(col("doc_id"),
+        expr("aggregate(split(word, ''), 0L, (a, c) -> (a*31 + ascii(c)) % 1000003)").as("x"))
+    val batch = SimHashLsh.nearDupPairs(SimHashLsh.bandSigs(perWord, w)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(raw.toSet == batch,
+      s"stream/batch divergence: only-stream=${raw.toSet -- batch}, only-batch=${batch -- raw.toSet}")
+  }
+
   test("at-least-once re-delivery: no self-pairs, no duplicate members") {
     val docs = corpus().take(20)
     val w = bits(docs.size)

@@ -45,6 +45,24 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), "carries must join by bucket equality")
   }
 
+  test("qx17: the boilerplate cap bounds BOTH self-join inputs") {
+    // The frequency cap (keep: 2 <= cnt <= 64) must semi-join each side
+    // of the window-hash self-join BEFORE the pair join executes —
+    // cap-after-join is correct but fans skewed hashes into m²/2 rows.
+    import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val plan = sparkPlan("qx17_substring_dup")
+    val pairJoin = plan.collectFirst {
+      case j: BaseJoinExec if j.joinType == Inner => j
+    }.getOrElse(fail("qx17 plan has no inner pair join"))
+    def capped(side: org.apache.spark.sql.execution.SparkPlan) =
+      side.collectFirst {
+        case j: BaseJoinExec if j.joinType == LeftSemi => j
+      }.nonEmpty
+    assert(capped(pairJoin.left), "left self-join input is not cap-bounded")
+    assert(capped(pairJoin.right), "right self-join input is not cap-bounded")
+  }
+
   test("qx3/qx13: candidate generation never shuffles array columns") {
     // The (band,sig)/(cid) candidate columns are narrow ids; the 64-long
     // iv arrays must not appear in any Exchange's output schema.

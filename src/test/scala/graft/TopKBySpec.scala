@@ -24,7 +24,7 @@ class TopKBySpec extends SparkTestBase {
       .agg(expr("topk_by(cosine, vec_id, 5)").as("tk"))
       .select(col("qid"), posexplode(col("tk")).as(Seq("p", "t")))
       .select(col("qid"), (col("p") + 1).as("rk"),
-        col("t.vec_id").as("vec_id"), col("t.cosine").as("cosine"))
+        col("t.id").as("vec_id"), col("t.score").as("cosine"))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id").asc)
     val viaWindow = scored
       .withColumn("rk", row_number().over(w)).where(col("rk") <= 5)
@@ -39,7 +39,7 @@ class TopKBySpec extends SparkTestBase {
     val got = tiny.groupBy("qid")
       .agg(expr("topk_by(cosine, vec_id, 5)").as("tk"))
       .select(col("qid"), posexplode(col("tk")).as(Seq("p", "t")))
-      .select(col("qid"), (col("p") + 1).as("rk"), col("t.vec_id").as("vec_id"))
+      .select(col("qid"), (col("p") + 1).as("rk"), col("t.id").as("vec_id"))
       .as[(Long, Int, Long)].collect().toSet
     assert(got == Set((0L, 1, 2L), (0L, 2, 1L), (1L, 1, 3L)))
   }
@@ -49,7 +49,7 @@ class TopKBySpec extends SparkTestBase {
       .toDF("qid", "vec_id", "cosine")
     val got = withNulls.groupBy("qid")
       .agg(expr("topk_by(cosine, vec_id, 2)").as("tk"))
-      .select(explode(col("tk")).as("t")).select("t.vec_id")
+      .select(explode(col("tk")).as("t")).select(col("t.id").as("vec_id"))
       .as[Long].collect().toSeq
     assert(got == Seq(3L, 1L))
   }
