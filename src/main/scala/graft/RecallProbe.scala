@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.IvfAnn
+
+/** Clustered-embedding ANN recall fixture (round-5 verdict #4).
+  *
+  * The gate corpus's embeddings are iid, so top-5 neighbors are
+  * statistical near-ties and every quantizer — hashed, product, trained —
+  * ties with random partitioning at equal candidate budget (SURVEY §8.2
+  * r5 table). That left the ANN family's central claim ("at the design
+  * point, cluster structure carries the recall") argued, not measured.
+  * This probe measures it: a synthetic corpus with REAL cluster
+  * structure — `clusters` gaussian-ish clusters, within-cluster noise a
+  * fraction of the center scale — re-runs the qx13/qx15/qx16
+  * recall@5-vs-candidates sweep against brute-force ground truth.
+  *
+  * Corpus construction is pure integer expressions (the quadratic-residue
+  * family the indexes themselves use, different salts), fully distributed
+  * — `spark.range(n)`, no driver-side data, no RNG:
+  *   center(c, d) = qr(c·1000003 + d·97 + 5)  mod 2001 − 1000   (±1000)
+  *   noise(v, d)  = qr(v·1000003 + d·97 + 7)  mod (2·ns+1) − ns (±ns)
+  *   iv(v, d)     = center(v mod clusters, d)·1000 + noise(v, d)·1000
+  * where qr(h) = (h mod p)² mod p, p = 2³¹−1. At ns = 500 the expected
+  * within-cluster distance is ~½ the between-cluster distance — tight
+  * enough that a query's true top-5 live in its own cluster, loose
+  * enough that cluster members straddle several hashed Voronoi cells
+  * (the regime where training must beat hashing).
+  *
+  * Output: one markdown table row per (index, probes) — recall@5
+  * averaged over the query set (vec_id % 50 == 0) and mean candidates
+  * per query — plus one JSON line for the record.
+  */
+object RecallProbe {
+
+  /** (vec_id, iv, n2) with `clusters` planted clusters. */
+  def clusteredCorpus(spark: SparkSession, n: Long, clusters: Int,
+                      noiseScale: Int): DataFrame =
+    spark.range(n).select(
+      col("id").as("vec_id"),
+      expr(s"""transform(sequence(0, 63), d -> (
+          (((id % $clusters) * 1000003 + d * 97 + 5) % 2147483647) *
+          (((id % $clusters) * 1000003 + d * 97 + 5) % 2147483647)
+          % 2147483647 % 2001 - 1000) * 1000L + (
+          ((id * 1000003 + d * 97 + 7) % 2147483647) *
+          ((id * 1000003 + d * 97 + 7) % 2147483647)
+          % 2147483647 % ${2 * noiseScale + 1} - $noiseScale) * 1000L
+        )""").as("iv"))
+      .withColumn("n2", expr("long_dot(iv, iv)"))
+
+  private val COSINE =
+    "CAST(dot AS DOUBLE) / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE)))"
+
+  /** Exact cosine + top-5 over a (qid, vec_id) candidate set — the shared
+    * tail of qx2/qx3/qx13/qx15/qx16. */
+  private def top5(cand: DataFrame, base: DataFrame, q: DataFrame): DataFrame =
+    cand.join(base, "vec_id").join(broadcast(q), "qid")
+      .withColumn("dot", expr("long_dot(iv, qiv)"))
+      .withColumn("cosine", expr(COSINE))
+      .groupBy("qid").agg(expr("topk_by(cosine, vec_id, 5)").as("tk"))
+      .select(col("qid"), explode(col("tk.id")).as("vec_id"))
+
+  /** recall@5 vs brute-force truth + mean candidates/query. */
+  private def score(cand: DataFrame, base: DataFrame, q: DataFrame,
+                    truth: Map[Long, Set[Long]]): (Double, Double) = {
+    val nq = truth.size.toDouble
+    val candPerQ = cand.groupBy("qid").count().agg(avg("count")).head().getDouble(0)
+    val hits = top5(cand, base, q).collect()
+      .count(r => truth.getOrElse(r.getLong(0), Set.empty)(r.getLong(1)))
+    (hits / (5.0 * nq), candPerQ)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(20000L)
+    val clusters = if (args.length > 1) args(1).toInt else 50
+    val noiseScale = if (args.length > 2) args(2).toInt else 500
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = clusteredCorpus(spark, n, clusters, noiseScale)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = base.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("n2").as("qn2"))
+
+    // Ground truth: brute force, the qx2 shape.
+    val truthDf = top5(
+      base.crossJoin(broadcast(q)).where(col("vec_id") =!= col("qid"))
+        .select("qid", "vec_id"), base, q)
+    val truth = truthDf.collect().groupBy(_.getLong(0))
+      .map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
+
+    def noSelf(c: DataFrame) =
+      c.where(col("vec_id") =!= col("qid")).select("qid", "vec_id")
+
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Double, Double)]
+
+    // Flat hashed IVF (qx13's index), nprobe sweep.
+    val kFlat = IvfAnn.centroidsFor(n)
+    val cents = IvfAnn.centroids(spark, kFlat)
+    val assign = IvfAnn.assignments(base, cents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    for (np <- Seq(2, 4, 8, 16)) {
+      val cand = noSelf(broadcast(IvfAnn.probes(q, cents, np)).join(assign, "cid"))
+      val (r, c) = score(cand, base, q, truth)
+      results += (("flat_hashed", np, r, c))
+    }
+
+    // IMI product cells (qx15's index), perLevel sweep.
+    val kImi = IvfAnn.imiCentroidsFor(n)
+    val books = IvfAnn.imiCodebooks(spark, kImi)
+    val cells = IvfAnn.imiCells(base, books, kImi)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    for (pl <- Seq(2, 3, 4)) {
+      val cand = noSelf(broadcast(IvfAnn.imiProbeCells(q, books, kImi, pl)).join(cells, "cell"))
+      val (r, c) = score(cand, base, q, truth)
+      results += (("imi", pl, r, c))
+    }
+
+    // Trained k-means (qx16's index), nprobe sweep — same 2-iteration
+    // Lloyd budget the gate uses.
+    val kKm = IvfAnn.kmeansCentroidsFor(n)
+    val trained = IvfAnn.trainedCentroids(base, IvfAnn.centroids(spark, kKm), iters = 2)
+    val tAssign = IvfAnn.l2Assignments(base, trained)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    for (np <- Seq(1, 2, 4, 8)) {
+      val cand = noSelf(broadcast(IvfAnn.l2Probes(q, trained, np)).join(tAssign, "cid"))
+      val (r, c) = score(cand, base, q, truth)
+      results += (("trained_kmeans", np, r, c))
+    }
+
+    println(s"\nn=$n clusters=$clusters noiseScale=$noiseScale queries=${truth.size} " +
+      s"K(flat)=$kFlat K(imi)=$kImi/level K(kmeans)=$kKm")
+    println("| index | probes | recall@5 | candidates/query |")
+    println("|---|---|---|---|")
+    results.foreach { case (idx, p, r, c) =>
+      println(f"| $idx | $p | $r%.2f | ${c}%.0f |")
+    }
+    val json = results.map { case (idx, p, r, c) =>
+      s"""{"index":"$idx","probes":$p,"recall5":$r,"cand":$c}"""
+    }.mkString("[", ",", "]")
+    println(s"""{"recall_probe":{"n":$n,"clusters":$clusters,"noise":$noiseScale,"results":$json}}""")
+    spark.stop()
+  }
+}
