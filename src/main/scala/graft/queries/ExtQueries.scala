@@ -90,7 +90,15 @@ object ExtQueries {
   private def shingleRows(spark: SparkSession, dir: String): DataFrame =
     sharedOr("shingles", spark, dir)(shingleRowsBase(spark, dir))
 
-  private def shingleRowsBase(spark: SparkSession, dir: String): DataFrame = {
+  private def shingleRowsBase(spark: SparkSession, dir: String): DataFrame =
+    shingleRowsMultiset(spark, dir).distinct()
+
+  /** The shingle rows BEFORE set-dedup — one window pass, already
+    * hash-partitioned by doc_id. Consumers whose aggregate is
+    * duplicate-insensitive (min — the minhash family) read this and skip
+    * the distinct's (doc_id, s) shuffle entirely; set-semantics consumers
+    * (Jaccard qx6, KMV qx18) go through [[shingleRows]]. */
+  private def shingleRowsMultiset(spark: SparkSession, dir: String): DataFrame = {
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
     wordHashRows(spark, dir)
       .withColumn("h2", lead("wh", 1).over(byPos))
@@ -98,7 +106,6 @@ object ExtQueries {
       .where(col("h3").isNotNull)
       .select(col("doc_id"),
         expr("((wh * 1009 + h2) % 2147483647 * 1009 + h3) % 2147483647").as("s"))
-      .distinct()
   }
 
   /** (doc_id, pos, wh) word-hash rows — the base the shingle table and
@@ -333,10 +340,22 @@ object ExtQueries {
   // ------------------------------------------------------- near-dup dedup
 
   /** Per-doc MinHash signature table: doc_id, mh0..mh15 — one hash
-    * aggregation over the shingle rows. */
+    * aggregation over the shingle rows.
+    *
+    * min((a·s + b) mod p) over a multiset equals min over its set, so the
+    * shingle `distinct()` — a full (doc_id, s) shuffle of the corpus's
+    * biggest intermediate — is unnecessary here: the multiset rows come
+    * out of the lead() window already hash-partitioned by doc_id, and
+    * the groupBy reuses that partitioning, collapsing the minhash path
+    * to ONE exchange end-to-end (round-6: this was the qx4 drift fix —
+    * 1.34 → ~0.9 s at sf0.1). When the gate runner has the distinct
+    * table persisted ([[enableSharedDerivations]]), reuse it instead of
+    * recomputing the window. */
   private def minhashed(spark: SparkSession, dir: String): DataFrame = {
     val mhCols = (0 until 16).map(minhash)
-    shingleRows(spark, dir).groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+    val rows = Option(sharedDerivs.get(sharedKey("shingles", spark, dir)))
+      .getOrElse(shingleRowsMultiset(spark, dir))
+    rows.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
   }
 
   /** qx4 — MinHash + LSH near-duplicate candidate pairs: 16 minhashes in
