@@ -53,6 +53,7 @@ object SparkEntry {
     "qx17_substring_dup"     -> (X.qx17 _),
     "qx18_distinct_sketch"   -> (X.qx18 _),
     "qx19_heavy_hitters"     -> (X.qx19 _),
+    "qx20_dup_clusters"      -> (X.qx20 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -97,5 +98,6 @@ object SparkEntry {
     "qx17_substring_dup"     -> ExtOracle.qx17,
     "qx18_distinct_sketch"   -> ExtOracle.qx18,
     "qx19_heavy_hitters"     -> ExtOracle.qx19,
+    "qx20_dup_clusters"      -> ExtOracle.qx20,
   )
 }

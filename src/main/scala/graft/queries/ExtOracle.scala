@@ -318,6 +318,24 @@ object ExtOracle {
        |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |FROM bands x JOIN bands y ON x.b = y.b AND x.sig = y.sig AND x.doc_id < y.doc_id""".stripMargin
 
+  /** qx20 twin: the qx4 pair set closed into components by a recursive
+    * transitive-closure CTE, each node labeled min(reachable ∪ self) —
+    * the same labeling star contraction converges to. Transitive closure
+    * is O(n·m) and fine at oracle scale; the Spark side's O(log n)
+    * contraction is the production form. */
+  val qx20: String =
+    s"""WITH RECURSIVE $DOCS, $MH_TABLE, $BANDS,
+       |pairs AS (SELECT DISTINCT x.doc_id AS pa, y.doc_id AS pb
+       |          FROM bands x JOIN bands y ON x.b = y.b AND x.sig = y.sig AND x.doc_id < y.doc_id),
+       |sym AS (SELECT pa, pb FROM pairs UNION SELECT pb, pa FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT pa, pb FROM sym
+       |  UNION
+       |  SELECT r.src, s.pb FROM reach r JOIN sym s ON r.dst = s.pa
+       |)
+       |SELECT src AS doc_id, least(src, min(dst)) AS rep
+       |FROM reach GROUP BY src""".stripMargin
+
   val qx5: String = {
     val sums = (0 until 16)
       .map(bit => s"sum(((x // ${1L << bit}) % 2) * 2 - 1) AS s$bit").mkString(", ")

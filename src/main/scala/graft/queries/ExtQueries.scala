@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Determinism
-import graft.operators.{EmbeddingLsh, IvfAnn, MultimodalCodec, SimHashLsh}
+import graft.operators.{ConnectedComponents, EmbeddingLsh, IvfAnn, MultimodalCodec, SimHashLsh}
 import graft.sources.Tables
 
 /** The large-scale training-data-pipeline operator family (builder brief +
@@ -375,6 +375,22 @@ object ExtQueries {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }
+
+  /** qx20 — duplicate CLUSTERS from the qx4 near-dup pairs: connected
+    * components by alternating star contraction
+    * ([[graft.operators.ConnectedComponents]]), each doc labeled with
+    * its cluster's minimum doc_id. This is the step a production dedup
+    * pipeline runs after pair mining — "keep one per cluster" is then
+    * `rep = doc_id`, and transitive near-dups (A≈B≈C with A,C never
+    * directly compared) collapse into ONE cluster, which pairwise
+    * filtering alone cannot do. O(log n) alternations, two shuffles of
+    * a strictly-shrinking edge list each — never the corpus. The oracle
+    * re-derives the same labeling with a recursive transitive-closure
+    * CTE (fine at oracle scale; the star contraction is the form that
+    * survives 100 TB). */
+  def qx20(spark: SparkSession, dir: String): DataFrame =
+    ConnectedComponents.connectedComponents(qx4(spark, dir))
+      .select(col("node").as("doc_id"), col("rep"))
 
   /** qx5 — SimHash document fingerprints: 16-bit simhash over the word-hash
     * multiset (bit b set iff Σ_words ±1 on that bit of the hash is
