@@ -54,6 +54,8 @@ object SparkEntry {
     "qx18_distinct_sketch"   -> (X.qx18 _),
     "qx19_heavy_hitters"     -> (X.qx19 _),
     "qx20_dup_clusters"      -> (X.qx20 _),
+    "qx21_stratified_sample" -> (X.qx21 _),
+    "qx22_curation_pipeline" -> (X.qx22 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -99,5 +101,7 @@ object SparkEntry {
     "qx18_distinct_sketch"   -> ExtOracle.qx18,
     "qx19_heavy_hitters"     -> ExtOracle.qx19,
     "qx20_dup_clusters"      -> ExtOracle.qx20,
+    "qx21_stratified_sample" -> ExtOracle.qx21,
+    "qx22_curation_pipeline" -> ExtOracle.qx22,
   )
 }

@@ -318,6 +318,46 @@ object ExtOracle {
        |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |FROM bands x JOIN bands y ON x.b = y.b AND x.sig = y.sig AND x.doc_id < y.doc_id""".stripMargin
 
+  /** qx21 twin: per-language min-8 docs by the affine sampling hash,
+    * ranked (h ASC, doc_id ASC) — the window spelling of the Spark
+    * side's bounded min-k aggregate. */
+  val qx21: String =
+    s"""SELECT lang, rk, doc_id
+       |FROM (SELECT lang, doc_id,
+       |             CAST(row_number() OVER (PARTITION BY lang
+       |               ORDER BY (doc_id * 1000003 + 12345) % $P ASC, doc_id ASC) AS INT) AS rk
+       |      FROM documents) t
+       |WHERE rk <= 8""".stripMargin
+
+  /** qx22 twin: quality gate (≥30 tokens) → drop non-representative
+    * near-dup cluster members (qx20's recursive components) → admit per
+    * language in sampling-hash order while the running token sum stays
+    * ≤ 2000. The oracle needs no candidate pruning — the budget prefix
+    * is the same set either way. */
+  val qx22: String =
+    s"""WITH RECURSIVE $DOCS, $MH_TABLE, $BANDS,
+       |pairs AS (SELECT DISTINCT x.doc_id AS pa, y.doc_id AS pb
+       |          FROM bands x JOIN bands y ON x.b = y.b AND x.sig = y.sig AND x.doc_id < y.doc_id),
+       |sym AS (SELECT pa, pb FROM pairs UNION SELECT pb, pa FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT pa, pb FROM sym
+       |  UNION
+       |  SELECT r.src, s.pb FROM reach r JOIN sym s ON r.dst = s.pa
+       |),
+       |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS rep
+       |         FROM reach GROUP BY src),
+       |toks AS (SELECT doc_id, lang, CAST(len(ws) AS BIGINT) AS n_tokens,
+       |                (doc_id * 1000003 + 12345) % $P AS h
+       |         FROM docs WHERE len(ws) >= 30),
+       |kept AS (SELECT t.* FROM toks t LEFT JOIN comp c USING (doc_id)
+       |         WHERE c.rep IS NULL OR c.rep = t.doc_id),
+       |sel AS (SELECT lang, doc_id, n_tokens,
+       |               CAST(sum(n_tokens) OVER (PARTITION BY lang
+       |                 ORDER BY h ASC, doc_id ASC
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |        FROM kept)
+       |SELECT lang, doc_id, n_tokens, cum_tokens FROM sel WHERE cum_tokens <= 2000""".stripMargin
+
   /** qx20 twin: the qx4 pair set closed into components by a recursive
     * transitive-closure CTE, each node labeled min(reachable ∪ self) —
     * the same labeling star contraction converges to. Transitive closure

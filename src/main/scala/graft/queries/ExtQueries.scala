@@ -392,6 +392,78 @@ object ExtQueries {
     ConnectedComponents.connectedComponents(qx4(spark, dir))
       .select(col("node").as("doc_id"), col("rep"))
 
+  /** The deterministic per-doc sampling hash qx21/qx22 order by: an
+    * affine integer scramble of doc_id — uniform-ish, replayable, and
+    * identical in the oracle. A production pipeline keys this off a
+    * content fingerprint (qx10) when doc_ids correlate with content. */
+  private val SAMPLE_HASH = "(doc_id * 1000003 + 12345) % 2147483647"
+
+  /** qx21 — deterministic stratified sampling: k docs per language by
+    * hash rank — the data-mixing primitive (fixed per-stratum quotas,
+    * reproducible across reruns and replays, no RNG state).
+    *
+    * Spelled as min-k via [[graft.functions.TopKBy]], so the shuffle
+    * carries ≤ k rows per (stratum, map task) — the reservoir-sampling
+    * shuffle shape with a deterministic reservoir. The window spelling
+    * (row_number over h) would exchange the whole corpus to rank it;
+    * this is the same n·q-exchange-vs-bounded-aggregate trade the 100×
+    * probe settled for top-k. Weighted strata = scale the hash per
+    * stratum before ranking; the shape is unchanged. */
+  def qx21(spark: SparkSession, dir: String): DataFrame = {
+    val K = 8
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), expr(SAMPLE_HASH).as("h"))
+      .groupBy("lang")
+      .agg(expr(s"topk_by(CAST(-h AS DOUBLE), doc_id, $K)").as("tk"))
+      .select(col("lang"), posexplode(col("tk")).as(Seq("p", "t")))
+      .select(col("lang"), (col("p") + 1).as("rk"), col("t.id").as("doc_id"))
+  }
+
+  /** qx22 — the composed curation pipeline: quality gate → duplicate-
+    * cluster kill-list → per-language token budget. One declarative plan
+    * chaining three operator families this engine provides, because a
+    * real pretraining intake runs them TOGETHER:
+    *
+    *  1. quality: keep docs with ≥ 30 whitespace tokens (qx7's feature);
+    *  2. dedup: drop every near-dup cluster member except the cluster's
+    *     min-id representative (qx20's connected components over qx4's
+    *     MinHash pairs) — singleton docs pass untouched;
+    *  3. budget: admit survivors per language in sampling-hash order
+    *     until the language's running token total exceeds 2000 — the
+    *     deterministic "mix to N tokens per language" step.
+    *
+    * Scale shape of the budget step: a naive spelling window-sorts every
+    * stratum. Since each admitted doc carries ≥ TokMin tokens, at most
+    * budget/TokMin = 66 docs per language can ever be admitted — so a
+    * bounded [[graft.functions.TopKBy]] pass prunes each stratum to its
+    * 66 best-ranked candidates FIRST (≤ 66 rows per (lang, map task)
+    * cross the wire), and the running-sum window sorts only that bounded
+    * candidate set. The same partial-aggregate-then-tiny-window shape as
+    * qx2's top-k, applied to a prefix-sum admission. */
+  def qx22(spark: SparkSession, dir: String): DataFrame = {
+    val TokMin = 30L
+    val Budget = 2000L
+    val maxDocs = (Budget / TokMin).toInt
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        expr(s"size($WORDS)").cast("long").as("n_tokens"),
+        expr(SAMPLE_HASH).as("h"))
+      .where(col("n_tokens") >= TokMin)
+    val kept = toks.join(qx20(spark, dir), Seq("doc_id"), "left")
+      .where(col("rep").isNull || col("rep") === col("doc_id"))
+    val pruned = kept.groupBy("lang")
+      .agg(expr(s"topk_by(CAST(-h AS DOUBLE), doc_id, $maxDocs)").as("tk"))
+      .select(col("lang"), explode(col("tk.id")).as("doc_id"))
+      .join(kept.select("doc_id", "n_tokens", "h"), "doc_id")
+    val byHash = Window.partitionBy("lang")
+      .orderBy(col("h").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pruned
+      .withColumn("cum_tokens", sum("n_tokens").over(byHash))
+      .where(col("cum_tokens") <= Budget)
+      .select("lang", "doc_id", "n_tokens", "cum_tokens")
+  }
+
   /** qx5 — SimHash document fingerprints: 16-bit simhash over the word-hash
     * multiset (bit b set iff Σ_words ±1 on that bit of the hash is
     * positive). One explode + one map-side-combinable aggregation — the
