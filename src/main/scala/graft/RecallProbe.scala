@@ -124,6 +124,18 @@ object RecallProbe {
       results += (("imi", pl, r, c))
     }
 
+    // Trained IMI: the same product cells with each 32-dim half codebook
+    // Lloyd-refined on its half of the corpus (L2 cells/probes — the
+    // objective training optimizes).
+    val tBooks = IvfAnn.trainedImiCodebooks(base, kImi, iters = 2)
+    val tCells = IvfAnn.imiCellsL2(base, tBooks, kImi)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    for (pl <- Seq(2, 3, 4)) {
+      val cand = noSelf(broadcast(IvfAnn.imiProbeCellsL2(q, tBooks, kImi, pl)).join(tCells, "cell"))
+      val (r, c) = score(cand, base, q, truth)
+      results += (("imi_trained", pl, r, c))
+    }
+
     // Trained k-means (qx16's index), nprobe sweep — same 2-iteration
     // Lloyd budget the gate uses.
     val kKm = IvfAnn.kmeansCentroidsFor(n)

@@ -140,14 +140,11 @@ object IvfAnn {
   def imiCodebooks(spark: org.apache.spark.sql.SparkSession, k: Long): DataFrame =
     halfCentroids(spark, k, 0, 13).unionByName(halfCentroids(spark, k, 1, 29))
 
-  /** (vec_id, cell): cell = argmax₁ · K + argmax₂, both argmaxes from ONE
-    * broadcast crossJoin + one map-side combine (the per-level argmax is
-    * a conditional struct-max). Ties to the smallest cid, as
-    * [[assignments]]. */
-  def imiCells(emb: DataFrame, books: DataFrame, k: Long): DataFrame =
-    emb.select("vec_id", "iv").crossJoin(broadcast(books))
-      .select(col("vec_id"), col("lvl"), col("cid"),
-        expr("long_dot(slice(iv, 1 + 32 * lvl, 32), cv)").as("dot"))
+  /** Per-level argmax → product cell id, from (vec_id, lvl, cid, dot)
+    * score rows: one map-side combine (conditional struct-max per
+    * level), ties to the smallest cid, cell = argmax₀ · K + argmax₁. */
+  private def cellFromScores(scored: DataFrame, k: Long): DataFrame =
+    scored
       .groupBy("vec_id")
       .agg(
         max(when(col("lvl") === 0, struct(col("dot"), (-col("cid")).as("negcid")))).as("b0"),
@@ -155,21 +152,80 @@ object IvfAnn {
       .select(col("vec_id"),
         ((-col("b0.negcid")) * k + (-col("b1.negcid"))).as("cell"))
 
-  /** (qid, cell) for each query's `perLevel`² probed cells: top-perLevel
-    * half-centroids per level, crossed per query. */
-  def imiProbeCells(queries: DataFrame, books: DataFrame, k: Long,
-                    perLevel: Int = ImiProbesPerLevel): DataFrame = {
+  /** Top-perLevel cids per (qid, lvl) → perLevel² crossed cells, from
+    * (qid, lvl, cid, dot) score rows. */
+  private def probeCellsFromScores(ranked0: DataFrame, k: Long, perLevel: Int): DataFrame = {
     val byQL = Window.partitionBy("qid", "lvl")
       .orderBy(col("dot").desc, col("cid").asc)
-    val ranked = queries.select(col("qid"), col("qiv")).crossJoin(broadcast(books))
-      .select(col("qid"), col("lvl"), col("cid"),
-        expr("long_dot(slice(qiv, 1 + 32 * lvl, 32), cv)").as("dot"))
-      .withColumn("pr", row_number().over(byQL))
+    val ranked = ranked0.withColumn("pr", row_number().over(byQL))
       .where(col("pr") <= perLevel)
     ranked.where(col("lvl") === 0).select(col("qid"), col("cid").as("c0"))
       .join(ranked.where(col("lvl") === 1).select(col("qid"), col("cid").as("c1")), "qid")
       .select(col("qid"), (col("c0") * k + col("c1")).as("cell"))
   }
+
+  /** (vec_id, cell): cell = argmax₁ · K + argmax₂, both argmaxes from ONE
+    * broadcast crossJoin + one map-side combine (the per-level argmax is
+    * a conditional struct-max). Ties to the smallest cid, as
+    * [[assignments]]. */
+  def imiCells(emb: DataFrame, books: DataFrame, k: Long): DataFrame =
+    cellFromScores(
+      emb.select("vec_id", "iv").crossJoin(broadcast(books))
+        .select(col("vec_id"), col("lvl"), col("cid"),
+          expr("long_dot(slice(iv, 1 + 32 * lvl, 32), cv)").as("dot")), k)
+
+  /** (qid, cell) for each query's `perLevel`² probed cells: top-perLevel
+    * half-centroids per level, crossed per query. */
+  def imiProbeCells(queries: DataFrame, books: DataFrame, k: Long,
+                    perLevel: Int = ImiProbesPerLevel): DataFrame =
+    probeCellsFromScores(
+      queries.select(col("qid"), col("qiv")).crossJoin(broadcast(books))
+        .select(col("qid"), col("lvl"), col("cid"),
+          expr("long_dot(slice(qiv, 1 + 32 * lvl, 32), cv)").as("dot")), k, perLevel)
+
+  /** [[imiCells]] under the L2 objective (argmin ‖x_half − c‖² =
+    * argmax 2·x·c − ‖c‖²) — the assignment a TRAINED codebook
+    * ([[trainedImiCodebooks]]) must pair with: Lloyd minimizes L2, so
+    * scoring its cells by raw dot would probe a different geometry than
+    * the one trained. Same plan shape as [[imiCells]]. */
+  def imiCellsL2(emb: DataFrame, books: DataFrame, k: Long): DataFrame =
+    cellFromScores(
+      emb.select("vec_id", "iv")
+        .crossJoin(broadcast(books.withColumn("cn2", expr("long_dot(cv, cv)"))))
+        .select(col("vec_id"), col("lvl"), col("cid"),
+          (lit(2L) * expr("long_dot(slice(iv, 1 + 32 * lvl, 32), cv)") - col("cn2"))
+            .as("dot")), k)
+
+  /** [[imiProbeCells]] under the L2 objective — the query-side twin of
+    * [[imiCellsL2]]. */
+  def imiProbeCellsL2(queries: DataFrame, books: DataFrame, k: Long,
+                      perLevel: Int = ImiProbesPerLevel): DataFrame =
+    probeCellsFromScores(
+      queries.select(col("qid"), col("qiv"))
+        .crossJoin(broadcast(books.withColumn("cn2", expr("long_dot(cv, cv)"))))
+        .select(col("qid"), col("lvl"), col("cid"),
+          (lit(2L) * expr("long_dot(slice(qiv, 1 + 32 * lvl, 32), cv)") - col("cn2"))
+            .as("dot")), k, perLevel)
+
+  /** TRAINED IMI codebooks: each 32-dim half refined by `iters` Lloyd
+    * steps over ITS half of the corpus — the per-level twin of
+    * [[trainedCentroids]], closing the gap the clustered-recall fixture
+    * measured: hashed product cells quantize each half blindly, so
+    * 64-dim cluster geometry cuts across cells; training each half
+    * codebook on the corpus realigns the cells with the data at the
+    * same probe cost. Build cost: iters·n·2K half-dots (the same
+    * sublinear-in-cells property as the hashed IMI build); each step's
+    * K-row codebook takes the [[trainedCentroids]] LocalRelation
+    * round-trip. Output schema matches [[imiCodebooks]] — (cid, lvl,
+    * cv(32)) — so [[imiCells]]/[[imiProbeCells]] consume it unchanged. */
+  def trainedImiCodebooks(emb: DataFrame, k: Long, iters: Int): DataFrame =
+    (0 to 1).map { lvl =>
+      val half = emb.select(col("vec_id"),
+        expr(s"slice(iv, ${1 + 32 * lvl}, 32)").as("iv"))
+      val seeds = halfCentroids(emb.sparkSession, k, lvl, if (lvl == 0) 13 else 29)
+        .select("cid", "cv")
+      trainedCentroids(half, seeds, iters).withColumn("lvl", lit(lvl))
+    }.reduce(_ unionByName _)
 
   // ------------- trained centroids (Lloyd/k-means) — the production slot
 

@@ -144,6 +144,42 @@ class IvfAnnSpec extends SparkTestBase {
     }
   }
 
+  test("trained IMI: half-codebooks cut per-level quantization cost; cells still partition") {
+    def corpus(n: Long) = spark.range(n).select(
+      col("id").as("vec_id"),
+      expr("transform(sequence(0, 63), d -> " +
+        "CAST(pmod(xxhash64(id * 64 + d), 1000001) - 500000 AS BIGINT))").as("iv"))
+    val n = 4096L
+    val emb = corpus(n)
+    val k = IvfAnn.imiCentroidsFor(n)
+    val hashed = IvfAnn.imiCodebooks(spark, k)
+    val trained = IvfAnn.trainedImiCodebooks(emb, k, iters = 2)
+    // Schema contract: same (cid, lvl, cv(32)) shape the consumers read.
+    val rows = trained.collect()
+    assert(rows.length == 2 * k)
+    assert(trained.select("lvl").distinct().count() == 2)
+    assert(rows.forall(_.getAs[scala.collection.Seq[Long]]("cv").length == 32))
+    // Per-level L2 quantization cost must drop vs the hashed seeds.
+    def levelCost(books: org.apache.spark.sql.DataFrame, lvl: Int): Long = {
+      val half = emb.select(col("vec_id"), expr(s"slice(iv, ${1 + 32 * lvl}, 32)").as("iv"))
+      val cents = books.where(col("lvl") === lvl).select("cid", "cv")
+      val withN = cents.withColumn("cn2", expr("long_dot(cv, cv)"))
+      half.withColumn("n2", expr("long_dot(iv, iv)"))
+        .join(IvfAnn.l2Assignments(half, cents), "vec_id")
+        .join(withN, "cid")
+        .select((col("n2") - lit(2L) * expr("long_dot(iv, cv)") + col("cn2")).as("c"))
+        .agg(sum("c")).head().getLong(0)
+    }
+    for (lvl <- 0 to 1)
+      assert(levelCost(trained, lvl) < levelCost(hashed, lvl),
+        s"level $lvl: training did not reduce quantization cost")
+    // L2 product cells still partition the corpus, ids in [0, K²).
+    val cells = IvfAnn.imiCellsL2(emb, trained, k)
+    assert(cells.count() == n && cells.select("vec_id").distinct().count() == n)
+    val span = cells.agg(min("cell"), max("cell")).head
+    assert(span.getLong(0) >= 0L && span.getLong(1) < k * k)
+  }
+
   test("k-means: Lloyd steps move centroids into the data, assignment total") {
     def corpus(n: Long) = spark.range(n).select(
       col("id").as("vec_id"),
