@@ -63,6 +63,20 @@ class PlanShapeSpec extends SparkTestBase {
     assert(capped(pairJoin.right), "right self-join input is not cap-bounded")
   }
 
+  test("qx22: the token-budget window sorts only the topk_by-pruned candidates") {
+    // The admission prefix-sum must run AFTER the bounded per-stratum
+    // prune: the Window's subtree has to contain the ObjectHashAggregate
+    // (topk_by) — a window directly over the filtered corpus would sort
+    // every stratum in full.
+    val plan = sparkPlan("qx22_curation_pipeline")
+    val win = plan.collectFirst {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.getOrElse(fail("qx22 plan has no window"))
+    assert(win.child.collect {
+      case a if a.nodeName.contains("ObjectHashAggregate") => a
+    }.nonEmpty, "budget window input is not bounded by the topk_by prune")
+  }
+
   test("qx3/qx13: candidate generation never shuffles array columns") {
     // The (band,sig)/(cid) candidate columns are narrow ids; the 64-long
     // iv arrays must not appear in any Exchange's output schema.
