@@ -56,6 +56,7 @@ object SparkEntry {
     "qx20_dup_clusters"      -> (X.qx20 _),
     "qx21_stratified_sample" -> (X.qx21 _),
     "qx22_curation_pipeline" -> (X.qx22 _),
+    "qx23_length_quantiles"  -> (X.qx23 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -103,5 +104,6 @@ object SparkEntry {
     "qx20_dup_clusters"      -> ExtOracle.qx20,
     "qx21_stratified_sample" -> ExtOracle.qx21,
     "qx22_curation_pipeline" -> ExtOracle.qx22,
+    "qx23_length_quantiles"  -> ExtOracle.qx23,
   )
 }

@@ -88,6 +88,25 @@ object ConnectedComponents {
     (out, rounds)
   }
 
+  /** Incremental maintenance: fold a batch of NEW edges into an existing
+    * (node, rep) labeling — the micro-batch pattern for ONLINE cluster
+    * upkeep ([[graft.streaming.NearDupStream]] emits pairs; a
+    * foreachBatch folds each batch in and rewrites the cluster table).
+    * The previous labeling IS a star edge set (member—rep), so the union
+    * of those stars with the new edges is a graph whose components are
+    * exactly the merged clusters; one contraction run relabels. Cost: a
+    * contraction over |prev labels| + |new edges| rows — and the star
+    * part is already converged, so the loop closes in O(log) of the NEW
+    * chain structure only. Labels are stable: a cluster's rep only ever
+    * decreases (new members or merges can introduce a smaller min). */
+  def incrementalUpdate(prevLabels: DataFrame, newEdges: DataFrame): DataFrame = {
+    val pCols = prevLabels.columns
+    val stars = prevLabels.select(col(pCols(0)).as("x"), col(pCols(1)).as("y"))
+    val eCols = newEdges.columns
+    val fresh = newEdges.select(col(eCols(0)).as("x"), col(eCols(1)).as("y"))
+    connectedComponents(stars.unionByName(fresh))
+  }
+
   /** large-star on canonical edges: from each undirected edge's SMALLER
     * endpoint u, the larger endpoint v re-attaches to
     * m(u) = min(Γ(u) ∪ {u}). m(u) ≤ u < v keeps the output canonical. */

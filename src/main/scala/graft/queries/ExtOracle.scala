@@ -302,6 +302,21 @@ object ExtOracle {
        |      FROM cnts) t
        |WHERE rk <= 20""".stripMargin
 
+  /** qx23 twin: nearest-rank per-source token-length quantiles, integer
+    * rank arithmetic ((cnt·q + 99) // 100) — float-free in both engines. */
+  val qx23: String =
+    s"""WITH $DOCS,
+       |t AS (SELECT source, CAST(len(ws) AS BIGINT) AS n_tokens FROM docs),
+       |r AS (SELECT source, n_tokens,
+       |             CAST(row_number() OVER (PARTITION BY source ORDER BY n_tokens) AS BIGINT) AS rn,
+       |             CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS cnt
+       |      FROM t)
+       |SELECT source, CAST(max(cnt) AS BIGINT) AS n_docs,
+       |       max(CASE WHEN rn = (cnt * 50 + 99) // 100 THEN n_tokens END) AS p50,
+       |       max(CASE WHEN rn = (cnt * 90 + 99) // 100 THEN n_tokens END) AS p90,
+       |       max(CASE WHEN rn = (cnt * 99 + 99) // 100 THEN n_tokens END) AS p99
+       |FROM r GROUP BY source""".stripMargin
+
   private val MH_TABLE: String = {
     val mhs = (0 until 16).map(mhExpr).mkString("[", ", ", "]")
     s"mh AS (SELECT doc_id, $mhs AS m FROM sh)"

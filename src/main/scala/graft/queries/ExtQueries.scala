@@ -682,6 +682,33 @@ object ExtQueries {
       .select(col("doc_id"),
         expr(s"aggregate($WORD_HASHES, 0L, (a, h) -> (a * 1000003 + h) % 2147483647)").as("fingerprint"))
 
+  /** qx23 — exact per-source token-length quantiles (p50/p90/p99 of doc
+    * length): the distribution screen a curation pipeline runs before
+    * setting quality thresholds (qx22's ≥30-token gate is read off this
+    * table). Nearest-rank quantiles with PURE-INTEGER rank arithmetic —
+    * rank_q = (cnt·q + 99) div 100 — so there is no float rounding to
+    * drift between engines.
+    *
+    * Scale shape: one per-group sort (the window) — the exact-quantile
+    * lower bound; the value at a rank is deterministic even with ties,
+    * so no tiebreak column is needed. At corpus scale the sketch path
+    * (qx18's KMV family / one-pass histograms) trades exactness for a
+    * bounded aggregate; this is the exact twin those sketches calibrate
+    * against. */
+  def qx23(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), expr(s"size($WORDS)").cast("long").as("n_tokens"))
+    val bySrc = Window.partitionBy("source").orderBy("n_tokens")
+    val ranked = toks
+      .withColumn("rn", row_number().over(bySrc).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("source")))
+    def atRank(pct: Int) =
+      max(when(col("rn") === expr(s"(cnt * $pct + 99) div 100"), col("n_tokens")))
+    ranked.groupBy("source").agg(
+      max("cnt").as("n_docs"),
+      atRank(50).as("p50"), atRank(90).as("p90"), atRank(99).as("p99"))
+  }
+
   // ----------------------------------------------------------- multimodal
 
   /** qx11 — multimodal column plumbing: an opaque BINARY payload column +

@@ -52,6 +52,25 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert(rounds <= 12, s"path took $rounds alternations — label-propagation-like, not logarithmic")
   }
 
+  test("incremental edge-wave folding equals batch components on all edges") {
+    // The online dedup pattern: pairs arrive in waves; each wave folds
+    // into the standing cluster table. The final labeling must equal
+    // one batch run over every edge — including merges where a late
+    // edge bridges two previously separate clusters.
+    val chainA = (0L until 20L).sliding(2).map(p => (p(0), p(1))).toSeq
+    val chainB = (50L until 70L).sliding(2).map(p => (p(0), p(1))).toSeq
+    val bridge = Seq((19L, 50L)) // merges A and B — arrives LAST
+    val all = chainA ++ chainB ++ bridge
+    val waves = Seq(chainA, chainB, bridge)
+    val folded = waves.foldLeft(Seq.empty[(Long, Long)].toDF("node", "rep")) {
+      (labels, wave) => ConnectedComponents.incrementalUpdate(labels, wave.toDF("a", "b"))
+    }.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = ConnectedComponents.connectedComponents(all.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(folded == batch, "incremental folding diverged from batch")
+    assert(folded.values.toSet == Set(0L), "bridge merge did not relabel cluster B")
+  }
+
   test("empty and self-loop-only inputs produce empty labelings") {
     assert(ConnectedComponents.connectedComponents(
       Seq.empty[(Long, Long)].toDF("a", "b")).count() == 0)
