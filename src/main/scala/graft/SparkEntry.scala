@@ -57,6 +57,8 @@ object SparkEntry {
     "qx21_stratified_sample" -> (X.qx21 _),
     "qx22_curation_pipeline" -> (X.qx22 _),
     "qx23_length_quantiles"  -> (X.qx23 _),
+    "qx24_chunking"          -> (X.qx24 _),
+    "qx25_seq_packing"       -> (X.qx25 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -105,5 +107,7 @@ object SparkEntry {
     "qx21_stratified_sample" -> ExtOracle.qx21,
     "qx22_curation_pipeline" -> ExtOracle.qx22,
     "qx23_length_quantiles"  -> ExtOracle.qx23,
+    "qx24_chunking"          -> ExtOracle.qx24,
+    "qx25_seq_packing"       -> ExtOracle.qx25,
   )
 }

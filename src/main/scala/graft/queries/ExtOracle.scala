@@ -317,6 +317,45 @@ object ExtOracle {
        |       max(CASE WHEN rn = (cnt * 99 + 99) // 100 THEN n_tokens END) AS p99
        |FROM r GROUP BY source""".stripMargin
 
+  /** qx24 twin: 64-word chunks at stride 48 over the word-hash list,
+    * per-chunk Horner hash. Chunk count kept non-negative before the
+    * division (`//` floors here, `div` truncates there — they agree
+    * only on non-negative operands). */
+  val qx24: String =
+    s"""WITH $DOCS,
+       |c AS (SELECT doc_id, CAST(len(h) AS BIGINT) AS n, h FROM wh WHERE len(h) > 0),
+       |ch AS (SELECT doc_id,
+       |              unnest(range(0, (greatest(n - 64, 0) + 47) // 48 + 1)) AS chunk_id,
+       |              h, n
+       |       FROM c)
+       |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |       CAST(len(list_slice(h, chunk_id * 48 + 1, chunk_id * 48 + 64)) AS BIGINT) AS n_tokens,
+       |       list_reduce([CAST(0 AS BIGINT)] || list_slice(h, chunk_id * 48 + 1, chunk_id * 48 + 64),
+       |                   (a, x) -> (a * 1009 + x) % $P) AS chunk_hash
+       |FROM ch""".stripMargin
+
+  /** qx25 twin: chunk-level packing into 256-token sequences per source
+    * by cumulative start offset in (doc_id, chunk_id) order. */
+  val qx25: String =
+    s"""WITH $DOCS,
+       |c AS (SELECT doc_id, CAST(len(h) AS BIGINT) AS n, h FROM wh WHERE len(h) > 0),
+       |ch AS (SELECT doc_id,
+       |              unnest(range(0, (greatest(n - 64, 0) + 47) // 48 + 1)) AS chunk_id,
+       |              h
+       |       FROM c),
+       |tok AS (SELECT ch.doc_id, chunk_id,
+       |               CAST(len(list_slice(h, chunk_id * 48 + 1, chunk_id * 48 + 64)) AS BIGINT) AS n_tokens,
+       |               d.source
+       |        FROM ch JOIN documents d ON ch.doc_id = d.doc_id),
+       |offs AS (SELECT source, n_tokens,
+       |                COALESCE(CAST(sum(n_tokens) OVER (PARTITION BY source
+       |                  ORDER BY doc_id, chunk_id
+       |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS off
+       |         FROM tok)
+       |SELECT source, off // 256 AS seq_id,
+       |       count(*) AS n_chunks, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+       |FROM offs GROUP BY source, off // 256""".stripMargin
+
   private val MH_TABLE: String = {
     val mhs = (0 until 16).map(mhExpr).mkString("[", ", ", "]")
     s"mh AS (SELECT doc_id, $mhs AS m FROM sh)"

@@ -709,6 +709,57 @@ object ExtQueries {
       atRank(50).as("p50"), atRank(90).as("p90"), atRank(99).as("p99"))
   }
 
+  /** qx24 — document chunking: every doc splits into 64-word windows at
+    * stride 48 (16-word overlap) — the standard pretraining prep for
+    * long documents (context-window-sized pieces, overlap so no span is
+    * ever cut without context). Emits (doc_id, chunk_id, n_tokens,
+    * chunk_hash); the hash is the order-sensitive Horner fold over the
+    * chunk's word hashes (qx10's identity, per chunk), so downstream
+    * chunk-level dedup composes. One explode per doc, NO shuffle — the
+    * chunk table inherits the scan's partitioning, exactly what a 100 TB
+    * chunker wants. Chunk count = (max(n−W, 0) + stride−1) div stride + 1
+    * — kept non-negative BEFORE the division because DuckDB's `//`
+    * floors while Spark's `div` truncates toward zero: they agree only
+    * on non-negative operands. */
+  def qx24(spark: SparkSession, dir: String): DataFrame = {
+    val W = 64
+    val S = 48
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), expr(WORD_HASHES).as("whs"))
+      .withColumn("n", size(col("whs")).cast("long"))
+      .where(col("n") > 0)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0L, (greatest(n - $W, 0L) + ${S - 1}) div $S)")).as("chunk_id"),
+        col("whs"))
+      .select(col("doc_id"), col("chunk_id"),
+        expr(s"slice(whs, CAST(chunk_id * $S + 1 AS INT), $W)").as("ch"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("ch")).cast("long").as("n_tokens"),
+        expr("aggregate(ch, 0L, (a, h) -> (a * 1009 + h) % 2147483647)").as("chunk_hash"))
+  }
+
+  /** qx25 — sequence packing: qx24's chunks pack into 256-token training
+    * sequences per source, by cumulative token offset in (doc_id,
+    * chunk_id) order — chunk-level concat-and-split (a chunk belongs to
+    * the sequence its START offset lands in). Emits per-sequence
+    * occupancy (n_chunks, n_tokens): the packing-efficiency screen for a
+    * training-data build. The offset window partitions by SOURCE — the
+    * production shard unit — so no global sort exists at any scale;
+    * within a shard the running sum is the exact-prefix cost, same class
+    * as qx22's admission. */
+  def qx25(spark: SparkSession, dir: String): DataFrame = {
+    val SeqLen = 256L
+    val bySrc = Window.partitionBy("source").orderBy("doc_id", "chunk_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    qx24(spark, dir)
+      .join(Tables.documents(spark, dir).select("doc_id", "source"), "doc_id")
+      .withColumn("off", coalesce(sum("n_tokens").over(bySrc), lit(0L)))
+      .select(col("source"), expr(s"off div $SeqLen").as("seq_id"),
+        col("n_tokens"))
+      .groupBy("source", "seq_id")
+      .agg(count(lit(1)).as("n_chunks"), sum("n_tokens").as("n_tokens"))
+  }
+
   // ----------------------------------------------------------- multimodal
 
   /** qx11 — multimodal column plumbing: an opaque BINARY payload column +
