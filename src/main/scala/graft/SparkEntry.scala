@@ -59,6 +59,7 @@ object SparkEntry {
     "qx23_length_quantiles"  -> (X.qx23 _),
     "qx24_chunking"          -> (X.qx24 _),
     "qx25_seq_packing"       -> (X.qx25 _),
+    "qx26_rare_terms"        -> (X.qx26 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -109,5 +110,6 @@ object SparkEntry {
     "qx23_length_quantiles"  -> ExtOracle.qx23,
     "qx24_chunking"          -> ExtOracle.qx24,
     "qx25_seq_packing"       -> ExtOracle.qx25,
+    "qx26_rare_terms"        -> ExtOracle.qx26,
   )
 }

@@ -356,6 +356,19 @@ object ExtOracle {
        |       count(*) AS n_chunks, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
        |FROM offs GROUP BY source, off // 256""".stripMargin
 
+  /** qx26 twin: per-doc 3 rarest terms by global document frequency,
+    * ties by hash — integer-only (no idf log). */
+  val qx26: String =
+    s"""WITH $DOCS,
+       |dt AS (SELECT DISTINCT doc_id, unnest(h) AS wh FROM wh),
+       |dfs AS (SELECT wh, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY wh)
+       |SELECT doc_id, rk, wh, df
+       |FROM (SELECT dt.doc_id, dt.wh, dfs.df,
+       |             CAST(row_number() OVER (PARTITION BY dt.doc_id
+       |               ORDER BY dfs.df ASC, dt.wh ASC) AS INT) AS rk
+       |      FROM dt JOIN dfs USING (wh)) t
+       |WHERE rk <= 3""".stripMargin
+
   private val MH_TABLE: String = {
     val mhs = (0 until 16).map(mhExpr).mkString("[", ", ", "]")
     s"mh AS (SELECT doc_id, $mhs AS m FROM sh)"

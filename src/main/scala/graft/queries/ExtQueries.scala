@@ -760,6 +760,25 @@ object ExtQueries {
       .agg(count(lit(1)).as("n_chunks"), sum("n_tokens").as("n_tokens"))
   }
 
+  /** qx26 — distinctive-term extraction: each doc's 3 rarest-in-corpus
+    * terms by global document frequency (ties by hash) — the tf-idf
+    * flavor that stays in INTEGER arithmetic: df is a count, so there is
+    * no cross-engine `log` to drift (libm log differs between engines —
+    * the reason idf's usual spelling is banned here). Keyword labeling /
+    * topic hinting at corpus scale: one distinct, one count, one join,
+    * then a bounded [[graft.functions.TopKBy]] per doc (≤3 rows per
+    * (doc, map task) cross the final shuffle). */
+  def qx26(spark: SparkSession, dir: String): DataFrame = {
+    val docTerms = wordHashRows(spark, dir).select("doc_id", "wh").distinct()
+    val dfs = docTerms.groupBy("wh").agg(count(lit(1)).as("df"))
+    docTerms.join(dfs, "wh")
+      .groupBy("doc_id")
+      .agg(expr("topk_by(CAST(-df AS DOUBLE), wh, 3)").as("tk"))
+      .select(col("doc_id"), posexplode(col("tk")).as(Seq("p", "t")))
+      .select(col("doc_id"), (col("p") + 1).as("rk"), col("t.id").as("wh"),
+        (-col("t.score")).cast("long").as("df"))
+  }
+
   // ----------------------------------------------------------- multimodal
 
   /** qx11 — multimodal column plumbing: an opaque BINARY payload column +
