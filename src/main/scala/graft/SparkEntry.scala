@@ -60,6 +60,7 @@ object SparkEntry {
     "qx24_chunking"          -> (X.qx24 _),
     "qx25_seq_packing"       -> (X.qx25 _),
     "qx26_rare_terms"        -> (X.qx26 _),
+    "qx27_proportional_sample" -> (X.qx27 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -111,5 +112,6 @@ object SparkEntry {
     "qx24_chunking"          -> ExtOracle.qx24,
     "qx25_seq_packing"       -> ExtOracle.qx25,
     "qx26_rare_terms"        -> ExtOracle.qx26,
+    "qx27_proportional_sample" -> ExtOracle.qx27,
   )
 }

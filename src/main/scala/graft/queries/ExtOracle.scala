@@ -396,6 +396,20 @@ object ExtOracle {
        |      FROM documents) t
        |WHERE rk <= 8""".stripMargin
 
+  /** qx27 twin: proportional allocation quota_s = max(1, n_s·50 // n),
+    * same hash-rank pick as qx21. */
+  val qx27: String =
+    s"""WITH s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_s FROM documents GROUP BY lang),
+       |t AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_tot FROM s),
+       |q AS (SELECT lang, greatest(1, (n_s * 50) // n_tot) AS quota FROM s, t),
+       |r AS (SELECT lang, doc_id,
+       |             CAST(row_number() OVER (PARTITION BY lang
+       |               ORDER BY (doc_id * 1000003 + 12345) % $P ASC, doc_id ASC) AS INT) AS rk
+       |      FROM documents)
+       |SELECT r.lang, rk, doc_id
+       |FROM r JOIN q ON r.lang = q.lang
+       |WHERE rk <= quota""".stripMargin
+
   /** qx22 twin: quality gate (≥30 tokens) → drop non-representative
     * near-dup cluster members (qx20's recursive components) → admit per
     * language in sampling-hash order while the running token sum stays

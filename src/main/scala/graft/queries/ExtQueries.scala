@@ -419,6 +419,32 @@ object ExtQueries {
       .select(col("lang"), (col("p") + 1).as("rk"), col("t.id").as("doc_id"))
   }
 
+  /** qx27 — PROPORTIONAL stratified sampling: a 50-doc corpus sample
+    * allocated across languages by stratum share — quota_s =
+    * max(1, (n_s · 50) div n) — where qx21 takes a fixed quota per
+    * stratum. The allocation arithmetic is pure integer (div floors
+    * identically on the non-negative operands in both engines), the
+    * per-stratum pick is the same deterministic hash rank. Shape: the
+    * bounded [[graft.functions.TopKBy]] pass takes the MAX possible
+    * quota (50) per stratum — still ≤ 50 rows per (stratum, map task)
+    * on the wire — and the tiny broadcast quota table trims ranks
+    * after. */
+  def qx27(spark: SparkSession, dir: String): DataFrame = {
+    val Ktot = 50
+    val docs = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), expr(SAMPLE_HASH).as("h"))
+    val sizes = docs.groupBy("lang").agg(count(lit(1)).as("n_s"))
+    val quotas = sizes.crossJoin(broadcast(sizes.agg(sum("n_s").as("n_tot"))))
+      .select(col("lang"), greatest(lit(1L), expr(s"(n_s * $Ktot) div n_tot")).as("quota"))
+    docs.groupBy("lang")
+      .agg(expr(s"topk_by(CAST(-h AS DOUBLE), doc_id, $Ktot)").as("tk"))
+      .select(col("lang"), posexplode(col("tk")).as(Seq("p", "t")))
+      .select(col("lang"), (col("p") + 1).as("rk"), col("t.id").as("doc_id"))
+      .join(broadcast(quotas), "lang")
+      .where(col("rk") <= col("quota"))
+      .select("lang", "rk", "doc_id")
+  }
+
   /** qx22 — the composed curation pipeline: quality gate → duplicate-
     * cluster kill-list → per-language token budget. One declarative plan
     * chaining three operator families this engine provides, because a
