@@ -15,7 +15,8 @@ object Explain {
         "qx4_minhash_lsh", "qx6_ngram_jaccard", "qx11_multimodal",
         "qx12_embed_neardup", "qx13_ann_ivf", "qx14_simhash_neardup",
         "qx15_ann_imi", "qx16_ann_kmeans",
-        "qx17_substring_dup")
+        "qx17_substring_dup", "qx20_dup_clusters", "qx22_curation_pipeline",
+        "qx24_chunking", "qx26_rare_terms")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -61,6 +61,7 @@ object SparkEntry {
     "qx25_seq_packing"       -> (X.qx25 _),
     "qx26_rare_terms"        -> (X.qx26 _),
     "qx27_proportional_sample" -> (X.qx27 _),
+    "qx28_pca_project"       -> (X.qx28 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Determinism
-import graft.operators.{ConnectedComponents, EmbeddingLsh, IvfAnn, MultimodalCodec, SimHashLsh}
+import graft.operators.{ConnectedComponents, EmbeddingLsh, EmbeddingPca, IvfAnn, MultimodalCodec, SimHashLsh}
 import graft.sources.Tables
 
 /** The large-scale training-data-pipeline operator family (builder brief +
@@ -803,6 +803,23 @@ object ExtQueries {
       .select(col("doc_id"), posexplode(col("tk")).as(Seq("p", "t")))
       .select(col("doc_id"), (col("p") + 1).as("rk"), col("t.id").as("wh"),
         (-col("t.score")).cast("long").as("df"))
+  }
+
+  /** qx28 — PCA projection of the embeddings onto 8 components (the
+    * standard pre-quantization decorrelation for the qx13/qx15/qx16
+    * index family — see [[graft.operators.EmbeddingPca]] for the
+    * one-pass Gram + driver eigensolve + broadcast-projection shape).
+    *
+    * ROWS-ONLY gate entry by design: the Gram reduce sums doubles in
+    * partition order (~1e-15 wobble) and no SQL oracle can re-derive an
+    * eigendecomposition, so there is no hash twin — correctness is
+    * EmbeddingPcaSpec's geometry proofs (planted directions found and
+    * ordered, pairwise distances preserved, whitening equalizes
+    * variance). */
+  def qx28(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    EmbeddingPca.project(emb, EmbeddingPca.principalComponents(emb, k = 8))
   }
 
   // ----------------------------------------------------------- multimodal
