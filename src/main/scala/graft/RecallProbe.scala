@@ -50,6 +50,53 @@ object RecallProbe {
         )""").as("iv"))
       .withColumn("n2", expr("long_dot(iv, iv)"))
 
+  /** ANISOTROPIC variant: cluster centers vary ONLY in dims 0–7, noise
+    * everywhere — the regime real embeddings live in (information
+    * concentrated in a low-rank subspace). The IMI's second half then
+    * quantizes pure noise: its product cells collapse to effectively
+    * one level. The fix under test: a PCA rotation + alternating
+    * dimension allocation that spreads the informative components
+    * across both halves (qx28's operator composed with qx15's index). */
+  def anisoCorpus(spark: SparkSession, n: Long, clusters: Int,
+                  noiseScale: Int): DataFrame =
+    spark.range(n).select(
+      col("id").as("vec_id"),
+      expr(s"""transform(sequence(0, 63), d ->
+          CASE WHEN d < 8 THEN (
+            (((id % $clusters) * 1000003 + d * 97 + 5) % 2147483647) *
+            (((id % $clusters) * 1000003 + d * 97 + 5) % 2147483647)
+            % 2147483647 % 2001 - 1000) * 1000L ELSE 0L END + (
+          ((id * 1000003 + d * 97 + 7) % 2147483647) *
+          ((id * 1000003 + d * 97 + 7) % 2147483647)
+          % 2147483647 % ${2 * noiseScale + 1} - $noiseScale) * 1000L
+        )""").as("iv"))
+      .withColumn("n2", expr("long_dot(iv, iv)"))
+
+  /** CORRELATED-noise variant: centers in dims 0–7 as [[anisoCorpus]],
+    * but the noise is a rank-8 mixture — noise(v,·) = Σ_k c_vk · u_k
+    * over 8 shared integer directions — so the covariance is genuinely
+    * non-diagonal. This is the regime PCA/OPQ-style rotation exists
+    * for: [[anisoCorpus]]'s iid noise leaves nothing to rotate (its
+    * covariance is already diagonal), which the aniso run demonstrates
+    * as an honest negative. */
+  def corrCorpus(spark: SparkSession, n: Long, clusters: Int): DataFrame =
+    spark.range(n).select(
+      col("id").as("vec_id"),
+      expr(s"""transform(sequence(0, 63), d ->
+          CASE WHEN d < 8 THEN (
+            (((id % $clusters) * 1000003 + d * 97 + 5) % 2147483647) *
+            (((id % $clusters) * 1000003 + d * 97 + 5) % 2147483647)
+            % 2147483647 % 2001 - 1000) * 1000L ELSE 0L END +
+          aggregate(sequence(0, 7), 0L, (acc, k) -> acc +
+            (((id * 1000003 + k * 97 + 7) % 2147483647) *
+             ((id * 1000003 + k * 97 + 7) % 2147483647)
+             % 2147483647 % 1401 - 700) *
+            (((CAST(k AS BIGINT) * 1000003 + d * 97 + 3) % 2147483647) *
+             ((CAST(k AS BIGINT) * 1000003 + d * 97 + 3) % 2147483647)
+             % 2147483647 % 3 - 1)) * 1000L
+        )""").as("iv"))
+      .withColumn("n2", expr("long_dot(iv, iv)"))
+
   private val COSINE =
     "CAST(dot AS DOUBLE) / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE)))"
 
@@ -76,6 +123,7 @@ object RecallProbe {
     val n = args.headOption.map(_.toLong).getOrElse(20000L)
     val clusters = if (args.length > 1) args(1).toInt else 50
     val noiseScale = if (args.length > 2) args(2).toInt else 500
+    val mode = if (args.length > 3) args(3) else "iso"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -85,8 +133,11 @@ object RecallProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val base = clusteredCorpus(spark, n, clusters, noiseScale)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = (mode match {
+      case "aniso" => anisoCorpus(spark, n, clusters, noiseScale)
+      case "corr"  => corrCorpus(spark, n, clusters)
+      case _       => clusteredCorpus(spark, n, clusters, noiseScale)
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = base.where(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("n2").as("qn2"))
 
@@ -124,6 +175,32 @@ object RecallProbe {
       results += (("imi", pl, r, c))
     }
 
+    // PCA-rotated hashed IMI (aniso mode): rotate with qx28's operator,
+    // allocate eigen-ordered components ALTERNATELY to the two halves
+    // (even components → half 0, odd → half 1) so the informative
+    // subspace splits evenly, re-integerize, rebuild the SAME hashed
+    // index on the rotated vectors. Candidates still rescore exact
+    // cosine on the RAW vectors — the rotation serves only the coarse
+    // index, exactly how OPQ-style preprocessing is deployed.
+    if (mode == "aniso" || mode == "corr") {
+      import graft.operators.EmbeddingPca
+      val dbl = base.select(col("vec_id"), expr("transform(iv, x -> CAST(x AS DOUBLE))").as("v"))
+      val pcs = EmbeddingPca.principalComponents(dbl, EmbeddingPca.Dims)
+      val rot = EmbeddingPca.project(dbl, pcs)
+        .select(col("vec_id"), expr(
+          "transform(sequence(0, 63), d -> CAST(round(element_at(p, CAST((d div 32) + (d % 32) * 2 AS INT) + 1)) AS BIGINT))").as("iv"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val rotQ = rot.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("iv").as("qiv"))
+      val rCells = IvfAnn.imiCells(rot, books, kImi)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      for (pl <- Seq(2, 3, 4)) {
+        val cand = noSelf(broadcast(IvfAnn.imiProbeCells(rotQ, books, kImi, pl)).join(rCells, "cell"))
+        val (r, c) = score(cand, base, q, truth)
+        results += (("imi_pca_rotated", pl, r, c))
+      }
+    }
+
     // Trained IMI: the same product cells with each 32-dim half codebook
     // Lloyd-refined on its half of the corpus (L2 cells/probes — the
     // objective training optimizes).
@@ -148,7 +225,7 @@ object RecallProbe {
       results += (("trained_kmeans", np, r, c))
     }
 
-    println(s"\nn=$n clusters=$clusters noiseScale=$noiseScale queries=${truth.size} " +
+    println(s"\nn=$n clusters=$clusters noiseScale=$noiseScale mode=$mode queries=${truth.size} " +
       s"K(flat)=$kFlat K(imi)=$kImi/level K(kmeans)=$kKm")
     println("| index | probes | recall@5 | candidates/query |")
     println("|---|---|---|---|")
