@@ -62,6 +62,7 @@ object SparkEntry {
     "qx26_rare_terms"        -> (X.qx26 _),
     "qx27_proportional_sample" -> (X.qx27 _),
     "qx28_pca_project"       -> (X.qx28 _),
+    "qx29_decontaminate"     -> (X.qx29 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -114,5 +115,6 @@ object SparkEntry {
     "qx25_seq_packing"       -> ExtOracle.qx25,
     "qx26_rare_terms"        -> ExtOracle.qx26,
     "qx27_proportional_sample" -> ExtOracle.qx27,
+    "qx29_decontaminate"     -> ExtOracle.qx29,
   )
 }

@@ -269,6 +269,28 @@ object ExtOracle {
        |GROUP BY 1, 2""".stripMargin
   }
 
+  /** qx29 twin: qx17's window-hash base, cross-joined against the qx21
+    * sample's windows — per (train doc, eval doc) shared-window counts. */
+  val qx29: String = {
+    val W = 8
+    val fold = (1 until W).foldLeft("h[i]")((acc, j) => s"(($acc) * 1009 + h[i+$j]) % $P")
+    s"""WITH $DOCS,
+       |wins AS (SELECT DISTINCT doc_id,
+       |           unnest(list_transform(range(1, len(h) - ${W - 2}), i -> $fold)) AS s
+       |         FROM wh WHERE len(h) >= $W),
+       |ev AS (SELECT doc_id AS eval_doc
+       |       FROM (SELECT lang, doc_id,
+       |               row_number() OVER (PARTITION BY lang
+       |                 ORDER BY (doc_id * 1000003 + 12345) % $P ASC, doc_id ASC) AS rk
+       |             FROM documents) t
+       |       WHERE rk <= 8),
+       |evw AS (SELECT s, eval_doc FROM wins JOIN ev ON wins.doc_id = ev.eval_doc)
+       |SELECT w.doc_id, e.eval_doc, count(*) AS shared_windows
+       |FROM wins w JOIN evw e USING (s)
+       |WHERE w.doc_id <> e.eval_doc
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   /** qx18 twin: per-source distinct shingles + KMV estimate from the
     * k-th smallest affine hash (k = 128), exact below k. */
   val qx18: String =

@@ -545,7 +545,9 @@ object ExtQueries {
     * the phrase; true duplicated CONTENT survives because it is rare
     * across the corpus by definition. The cap is integer-deterministic
     * and mirrored in the oracle. */
-  def qx17(spark: SparkSession, dir: String): DataFrame = {
+  /** DISTINCT (doc_id, s) rolling 8-word window hashes — qx17's mining
+    * base, shared with the qx29 decontamination screen. */
+  private def windowHashRows(spark: SparkSession, dir: String): DataFrame = {
     val W = 8
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
     val leads = (1 until W).foldLeft(
@@ -553,9 +555,13 @@ object ExtQueries {
       (df, i) => df.withColumn(s"h$i", lead("h0", i).over(byPos))
     }
     val foldExpr = (1 until W).foldLeft("h0")((acc, i) => s"(($acc) * 1009 + h$i) % 2147483647")
-    val wins = leads.where(col(s"h${W - 1}").isNotNull)
+    leads.where(col(s"h${W - 1}").isNotNull)
       .select(col("doc_id"), expr(foldExpr).as("s"))
       .distinct()
+  }
+
+  def qx17(spark: SparkSession, dir: String): DataFrame = {
+    val wins = windowHashRows(spark, dir)
     val keep = wins.groupBy("s").agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= 2 && col("cnt") <= 64)
       .select("s")
@@ -569,6 +575,30 @@ object ExtQueries {
       .join(capped.select(col("s"), col("doc_id").as("doc_b")), "s")
       .where(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared_windows"))
+  }
+
+  /** qx29 — benchmark DECONTAMINATION: training docs sharing an exact
+    * 8-word window with any doc of a held-out evaluation set (here
+    * qx21's stratified sample plays the benchmark) — the screen every
+    * pretraining build runs so eval answers don't leak into training
+    * data. Emits (doc_id, eval_doc, shared_windows).
+    *
+    * Scale shape: the EVAL side is small and curated by definition, so
+    * its window fingerprints broadcast (at 100 TB: benchmark
+    * fingerprints are MBs; the corpus-side window table streams through
+    * the broadcast join unshuffled — decon costs one scan). No
+    * boilerplate cap on purpose, the opposite of qx17: a window shared
+    * by MANY training docs is exactly what the screen must surface, so
+    * output is contamination-bound, not corpus-bound. */
+  def qx29(spark: SparkSession, dir: String): DataFrame = {
+    val wins = windowHashRows(spark, dir)
+    val evalIds = qx21(spark, dir).select(col("doc_id").as("eval_doc"))
+    val evalWins = wins.join(broadcast(evalIds), col("doc_id") === col("eval_doc"))
+      .select(col("s"), col("eval_doc"))
+    wins.join(broadcast(evalWins), "s")
+      .where(col("doc_id") =!= col("eval_doc"))
+      .groupBy("doc_id", "eval_doc")
       .agg(count(lit(1)).as("shared_windows"))
   }
 
