@@ -545,13 +545,14 @@ object ExtQueries {
     * the phrase; true duplicated CONTENT survives because it is rare
     * across the corpus by definition. The cap is integer-deterministic
     * and mirrored in the oracle. */
-  /** DISTINCT (doc_id, s) rolling 8-word window hashes — qx17's mining
-    * base, shared with the qx29 decontamination screen. */
-  private def windowHashRows(spark: SparkSession, dir: String): DataFrame = {
+  /** DISTINCT (doc_id, s) rolling 8-word window hashes over any
+    * (doc_id, pos, wh) word table — qx17's mining base, shared with the
+    * qx29 decontamination screen (which also runs it over the tiny
+    * eval set alone). */
+  private def windowHashRowsFrom(perWord: DataFrame): DataFrame = {
     val W = 8
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
-    val leads = (1 until W).foldLeft(
-      wordHashRows(spark, dir).withColumnRenamed("wh", "h0")) {
+    val leads = (1 until W).foldLeft(perWord.withColumnRenamed("wh", "h0")) {
       (df, i) => df.withColumn(s"h$i", lead("h0", i).over(byPos))
     }
     val foldExpr = (1 until W).foldLeft("h0")((acc, i) => s"(($acc) * 1009 + h$i) % 2147483647")
@@ -559,6 +560,9 @@ object ExtQueries {
       .select(col("doc_id"), expr(foldExpr).as("s"))
       .distinct()
   }
+
+  private def windowHashRows(spark: SparkSession, dir: String): DataFrame =
+    windowHashRowsFrom(wordHashRows(spark, dir))
 
   def qx17(spark: SparkSession, dir: String): DataFrame = {
     val wins = windowHashRows(spark, dir)
@@ -585,18 +589,25 @@ object ExtQueries {
     * data. Emits (doc_id, eval_doc, shared_windows).
     *
     * Scale shape: the EVAL side is small and curated by definition, so
-    * its window fingerprints broadcast (at 100 TB: benchmark
-    * fingerprints are MBs; the corpus-side window table streams through
-    * the broadcast join unshuffled — decon costs one scan). No
-    * boilerplate cap on purpose, the opposite of qx17: a window shared
-    * by MANY training docs is exactly what the screen must surface, so
-    * output is contamination-bound, not corpus-bound. */
+    * its window fingerprints are derived FROM THE EVAL DOCS ALONE (the
+    * corpus is never scanned to build them) and broadcast — at 100 TB
+    * benchmark fingerprints are MBs, and decon costs ONE unshuffled
+    * corpus scan through the broadcast join. No boilerplate cap on
+    * purpose, the opposite of qx17: a window shared by MANY training
+    * docs is exactly what the screen must surface, so output is
+    * contamination-bound, not corpus-bound. */
   def qx29(spark: SparkSession, dir: String): DataFrame = {
-    val wins = windowHashRows(spark, dir)
     val evalIds = qx21(spark, dir).select(col("doc_id").as("eval_doc"))
-    val evalWins = wins.join(broadcast(evalIds), col("doc_id") === col("eval_doc"))
-      .select(col("s"), col("eval_doc"))
-    wins.join(broadcast(evalWins), "s")
+    // Eval windows from the eval docs only — tiny, then broadcast.
+    val evalWords = Tables.documents(spark, dir)
+      .join(broadcast(evalIds), col("doc_id") === col("eval_doc"))
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .where(length(col("w")) > 0)
+      .select(col("doc_id"), col("pos"),
+        expr("aggregate(split(w, ''), 0L, (a, c) -> (a*31 + ascii(c)) % 1000003)").as("wh"))
+    val evalWins = windowHashRowsFrom(evalWords)
+      .select(col("s"), col("doc_id").as("eval_doc"))
+    windowHashRows(spark, dir).join(broadcast(evalWins), "s")
       .where(col("doc_id") =!= col("eval_doc"))
       .groupBy("doc_id", "eval_doc")
       .agg(count(lit(1)).as("shared_windows"))
