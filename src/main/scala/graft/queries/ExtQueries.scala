@@ -54,6 +54,10 @@ object ExtQueries {
     sharedDerivs.computeIfAbsent(sharedKey("shingles", spark, dir), _ =>
       shingleRowsBase(spark, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // The 8-word window-hash table feeds qx17 AND qx29 (round 6).
+    sharedDerivs.computeIfAbsent(sharedKey("windows", spark, dir), _ =>
+      windowHashRowsFrom(wordHashRows(spark, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
   def clearSharedDerivations(spark: SparkSession): Unit = {
@@ -562,7 +566,7 @@ object ExtQueries {
   }
 
   private def windowHashRows(spark: SparkSession, dir: String): DataFrame =
-    windowHashRowsFrom(wordHashRows(spark, dir))
+    sharedOr("windows", spark, dir)(windowHashRowsFrom(wordHashRows(spark, dir)))
 
   def qx17(spark: SparkSession, dir: String): DataFrame = {
     val wins = windowHashRows(spark, dir)
