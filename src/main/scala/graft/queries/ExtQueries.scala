@@ -58,6 +58,12 @@ object ExtQueries {
     sharedDerivs.computeIfAbsent(sharedKey("windows", spark, dir), _ =>
       windowHashRowsFrom(wordHashRows(spark, dir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // The duplicate-cluster labeling feeds qx20 AND qx22 (round 6); the
+    // contraction loop runs actions at construction, so sharing it
+    // saves a whole iterative job, not just a scan.
+    sharedDerivs.computeIfAbsent(sharedKey("duplabels", spark, dir), _ =>
+      dupLabelsBase(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
   def clearSharedDerivations(spark: SparkSession): Unit = {
@@ -393,6 +399,9 @@ object ExtQueries {
     * CTE (fine at oracle scale; the star contraction is the form that
     * survives 100 TB). */
   def qx20(spark: SparkSession, dir: String): DataFrame =
+    sharedOr("duplabels", spark, dir)(dupLabelsBase(spark, dir))
+
+  private def dupLabelsBase(spark: SparkSession, dir: String): DataFrame =
     ConnectedComponents.connectedComponents(qx4(spark, dir))
       .select(col("node").as("doc_id"), col("rep"))
 
