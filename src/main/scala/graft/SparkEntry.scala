@@ -63,6 +63,7 @@ object SparkEntry {
     "qx27_proportional_sample" -> (X.qx27 _),
     "qx28_pca_project"       -> (X.qx28 _),
     "qx29_decontaminate"     -> (X.qx29 _),
+    "qx30_split"             -> (X.qx30 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -116,5 +117,6 @@ object SparkEntry {
     "qx26_rare_terms"        -> ExtOracle.qx26,
     "qx27_proportional_sample" -> ExtOracle.qx27,
     "qx29_decontaminate"     -> ExtOracle.qx29,
+    "qx30_split"             -> ExtOracle.qx30,
   )
 }

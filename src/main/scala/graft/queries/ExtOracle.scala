@@ -291,6 +291,19 @@ object ExtOracle {
        |GROUP BY 1, 2""".stripMargin
   }
 
+  /** qx30 twin: 80/10/10 split by sampling-hash band, per-(lang, split)
+    * doc and token counts. */
+  val qx30: String =
+    s"""WITH $DOCS,
+       |t AS (SELECT lang, CAST(len(ws) AS BIGINT) AS n_tokens,
+       |             ((doc_id * 1000003 + 12345) % $P) % 100 AS b
+       |      FROM docs)
+       |SELECT lang,
+       |       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+       |FROM t GROUP BY 1, 2""".stripMargin
+
   /** qx18 twin: per-source distinct shingles + KMV estimate from the
     * k-th smallest affine hash (k = 128), exact below k. */
   val qx18: String =

@@ -876,6 +876,22 @@ object ExtQueries {
     EmbeddingPca.project(emb, EmbeddingPca.principalComponents(emb, k = 8))
   }
 
+  /** qx30 — deterministic train/val/test split: 80/10/10 by sampling-
+    * hash band, reported as per-(lang, split) doc and token counts —
+    * the split every training build needs, REPRODUCIBLE because
+    * membership is a pure function of doc_id (no RNG; re-runs,
+    * replays and late-arriving shards land each doc in the same split
+    * forever). One scan, one map-side-combinable aggregate. */
+  def qx30(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        expr(s"size($WORDS)").cast("long").as("n_tokens"),
+        expr(s"($SAMPLE_HASH) % 100").as("b"))
+      .withColumn("split",
+        when(col("b") < 80, "train").when(col("b") < 90, "val").otherwise("test"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+
   // ----------------------------------------------------------- multimodal
 
   /** qx11 — multimodal column plumbing: an opaque BINARY payload column +
