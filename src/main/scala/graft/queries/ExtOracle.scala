@@ -588,6 +588,116 @@ object ExtOracle {
        |       list_reduce([CAST(0 AS BIGINT)] || h, (a, b) -> (a * 1000003 + b) % $P) AS fingerprint
        |FROM wh""".stripMargin
 
+  /** qx32 twin: the Bloom filter is INVISIBLE to the oracle — no false
+    * negatives plus exact confirm means the composed Spark plan computes
+    * the plain distinct-shared-window count, which is all the SQL says. */
+  val qx32: String = {
+    val W = 8
+    val fold = (1 until W).foldLeft("h[i]")((acc, j) => s"(($acc) * 1009 + h[i+$j]) % $P")
+    s"""WITH $DOCS,
+       |wins AS (SELECT DISTINCT doc_id,
+       |           unnest(list_transform(range(1, len(h) - ${W - 2}), i -> $fold)) AS s
+       |         FROM wh WHERE len(h) >= $W),
+       |ev AS (SELECT doc_id AS eval_doc
+       |       FROM (SELECT lang, doc_id,
+       |               row_number() OVER (PARTITION BY lang
+       |                 ORDER BY (doc_id * 1000003 + 12345) % $P ASC, doc_id ASC) AS rk
+       |             FROM documents) t
+       |       WHERE rk <= 8),
+       |evw AS (SELECT DISTINCT s FROM wins JOIN ev ON wins.doc_id = ev.eval_doc)
+       |SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+       |FROM wins w JOIN evw USING (s)
+       |WHERE w.doc_id NOT IN (SELECT eval_doc FROM ev)
+       |GROUP BY w.doc_id""".stripMargin
+  }
+
+  /** qx33 twin: the same d×w cell grid, affine column hashes, min over
+    * rows at the qx19-style top-5 probes. */
+  val qx33: String =
+    s"""WITH $DOCS,
+       |whm AS (SELECT lang, unnest(h) AS wh FROM wh),
+       |cells AS (SELECT lang, i,
+       |                 ((wh * (1000003*(i+1) + 31) + 977*(i+1)) % $P) % 1024 AS c,
+       |                 CAST(count(*) AS BIGINT) AS cell_cnt
+       |          FROM whm, unnest(range(0, 4)) t(i)
+       |          GROUP BY 1, 2, 3),
+       |cnts AS (SELECT lang, wh, CAST(count(*) AS BIGINT) AS exact FROM whm GROUP BY 1, 2),
+       |probes AS (SELECT lang, rk, wh, exact
+       |           FROM (SELECT lang, wh, exact,
+       |                        CAST(row_number() OVER (PARTITION BY lang
+       |                          ORDER BY exact DESC, wh ASC) AS INT) AS rk
+       |                 FROM cnts) t
+       |           WHERE rk <= 5),
+       |pc AS (SELECT lang, rk, wh, exact, i,
+       |              ((wh * (1000003*(i+1) + 31) + 977*(i+1)) % $P) % 1024 AS c
+       |       FROM probes, unnest(range(0, 4)) t(i))
+       |SELECT pc.lang, rk, wh, exact, CAST(min(cell_cnt) AS BIGINT) AS cms_est
+       |FROM pc JOIN cells ON pc.lang = cells.lang AND pc.i = cells.i AND pc.c = cells.c
+       |GROUP BY 1, 2, 3, 4""".stripMargin
+
+  /** qx31 twin: per-doc duplicate-bigram ratio from the same
+    * (h1*1009 + h2) mod p bigram family, multiset-minus-set. */
+  val qx31: String =
+    s"""WITH $DOCS,
+       |bg AS (SELECT doc_id,
+       |         list_transform(range(1, len(h)), i -> (h[i]*1009 + h[i+1]) % $P) AS bgs
+       |       FROM wh WHERE len(h) >= 2)
+       |SELECT doc_id,
+       |       CAST(len(bgs) AS BIGINT) AS n_bigrams,
+       |       CAST(len(bgs) - len(list_distinct(bgs)) AS BIGINT) AS n_dup,
+       |       CAST(len(bgs) - len(list_distinct(bgs)) AS DOUBLE) / CAST(len(bgs) AS DOUBLE) AS dup_ratio,
+       |       CAST(len(bgs) - len(list_distinct(bgs)) AS DOUBLE) / CAST(len(bgs) AS DOUBLE) > 0.2 AS flagged
+       |FROM bg""".stripMargin
+
+  /** qx34 twin: √n_s temperature weights (floor of IEEE sqrt — exact in
+    * both engines below 2⁵²), integer quota, same hash-rank pick. */
+  val qx34: String =
+    s"""WITH s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_s FROM documents GROUP BY lang),
+       |w AS (SELECT lang, CAST(floor(sqrt(CAST(n_s AS DOUBLE))) AS BIGINT) AS w_s FROM s),
+       |t AS (SELECT CAST(sum(w_s) AS BIGINT) AS w_tot FROM w),
+       |q AS (SELECT lang, greatest(1, (w_s * 48) // w_tot) AS quota FROM w, t),
+       |r AS (SELECT lang, doc_id,
+       |             CAST(row_number() OVER (PARTITION BY lang
+       |               ORDER BY (doc_id * 1000003 + 12345) % $P ASC, doc_id ASC) AS INT) AS rk
+       |      FROM documents)
+       |SELECT r.lang, rk, doc_id
+       |FROM r JOIN q ON r.lang = q.lang
+       |WHERE rk <= quota""".stripMargin
+
+  /** qx35 twin: floor(log₂ n_tokens) buckets via length(bin(x))−1,
+    * nearest-rank crossing, bucket upper bound 2^(b+1)−1. */
+  val qx35: String =
+    s"""WITH $DOCS,
+       |t AS (SELECT source, CAST(len(ws) AS BIGINT) AS n_tokens FROM docs WHERE len(ws) > 0),
+       |cells AS (SELECT source, CAST(length(bin(n_tokens)) - 1 AS BIGINT) AS bucket,
+       |                 CAST(count(*) AS BIGINT) AS cnt
+       |          FROM t GROUP BY 1, 2),
+       |r AS (SELECT source, bucket, cnt,
+       |             CAST(sum(cnt) OVER (PARTITION BY source ORDER BY bucket
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+       |             CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n_docs
+       |      FROM cells)
+       |SELECT source, CAST(max(n_docs) AS BIGINT) AS n_docs,
+       |       min(CASE WHEN cum >= (n_docs * 50 + 99) // 100 THEN (CAST(1 AS BIGINT) << (bucket + 1)) - 1 END) AS p50_est,
+       |       min(CASE WHEN cum >= (n_docs * 90 + 99) // 100 THEN (CAST(1 AS BIGINT) << (bucket + 1)) - 1 END) AS p90_est,
+       |       min(CASE WHEN cum >= (n_docs * 99 + 99) // 100 THEN (CAST(1 AS BIGINT) << (bucket + 1)) - 1 END) AS p99_est
+       |FROM r GROUP BY source""".stripMargin
+
+  /** qx36 twin: per-doc fraction of bigram instances with corpus
+    * frequency ≥ 3 (multiset rows on both sides). */
+  val qx36: String =
+    s"""WITH $DOCS,
+       |bg AS (SELECT doc_id,
+       |         unnest(list_transform(range(1, len(h)), i -> (h[i]*1009 + h[i+1]) % $P)) AS bg
+       |       FROM wh WHERE len(h) >= 2),
+       |freq AS (SELECT bg, CAST(count(*) AS BIGINT) AS cnt FROM bg GROUP BY bg)
+       |SELECT doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_bigrams,
+       |       CAST(sum(CASE WHEN cnt >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+       |       CAST(sum(CASE WHEN cnt >= 3 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS coverage
+       |FROM bg JOIN freq USING (bg)
+       |GROUP BY doc_id""".stripMargin
+
   val qx11: String =
     """WITH per AS (
       |  SELECT event_type,

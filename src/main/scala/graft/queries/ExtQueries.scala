@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.Determinism
+import graft.functions.{BloomFilter, Determinism}
 import graft.operators.{ConnectedComponents, EmbeddingLsh, EmbeddingPca, IvfAnn, MultimodalCodec, SimHashLsh}
 import graft.sources.Tables
 
@@ -891,6 +891,207 @@ object ExtQueries {
         when(col("b") < 80, "train").when(col("b") < 90, "val").otherwise("test"))
       .groupBy("lang", "split")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+
+  /** qx32 — Bloom-prescreened decontamination KILL LIST: the 100 TB
+    * path for qx29's screen. qx29 broadcasts the eval window-hash SET —
+    * fine while a benchmark is MBs, gigabytes once the held-out suite
+    * grows to 10⁸ fingerprints. Here the eval set is folded into an
+    * 8 KB Bloom image ([[graft.functions.BloomAgg]], 1024 words × 3
+    * probes) that broadcasts at ANY eval size; the corpus windows are
+    * rejected INSIDE the scan stage by the bloom predicate (~3 integer
+    * ops/row, codegen'd — [[graft.functions.BloomFilter.probeSql]]),
+    * and only the contamination-bound survivors reach the exact confirm
+    * join that kills the bloom's false positives. No false negatives +
+    * exact confirm ⇒ the composed result is EXACT (the oracle never
+    * mentions the bloom), which is what makes an approximate structure
+    * gate-provable. Emits (doc_id, n_shared): distinct eval window
+    * hashes each contaminated training doc shares, eval docs excluded. */
+  def qx32(spark: SparkSession, dir: String): DataFrame = {
+    val MWords = 1024
+    val D = 3
+    val evalIds = qx21(spark, dir).select(col("doc_id").as("eval_doc"))
+    val evalWords = Tables.documents(spark, dir)
+      .join(broadcast(evalIds), col("doc_id") === col("eval_doc"))
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .where(length(col("w")) > 0)
+      .select(col("doc_id"), col("pos"),
+        expr("aggregate(split(w, ''), 0L, (a, c) -> (a*31 + ascii(c)) % 1000003)").as("wh"))
+    val evalWins = windowHashRowsFrom(evalWords).select("s").distinct()
+    val bloom = evalWins.agg(expr(s"bloom_agg(s, $MWords, $D)").as("bf"))
+    val screened = windowHashRows(spark, dir)
+      .join(broadcast(evalIds), col("doc_id") === col("eval_doc"), "left_anti")
+      .crossJoin(broadcast(bloom))
+      .where(expr(BloomFilter.probeSql("bf", "s", MWords, D)))
+    screened
+      .join(broadcast(evalWins), "s") // exact confirm: false positives die here
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** qx33 — count-min sketch word-frequency estimates per language,
+    * probed at the qx19 heavy hitters: the bounded-memory frequency
+    * oracle for vocabularies too large to count exactly (CMS estimate =
+    * min over d rows of the (row, col-hash) cell counters; always ≥
+    * exact, within εn w.h.p.). Emits (lang, rk, wh, exact, cms_est) so
+    * the sketch's overestimate is visible next to the truth it brackets.
+    *
+    * Scale shape: the sketch is its CELL GRID — a map-side-combinable
+    * groupBy over (lang, row, col) with at most d·w = 4096 cells per
+    * (lang, map task) crossing the wire regardless of vocabulary size
+    * (the same bounded-partial-state argument as topk_by, carried by
+    * Spark's own partial count). The probe side replays the d cell
+    * hashes on 20 rows and broadcast-joins the grid. A per-group
+    * object sketch (the bloom_agg pattern) would carry the identical
+    * d·w words per task with custom code; the grid spelling gets
+    * spill-safety and whole-stage codegen for free — the custom-
+    * aggregate slot is only warranted when the state does NOT decompose
+    * into cells (bloom's OR-bitset, topk's order statistic). */
+  def qx33(spark: SparkSession, dir: String): DataFrame = {
+    val W = 1024
+    val D = 4
+    def colOf(i: Int, h: String) =
+      s"((($h * ${1000003L * (i + 1) + 31L} + ${977L * (i + 1)}) % 2147483647) % $W)"
+    val rows = Tables.documents(spark, dir)
+      .select(col("lang"), explode(expr(WORD_HASHES)).as("wh"))
+    val cells = rows
+      .select(col("lang"), posexplode(array((0 until D).map(i =>
+        expr(colOf(i, "wh"))): _*)).as(Seq("row", "c")))
+      .groupBy("lang", "row", "c")
+      .agg(count(lit(1)).as("cell_cnt"))
+    val probes = rows.groupBy("lang", "wh").agg(count(lit(1)).as("exact"))
+      .groupBy("lang")
+      .agg(expr("topk_by(CAST(exact AS DOUBLE), wh, 5)").as("tk"))
+      .select(col("lang"), posexplode(col("tk")).as(Seq("p", "t")))
+      .select(col("lang"), (col("p") + 1).as("rk"), col("t.id").as("wh"),
+        col("t.score").cast("long").as("exact"))
+    val probed = probes
+      .select(col("lang"), col("rk"), col("wh"), col("exact"),
+        posexplode(array((0 until D).map(i => expr(colOf(i, "wh"))): _*)).as(Seq("row", "c")))
+    probed.join(cells, Seq("lang", "row", "c"))
+      .groupBy("lang", "rk", "wh", "exact")
+      .agg(min("cell_cnt").as("cms_est"))
+  }
+
+  /** qx31 — within-document repetition screen (the Gopher-style quality
+    * rule "drop docs whose n-gram stream is mostly self-repetition" —
+    * machine-generated and boilerplate text repeats itself long before
+    * it duplicates anything else in the corpus). Per doc: bigram count,
+    * duplicate-bigram count (multiset minus set), the dup ratio, and the
+    * ≥0.2 flag a curation gate would key on.
+    *
+    * Scale shape: ZERO shuffles — the bigram array is built and measured
+    * inside the scan's projection (array HOFs over the word-hash list),
+    * so the screen costs exactly one corpus pass no matter the scale;
+    * it composes with qx22's gate as one more scan-local predicate. The
+    * bigram hash is the same (h1*1009 + h2) mod p family as qx36's
+    * corpus-frequency rows, so the two screens share vocabulary. */
+  def qx31(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), expr(WORD_HASHES).as("whs"))
+      .where(size(col("whs")) >= 2)
+      .select(col("doc_id"), expr(
+        s"transform(sequence(1, size(whs) - 1), i -> (element_at(whs, i) * 1009 + element_at(whs, i + 1)) % 2147483647)")
+        .as("bgs"))
+      .select(col("doc_id"),
+        size(col("bgs")).cast("long").as("n_bigrams"),
+        (size(col("bgs")) - size(array_distinct(col("bgs")))).cast("long").as("n_dup"))
+      .withColumn("dup_ratio",
+        col("n_dup").cast("double") / col("n_bigrams").cast("double"))
+      .withColumn("flagged", col("dup_ratio") > 0.2)
+
+  /** qx34 — TEMPERATURE-scaled mixture sampling (α = 0.5): a 48-doc
+    * corpus sample where each language's share is proportional to
+    * √n_s instead of n_s — the standard multilingual-training move
+    * that up-weights small languages without letting any stratum
+    * dominate (proportional at α=1 is qx27; uniform at α=0 is qx21).
+    * Weights are floor(sqrt(n_s)) — IEEE sqrt is correctly rounded in
+    * both engines, so the floor is deterministic for any count < 2⁵² —
+    * and the allocation arithmetic is the same integer quota family as
+    * qx27. Shape: identical to qx27 — one bounded [[graft.functions.
+    * TopKBy]] pass per stratum (≤ 48 rows per (lang, map task) on the
+    * wire) + a tiny broadcast quota table. */
+  def qx34(spark: SparkSession, dir: String): DataFrame = {
+    val Ktot = 48
+    val docs = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), expr(SAMPLE_HASH).as("h"))
+    val ws = docs.groupBy("lang").agg(count(lit(1)).as("n_s"))
+      .select(col("lang"),
+        expr("CAST(floor(sqrt(CAST(n_s AS DOUBLE))) AS BIGINT)").as("w_s"))
+    val quotas = ws.crossJoin(broadcast(ws.agg(sum("w_s").as("w_tot"))))
+      .select(col("lang"), greatest(lit(1L), expr(s"(w_s * $Ktot) div w_tot")).as("quota"))
+    docs.groupBy("lang")
+      .agg(expr(s"topk_by(CAST(-h AS DOUBLE), doc_id, $Ktot)").as("tk"))
+      .select(col("lang"), posexplode(col("tk")).as(Seq("p", "t")))
+      .select(col("lang"), (col("p") + 1).as("rk"), col("t.id").as("doc_id"))
+      .join(broadcast(quotas), "lang")
+      .where(col("rk") <= col("quota"))
+      .select("lang", "rk", "doc_id")
+  }
+
+  /** qx35 — log₂-histogram quantile SKETCH per source: the mergeable,
+    * bounded-state approximate twin of qx23's exact quantiles. Each doc
+    * lands in bucket floor(log₂ n_tokens) (≤ 64 buckets ever — the
+    * histogram is a fixed-size mergeable sketch, unlike qx23's per-group
+    * sort), the estimate for a quantile is the upper bound 2^(b+1)−1 of
+    * the first bucket whose cumulative count reaches the nearest-rank
+    * index — a ≤2× overestimate by construction, which is the
+    * log-histogram's contract (DDSketch tightens the same idea with
+    * finer buckets; the γ=2 flavor keeps every number integer-exact for
+    * the oracle).
+    *
+    * Scale shape: ONE map-side-combinable (source, bucket) count — the
+    * corpus never shuffles, only ≤64 cells per (source, map task) do —
+    * then the cumulative window runs over ≤64 rows per source. This is
+    * the quantile you can afford hourly at 100 TB; qx23 is the exact
+    * calibration run. floor(log₂ x) is spelled length(bin(x))−1, the
+    * same integer trick the LSH width derivations use in both engines. */
+  def qx35(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .select(col("source"), expr(s"size($WORDS)").cast("long").as("n_tokens"))
+      .where(col("n_tokens") > 0)
+      .groupBy(col("source"), expr("length(bin(n_tokens)) - 1").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val bySrc = Window.partitionBy("source").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = cells
+      .withColumn("cum", sum("cnt").over(bySrc))
+      .withColumn("n_docs", sum("cnt").over(Window.partitionBy("source")))
+    def est(pct: Int) =
+      min(when(col("cum") >= expr(s"(n_docs * $pct + 99) div 100"),
+        expr("(CAST(1 AS BIGINT) << (bucket + 1)) - 1"))).as(s"p${pct}_est")
+    ranked.groupBy("source")
+      .agg(max("n_docs").as("n_docs"), est(50), est(90), est(99))
+  }
+
+  /** qx36 — bigram-coverage quality score (the perplexity PROXY a
+    * pipeline runs when no language model is in reach): per doc, the
+    * fraction of its bigram INSTANCES whose corpus-wide frequency is
+    * ≥ 3. Fluent text is built from constructions the corpus has seen;
+    * gibberish and mangled extractions are not — low coverage is the
+    * integer-arithmetic stand-in for high LM perplexity (CCNet's
+    * bucketing, with corpus frequency as the model).
+    *
+    * Scale shape: bigram rows fall out of the SAME per-doc lead() chain
+    * the shingle/window tables use (hash-partitioned by doc_id, no extra
+    * exchange); the frequency table is one map-side-combinable count
+    * whose size is the bigram VOCABULARY (≪ corpus); the join back is
+    * hash-partitioned on the bigram. Two vocabulary-sized shuffles +
+    * one corpus-sized join — the minimum any corpus-frequency feature
+    * costs. */
+  def qx36(spark: SparkSession, dir: String): DataFrame = {
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val bg = wordHashRows(spark, dir)
+      .withColumn("h2", lead("wh", 1).over(byPos))
+      .where(col("h2").isNotNull)
+      .select(col("doc_id"), expr("(wh * 1009 + h2) % 2147483647").as("bg"))
+    val freq = bg.groupBy("bg").agg(count(lit(1)).as("cnt"))
+    bg.join(freq, "bg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("cnt") >= 3, 1L).otherwise(0L)).as("n_common"))
+      .withColumn("coverage",
+        col("n_common").cast("double") / col("n_bigrams").cast("double"))
+  }
 
   // ----------------------------------------------------------- multimodal
 

@@ -77,6 +77,27 @@ class PlanShapeSpec extends SparkTestBase {
     }.nonEmpty, "budget window input is not bounded by the topk_by prune")
   }
 
+  test("qx32: the bloom prescreen filters below the exact-confirm join") {
+    // The 8 KB bloom image must reject corpus windows BEFORE the exact
+    // confirm join materializes anything — a confirm-then-bloom plan
+    // would re-create exactly the broadcast-set cost the bloom exists to
+    // avoid. The prescreen compiles to the one-row-bloom
+    // BroadcastNestedLoopJoin whose CONDITION is the shiftright bit test
+    // (evaluated streaming-side, inside the scan stage); assert it sits
+    // below the exact-confirm BroadcastHashJoin.
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+    import org.apache.spark.sql.catalyst.plans.Inner
+    val plan = sparkPlan("qx32_bloom_decontaminate")
+    val confirm = plan.collectFirst {
+      case j: BroadcastHashJoinExec if j.joinType == Inner => j
+    }.getOrElse(fail("qx32 plan has no broadcast confirm join"))
+    val screened = confirm.children.exists(_.collectFirst {
+      case j: BroadcastNestedLoopJoinExec
+        if j.condition.exists(_.toString.contains("shiftright")) => j
+    }.nonEmpty)
+    assert(screened, "bloom bit-test prescreen is not below the confirm join")
+  }
+
   test("qx3/qx13: candidate generation never shuffles array columns") {
     // The (band,sig)/(cid) candidate columns are narrow ids; the 64-long
     // iv arrays must not appear in any Exchange's output schema.
