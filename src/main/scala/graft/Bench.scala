@@ -36,9 +36,15 @@ object Bench {
     // round-over-round record shows WHY the number is absent.
     val skip = sys.env.getOrElse("SPARK_GRAFT_BENCH_SKIP", "qx13_ann_ivf")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    // Probe subsets (e.g. a documents-only 100× corpus with no
+    // events/embeddings tables): bench ONLY the named queries.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // A failing query must surface as an explicit error, never as an
     // innocent-looking fast time.
-    val outcomes = SparkEntry.queries.filterNot(kv => skip(kv._1)).map { case (name, fn) =>
+    val outcomes = SparkEntry.queries
+      .filter(kv => only.forall(_.contains(kv._1)))
+      .filterNot(kv => skip(kv._1)).map { case (name, fn) =>
       val res: Either[String, (Double, Double)] =
         try {
           val times = (1 to reps).map { _ =>

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Deterministic synthetic-document generator for out-of-band scale
+  * probes (the 100× runs recorded in SURVEY §8) — NOT part of the gate
+  * surface; testdata stays the driver's. Fully distributed, no RNG:
+  * every word is a pure function of (doc_id, position) through the
+  * repo's affine integer family, so probe corpora are reproducible
+  * across sessions byte-for-byte.
+  *
+  * Shape mirrors the driver's documents.parquet tables: doc_id, text
+  * (space-joined words, mean ~55), lang (10 values), source (20),
+  * n_chars. The word-index distribution is skewed (u³ over a 30k
+  * vocabulary) so frequency-sensitive paths (CMS, heavy hitters,
+  * bigram coverage) see a realistic head/tail, and ~2.4% of docs are
+  * exact copies of their neighbor so dedup paths have hits. Written
+  * with bounded row groups / files — the round-5 probe lesson: parquet
+  * cannot parallelize below row-group granularity.
+  *
+  * Usage: runMain graft.ProbeGen <nDocs> <outDir>
+  */
+object ProbeGen {
+  def main(args: Array[String]): Unit = {
+    val n = args(0).toLong
+    val out = args(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val V = 30000L
+    val docs = spark.range(0, n, 1, math.max(8, cpus.toInt * 2))
+      .select(col("id").as("doc_id"))
+      // Neighbor-copy dups: every 41st doc reuses the previous seed.
+      .withColumn("seed",
+        when(col("doc_id") % 41 === 0 && col("doc_id") > 0, col("doc_id") - 1)
+          .otherwise(col("doc_id")))
+      .withColumn("len", (col("seed") * 37L % 50L + 30L).cast("int"))
+      .withColumn("text", expr(
+        s"""array_join(transform(sequence(1, len), j -> concat('w',
+           |  CAST(CAST($V AS DOUBLE) *
+           |       pow(CAST((seed * 1009 + j) * 2654435761 % 2147483647 AS DOUBLE) / 2147483647.0, 3.0)
+           |     AS BIGINT))), ' ')""".stripMargin))
+      .select(
+        col("doc_id"),
+        col("text"),
+        concat(lit("l"), (col("seed") * 2654435761L % 97L % 10L)).as("lang"),
+        concat(lit("src"), (col("seed") * 40503L % 101L % 20L)).as("source"),
+        length(col("text")).cast("long").as("n_chars"))
+
+    docs.repartition(math.max(8, cpus.toInt * 2))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", 50000)
+      .option("parquet.block.size", 16L * 1024 * 1024)
+      .parquet(out)
+    println(s"wrote $n docs to $out")
+    spark.stop()
+  }
+}
