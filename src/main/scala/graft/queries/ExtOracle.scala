@@ -199,9 +199,11 @@ object ExtOracle {
     * — BOTH engines truncate integer division toward zero; empty clusters
     * keep their previous centroid), then assign/probe-2/rescore exactly as
     * qx13. Every intermediate is integer-exact. */
-  val qx16: String = {
-    // One Lloyd step from centroid CTE `cin` → `cout` (names parameterized
-    // so the two unrolled iterations share the SQL shape).
+  /** Shared trained-k-means CTE prefix (qx16 + qx38): seeds → two Lloyd
+    * steps → final integer centroids → per-vector `assign`(vec_id, cid).
+    * One Lloyd step from centroid CTE `cin` → `cout` (names
+    * parameterized so the two unrolled iterations share the SQL shape). */
+  private val KMEANS_ASSIGN: String = {
     def step(cin: String, cout: String, i: Int): String =
       s"""cn$i AS (SELECT cid, sum(cval*cval) AS cn2 FROM $cin GROUP BY cid),
          |ad$i AS (SELECT vec_id, cid, sum(val * cval) AS dot
@@ -215,7 +217,7 @@ object ExtOracle {
          |         FROM dims JOIN as$i USING (vec_id) GROUP BY cid, d),
          |$cout AS (SELECT s.cid, s.d, COALESCE(u.m, s.cval) AS cval
          |          FROM $cin s LEFT JOIN up$i u ON s.cid = u.cid AND s.d = u.d)""".stripMargin
-    s"""WITH $EMB,
+    s"""$EMB,
        |params AS (SELECT count(*) AS n FROM embeddings),
        |kk AS (SELECT CAST(least(65536, greatest(4,
        |         1 << (length(bin(greatest(n, 2))) // 2))) AS BIGINT) AS k
@@ -234,7 +236,11 @@ object ExtOracle {
        |             SELECT vec_id, adf.cid,
        |                    row_number() OVER (PARTITION BY vec_id
        |                      ORDER BY (2*dot - cn2) DESC, adf.cid ASC) AS rn
-       |             FROM adf JOIN cnf USING (cid)) WHERE rn = 1),
+       |             FROM adf JOIN cnf USING (cid)) WHERE rn = 1)""".stripMargin
+  }
+
+  val qx16: String =
+    s"""WITH $KMEANS_ASSIGN,
        |qprobe AS (SELECT qid, cid FROM (
        |             SELECT a.vec_id AS qid, a.cid,
        |                    row_number() OVER (PARTITION BY a.vec_id
@@ -250,7 +256,23 @@ object ExtOracle {
        |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rk
        |      FROM scored) t
        |WHERE rk <= 5""".stripMargin
-  }
+
+  /** qx38 twin: the same trained assignment, joined back to the labels —
+    * per-cluster majority label (ties → smallest label) and its share. */
+  val qx38: String =
+    s"""WITH $KMEANS_ASSIGN,
+       |cc AS (SELECT a.cid, CAST(e.label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS cnt
+       |       FROM assign a JOIN embeddings e USING (vec_id) GROUP BY 1, 2),
+       |tot AS (SELECT cid, CAST(sum(cnt) AS BIGINT) AS n_vecs FROM cc GROUP BY cid),
+       |top AS (SELECT cid, label AS top_label, cnt AS top_cnt
+       |        FROM (SELECT cid, label, cnt,
+       |                     row_number() OVER (PARTITION BY cid
+       |                       ORDER BY cnt DESC, label ASC) AS rn
+       |              FROM cc) t
+       |        WHERE rn = 1)
+       |SELECT t.cid, n_vecs, top_label, top_cnt,
+       |       CAST(top_cnt AS DOUBLE) / CAST(n_vecs AS DOUBLE) AS share
+       |FROM top t JOIN tot USING (cid)""".stripMargin
 
   /** qx17 twin: identical rolling 8-word window hash, ≥2-and-≤64 doc
     * frequency cap, pair count of shared windows. */
@@ -587,6 +609,51 @@ object ExtOracle {
        |SELECT doc_id,
        |       list_reduce([CAST(0 AS BIGINT)] || h, (a, b) -> (a * 1000003 + b) % $P) AS fingerprint
        |FROM wh""".stripMargin
+
+  /** qx37 twin: pairwise shared distinct shingles + Jaccard over the
+    * same (source, s) distinct table. */
+  val qx37: String =
+    s"""WITH $DOCS,
+       |srcsh AS (SELECT DISTINCT d.source, t.s
+       |          FROM sh JOIN documents d USING (doc_id), unnest(sh.shingles) AS t(s)),
+       |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM srcsh GROUP BY source),
+       |inter AS (SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS inter
+       |          FROM srcsh a JOIN srcsh b ON a.s = b.s AND a.source < b.source
+       |          GROUP BY 1, 2)
+       |SELECT src_a, src_b, inter,
+       |       CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) AS jaccard
+       |FROM inter JOIN sizes na ON src_a = na.source JOIN sizes nb ON src_b = nb.source""".stripMargin
+
+  /** qx39 twin: per-source KMV min-128 lists, pairwise merged-sketch
+    * union estimate + inclusion–exclusion intersection — every
+    * intermediate an integer order statistic, identical float spelling. */
+  val qx39: String =
+    s"""WITH $DOCS,
+       |srcsh AS (SELECT DISTINCT d.source, t.s
+       |          FROM sh JOIN documents d USING (doc_id), unnest(sh.shingles) AS t(s)),
+       |hashed AS (SELECT source, (s * 1000003 + 997) % $P AS h FROM srcsh),
+       |rk AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h ASC) AS rn
+       |       FROM hashed),
+       |sk AS (SELECT source, list(h ORDER BY h ASC) AS hs FROM rk WHERE rn <= 128 GROUP BY source),
+       |pairs AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |         len(a.hs) AS a_n, len(b.hs) AS b_n,
+       |         CASE WHEN len(a.hs) < 128 THEN 0 ELSE a.hs[128] END AS a_kth,
+       |         CASE WHEN len(b.hs) < 128 THEN 0 ELSE b.hs[128] END AS b_kth,
+       |         list_slice(list_sort(list_distinct(a.hs || b.hs)), 1, 128) AS u
+       |  FROM sk a JOIN sk b ON a.source < b.source),
+       |ests AS (
+       |  SELECT src_a, src_b,
+       |         CASE WHEN a_n < 128 THEN CAST(a_n AS DOUBLE)
+       |              ELSE 127.0 * 2147483647.0 / CAST(a_kth AS DOUBLE) END AS est_a,
+       |         CASE WHEN b_n < 128 THEN CAST(b_n AS DOUBLE)
+       |              ELSE 127.0 * 2147483647.0 / CAST(b_kth AS DOUBLE) END AS est_b,
+       |         CASE WHEN len(u) < 128 THEN CAST(len(u) AS DOUBLE)
+       |              ELSE 127.0 * 2147483647.0 / CAST(u[128] AS DOUBLE) END AS est_union
+       |  FROM pairs)
+       |SELECT src_a, src_b, est_a, est_b, est_union,
+       |       greatest(0.0, est_a + est_b - est_union) AS est_inter
+       |FROM ests""".stripMargin
 
   /** qx32 twin: the Bloom filter is INVISIBLE to the oracle — no false
     * negatives plus exact confirm means the composed Spark plan computes

@@ -1093,6 +1093,132 @@ object ExtQueries {
         col("n_common").cast("double") / col("n_bigrams").cast("double"))
   }
 
+  /** qx38 — trained-cluster label PURITY: qx16's k-means assignment
+    * joined back to the embeddings' labels — per cluster, the majority
+    * label and its share (the standard unsupervised-quality screen:
+    * "do the learned cells track the real classes?"). This is the
+    * EVALUATION step the ANN family was missing as a gate query —
+    * RecallProbe measures recall out-of-band; purity is cheap enough
+    * to gate because every intermediate (assignment, counts, ties by
+    * smallest label) is integer-exact through the same two-Lloyd-step
+    * derivation the qx16 oracle already replays.
+    *
+    * Scale shape: the assignment is qx16's (broadcast codebook,
+    * map-side argmin); the purity aggregate is two bounded groupBys —
+    * (cid, label) cells then per-cid majority via a window over ≤
+    * |labels| rows per cid. Nothing new crosses the wire. */
+  def qx38(spark: SparkSession, dir: String): DataFrame = {
+    val base = intEmbeddings(spark, dir)
+    val k = IvfAnn.kmeansCentroidsFor(Tables.embeddings(spark, dir).count())
+    val cents = IvfAnn.trainedCentroids(base, IvfAnn.centroids(spark, k), iters = 2)
+    val cc = IvfAnn.l2Assignments(base, cents)
+      .join(Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label").cast("long").as("label")), "vec_id")
+      .groupBy("cid", "label").agg(count(lit(1)).as("cnt"))
+    val byCid = Window.partitionBy("cid")
+      .orderBy(col("cnt").desc, col("label").asc)
+    cc.withColumn("n_vecs", sum("cnt").over(Window.partitionBy("cid")))
+      .withColumn("rn", row_number().over(byCid))
+      .where(col("rn") === 1)
+      .select(col("cid"), col("n_vecs"),
+        col("label").as("top_label"), col("cnt").as("top_cnt"),
+        (col("cnt").cast("double") / col("n_vecs").cast("double")).as("share"))
+  }
+
+  /** The distinct (source, s) shingle rows both overlap screens share —
+    * qx18's KMV base without the hash column. */
+  private def sourceShingles(spark: SparkSession, dir: String): DataFrame =
+    shingleRows(spark, dir)
+      .join(Tables.documents(spark, dir).select("doc_id", "source"), "doc_id")
+      .select("source", "s").distinct()
+
+  /** qx37 — EXACT cross-source overlap matrix: for every source pair,
+    * the count of shared distinct shingles and the Jaccard — the corpus
+    * forensics behind mixing decisions ("is src7 just a re-crawl of
+    * src3?"), the source-level complement of qx4's doc-level mining.
+    *
+    * Scale shape: the join keys on the shingle over the DISTINCT
+    * (source, s) table, so a shingle contributes at most C(|sources|,2)
+    * pair rows no matter how many documents carry it — fan-out is
+    * bounded by the source count squared, not by corpus skew — and the
+    * count aggregate map-side-combines the pair rows immediately. The
+    * output is |sources|² rows: tiny at any corpus size. When even the
+    * distinct-shingle join is too dear, qx39 answers the same question
+    * from k-value sketches without re-touching the corpus. */
+  def qx37(spark: SparkSession, dir: String): DataFrame = {
+    val srcSh = sourceShingles(spark, dir)
+    val sizes = srcSh.groupBy("source").agg(count(lit(1)).as("n"))
+    srcSh.as("a")
+      .join(srcSh.as("b"),
+        col("a.s") === col("b.s") && col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.as("na")), col("src_a") === col("na.source"))
+      .join(broadcast(sizes.as("nb")), col("src_b") === col("nb.source"))
+      .select(col("src_a"), col("src_b"), col("inter"),
+        (col("inter").cast("double") /
+          (col("na.n") + col("nb.n") - col("inter")).cast("double")).as("jaccard"))
+  }
+
+  /** qx39 — SKETCHED cross-source overlap: the same pairwise question
+    * answered entirely in KMV sketch algebra — per source, the k = 128
+    * minimum hash values (qx18's sketch, built with the bounded
+    * [[graft.functions.TopKBy]] pass); per pair, the union estimate
+    * from the k-th smallest of the MERGED sketches and the intersection
+    * by inclusion–exclusion, clamped at 0.
+    *
+    * This is the shape that matters at 100 TB: the corpus is touched
+    * ONCE to build |sources| sketches of 128 longs each, and every
+    * pairwise (or m-way) overlap question afterwards runs on
+    * |sources|²·k rows — kilobytes — with no second corpus pass. KMV
+    * sketches are mergeable by construction (the k smallest of a union
+    * is computable from the two k-minima alone), which is exactly why
+    * the estimate is derivable in both engines bit-identically: every
+    * intermediate is an integer order statistic; the only floats are
+    * the final estimate divisions, spelled operation-for-operation in
+    * the oracle. Pairs whose merged sketch holds fewer than k distinct
+    * values report the union EXACTLY (sketch = whole set there). */
+  def qx39(spark: SparkSession, dir: String): DataFrame = {
+    val K = 128
+    val P = 2147483647L
+    val hashed = sourceShingles(spark, dir)
+      .withColumn("h", expr(s"(s * 1000003 + 997) % $P"))
+    val sk = hashed.groupBy("source")
+      .agg(expr(s"topk_by(CAST(-h AS DOUBLE), h, $K)").as("mink"))
+      .select(col("source"), col("mink.id").as("hs"),
+        size(col("mink")).cast("long").as("n_sk"))
+    val est = (name: String) => // per-source KMV estimate from its own sketch
+      when(col(s"${name}_n") < K, col(s"${name}_n").cast("double"))
+        .otherwise(lit((K - 1).toDouble * P) / col(s"${name}_kth").cast("double"))
+    val pairs = sk.as("a")
+      .join(sk.as("b"), col("a.source") < col("b.source"))
+      .select(
+        col("a.source").as("src_a"), col("b.source").as("src_b"),
+        col("a.n_sk").as("a_n"), col("b.n_sk").as("b_n"),
+        // CaseWhen short-circuits per row (the qx18 pattern): the
+        // element_at(·, K) arm — ANSI errors out of bounds — is only
+        // touched when the sketch is provably full.
+        when(col("a.n_sk") < K, lit(0L))
+          .otherwise(element_at(col("a.hs"), K)).as("a_kth"),
+        when(col("b.n_sk") < K, lit(0L))
+          .otherwise(element_at(col("b.hs"), K)).as("b_kth"),
+        // Merged sketch: k smallest DISTINCT values of the union of the
+        // two k-minima — sketch algebra only, no corpus access.
+        expr(s"slice(array_sort(array_distinct(concat(a.hs, b.hs))), 1, $K)").as("u"))
+      .select(col("src_a"), col("src_b"), col("a_n"), col("b_n"),
+        col("a_kth"), col("b_kth"),
+        size(col("u")).cast("long").as("u_n"),
+        when(size(col("u")) < K, lit(0L))
+          .otherwise(element_at(col("u"), K)).as("u_kth"))
+    pairs.select(col("src_a"), col("src_b"),
+        est("a").as("est_a"), est("b").as("est_b"),
+        when(col("u_n") < K, col("u_n").cast("double"))
+          .otherwise(lit((K - 1).toDouble * P) / col("u_kth").cast("double"))
+          .as("est_union"))
+      .withColumn("est_inter",
+        greatest(lit(0.0), col("est_a") + col("est_b") - col("est_union")))
+  }
+
   // ----------------------------------------------------------- multimodal
 
   /** qx11 — multimodal column plumbing: an opaque BINARY payload column +
