@@ -951,14 +951,20 @@ object ExtQueries {
     val D = 4
     def colOf(i: Int, h: String) =
       s"((($h * ${1000003L * (i + 1) + 31L} + ${977L * (i + 1)}) % 2147483647) % $W)"
-    val rows = Tables.documents(spark, dir)
+    // ONE corpus pass: the (lang, wh) count table is vocabulary-sized,
+    // and BOTH the cell grid (weighted by the counts) and the probe set
+    // derive from it — the two consumers share the identical aggregate
+    // exchange, so the physical plan reuses it (ReusedExchange, pinned
+    // by PlanShapeSpec) instead of exploding the corpus twice.
+    val counts = Tables.documents(spark, dir)
       .select(col("lang"), explode(expr(WORD_HASHES)).as("wh"))
-    val cells = rows
-      .select(col("lang"), posexplode(array((0 until D).map(i =>
+      .groupBy("lang", "wh").agg(count(lit(1)).as("exact"))
+    val cells = counts
+      .select(col("lang"), col("exact"), posexplode(array((0 until D).map(i =>
         expr(colOf(i, "wh"))): _*)).as(Seq("row", "c")))
       .groupBy("lang", "row", "c")
-      .agg(count(lit(1)).as("cell_cnt"))
-    val probes = rows.groupBy("lang", "wh").agg(count(lit(1)).as("exact"))
+      .agg(sum("exact").as("cell_cnt"))
+    val probes = counts
       .groupBy("lang")
       .agg(expr("topk_by(CAST(exact AS DOUBLE), wh, 5)").as("tk"))
       .select(col("lang"), posexplode(col("tk")).as(Seq("p", "t")))

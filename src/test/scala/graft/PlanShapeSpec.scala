@@ -98,6 +98,22 @@ class PlanShapeSpec extends SparkTestBase {
     assert(screened, "bloom bit-test prescreen is not below the confirm join")
   }
 
+  test("qx33: the cell grid and probe set reuse one vocabulary exchange") {
+    // Both CMS consumers must hang off the SAME (lang, wh) count
+    // aggregate — two independent corpus explodes would double the
+    // dominant cost. Physical proof: a ReusedExchange node (plan without
+    // AQE, which hides the reuse inside stages).
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = SparkEntry.queries("qx33_cms_frequency")(spark, dir)
+        .queryExecution.executedPlan
+      assert(plan.collect {
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+      }.nonEmpty, "qx33 recomputes the corpus word counts per consumer")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("qx3/qx13: candidate generation never shuffles array columns") {
     // The (band,sig)/(cid) candidate columns are narrow ids; the 64-long
     // iv arrays must not appear in any Exchange's output schema.
