@@ -38,7 +38,8 @@ object BloomFilter {
     }.mkString(" AND ")
 }
 
-/** `bloom_agg(h, mWords, d)` — a Bloom filter as a Catalyst aggregate:
+/** `bloom_agg(h, mWords, d)` — a Bloom filter (Bloom, CACM 13(7), 1970)
+  * as a Catalyst aggregate:
   * OR-folds the d probe bits of every BIGINT key into a fixed
   * ARRAY<BIGINT> of mWords 64-bit words.
   *

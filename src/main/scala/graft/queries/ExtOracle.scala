@@ -702,6 +702,35 @@ object ExtOracle {
        |FROM pc JOIN cells ON pc.lang = cells.lang AND pc.i = cells.i AND pc.c = cells.c
        |GROUP BY 1, 2, 3, 4""".stripMargin
 
+  /** qx40 twin: qx30's split banding × qx32's kill list, per-(lang,
+    * split) doc and contaminated-doc counts. */
+  val qx40: String = {
+    val W = 8
+    val fold = (1 until W).foldLeft("h[i]")((acc, j) => s"(($acc) * 1009 + h[i+$j]) % $P")
+    s"""WITH $DOCS,
+       |wins AS (SELECT DISTINCT doc_id,
+       |           unnest(list_transform(range(1, len(h) - ${W - 2}), i -> $fold)) AS s
+       |         FROM wh WHERE len(h) >= $W),
+       |ev AS (SELECT doc_id AS eval_doc
+       |       FROM (SELECT lang, doc_id,
+       |               row_number() OVER (PARTITION BY lang
+       |                 ORDER BY (doc_id * 1000003 + 12345) % $P ASC, doc_id ASC) AS rk
+       |             FROM documents) t
+       |       WHERE rk <= 8),
+       |evw AS (SELECT DISTINCT s FROM wins JOIN ev ON wins.doc_id = ev.eval_doc),
+       |killed AS (SELECT DISTINCT w.doc_id FROM wins w JOIN evw USING (s)
+       |           WHERE w.doc_id NOT IN (SELECT eval_doc FROM ev)),
+       |t AS (SELECT d.doc_id, lang,
+       |             ((d.doc_id * 1000003 + 12345) % $P) % 100 AS b,
+       |             CASE WHEN k.doc_id IS NULL THEN 0 ELSE 1 END AS contam
+       |      FROM documents d LEFT JOIN killed k ON d.doc_id = k.doc_id)
+       |SELECT lang,
+       |       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(contam) AS BIGINT) AS n_contaminated
+       |FROM t GROUP BY 1, 2""".stripMargin
+  }
+
   /** qx31 twin: per-doc duplicate-bigram ratio from the same
     * (h1*1009 + h2) mod p bigram family, multiset-minus-set. */
   val qx31: String =

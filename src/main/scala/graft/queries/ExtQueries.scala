@@ -628,8 +628,9 @@ object ExtQueries {
 
   /** qx18 — KMV (k-minimum-values) distinct-count sketch, per source: the
     * "how many distinct shingles does each slice contribute" profiling
-    * question answered WITHOUT a full count-distinct shuffle. The KMV
-    * estimator keeps the k smallest hash values of the set; the k-th
+    * question answered WITHOUT a full count-distinct shuffle (KMV per
+    * Bar-Yossef et al., RANDOM'02). The estimator keeps the k smallest
+    * hash values of the set; the k-th
     * smallest h_k estimates |S| ≈ (k−1)·p/h_k (uniform order statistics).
     *
     * The sketch is computed with [[graft.functions.TopKBy]] — min-k is
@@ -928,8 +929,9 @@ object ExtQueries {
       .agg(count(lit(1)).as("n_shared"))
   }
 
-  /** qx33 — count-min sketch word-frequency estimates per language,
-    * probed at the qx19 heavy hitters: the bounded-memory frequency
+  /** qx33 — count-min sketch word-frequency estimates per language
+    * (Cormode & Muthukrishnan, J. Algorithms 55(1), 2005), probed at
+    * the qx19 heavy hitters: the bounded-memory frequency
     * oracle for vocabularies too large to count exactly (CMS estimate =
     * min over d rows of the (row, col-hash) cell counters; always ≥
     * exact, within εn w.h.p.). Emits (lang, rk, wh, exact, cms_est) so
@@ -1097,6 +1099,27 @@ object ExtQueries {
         sum(when(col("cnt") >= 3, 1L).otherwise(0L)).as("n_common"))
       .withColumn("coverage",
         col("n_common").cast("double") / col("n_bigrams").cast("double"))
+  }
+
+  /** qx40 — contamination-aware SPLIT report: per (lang, split), how
+    * many docs land there (qx30's deterministic 80/10/10 banding) and
+    * how many of them share an eval fingerprint (qx32's bloom-
+    * prescreened kill list) — the one-page screen a release pipeline
+    * reads before shipping a training set ("is the contamination in
+    * train, or bleeding into val/test too?"). Pure composition: the
+    * kill list joins as a left semi-ish flag onto the split scan; no
+    * new shuffle beyond qx32's own. */
+  def qx40(spark: SparkSession, dir: String): DataFrame = {
+    val contaminated = qx32(spark, dir)
+      .select(col("doc_id"), lit(1L).as("contam"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), expr(s"($SAMPLE_HASH) % 100").as("b"))
+      .withColumn("split",
+        when(col("b") < 80, "train").when(col("b") < 90, "val").otherwise("test"))
+      .join(contaminated, Seq("doc_id"), "left")
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("contam"), lit(0L))).as("n_contaminated"))
   }
 
   /** qx38 — trained-cluster label PURITY: qx16's k-means assignment
