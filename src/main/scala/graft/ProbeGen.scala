@@ -57,8 +57,29 @@ object ProbeGen {
       .write.mode("overwrite")
       .option("maxRecordsPerFile", 50000)
       .option("parquet.block.size", 16L * 1024 * 1024)
-      .parquet(out)
-    println(s"wrote $n docs to $out")
+      .parquet(s"$out/documents.parquet")
+
+    // Embeddings at 2/5 the doc count (testdata's ratio): 64-dim floats
+    // in the testdata's ±0.36 range with 10 planted label clusters —
+    // vec = label-center (scaled hash per dim) + per-vector noise — so
+    // assignment/purity paths see real structure. Deterministic, no RNG.
+    val nVec = 2L * n / 5L
+    val emb = spark.range(0, nVec, 1, math.max(8, cpus.toInt * 2))
+      .select(col("id").as("vec_id"))
+      .withColumn("label", (col("vec_id") * 2654435761L % 97L % 10L).cast("int"))
+      .withColumn("embedding", expr(
+        """transform(sequence(0, 63), d -> CAST(
+          |  ((CAST(label AS BIGINT) * 131071 + d * 97 + 5) * (CAST(label AS BIGINT) * 131071 + d * 97 + 5)
+          |     % 2147483647 % 401 - 200) / 1000.0
+          |  + ((vec_id * 1009 + d * 31 + 3) * 2654435761 % 2147483647 % 161 - 80) / 1000.0
+          |AS FLOAT))""".stripMargin))
+      .select(col("vec_id"), col("embedding"), col("label"))
+    emb.repartition(math.max(8, cpus.toInt * 2))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", 50000)
+      .option("parquet.block.size", 16L * 1024 * 1024)
+      .parquet(s"$out/embeddings.parquet")
+    println(s"wrote $n docs + $nVec embeddings to $out")
     spark.stop()
   }
 }
