@@ -442,6 +442,40 @@ object ExtOracle {
        |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |FROM bands x JOIN bands y ON x.b = y.b AND x.sig = y.sig AND x.doc_id < y.doc_id""".stripMargin
 
+  /** qx41 twin: incremental admission — batch (doc_id % 10 = 7) banded
+    * against the standing corpus, candidates verified by ≥8/16 equal
+    * minhashes, verdict precedence corpus_dup > batch_dup > admitted. */
+  val qx41: String =
+    s"""WITH $DOCS, $MH_TABLE, $BANDS,
+       |cc AS (SELECT n.doc_id AS new_id, c.doc_id AS other_id
+       |       FROM bands n JOIN bands c ON n.b = c.b AND n.sig = c.sig
+       |       WHERE n.doc_id % 10 = 7 AND c.doc_id % 10 <> 7
+       |       GROUP BY 1, 2),
+       |bc AS (SELECT n.doc_id AS new_id, p.doc_id AS other_id
+       |       FROM bands n JOIN bands p ON n.b = p.b AND n.sig = p.sig
+       |            AND p.doc_id < n.doc_id
+       |       WHERE n.doc_id % 10 = 7 AND p.doc_id % 10 = 7
+       |       GROUP BY 1, 2),
+       |cv AS (SELECT new_id, min(other_id) AS corpus_dup_of
+       |       FROM cc JOIN mh x ON x.doc_id = cc.new_id
+       |               JOIN mh y ON y.doc_id = cc.other_id
+       |       WHERE len(list_filter(range(1, 17), i -> x.m[i] = y.m[i])) >= 8
+       |       GROUP BY new_id),
+       |bv AS (SELECT new_id, min(other_id) AS batch_dup_of
+       |       FROM bc JOIN mh x ON x.doc_id = bc.new_id
+       |               JOIN mh y ON y.doc_id = bc.other_id
+       |       WHERE len(list_filter(range(1, 17), i -> x.m[i] = y.m[i])) >= 8
+       |       GROUP BY new_id)
+       |SELECT d.doc_id,
+       |       CASE WHEN cv.corpus_dup_of IS NOT NULL THEN 'corpus_dup'
+       |            WHEN bv.batch_dup_of IS NOT NULL THEN 'batch_dup'
+       |            ELSE 'admitted' END AS verdict,
+       |       COALESCE(cv.corpus_dup_of, bv.batch_dup_of, CAST(-1 AS BIGINT)) AS dup_of
+       |FROM documents d
+       |LEFT JOIN cv ON cv.new_id = d.doc_id
+       |LEFT JOIN bv ON bv.new_id = d.doc_id
+       |WHERE d.doc_id % 10 = 7""".stripMargin
+
   /** qx21 twin: per-language min-8 docs by the affine sampling hash,
     * ranked (h ASC, doc_id ASC) — the window spelling of the Spark
     * side's bounded min-k aggregate. */

@@ -368,17 +368,24 @@ object ExtQueries {
     rows.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
   }
 
+  /** (doc_id, band, sig) LSH band-signature rows — 4 bands of 4 minhashes
+    * folded per band. The table qx4 self-joins and qx41 probes a standing
+    * corpus with; in a production pipeline THIS is the persisted dedup
+    * asset (bucketed by (band, sig)), not the raw text. */
+  private def bandSigRows(spark: SparkSession, dir: String): DataFrame =
+    minhashed(spark, dir).select(
+      col("doc_id"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"), expr(bandSig(4 * b, 4 * b + 3)).as("sig"))): _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+
   /** qx4 — MinHash + LSH near-duplicate candidate pairs: 16 minhashes in
     * 4 bands of 4; docs sharing any band signature are candidates. The
     * pair generation is an equi-join on (band, sig) — hash-partitioned,
     * no all-pairs — then distinct. This is the canonical web-scale dedup
     * shape (shingle → minhash → band → bucket-join). */
   def qx4(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashed(spark, dir).select(
-      col("doc_id"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"), expr(bandSig(4 * b, 4 * b + 3)).as("sig"))): _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val sigs = bandSigRows(spark, dir)
     val a = sigs.as("a"); val b = sigs.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
       && col("a.doc_id") < col("b.doc_id"))
@@ -1246,6 +1253,72 @@ object ExtQueries {
           .as("est_union"))
       .withColumn("est_inter",
         greatest(lit(0.0), col("est_a") + col("est_b") - col("est_union")))
+  }
+
+  /** qx41 — INCREMENTAL corpus near-dup admission: screen a newly
+    * ingested batch (docs with doc_id % 10 = 7 play today's ingest)
+    * against the standing corpus WITHOUT ever re-pairing the corpus with
+    * itself — the production daily-ingest pattern the full-corpus
+    * self-join family (qx4/qx14/qx17) deliberately does not cover.
+    *
+    * Plan: both sides derive [[bandSigRows]] (in production the corpus
+    * side is the PERSISTED band table, bucketed by (band, sig), so the
+    * standing corpus is not even rescanned — here the gate is stateless
+    * so it derives both); candidates = batch sigs equi-joined against
+    * corpus sigs on (band, sig), plus a batch-internal join against
+    * smaller-id batch docs. Candidates are then VERIFIED by minhash
+    * agreement (≥ 8 of 16 equal minhashes ⇒ Jaccard ≳ 0.5 estimate) —
+    * both joins are candidate-bound, never corpus-bound. Verdict
+    * precedence per new doc: dup-of-corpus (min verified corpus id) >
+    * dup-in-batch (min verified smaller batch id) > admitted.
+    * Batch-internal chains are resolved by id order, not transitively —
+    * a batch is day-sized, so a production run follows with qx20's
+    * components on the batch-only pair set; the corpus side needs no
+    * resolution because standing docs are already deduped.
+    *
+    * 100 TB shape: per-ingest cost = |batch| sig derivation + one hash
+    * join against the standing band table + minhash verify on the
+    * candidate set; admitted docs' sigs append to the standing table.
+    * The corpus pays its own derivation ONCE ever, not per ingest. */
+  def qx41(spark: SparkSession, dir: String): DataFrame = {
+    val NewRes = 7
+    val mh = minhashed(spark, dir)
+    val sigs = bandSigRows(spark, dir)
+    val newSigs = sigs.where(col("doc_id") % 10 === NewRes)
+    val corpusSigs = sigs.where(col("doc_id") % 10 =!= NewRes)
+    val corpusCand = newSigs.as("n")
+      .join(corpusSigs.as("c"),
+        col("n.band") === col("c.band") && col("n.sig") === col("c.sig"))
+      .select(col("n.doc_id").as("new_id"), col("c.doc_id").as("other_id"))
+      .distinct()
+    val batchCand = newSigs.as("n")
+      .join(newSigs.as("p"),
+        col("n.band") === col("p.band") && col("n.sig") === col("p.sig")
+          && col("p.doc_id") < col("n.doc_id"))
+      .select(col("n.doc_id").as("new_id"), col("p.doc_id").as("other_id"))
+      .distinct()
+    // ≥8/16 equal minhashes — the integer Jaccard-estimate verify, run
+    // on candidates only (the qx6 discipline at signature granularity).
+    val agree = (0 until 16).map(k =>
+      when(col(s"x.mh$k") === col(s"y.mh$k"), 1).otherwise(0)).reduce(_ + _)
+    def verify(cand: DataFrame, out: String): DataFrame =
+      cand.join(mh.as("x"), col("new_id") === col("x.doc_id"))
+        .join(mh.as("y"), col("other_id") === col("y.doc_id"))
+        .where(agree >= 8)
+        .groupBy("new_id").agg(min("other_id").as(out))
+    val corpusVer = verify(corpusCand, "corpus_dup_of")
+      .withColumnRenamed("new_id", "cid")
+    val batchVer = verify(batchCand, "batch_dup_of")
+      .withColumnRenamed("new_id", "bid")
+    Tables.documents(spark, dir)
+      .where(col("doc_id") % 10 === NewRes).select("doc_id")
+      .join(corpusVer, col("doc_id") === col("cid"), "left")
+      .join(batchVer, col("doc_id") === col("bid"), "left")
+      .select(col("doc_id"),
+        when(col("corpus_dup_of").isNotNull, "corpus_dup")
+          .when(col("batch_dup_of").isNotNull, "batch_dup")
+          .otherwise("admitted").as("verdict"),
+        coalesce(col("corpus_dup_of"), col("batch_dup_of"), lit(-1L)).as("dup_of"))
   }
 
   // ----------------------------------------------------------- multimodal
