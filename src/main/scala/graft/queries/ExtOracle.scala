@@ -239,6 +239,69 @@ object ExtOracle {
        |             FROM adf JOIN cnf USING (cid)) WHERE rn = 1)""".stripMargin
   }
 
+  /** qx42 twin: per-subspace Lloyd-trained PQ codebooks (M=8 × 8 dims,
+    * K=16, salt 37, 2 iterations — the KMEANS_ASSIGN machinery grouped by
+    * sub = d // 8), ADC = Σ_m (‖c‖² − 2·q_m·c) over each vector's codes,
+    * top-32 by (adc ASC, vec_id ASC), exact-cosine top-5 refine. */
+  val qx42: String = {
+    def step(cin: String, cout: String, i: Int): String =
+      s"""pcn$i AS (SELECT cid, d // 8 AS sub, sum(cval*cval) AS cn2
+         |          FROM $cin GROUP BY 1, 2),
+         |pad$i AS (SELECT vec_id, cid, d // 8 AS sub, sum(val * cval) AS dot
+         |          FROM pdims JOIN $cin USING (d) GROUP BY 1, 2, 3),
+         |pas$i AS (SELECT vec_id, sub, cid FROM (
+         |           SELECT a.vec_id, a.sub, a.cid,
+         |                  row_number() OVER (PARTITION BY a.vec_id, a.sub
+         |                    ORDER BY (2*dot - cn2) DESC, a.cid ASC) AS rn
+         |           FROM pad$i a JOIN pcn$i c ON a.cid = c.cid AND a.sub = c.sub)
+         |          WHERE rn = 1),
+         |pup$i AS (SELECT a.cid, pdims.d, CAST(sum(val) // count(*) AS BIGINT) AS m
+         |          FROM pdims JOIN pas$i a
+         |            ON pdims.vec_id = a.vec_id AND pdims.d // 8 = a.sub
+         |          GROUP BY 1, 2),
+         |$cout AS (SELECT s.cid, s.d, COALESCE(u.m, s.cval) AS cval
+         |          FROM $cin s LEFT JOIN pup$i u ON s.cid = u.cid AND s.d = u.d)""".stripMargin
+    s"""WITH $EMB,
+       |pc0 AS (SELECT c AS cid, d,
+       |          (((c * 1000003 + d * 97 + 37) % $P) * ((c * 1000003 + d * 97 + 37) % $P))
+       |            % $P % 2001 - 1000 AS cval
+       |        FROM unnest(range(0, 16)) AS t(c), generate_series(0, 63) td(d)),
+       |pdims AS (SELECT vec_id, i - 1 AS d, v[i] AS val FROM n, generate_series(1, 64) t(i)),
+       |${step("pc0", "pc1", 0)},
+       |${step("pc1", "pc2", 1)},
+       |pcnf AS (SELECT cid, d // 8 AS sub, sum(cval*cval) AS cn2 FROM pc2 GROUP BY 1, 2),
+       |padf AS (SELECT vec_id, cid, d // 8 AS sub, sum(val * cval) AS dot
+       |         FROM pdims JOIN pc2 USING (d) GROUP BY 1, 2, 3),
+       |codes AS (SELECT vec_id, sub, cid FROM (
+       |           SELECT a.vec_id, a.sub, a.cid,
+       |                  row_number() OVER (PARTITION BY a.vec_id, a.sub
+       |                    ORDER BY (2*dot - cn2) DESC, a.cid ASC) AS rn
+       |           FROM padf a JOIN pcnf c ON a.cid = c.cid AND a.sub = c.sub)
+       |          WHERE rn = 1),
+       |qdims AS (SELECT qid, i - 1 AS d, qv[i] AS val FROM q, generate_series(1, 64) t(i)),
+       |lut AS (SELECT a.qid, a.cid, a.sub, c.cn2 - 2 * a.qdot AS part
+       |        FROM (SELECT qid, cid, d // 8 AS sub, sum(val * cval) AS qdot
+       |              FROM qdims JOIN pc2 USING (d) GROUP BY 1, 2, 3) a
+       |        JOIN pcnf c ON a.cid = c.cid AND a.sub = c.sub),
+       |adc AS (SELECT l.qid, c.vec_id, CAST(sum(part) AS BIGINT) AS adc
+       |        FROM codes c JOIN lut l ON c.sub = l.sub AND c.cid = l.cid
+       |        WHERE c.vec_id <> l.qid GROUP BY 1, 2),
+       |sel AS (SELECT qid, vec_id FROM (
+       |         SELECT qid, vec_id,
+       |                row_number() OVER (PARTITION BY qid
+       |                  ORDER BY adc ASC, vec_id ASC) AS rn
+       |         FROM adc) WHERE rn <= 32),
+       |scored AS (
+       |  SELECT sel.qid, sel.vec_id,
+       |         CAST(CAST(list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * qv[i])) AS BIGINT) AS DOUBLE)
+       |           / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE))) AS cosine
+       |  FROM sel JOIN n ON sel.vec_id = n.vec_id JOIN q ON sel.qid = q.qid)
+       |SELECT qid, rk, vec_id, cosine
+       |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rk
+       |      FROM scored) t
+       |WHERE rk <= 5""".stripMargin
+  }
+
   val qx16: String =
     s"""WITH $KMEANS_ASSIGN,
        |qprobe AS (SELECT qid, cid FROM (

@@ -347,6 +347,88 @@ object ExtQueries {
     topK(scored, 5)
   }
 
+  /** qx42 — PRODUCT-QUANTIZED (PQ) compressed-domain search with ADC
+    * rescoring (Jégou, Douze & Schmid, TPAMI 2011 — "Product quantization
+    * for nearest neighbor search"): the MEMORY leg of the ANN family.
+    * qx13/qx15/qx16 shrink the SEARCH (which vectors to score); PQ shrinks
+    * the VECTORS — 64 dims split into M = 8 subspaces of 8 dims, each
+    * quantized against its own 16-centroid trained codebook (2 Lloyd
+    * iterations via [[graft.operators.IvfAnn.trainedCentroids]], the qx16
+    * discipline per subspace), so a 512-byte vector becomes 8 4-bit codes
+    * = 4 bytes, 128×. At 100 TB of embeddings THE CODES FIT WHERE THE
+    * VECTORS CANNOT — the scan reads a 4-byte column instead of 512.
+    *
+    * Query = asymmetric distance computation (ADC): each query
+    * precomputes a 128-entry lookup table (per subspace × code:
+    * ‖c‖² − 2·q_sub·c, the L2 surrogate with the per-query constant
+    * dropped), tables for the whole query set broadcast; the scan then
+    * scores every vector with 8 ARRAY LOOKUPS + adds (no 64-dim dots) and
+    * [[graft.functions.TopKBy]] prunes to the top-32 candidates per query
+    * map-side — the compressed-domain pass has ZERO corpus exchange.
+    * Exact cosine on original vectors refines the 32 to the final top-5
+    * (the standard PQ refine step, candidate-bound). Every quantity
+    * through the ADC cut is integer; the oracle replays the per-subspace
+    * Lloyd training and the same (adc ASC, vec_id ASC) selection. */
+  def qx42(spark: SparkSession, dir: String): DataFrame = {
+    val M = 8; val Dsub = 8; val Ksub = 16L; val C = 32
+    val base = intEmbeddings(spark, dir)
+    // Per-subspace trained codebooks: quadratic-residue seeds (salt 37,
+    // absolute dims) refined by 2 Lloyd steps over that subspace's slice.
+    val books = (0 until M).map { sub =>
+      val sliced = base.select(col("vec_id"),
+        expr(s"slice(iv, ${1 + Dsub * sub}, $Dsub)").as("iv"))
+      val seeds = spark.range(Ksub).select(col("id").as("cid"),
+        expr(s"transform(sequence(${Dsub * sub}, ${Dsub * sub + Dsub - 1}), d -> " +
+          "(((cast(id as bigint) * 1000003 + d * 97 + 37) % 2147483647) * " +
+          "((cast(id as bigint) * 1000003 + d * 97 + 37) % 2147483647)) " +
+          "% 2147483647 % 2001 - 1000)").as("cv"))
+      IvfAnn.trainedCentroids(sliced, seeds, iters = 2).withColumn("sub", lit(sub))
+    }.reduce(_ unionByName _)
+    val booksN = books.withColumn("cn2", expr("long_dot(cv, cv)"))
+    // Encode: ONE broadcast crossJoin (128 codebook rows) + ONE aggregation
+    // with 8 conditional argmins (the imiCells pattern widened to M) →
+    // (vec_id, codes ARRAY(8)) — the 4-byte-per-vector compressed corpus.
+    val subScores = base.select("vec_id", "iv").crossJoin(broadcast(booksN))
+      .select(col("vec_id"), col("sub"), col("cid"),
+        (lit(2L) * expr(s"long_dot(slice(iv, 1 + $Dsub * sub, $Dsub), cv)")
+          - col("cn2")).as("sc"))
+    val codeAggs = (0 until M).map(m =>
+      max(when(col("sub") === m,
+        struct(col("sc"), (-col("cid")).as("negcid")))).as(s"b$m"))
+    val packed = subScores.groupBy("vec_id")
+      .agg(codeAggs.head, codeAggs.tail: _*)
+      .select(col("vec_id"),
+        array((0 until M).map(m => -col(s"b$m.negcid")): _*).as("codes"))
+    val q = base.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("n2").as("qn2"))
+    // Per-query ADC tables, packed as one 128-entry array indexed
+    // sub·16 + code — broadcast for the whole query set.
+    val luts = q.crossJoin(broadcast(booksN))
+      .select(col("qid"), col("sub"), col("cid").as("code"),
+        (col("cn2") - lit(2L) *
+          expr(s"long_dot(slice(qiv, 1 + $Dsub * sub, $Dsub), cv)")).as("part"))
+      .groupBy("qid")
+      .agg(expr("transform(array_sort(collect_list(struct(sub, code, part)))," +
+        " p -> p.part)").as("lutarr"))
+    // The compressed-domain scan: ADC = 8 lookups + adds per (vector,
+    // query), computed inside the broadcast-join stage; topk_by prunes to
+    // C per (query, map task) BEFORE any exchange.
+    val adc = packed.crossJoin(broadcast(luts))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        expr(s"aggregate(sequence(0, ${M - 1}), CAST(0 AS BIGINT), (a, m) -> " +
+          s"a + element_at(lutarr, CAST(m * $Ksub + element_at(codes, m + 1) + 1 AS INT)))")
+          .as("adc"))
+    val cand = adc
+      .groupBy("qid").agg(expr(s"topk_by(CAST(-adc AS DOUBLE), vec_id, $C)").as("tk"))
+      .select(col("qid"), explode(col("tk.id")).as("vec_id"))
+    // Exact refine on the C survivors only.
+    val scored = cand.join(base, "vec_id").join(broadcast(q), "qid")
+      .withColumn("dot", expr("long_dot(iv, qiv)"))
+      .withColumn("cosine", expr(COSINE))
+    topK(scored, 5)
+  }
+
   // ------------------------------------------------------- near-dup dedup
 
   /** Per-doc MinHash signature table: doc_id, mh0..mh15 — one hash
