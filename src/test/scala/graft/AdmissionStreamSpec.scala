@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.AdmissionStream
+import graft.streaming.AdmissionStream.DocIn
+
+/** Streaming ingest admission ([[AdmissionStream]]) — the online qx41:
+  * (1) with the corpus backfilled first and live docs arriving in id
+  * order, the resolved verdicts equal the qx41 batch screen EXACTLY,
+  * across different micro-batch splits of the same feed (which also pins
+  * the typed minhash/band-sig derivation end-to-end); (2) at-least-once
+  * re-delivery of a live wave emits no new candidates and grows no state. */
+class AdmissionStreamSpec extends SparkTestBase {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def docs(): Seq[(Long, String)] =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq.sortBy(_._1)
+
+  private def batchVerdicts(): Set[(Long, String, Long)] =
+    SparkEntry.queries("qx41_incremental_dedup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+  private def runStream(corpusWaves: Seq[Seq[DocIn]], liveWaves: Seq[Seq[DocIn]],
+                        name: String): Set[(Long, String, Long)] = {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[DocIn]
+    val input = MemoryStream[DocIn]
+    val q = AdmissionStream.candidates(input.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update").option("checkpointLocation", tmpDir(s"ckpt_$name")).start()
+    try {
+      (corpusWaves ++ liveWaves).foreach { wave =>
+        input.addData(wave); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val newIds = spark.createDataFrame(
+      liveWaves.flatten.map(d => Tuple1(d.doc_id))).toDF("doc_id")
+    AdmissionStream.resolveVerdicts(spark.table(name), newIds)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+  }
+
+  test("streamed verdicts equal batch qx41 across micro-batch splits") {
+    val all = docs()
+    val corpus = all.filter(_._1 % 10 != 7).map { case (id, t) => DocIn(id, t, is_new = false) }
+    val live = all.filter(_._1 % 10 == 7).map { case (id, t) => DocIn(id, t, is_new = true) }
+    val expected = batchVerdicts()
+    assert(expected.exists(_._2 != "admitted"), "no dups at this sf — test is vacuous")
+    // Two different splits of the same ordered feed must both match.
+    val v1 = runStream(corpus.grouped(corpus.size / 2 + 1).toSeq,
+      live.grouped(live.size / 3 + 1).toSeq, "adm_s1")
+    assert(v1 == expected,
+      s"split1 divergence: only-stream=${v1 -- expected}, only-batch=${expected -- v1}")
+    val v2 = runStream(Seq(corpus), live.grouped(7).toSeq, "adm_s2")
+    assert(v2 == expected,
+      s"split2 divergence: only-stream=${v2 -- expected}, only-batch=${expected -- v2}")
+  }
+
+  test("re-delivered live wave emits nothing new and grows no state") {
+    val all = docs()
+    val corpus = all.filter(_._1 % 10 != 7).map { case (id, t) => DocIn(id, t, is_new = false) }
+    val live = all.filter(_._1 % 10 == 7).map { case (id, t) => DocIn(id, t, is_new = true) }
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[DocIn]
+    val input = MemoryStream[DocIn]
+    val q = AdmissionStream.candidates(input.toDS())
+      .writeStream.format("memory").queryName("adm_replay")
+      .outputMode("update").option("checkpointLocation", tmpDir("ckpt_adm_replay")).start()
+    try {
+      input.addData(corpus); q.processAllAvailable()
+      input.addData(live); q.processAllAvailable()
+      val before = spark.table("adm_replay").count()
+      assert(before > 0, "no candidates emitted — replay test is vacuous")
+      input.addData(live); q.processAllAvailable() // at-least-once re-delivery
+      assert(spark.table("adm_replay").count() == before,
+        "re-delivered wave emitted new candidates")
+    } finally q.stop()
+  }
+}
