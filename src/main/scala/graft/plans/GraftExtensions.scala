@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomAgg, LongDotProduct, TopKBy}
+import graft.functions.{BloomAgg, LongDotProduct, PqAdc, TopKBy}
 
 /** Engine extension point: registers the custom Catalyst expressions with
   * the session's FunctionRegistry, so SQL/expr() can call them by name.
@@ -26,6 +26,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 3, "bloom_agg expects exactly 3 arguments")
         BloomAgg(children.head, children(1), children(2))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("pq_adc"),
+      new ExpressionInfo(classOf[PqAdc].getName, "pq_adc"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "pq_adc expects exactly 2 arguments")
+        PqAdc(children.head, children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("topk_by"),

@@ -411,14 +411,14 @@ object ExtQueries {
       .agg(expr("transform(array_sort(collect_list(struct(sub, code, part)))," +
         " p -> p.part)").as("lutarr"))
     // The compressed-domain scan: ADC = 8 lookups + adds per (vector,
-    // query), computed inside the broadcast-join stage; topk_by prunes to
-    // C per (query, map task) BEFORE any exchange.
+    // query) via the codegen'd pq_adc kernel (the declarative HOF chain
+    // measured ~3× SLOWER than qx2's full-precision long_dot scan at the
+    // 100× probe — interpreted lambdas per pair; see
+    // [[graft.functions.PqAdc]]); topk_by prunes to C per (query, map
+    // task) BEFORE any exchange.
     val adc = packed.crossJoin(broadcast(luts))
       .where(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"),
-        expr(s"aggregate(sequence(0, ${M - 1}), CAST(0 AS BIGINT), (a, m) -> " +
-          s"a + element_at(lutarr, CAST(m * $Ksub + element_at(codes, m + 1) + 1 AS INT)))")
-          .as("adc"))
+      .select(col("qid"), col("vec_id"), expr("pq_adc(lutarr, codes)").as("adc"))
     val cand = adc
       .groupBy("qid").agg(expr(s"topk_by(CAST(-adc AS DOUBLE), vec_id, $C)").as("tk"))
       .select(col("qid"), explode(col("tk.id")).as("vec_id"))

@@ -134,4 +134,34 @@ class PlanShapeSpec extends SparkTestBase {
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
+
+  test("qx42: the ADC scan feeds the partial top-k with no exchange between") {
+    // The compressed-domain pass's whole point: ADC scores are computed
+    // inside the broadcast-join stage and topk_by's PARTIAL aggregate
+    // prunes to C per (query, map task) right there — the only exchange
+    // after the scan carries pruned top-k buffers, never the n·q scored
+    // rows. Pin: a partial topk_by ObjectHashAggregate sits directly on
+    // the BroadcastNestedLoopJoin (through projections), no Exchange.
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.{ProjectExec, FilterExec, SparkPlan}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Partial
+    val plan = sparkPlan("qx42_pq_adc")
+    val partials = plan.collect {
+      case a: ObjectHashAggregateExec
+        if a.aggregateExpressions.exists(ae => ae.mode == Partial &&
+          ae.aggregateFunction.isInstanceOf[graft.functions.TopKBy]) => a
+    }
+    assert(partials.nonEmpty, "no partial topk_by aggregate in the qx42 plan")
+    @scala.annotation.tailrec
+    def throughProjections(p: SparkPlan): SparkPlan = p match {
+      case pr: ProjectExec => throughProjections(pr.child)
+      case f: FilterExec   => throughProjections(f.child)
+      case other           => other
+    }
+    assert(partials.exists(a =>
+      throughProjections(a.child).isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "the ADC partial top-k must sit on the broadcast scan stage, " +
+        s"not behind an exchange: ${partials.map(a => throughProjections(a.child).getClass.getSimpleName)}")
+  }
 }
