@@ -302,6 +302,94 @@ object ExtOracle {
        |WHERE rk <= 5""".stripMargin
   }
 
+  /** qx43 twin: IVF-PQ — qx15's IMI cell derivation chooses candidates
+    * (4 probed product cells per query), qx42's PQ codebooks + ADC score
+    * them, top-32 by (adc ASC, vec_id ASC), exact-cosine top-5 refine. */
+  val qx43: String = {
+    def step(cin: String, cout: String, i: Int): String =
+      s"""pcn$i AS (SELECT cid, d // 8 AS sub, sum(cval*cval) AS cn2
+         |          FROM $cin GROUP BY 1, 2),
+         |pad$i AS (SELECT vec_id, cid, d // 8 AS sub, sum(val * cval) AS dot
+         |          FROM pdims JOIN $cin USING (d) GROUP BY 1, 2, 3),
+         |pas$i AS (SELECT vec_id, sub, cid FROM (
+         |           SELECT a.vec_id, a.sub, a.cid,
+         |                  row_number() OVER (PARTITION BY a.vec_id, a.sub
+         |                    ORDER BY (2*dot - cn2) DESC, a.cid ASC) AS rn
+         |           FROM pad$i a JOIN pcn$i c ON a.cid = c.cid AND a.sub = c.sub)
+         |          WHERE rn = 1),
+         |pup$i AS (SELECT a.cid, pdims.d, CAST(sum(val) // count(*) AS BIGINT) AS m
+         |          FROM pdims JOIN pas$i a
+         |            ON pdims.vec_id = a.vec_id AND pdims.d // 8 = a.sub
+         |          GROUP BY 1, 2),
+         |$cout AS (SELECT s.cid, s.d, COALESCE(u.m, s.cval) AS cval
+         |          FROM $cin s LEFT JOIN pup$i u ON s.cid = u.cid AND s.d = u.d)""".stripMargin
+    s"""WITH $EMB,
+       |params AS (SELECT count(*) AS n FROM embeddings),
+       |kk AS (SELECT CAST(least(65536, greatest(4,
+       |         1 << ((length(bin(greatest(n // 64, 2))) - 1 + 1) // 2))) AS BIGINT) AS k
+       |       FROM params),
+       |cents AS (SELECT l.lvl, c AS cid, d + 32 * l.lvl AS d,
+       |            (((c * 1000003 + (d + 32 * l.lvl) * 97 + CASE l.lvl WHEN 0 THEN 13 ELSE 29 END) % 2147483647)
+       |             * ((c * 1000003 + (d + 32 * l.lvl) * 97 + CASE l.lvl WHEN 0 THEN 13 ELSE 29 END) % 2147483647))
+       |              % 2147483647 % 2001 - 1000 AS cval
+       |          FROM kk, unnest(range(0, k)) AS t(c), generate_series(0, 31) td(d),
+       |               (VALUES (0), (1)) l(lvl)),
+       |pdims AS (SELECT vec_id, i - 1 AS d, v[i] AS val FROM n, generate_series(1, 64) t(i)),
+       |adot AS (SELECT vec_id, lvl, cid, sum(val * cval) AS dot
+       |         FROM pdims JOIN cents USING (d) GROUP BY vec_id, lvl, cid),
+       |asg AS (SELECT vec_id, lvl, cid FROM (
+       |          SELECT vec_id, lvl, cid, row_number() OVER (PARTITION BY vec_id, lvl ORDER BY dot DESC, cid ASC) AS rn
+       |          FROM adot) WHERE rn = 1),
+       |cells AS (SELECT a0.vec_id, a0.cid * k + a1.cid AS cell
+       |          FROM asg a0, asg a1, kk
+       |          WHERE a0.vec_id = a1.vec_id AND a0.lvl = 0 AND a1.lvl = 1),
+       |qpr AS (SELECT qid, lvl, cid FROM (
+       |          SELECT vec_id AS qid, lvl, cid, row_number() OVER (PARTITION BY vec_id, lvl ORDER BY dot DESC, cid ASC) AS rn
+       |          FROM adot WHERE vec_id % 50 = 0) WHERE rn <= 2),
+       |qcells AS (SELECT p0.qid, p0.cid * k + p1.cid AS cell
+       |           FROM qpr p0, qpr p1, kk
+       |           WHERE p0.qid = p1.qid AND p0.lvl = 0 AND p1.lvl = 1),
+       |cand AS (SELECT qid, vec_id FROM qcells JOIN cells USING (cell) WHERE vec_id <> qid),
+       |pc0 AS (SELECT c AS cid, d,
+       |          (((c * 1000003 + d * 97 + 37) % $P) * ((c * 1000003 + d * 97 + 37) % $P))
+       |            % $P % 2001 - 1000 AS cval
+       |        FROM unnest(range(0, 16)) AS t(c), generate_series(0, 63) td(d)),
+       |${step("pc0", "pc1", 0)},
+       |${step("pc1", "pc2", 1)},
+       |pcnf AS (SELECT cid, d // 8 AS sub, sum(cval*cval) AS cn2 FROM pc2 GROUP BY 1, 2),
+       |padf AS (SELECT vec_id, cid, d // 8 AS sub, sum(val * cval) AS dot
+       |         FROM pdims JOIN pc2 USING (d) GROUP BY 1, 2, 3),
+       |codes AS (SELECT vec_id, sub, cid FROM (
+       |           SELECT a.vec_id, a.sub, a.cid,
+       |                  row_number() OVER (PARTITION BY a.vec_id, a.sub
+       |                    ORDER BY (2*dot - cn2) DESC, a.cid ASC) AS rn
+       |           FROM padf a JOIN pcnf c ON a.cid = c.cid AND a.sub = c.sub)
+       |          WHERE rn = 1),
+       |qdims AS (SELECT qid, i - 1 AS d, qv[i] AS val FROM q, generate_series(1, 64) t(i)),
+       |lut AS (SELECT a.qid, a.cid, a.sub, c.cn2 - 2 * a.qdot AS part
+       |        FROM (SELECT qid, cid, d // 8 AS sub, sum(val * cval) AS qdot
+       |              FROM qdims JOIN pc2 USING (d) GROUP BY 1, 2, 3) a
+       |        JOIN pcnf c ON a.cid = c.cid AND a.sub = c.sub),
+       |adc AS (SELECT cand.qid, cand.vec_id, CAST(sum(part) AS BIGINT) AS adc
+       |        FROM cand JOIN codes c ON c.vec_id = cand.vec_id
+       |             JOIN lut l ON l.qid = cand.qid AND l.sub = c.sub AND l.cid = c.cid
+       |        GROUP BY 1, 2),
+       |sel AS (SELECT qid, vec_id FROM (
+       |         SELECT qid, vec_id,
+       |                row_number() OVER (PARTITION BY qid
+       |                  ORDER BY adc ASC, vec_id ASC) AS rn
+       |         FROM adc) WHERE rn <= 32),
+       |scored AS (
+       |  SELECT sel.qid, sel.vec_id,
+       |         CAST(CAST(list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * qv[i])) AS BIGINT) AS DOUBLE)
+       |           / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE))) AS cosine
+       |  FROM sel JOIN n ON sel.vec_id = n.vec_id JOIN q ON sel.qid = q.qid)
+       |SELECT qid, rk, vec_id, cosine
+       |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rk
+       |      FROM scored) t
+       |WHERE rk <= 5""".stripMargin
+  }
+
   val qx16: String =
     s"""WITH $KMEANS_ASSIGN,
        |qprobe AS (SELECT qid, cid FROM (

@@ -369,47 +369,76 @@ object ExtQueries {
     * (the standard PQ refine step, candidate-bound). Every quantity
     * through the ADC cut is integer; the oracle replays the per-subspace
     * Lloyd training and the same (adc ASC, vec_id ASC) selection. */
-  def qx42(spark: SparkSession, dir: String): DataFrame = {
-    val M = 8; val Dsub = 8; val Ksub = 16L; val C = 32
-    val base = intEmbeddings(spark, dir)
-    // Per-subspace trained codebooks: quadratic-residue seeds (salt 37,
-    // absolute dims) refined by 2 Lloyd steps over that subspace's slice.
-    val books = (0 until M).map { sub =>
+  // PQ geometry shared by qx42 (exhaustive ADC) and qx43 (IVF-PQ):
+  // M subspaces × Dsub dims, Ksub-centroid codebooks, C-candidate cut.
+  private val PqM = 8; private val PqDsub = 8
+  private val PqKsub = 16L; private val PqC = 32
+
+  /** Per-subspace trained PQ codebooks (cid, sub, cv(8), cn2):
+    * quadratic-residue seeds (salt 37, absolute dims) refined by 2 Lloyd
+    * steps over that subspace's slice — the qx16 training discipline per
+    * subspace, 8×2 bounded driver round-trips. */
+  private def pqBooksN(spark: SparkSession, base: DataFrame): DataFrame = {
+    val books = (0 until PqM).map { sub =>
       val sliced = base.select(col("vec_id"),
-        expr(s"slice(iv, ${1 + Dsub * sub}, $Dsub)").as("iv"))
-      val seeds = spark.range(Ksub).select(col("id").as("cid"),
-        expr(s"transform(sequence(${Dsub * sub}, ${Dsub * sub + Dsub - 1}), d -> " +
+        expr(s"slice(iv, ${1 + PqDsub * sub}, $PqDsub)").as("iv"))
+      val seeds = spark.range(PqKsub).select(col("id").as("cid"),
+        expr(s"transform(sequence(${PqDsub * sub}, ${PqDsub * sub + PqDsub - 1}), d -> " +
           "(((cast(id as bigint) * 1000003 + d * 97 + 37) % 2147483647) * " +
           "((cast(id as bigint) * 1000003 + d * 97 + 37) % 2147483647)) " +
           "% 2147483647 % 2001 - 1000)").as("cv"))
       IvfAnn.trainedCentroids(sliced, seeds, iters = 2).withColumn("sub", lit(sub))
     }.reduce(_ unionByName _)
-    val booksN = books.withColumn("cn2", expr("long_dot(cv, cv)"))
-    // Encode: ONE broadcast crossJoin (128 codebook rows) + ONE aggregation
-    // with 8 conditional argmins (the imiCells pattern widened to M) →
-    // (vec_id, codes ARRAY(8)) — the 4-byte-per-vector compressed corpus.
+    books.withColumn("cn2", expr("long_dot(cv, cv)"))
+  }
+
+  /** Encode: ONE broadcast crossJoin (128 codebook rows) + ONE aggregation
+    * with 8 conditional argmins (the imiCells pattern widened to M) →
+    * (vec_id, codes ARRAY(8)) — the 4-byte-per-vector compressed corpus. */
+  private def pqPacked(base: DataFrame, booksN: DataFrame): DataFrame = {
     val subScores = base.select("vec_id", "iv").crossJoin(broadcast(booksN))
       .select(col("vec_id"), col("sub"), col("cid"),
-        (lit(2L) * expr(s"long_dot(slice(iv, 1 + $Dsub * sub, $Dsub), cv)")
+        (lit(2L) * expr(s"long_dot(slice(iv, 1 + $PqDsub * sub, $PqDsub), cv)")
           - col("cn2")).as("sc"))
-    val codeAggs = (0 until M).map(m =>
+    val codeAggs = (0 until PqM).map(m =>
       max(when(col("sub") === m,
         struct(col("sc"), (-col("cid")).as("negcid")))).as(s"b$m"))
-    val packed = subScores.groupBy("vec_id")
+    subScores.groupBy("vec_id")
       .agg(codeAggs.head, codeAggs.tail: _*)
       .select(col("vec_id"),
-        array((0 until M).map(m => -col(s"b$m.negcid")): _*).as("codes"))
-    val q = base.where(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("n2").as("qn2"))
-    // Per-query ADC tables, packed as one 128-entry array indexed
-    // sub·16 + code — broadcast for the whole query set.
-    val luts = q.crossJoin(broadcast(booksN))
+        array((0 until PqM).map(m => -col(s"b$m.negcid")): _*).as("codes"))
+  }
+
+  /** Per-query ADC tables, packed as one 128-entry array indexed
+    * sub·Ksub + code — broadcast for the whole query set. */
+  private def pqLuts(q: DataFrame, booksN: DataFrame): DataFrame =
+    q.crossJoin(broadcast(booksN))
       .select(col("qid"), col("sub"), col("cid").as("code"),
         (col("cn2") - lit(2L) *
-          expr(s"long_dot(slice(qiv, 1 + $Dsub * sub, $Dsub), cv)")).as("part"))
+          expr(s"long_dot(slice(qiv, 1 + $PqDsub * sub, $PqDsub), cv)")).as("part"))
       .groupBy("qid")
       .agg(expr("transform(array_sort(collect_list(struct(sub, code, part)))," +
         " p -> p.part)").as("lutarr"))
+
+  /** ADC top-C cut + exact-cosine top-5 refine — the tail qx42 and qx43
+    * share; `adc` rows are (qid, vec_id, adc). */
+  private def pqRefine(adc: DataFrame, base: DataFrame, q: DataFrame): DataFrame = {
+    val cand = adc
+      .groupBy("qid").agg(expr(s"topk_by(CAST(-adc AS DOUBLE), vec_id, $PqC)").as("tk"))
+      .select(col("qid"), explode(col("tk.id")).as("vec_id"))
+    val scored = cand.join(base, "vec_id").join(broadcast(q), "qid")
+      .withColumn("dot", expr("long_dot(iv, qiv)"))
+      .withColumn("cosine", expr(COSINE))
+    topK(scored, 5)
+  }
+
+  def qx42(spark: SparkSession, dir: String): DataFrame = {
+    val base = intEmbeddings(spark, dir)
+    val booksN = pqBooksN(spark, base)
+    val packed = pqPacked(base, booksN)
+    val q = base.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("n2").as("qn2"))
+    val luts = pqLuts(q, booksN)
     // The compressed-domain scan: ADC = 8 lookups + adds per (vector,
     // query) via the codegen'd pq_adc kernel (the declarative HOF chain
     // measured ~3× SLOWER than qx2's full-precision long_dot scan at the
@@ -419,14 +448,42 @@ object ExtQueries {
     val adc = packed.crossJoin(broadcast(luts))
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"), expr("pq_adc(lutarr, codes)").as("adc"))
-    val cand = adc
-      .groupBy("qid").agg(expr(s"topk_by(CAST(-adc AS DOUBLE), vec_id, $C)").as("tk"))
-      .select(col("qid"), explode(col("tk.id")).as("vec_id"))
-    // Exact refine on the C survivors only.
-    val scored = cand.join(base, "vec_id").join(broadcast(q), "qid")
-      .withColumn("dot", expr("long_dot(iv, qiv)"))
-      .withColumn("cosine", expr(COSINE))
-    topK(scored, 5)
+    pqRefine(adc, base, q)
+  }
+
+  /** qx43 — IVF-PQ: the production composition qx42's scaladoc points at
+    * (the IVFADC system of Jégou et al. TPAMI'11, §IV): qx15's two-level
+    * IMI product cells choose WHICH vectors to score (coarse, probe-bound
+    * candidates) and the PQ codes + [[graft.functions.PqAdc]] kernel
+    * decide HOW CHEAPLY (compressed, 8 lookups per candidate) — search
+    * cost per query falls from qx42's n·8 adds to (candidates)·8 adds,
+    * with candidates ≈ 4 cells × occupancy regardless of n.
+    *
+    * Plan: both index structures build exactly as their parents (cells:
+    * one broadcast crossJoin + conditional-argmax aggregation; codes:
+    * [[pqPacked]]); the 4 probed cells per query broadcast against the
+    * cell table, candidate codes join by vec_id (both sides already
+    * hash-partitioned on vec_id — the exchange reuses), ADC + topk_by +
+    * exact refine are candidate-bound. At 100 TB this is THE shape: the
+    * scan touches a 4-byte code column for ~256 candidates per query,
+    * the 512-byte vectors surface only for the 32 refined. */
+  def qx43(spark: SparkSession, dir: String): DataFrame = {
+    val base = intEmbeddings(spark, dir)
+    val k = IvfAnn.imiCentroidsFor(Tables.embeddings(spark, dir).count())
+    val books2 = IvfAnn.imiCodebooks(spark, k)
+    val cells = IvfAnn.imiCells(base, books2, k)
+    val q = base.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("n2").as("qn2"))
+    val probed = IvfAnn.imiProbeCells(q, books2, k)
+    val booksN = pqBooksN(spark, base)
+    val packed = pqPacked(base, booksN)
+    val luts = pqLuts(q, booksN)
+    val cand = broadcast(probed).join(cells, "cell")
+      .where(col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id")
+    val adc = cand.join(packed, "vec_id").join(broadcast(luts), "qid")
+      .select(col("qid"), col("vec_id"), expr("pq_adc(lutarr, codes)").as("adc"))
+    pqRefine(adc, base, q)
   }
 
   // ------------------------------------------------------- near-dup dedup
