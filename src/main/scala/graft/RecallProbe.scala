@@ -213,6 +213,92 @@ object RecallProbe {
       results += (("imi_trained", pl, r, c))
     }
 
+    // PQ (qx42/qx43's codec): recall through the COMPRESSED ranking —
+    // candidates are the ADC top-C, so the measured loss is the
+    // quantization error itself (exhaustive variant) or quantization +
+    // coarse-probe loss (ivf_pq variant). The refine step rescores exact
+    // cosine, exactly as the gate queries do.
+    {
+      import graft.operators.ProductQuantizer
+      val pqBooks = ProductQuantizer.booksN(spark, base)
+      val pqCodes = ProductQuantizer.packed(base, pqBooks)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pqLuts = ProductQuantizer.luts(q, pqBooks)
+      def adcCut(adc: DataFrame, c: Int): DataFrame = adc
+        .groupBy("qid").agg(expr(s"topk_by(CAST(-adc AS DOUBLE), vec_id, $c)").as("tk"))
+        .select(col("qid"), explode(col("tk.id")).as("vec_id"))
+      val exhaustive = pqCodes.crossJoin(broadcast(pqLuts))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), expr("pq_adc(lutarr, codes)").as("adc"))
+      for (c <- Seq(16, 32, 64)) {
+        val (r, cc) = score(adcCut(exhaustive, c), base, q, truth)
+        results += (("pq_exhaustive", c, r, cc))
+      }
+      val coarse = noSelf(broadcast(IvfAnn.imiProbeCells(q, books, kImi, 2)).join(cells, "cell"))
+      val ivfAdc = coarse.join(pqCodes, "vec_id").join(broadcast(pqLuts), "qid")
+        .select(col("qid"), col("vec_id"), expr("pq_adc(lutarr, codes)").as("adc"))
+      for (c <- Seq(16, 32, 64)) {
+        val (r, cc) = score(adcCut(ivfAdc, c), base, q, truth)
+        results += (("ivf_pq", c, r, cc))
+      }
+
+      // IVFADC with RESIDUAL encoding (Jégou et al. §IV-B, the system as
+      // published): coarse = the TRAINED IMI (its Lloyd means live at
+      // data scale, so residuals actually shrink — against the hashed
+      // ±1000 centers the residual IS the vector); PQ trains on the
+      // residuals; each query carries one LUT per probed cell (its
+      // residual differs per cell), and ‖q_res‖² rides along so ADC
+      // ranks comparably ACROSS cells.
+      val centersByLvl = (lvl: Int) => broadcast(tBooks.where(col("lvl") === lvl)
+        .select(col("cid").as(s"c$lvl"), col("cv").as(s"cv$lvl")))
+      def residualized(vecs: DataFrame, cellsOf: DataFrame, idCol: String): DataFrame =
+        vecs.join(cellsOf, idCol)
+          .withColumn("c0", expr(s"cell div $kImi"))
+          .withColumn("c1", expr(s"cell % $kImi"))
+          .join(centersByLvl(0), "c0").join(centersByLvl(1), "c1")
+          .withColumn("ivr", expr("zip_with(iv, concat(cv0, cv1), (x, c) -> x - c)"))
+      val resBase = residualized(base.select("vec_id", "iv"), tCells, "vec_id")
+        .select(col("vec_id"), col("cell"), col("ivr").as("iv"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val rBooks = ProductQuantizer.booksN(spark, resBase.select("vec_id", "iv"))
+      val rCodes = ProductQuantizer.packed(resBase.select("vec_id", "iv"), rBooks)
+        .join(resBase.select("vec_id", "cell"), "vec_id")
+      val qProbe = IvfAnn.imiProbeCellsL2(q, tBooks, kImi, 2)
+      val qRes = residualized(
+        q.select(col("qid").as("vec_id"), col("qiv").as("iv")), qProbe
+          .select(col("qid").as("vec_id"), col("cell")), "vec_id")
+        .select(col("vec_id").as("qid"), col("cell"), col("ivr").as("qiv"),
+          expr("long_dot(ivr, ivr)").as("qrn2"))
+      val rLuts = ProductQuantizer.lutsKeyed(qRes, rBooks, Seq("qid", "cell"))
+        .join(qRes.select("qid", "cell", "qrn2"), Seq("qid", "cell"))
+      val rAdc = rCodes.join(broadcast(rLuts), Seq("cell"))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          (expr("pq_adc(lutarr, codes)") + col("qrn2")).as("adc"))
+      for (c <- Seq(16, 32, 64, 256)) {
+        val (r, cc) = score(adcCut(rAdc, c), base, q, truth)
+        results += (("ivfadc_residual", c, r, cc))
+      }
+
+      // The bits-per-vector knob: the same residual system at Ksub = 256
+      // (8 bits/subspace, 64-bit codes — the TPAMI paper's design point)
+      // isolates how much of the remaining loss is code coarseness
+      // rather than system structure.
+      val rBooks256 = ProductQuantizer.booksN(spark, resBase.select("vec_id", "iv"), 256L)
+      val rCodes256 = ProductQuantizer.packed(resBase.select("vec_id", "iv"), rBooks256)
+        .join(resBase.select("vec_id", "cell"), "vec_id")
+      val rLuts256 = ProductQuantizer.lutsKeyed(qRes, rBooks256, Seq("qid", "cell"))
+        .join(qRes.select("qid", "cell", "qrn2"), Seq("qid", "cell"))
+      val rAdc256 = rCodes256.join(broadcast(rLuts256), Seq("cell"))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          (expr("pq_adc(lutarr, codes)") + col("qrn2")).as("adc"))
+      for (c <- Seq(16, 32, 64, 256)) {
+        val (r, cc) = score(adcCut(rAdc256, c), base, q, truth)
+        results += (("ivfadc_residual_64bit", c, r, cc))
+      }
+    }
+
     // Trained k-means (qx16's index), nprobe sweep — same 2-iteration
     // Lloyd budget the gate uses.
     val kKm = IvfAnn.kmeansCentroidsFor(n)

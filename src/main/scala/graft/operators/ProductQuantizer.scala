@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou, Douze & Schmid, TPAMI 2011) — the
+  * compressed-vector codec behind qx42 (exhaustive ADC) and qx43
+  * (IVF-PQ), factored here so the recall fixture measures the same
+  * artifacts the gate queries ship.
+  *
+  * Geometry: 64 dims split into [[M]] = 8 subspaces of [[Dsub]] = 8,
+  * each quantized against its own [[Ksub]] = 16-centroid codebook
+  * trained with 2 per-subspace Lloyd iterations
+  * ([[IvfAnn.trainedCentroids]] over the slice — integer-exact, so the
+  * DuckDB oracle replays the training); a 512-byte vector becomes 8
+  * 4-bit codes. Queries carry 128-entry lookup tables (per sub × code:
+  * ‖c‖² − 2·q_sub·c, the L2 surrogate with the per-query constant
+  * dropped); scoring is the codegen'd `pq_adc` kernel — 8 lookups +
+  * adds per (vector, query).
+  */
+object ProductQuantizer {
+
+  val M = 8
+  val Dsub = 8
+  val Ksub = 16L
+
+  /** Per-subspace trained codebooks (cid, sub, cv(8), cn2):
+    * quadratic-residue seeds (salt 37, absolute dims) refined by 2 Lloyd
+    * steps over that subspace's slice — the qx16 training discipline per
+    * subspace, M×2 bounded driver round-trips. */
+  def booksN(spark: SparkSession, base: DataFrame, ksub: Long = Ksub): DataFrame = {
+    val books = (0 until M).map { sub =>
+      val sliced = base.select(col("vec_id"),
+        expr(s"slice(iv, ${1 + Dsub * sub}, $Dsub)").as("iv"))
+      val seeds = spark.range(ksub).select(col("id").as("cid"),
+        expr(s"transform(sequence(${Dsub * sub}, ${Dsub * sub + Dsub - 1}), d -> " +
+          "(((cast(id as bigint) * 1000003 + d * 97 + 37) % 2147483647) * " +
+          "((cast(id as bigint) * 1000003 + d * 97 + 37) % 2147483647)) " +
+          "% 2147483647 % 2001 - 1000)").as("cv"))
+      IvfAnn.trainedCentroids(sliced, seeds, iters = 2).withColumn("sub", lit(sub))
+    }.reduce(_ unionByName _)
+    books.withColumn("cn2", expr("long_dot(cv, cv)"))
+  }
+
+  /** Encode: ONE broadcast crossJoin (M·Ksub codebook rows) + ONE
+    * aggregation with M conditional argmins (the imiCells pattern widened
+    * to M) → (vec_id, codes ARRAY(M)) — the 4-byte-per-vector compressed
+    * corpus. */
+  def packed(base: DataFrame, booksN: DataFrame): DataFrame = {
+    val subScores = base.select("vec_id", "iv").crossJoin(broadcast(booksN))
+      .select(col("vec_id"), col("sub"), col("cid"),
+        (lit(2L) * expr(s"long_dot(slice(iv, 1 + $Dsub * sub, $Dsub), cv)")
+          - col("cn2")).as("sc"))
+    val codeAggs = (0 until M).map(m =>
+      max(when(col("sub") === m,
+        struct(col("sc"), (-col("cid")).as("negcid")))).as(s"b$m"))
+    subScores.groupBy("vec_id")
+      .agg(codeAggs.head, codeAggs.tail: _*)
+      .select(col("vec_id"),
+        array((0 until M).map(m => -col(s"b$m.negcid")): _*).as("codes"))
+  }
+
+  /** Per-query ADC tables, packed as one M·Ksub-entry array indexed
+    * sub·Ksub + code — broadcast for the whole query set. Expects
+    * (qid, qiv) columns. */
+  def luts(q: DataFrame, booksN: DataFrame): DataFrame =
+    lutsKeyed(q, booksN, Seq("qid"))
+
+  /** [[luts]] with a caller-chosen grouping key — the residual system
+    * (qx44) builds one table per (query, probed cell), since the query's
+    * residual differs per cell. */
+  def lutsKeyed(q: DataFrame, booksN: DataFrame, keyCols: Seq[String]): DataFrame =
+    q.crossJoin(broadcast(booksN))
+      .select(keyCols.map(col) ++ Seq(col("sub"), col("cid").as("code"),
+        (col("cn2") - lit(2L) *
+          expr(s"long_dot(slice(qiv, 1 + $Dsub * sub, $Dsub), cv)")).as("part")): _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(expr("transform(array_sort(collect_list(struct(sub, code, part)))," +
+        " p -> p.part)").as("lutarr"))
+}

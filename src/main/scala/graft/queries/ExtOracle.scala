@@ -390,6 +390,126 @@ object ExtOracle {
        |WHERE rk <= 5""".stripMargin
   }
 
+  /** qx44 twin: IVFADC with residual encoding — trained two-level IMI
+    * coarse quantizer (32-dim halves, generic subspace Lloyd), residuals
+    * against the assigned cell's concatenated half-centroids, PQ
+    * codebooks trained ON the residuals (8-dim subspaces, same generic
+    * Lloyd), per-(query, probed cell) ADC tables + ‖q_res‖², top-32 by
+    * (adc ASC, vec_id ASC), exact-cosine top-5 refine. */
+  val qx44: String = {
+    // Generic subspace-Lloyd step over a (vec_id, d, val) dims table;
+    // cluster identity = (sub = d // width, cid).
+    def step(prefix: String, dims: String, width: Int,
+             cin: String, cout: String, i: Int): String =
+      s"""${prefix}cn$i AS (SELECT cid, d // $width AS sub, sum(cval*cval) AS cn2
+         |          FROM $cin GROUP BY 1, 2),
+         |${prefix}ad$i AS (SELECT vec_id, cid, d // $width AS sub, sum(val * cval) AS dot
+         |          FROM $dims JOIN $cin USING (d) GROUP BY 1, 2, 3),
+         |${prefix}as$i AS (SELECT vec_id, sub, cid FROM (
+         |           SELECT a.vec_id, a.sub, a.cid,
+         |                  row_number() OVER (PARTITION BY a.vec_id, a.sub
+         |                    ORDER BY (2*dot - cn2) DESC, a.cid ASC) AS rn
+         |           FROM ${prefix}ad$i a JOIN ${prefix}cn$i c ON a.cid = c.cid AND a.sub = c.sub)
+         |          WHERE rn = 1),
+         |${prefix}up$i AS (SELECT a.cid, $dims.d, CAST(sum(val) // count(*) AS BIGINT) AS m
+         |          FROM $dims JOIN ${prefix}as$i a
+         |            ON $dims.vec_id = a.vec_id AND $dims.d // $width = a.sub
+         |          GROUP BY 1, 2),
+         |$cout AS (SELECT s.cid, s.d, COALESCE(u.m, s.cval) AS cval
+         |          FROM $cin s LEFT JOIN ${prefix}up$i u ON s.cid = u.cid AND s.d = u.d)""".stripMargin
+    s"""WITH $EMB,
+       |params AS (SELECT count(*) AS n FROM embeddings),
+       |kk AS (SELECT CAST(least(65536, greatest(4,
+       |         1 << ((length(bin(greatest(n // 64, 2))) - 1 + 1) // 2))) AS BIGINT) AS k
+       |       FROM params),
+       |ic0 AS (SELECT c AS cid, d + 32 * l.lvl AS d,
+       |          (((c * 1000003 + (d + 32 * l.lvl) * 97 + CASE l.lvl WHEN 0 THEN 13 ELSE 29 END) % $P)
+       |           * ((c * 1000003 + (d + 32 * l.lvl) * 97 + CASE l.lvl WHEN 0 THEN 13 ELSE 29 END) % $P))
+       |            % $P % 2001 - 1000 AS cval
+       |        FROM kk, unnest(range(0, k)) AS t(c), generate_series(0, 31) td(d),
+       |             (VALUES (0), (1)) l(lvl)),
+       |pdims AS (SELECT vec_id, i - 1 AS d, v[i] AS val FROM n, generate_series(1, 64) t(i)),
+       |${step("i", "pdims", 32, "ic0", "ic1", 0)},
+       |${step("i", "pdims", 32, "ic1", "ic2", 1)},
+       |icnf AS (SELECT cid, d // 32 AS sub, sum(cval*cval) AS cn2 FROM ic2 GROUP BY 1, 2),
+       |iadf AS (SELECT vec_id, cid, d // 32 AS sub, sum(val * cval) AS dot
+       |         FROM pdims JOIN ic2 USING (d) GROUP BY 1, 2, 3),
+       |iasf AS (SELECT vec_id, sub, cid FROM (
+       |          SELECT a.vec_id, a.sub, a.cid,
+       |                 row_number() OVER (PARTITION BY a.vec_id, a.sub
+       |                   ORDER BY (2*dot - cn2) DESC, a.cid ASC) AS rn
+       |          FROM iadf a JOIN icnf c ON a.cid = c.cid AND a.sub = c.sub)
+       |         WHERE rn = 1),
+       |cells AS (SELECT a0.vec_id, a0.cid * k + a1.cid AS cell
+       |          FROM iasf a0, iasf a1, kk
+       |          WHERE a0.vec_id = a1.vec_id AND a0.sub = 0 AND a1.sub = 1),
+       |qpr AS (SELECT qid, sub, cid FROM (
+       |          SELECT a.vec_id AS qid, a.sub, a.cid,
+       |                 row_number() OVER (PARTITION BY a.vec_id, a.sub
+       |                   ORDER BY (2*dot - cn2) DESC, a.cid ASC) AS rn
+       |          FROM iadf a JOIN icnf c ON a.cid = c.cid AND a.sub = c.sub
+       |          WHERE a.vec_id % 50 = 0)
+       |        WHERE rn <= 2),
+       |qcells AS (SELECT p0.qid, p0.cid * k + p1.cid AS cell
+       |           FROM qpr p0, qpr p1, kk
+       |           WHERE p0.qid = p1.qid AND p0.sub = 0 AND p1.sub = 1),
+       |rdims AS (SELECT p.vec_id, p.d, p.val - s.cval AS val
+       |          FROM pdims p
+       |          JOIN iasf a ON p.vec_id = a.vec_id AND p.d // 32 = a.sub
+       |          JOIN ic2 s ON s.cid = a.cid AND s.d = p.d),
+       |pc0 AS (SELECT c AS cid, d,
+       |          (((c * 1000003 + d * 97 + 37) % $P) * ((c * 1000003 + d * 97 + 37) % $P))
+       |            % $P % 2001 - 1000 AS cval
+       |        FROM unnest(range(0, 16)) AS t(c), generate_series(0, 63) td(d)),
+       |${step("p", "rdims", 8, "pc0", "pc1", 0)},
+       |${step("p", "rdims", 8, "pc1", "pc2", 1)},
+       |pcnf AS (SELECT cid, d // 8 AS sub, sum(cval*cval) AS cn2 FROM pc2 GROUP BY 1, 2),
+       |padf AS (SELECT vec_id, cid, d // 8 AS sub, sum(val * cval) AS dot
+       |         FROM rdims JOIN pc2 USING (d) GROUP BY 1, 2, 3),
+       |codes AS (SELECT vec_id, sub, cid FROM (
+       |           SELECT a.vec_id, a.sub, a.cid,
+       |                  row_number() OVER (PARTITION BY a.vec_id, a.sub
+       |                    ORDER BY (2*dot - cn2) DESC, a.cid ASC) AS rn
+       |           FROM padf a JOIN pcnf c ON a.cid = c.cid AND a.sub = c.sub)
+       |          WHERE rn = 1),
+       |qrdims AS (SELECT qc.qid, qc.cell, p.d, p.val - s.cval AS val
+       |           FROM qcells qc
+       |           JOIN pdims p ON p.vec_id = qc.qid
+       |           JOIN kk ON TRUE
+       |           JOIN ic2 s ON s.d = p.d AND s.cid =
+       |             CASE WHEN p.d // 32 = 0 THEN qc.cell // k ELSE qc.cell % k END),
+       |qrn AS (SELECT qid, cell, CAST(sum(val*val) AS BIGINT) AS qrn2
+       |        FROM qrdims GROUP BY 1, 2),
+       |lut AS (SELECT a.qid, a.cell, a.cid, a.sub, c.cn2 - 2 * a.qdot AS part
+       |        FROM (SELECT qid, cell, cid, d // 8 AS sub, sum(val * cval) AS qdot
+       |              FROM qrdims JOIN pc2 USING (d) GROUP BY 1, 2, 3, 4) a
+       |        JOIN pcnf c ON a.cid = c.cid AND a.sub = c.sub),
+       |cand AS (SELECT qid, cell, vec_id
+       |         FROM qcells JOIN cells USING (cell) WHERE vec_id <> qid),
+       |adc0 AS (SELECT cand.qid, cand.vec_id, cand.cell, CAST(sum(part) AS BIGINT) AS s
+       |         FROM cand
+       |         JOIN codes c ON c.vec_id = cand.vec_id
+       |         JOIN lut l ON l.qid = cand.qid AND l.cell = cand.cell
+       |              AND l.sub = c.sub AND l.cid = c.cid
+       |         GROUP BY 1, 2, 3),
+       |adc AS (SELECT adc0.qid, adc0.vec_id, s + qrn2 AS adc
+       |        FROM adc0 JOIN qrn ON qrn.qid = adc0.qid AND qrn.cell = adc0.cell),
+       |sel AS (SELECT qid, vec_id FROM (
+       |         SELECT qid, vec_id,
+       |                row_number() OVER (PARTITION BY qid
+       |                  ORDER BY adc ASC, vec_id ASC) AS rn
+       |         FROM adc) WHERE rn <= 32),
+       |scored AS (
+       |  SELECT sel.qid, sel.vec_id,
+       |         CAST(CAST(list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * qv[i])) AS BIGINT) AS DOUBLE)
+       |           / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE))) AS cosine
+       |  FROM sel JOIN n ON sel.vec_id = n.vec_id JOIN q ON sel.qid = q.qid)
+       |SELECT qid, rk, vec_id, cosine
+       |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rk
+       |      FROM scored) t
+       |WHERE rk <= 5""".stripMargin
+  }
+
   val qx16: String =
     s"""WITH $KMEANS_ASSIGN,
        |qprobe AS (SELECT qid, cid FROM (

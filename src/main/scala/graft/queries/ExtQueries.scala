@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{BloomFilter, Determinism}
-import graft.operators.{ConnectedComponents, EmbeddingLsh, EmbeddingPca, IvfAnn, MultimodalCodec, SimHashLsh}
+import graft.operators.{ConnectedComponents, EmbeddingLsh, EmbeddingPca, IvfAnn, MultimodalCodec, ProductQuantizer, SimHashLsh}
 import graft.sources.Tables
 
 /** The large-scale training-data-pipeline operator family (builder brief +
@@ -369,56 +369,15 @@ object ExtQueries {
     * (the standard PQ refine step, candidate-bound). Every quantity
     * through the ADC cut is integer; the oracle replays the per-subspace
     * Lloyd training and the same (adc ASC, vec_id ASC) selection. */
-  // PQ geometry shared by qx42 (exhaustive ADC) and qx43 (IVF-PQ):
-  // M subspaces × Dsub dims, Ksub-centroid codebooks, C-candidate cut.
-  private val PqM = 8; private val PqDsub = 8
-  private val PqKsub = 16L; private val PqC = 32
-
-  /** Per-subspace trained PQ codebooks (cid, sub, cv(8), cn2):
-    * quadratic-residue seeds (salt 37, absolute dims) refined by 2 Lloyd
-    * steps over that subspace's slice — the qx16 training discipline per
-    * subspace, 8×2 bounded driver round-trips. */
-  private def pqBooksN(spark: SparkSession, base: DataFrame): DataFrame = {
-    val books = (0 until PqM).map { sub =>
-      val sliced = base.select(col("vec_id"),
-        expr(s"slice(iv, ${1 + PqDsub * sub}, $PqDsub)").as("iv"))
-      val seeds = spark.range(PqKsub).select(col("id").as("cid"),
-        expr(s"transform(sequence(${PqDsub * sub}, ${PqDsub * sub + PqDsub - 1}), d -> " +
-          "(((cast(id as bigint) * 1000003 + d * 97 + 37) % 2147483647) * " +
-          "((cast(id as bigint) * 1000003 + d * 97 + 37) % 2147483647)) " +
-          "% 2147483647 % 2001 - 1000)").as("cv"))
-      IvfAnn.trainedCentroids(sliced, seeds, iters = 2).withColumn("sub", lit(sub))
-    }.reduce(_ unionByName _)
-    books.withColumn("cn2", expr("long_dot(cv, cv)"))
-  }
-
-  /** Encode: ONE broadcast crossJoin (128 codebook rows) + ONE aggregation
-    * with 8 conditional argmins (the imiCells pattern widened to M) →
-    * (vec_id, codes ARRAY(8)) — the 4-byte-per-vector compressed corpus. */
-  private def pqPacked(base: DataFrame, booksN: DataFrame): DataFrame = {
-    val subScores = base.select("vec_id", "iv").crossJoin(broadcast(booksN))
-      .select(col("vec_id"), col("sub"), col("cid"),
-        (lit(2L) * expr(s"long_dot(slice(iv, 1 + $PqDsub * sub, $PqDsub), cv)")
-          - col("cn2")).as("sc"))
-    val codeAggs = (0 until PqM).map(m =>
-      max(when(col("sub") === m,
-        struct(col("sc"), (-col("cid")).as("negcid")))).as(s"b$m"))
-    subScores.groupBy("vec_id")
-      .agg(codeAggs.head, codeAggs.tail: _*)
-      .select(col("vec_id"),
-        array((0 until PqM).map(m => -col(s"b$m.negcid")): _*).as("codes"))
-  }
-
-  /** Per-query ADC tables, packed as one 128-entry array indexed
-    * sub·Ksub + code — broadcast for the whole query set. */
+  // PQ codec shared by qx42 (exhaustive ADC) and qx43 (IVF-PQ) — and the
+  // RecallProbe fixture, which is why it lives in operators/.
+  private val PqC = 32
+  private def pqBooksN(spark: SparkSession, base: DataFrame): DataFrame =
+    ProductQuantizer.booksN(spark, base)
+  private def pqPacked(base: DataFrame, booksN: DataFrame): DataFrame =
+    ProductQuantizer.packed(base, booksN)
   private def pqLuts(q: DataFrame, booksN: DataFrame): DataFrame =
-    q.crossJoin(broadcast(booksN))
-      .select(col("qid"), col("sub"), col("cid").as("code"),
-        (col("cn2") - lit(2L) *
-          expr(s"long_dot(slice(qiv, 1 + $PqDsub * sub, $PqDsub), cv)")).as("part"))
-      .groupBy("qid")
-      .agg(expr("transform(array_sort(collect_list(struct(sub, code, part)))," +
-        " p -> p.part)").as("lutarr"))
+    ProductQuantizer.luts(q, booksN)
 
   /** ADC top-C cut + exact-cosine top-5 refine — the tail qx42 and qx43
     * share; `adc` rows are (qid, vec_id, adc). */
@@ -483,6 +442,64 @@ object ExtQueries {
       .select("qid", "vec_id")
     val adc = cand.join(packed, "vec_id").join(broadcast(luts), "qid")
       .select(col("qid"), col("vec_id"), expr("pq_adc(lutarr, codes)").as("adc"))
+    pqRefine(adc, base, q)
+  }
+
+  /** qx44 — IVFADC with RESIDUAL encoding: the system as published
+    * (Jégou et al. TPAMI'11 §IV-B), completing the PQ family. qx43
+    * encodes raw vectors against a hashed coarse index; the recall
+    * fixture measured that leaving half the recall on the table (0.17 →
+    * 0.33 @32 candidates on the clustered corpus) because raw 32-bit
+    * codes can't rank within tight clusters — and against the hashed
+    * ±1000 centers a "residual" would be the vector itself. Here the
+    * coarse quantizer is the TRAINED two-level IMI
+    * ([[graft.operators.IvfAnn.trainedImiCodebooks]] — its Lloyd means
+    * live at data scale, so residuals genuinely shrink), the PQ
+    * codebooks train on the residuals, each query carries one ADC table
+    * per probed cell (its residual differs per cell) with ‖q_res‖²
+    * riding along so ADC ranks comparably ACROSS cells, and exact
+    * cosine refines the top-32.
+    *
+    * Scale shape: everything the parents had — broadcast codebooks,
+    * conditional-argmax assignments, per-(query, cell) LUTs broadcast
+    * (queries × 4 cells × 128 entries), candidates probe-bound, the
+    * codes column 4 bytes/vector — plus one zip_with residual pass that
+    * rides the scan. Integer-exact end to end; the oracle replays BOTH
+    * trainings (two 32-dim half codebooks + eight 8-dim residual
+    * codebooks, all through the same generic subspace-Lloyd SQL). */
+  def qx44(spark: SparkSession, dir: String): DataFrame = {
+    val base = intEmbeddings(spark, dir)
+    val k = IvfAnn.imiCentroidsFor(Tables.embeddings(spark, dir).count())
+    val tBooks = IvfAnn.trainedImiCodebooks(base, k, iters = 2)
+    val tCells = IvfAnn.imiCellsL2(base, tBooks, k)
+    val q = base.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("n2").as("qn2"))
+    val centersByLvl = (lvl: Int) => broadcast(tBooks.where(col("lvl") === lvl)
+      .select(col("cid").as(s"c$lvl"), col("cv").as(s"cv$lvl")))
+    def residualized(vecs: DataFrame, cellsOf: DataFrame): DataFrame =
+      vecs.join(cellsOf, "vec_id")
+        .withColumn("c0", expr(s"cell div $k"))
+        .withColumn("c1", expr(s"cell % $k"))
+        .join(centersByLvl(0), "c0").join(centersByLvl(1), "c1")
+        .withColumn("ivr", expr("zip_with(iv, concat(cv0, cv1), (x, c) -> x - c)"))
+    val resBase = residualized(base.select("vec_id", "iv"), tCells)
+      .select(col("vec_id"), col("cell"), col("ivr").as("iv"))
+    val rBooks = ProductQuantizer.booksN(spark, resBase.select("vec_id", "iv"))
+    val rCodes = ProductQuantizer.packed(resBase.select("vec_id", "iv"), rBooks)
+      .join(resBase.select("vec_id", "cell"), "vec_id")
+    val qRes = residualized(
+      q.select(col("qid").as("vec_id"), col("qiv").as("iv")),
+      IvfAnn.imiProbeCellsL2(q, tBooks, k, 2).withColumnRenamed("qid", "vec_id"))
+      .select(col("vec_id").as("qid"), col("cell"), col("ivr").as("qiv"),
+        expr("long_dot(ivr, ivr)").as("qrn2"))
+    val rLuts = ProductQuantizer.lutsKeyed(qRes, rBooks, Seq("qid", "cell"))
+      .join(qRes.select("qid", "cell", "qrn2"), Seq("qid", "cell"))
+    // The (cell) join IS the candidate generation: each probed cell's
+    // broadcast LUT row meets exactly its members' code rows.
+    val adc = rCodes.join(broadcast(rLuts), Seq("cell"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (expr("pq_adc(lutarr, codes)") + col("qrn2")).as("adc"))
     pqRefine(adc, base, q)
   }
 
