@@ -218,14 +218,39 @@ object IvfAnn {
     * K-row codebook takes the [[trainedCentroids]] LocalRelation
     * round-trip. Output schema matches [[imiCodebooks]] — (cid, lvl,
     * cv(32)) — so [[imiCells]]/[[imiProbeCells]] consume it unchanged. */
-  def trainedImiCodebooks(emb: DataFrame, k: Long, iters: Int): DataFrame =
-    (0 to 1).map { lvl =>
-      val half = emb.select(col("vec_id"),
-        expr(s"slice(iv, ${1 + 32 * lvl}, 32)").as("iv"))
-      val seeds = halfCentroids(emb.sparkSession, k, lvl, if (lvl == 0) 13 else 29)
-        .select("cid", "cv")
-      trainedCentroids(half, seeds, iters).withColumn("lvl", lit(lvl))
-    }.reduce(_ unionByName _)
+  def trainedImiCodebooks(emb: DataFrame, k: Long, iters: Int): DataFrame = {
+    // Both halves train in ONE joint Lloyd loop (the ProductQuantizer
+    // discipline): per iteration one broadcast crossJoin scores every
+    // (vector, lvl, cid), one aggregation argmins per (vector, lvl), one
+    // aggregation means the assigned half-values per (lvl, cid, dim),
+    // and ONE 2K-row collect rebuilds the codebooks — `iters` driver
+    // round-trips instead of 2·iters sequential per-level loops.
+    // Bit-identical to per-level trainedCentroids (same tie-breaks, same
+    // truncating mean, same empty-cluster fallback) — the oracle replays
+    // either spelling.
+    val spark = emb.sparkSession
+    val seeds = imiCodebooks(spark, k)
+    (1 to iters).foldLeft(seeds) { (books, _) =>
+      val withN = books.withColumn("cn2", expr("long_dot(cv, cv)"))
+      val asg = emb.select("vec_id", "iv").crossJoin(broadcast(withN))
+        .select(col("vec_id"), col("lvl"), col("cid"),
+          (lit(2L) * expr("long_dot(slice(iv, 1 + 32 * lvl, 32), cv)")
+            - col("cn2")).as("sc"))
+        .groupBy("vec_id", "lvl")
+        .agg(max(struct(col("sc"), (-col("cid")).as("negcid"))).as("best"))
+        .select(col("vec_id"), col("lvl"), (-col("best.negcid")).as("cid"))
+      val means = emb.select(col("vec_id"), posexplode(col("iv")).as(Seq("d", "v")))
+        .withColumn("lvl", expr("d div 32").cast("int"))
+        .join(asg, Seq("vec_id", "lvl"))
+        .groupBy(col("lvl"), col("cid"), expr("d % 32").as("j"))
+        .agg(expr("sum(v) div count(1)").as("m"))
+        .groupBy("lvl", "cid")
+        .agg(expr("transform(array_sort(collect_list(struct(j, m))), p -> p.m)").as("tcv"))
+      val step = books.select("cid", "lvl", "cv").join(means, Seq("lvl", "cid"), "left")
+        .select(col("cid"), col("lvl"), coalesce(col("tcv"), col("cv")).as("cv"))
+      spark.createDataFrame(java.util.Arrays.asList(step.collect(): _*), step.schema)
+    }
+  }
 
   // ------------- trained centroids (Lloyd/k-means) — the production slot
 

@@ -27,19 +27,47 @@ object ProductQuantizer {
   /** Per-subspace trained codebooks (cid, sub, cv(8), cn2):
     * quadratic-residue seeds (salt 37, absolute dims) refined by 2 Lloyd
     * steps over that subspace's slice — the qx16 training discipline per
-    * subspace, M×2 bounded driver round-trips. */
+    * subspace.
+    *
+    * All M subspaces train in ONE joint Lloyd loop: per iteration, one
+    * broadcast crossJoin scores every (vector, sub, cid), one aggregation
+    * takes the per-(vector, sub) argmin, one aggregation means the
+    * assigned slice values per (sub, cid, dim), and ONE M·ksub-row
+    * collect rebuilds the codebook LocalRelation — 2 driver round-trips
+    * total. The math is bit-identical to M independent
+    * [[IvfAnn.trainedCentroids]] loops (same argmin tie-break, same
+    * truncating integer mean, same empty-cluster fallback — the oracle
+    * replays either spelling), but the per-subspace spelling cost M×iters
+    * sequential Spark jobs, which at bench sf was the entire cost of the
+    * PQ family (qx42 5.7 s → the scan itself is milliseconds). */
   def booksN(spark: SparkSession, base: DataFrame, ksub: Long = Ksub): DataFrame = {
-    val books = (0 until M).map { sub =>
-      val sliced = base.select(col("vec_id"),
-        expr(s"slice(iv, ${1 + Dsub * sub}, $Dsub)").as("iv"))
-      val seeds = spark.range(ksub).select(col("id").as("cid"),
-        expr(s"transform(sequence(${Dsub * sub}, ${Dsub * sub + Dsub - 1}), d -> " +
-          "(((cast(id as bigint) * 1000003 + d * 97 + 37) % 2147483647) * " +
-          "((cast(id as bigint) * 1000003 + d * 97 + 37) % 2147483647)) " +
-          "% 2147483647 % 2001 - 1000)").as("cv"))
-      IvfAnn.trainedCentroids(sliced, seeds, iters = 2).withColumn("sub", lit(sub))
-    }.reduce(_ unionByName _)
-    books.withColumn("cn2", expr("long_dot(cv, cv)"))
+    val seeds = spark.range(ksub * M).select(
+      (col("id") % ksub).as("cid"), (col("id") / ksub).cast("int").as("sub"),
+      expr(s"transform(sequence(0, ${Dsub - 1}), j -> " +
+        s"((((id % $ksub) * 1000003 + ((id div $ksub) * $Dsub + j) * 97 + 37) % 2147483647) * " +
+        s"(((id % $ksub) * 1000003 + ((id div $ksub) * $Dsub + j) * 97 + 37) % 2147483647)) " +
+        "% 2147483647 % 2001 - 1000)").as("cv"))
+    val trained = (1 to 2).foldLeft(seeds) { (books, _) =>
+      val withN = books.withColumn("cn2", expr("long_dot(cv, cv)"))
+      val asg = base.select("vec_id", "iv").crossJoin(broadcast(withN))
+        .select(col("vec_id"), col("sub"), col("cid"),
+          (lit(2L) * expr(s"long_dot(slice(iv, 1 + $Dsub * sub, $Dsub), cv)")
+            - col("cn2")).as("sc"))
+        .groupBy("vec_id", "sub")
+        .agg(max(struct(col("sc"), (-col("cid")).as("negcid"))).as("best"))
+        .select(col("vec_id"), col("sub"), (-col("best.negcid")).as("cid"))
+      val means = base.select(col("vec_id"), posexplode(col("iv")).as(Seq("d", "v")))
+        .withColumn("sub", expr(s"d div $Dsub").cast("int"))
+        .join(asg, Seq("vec_id", "sub"))
+        .groupBy(col("sub"), col("cid"), expr(s"d % $Dsub").as("j"))
+        .agg(expr("sum(v) div count(1)").as("m"))
+        .groupBy("sub", "cid")
+        .agg(expr("transform(array_sort(collect_list(struct(j, m))), p -> p.m)").as("tcv"))
+      val step = books.select("cid", "sub", "cv").join(means, Seq("sub", "cid"), "left")
+        .select(col("cid"), col("sub"), coalesce(col("tcv"), col("cv")).as("cv"))
+      spark.createDataFrame(java.util.Arrays.asList(step.collect(): _*), step.schema)
+    }
+    trained.withColumn("cn2", expr("long_dot(cv, cv)"))
   }
 
   /** Encode: ONE broadcast crossJoin (M·Ksub codebook rows) + ONE
