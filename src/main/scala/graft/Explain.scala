@@ -16,7 +16,8 @@ object Explain {
         "qx12_embed_neardup", "qx13_ann_ivf", "qx14_simhash_neardup",
         "qx15_ann_imi", "qx16_ann_kmeans",
         "qx17_substring_dup", "qx20_dup_clusters", "qx22_curation_pipeline",
-        "qx24_chunking", "qx26_rare_terms")
+        "qx24_chunking", "qx26_rare_terms",
+        "qx41_incremental_dedup", "qx42_pq_adc", "qx43_ivf_pq", "qx44_ivfadc")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
