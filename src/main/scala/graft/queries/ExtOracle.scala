@@ -801,6 +801,52 @@ object ExtOracle {
        |        FROM kept)
        |SELECT lang, doc_id, n_tokens, cum_tokens FROM sel WHERE cum_tokens <= 2000""".stripMargin
 
+  /** qx45 twin: qx22's chain with the decontamination stage inserted —
+    * toks additionally excludes the eval sample and every doc sharing
+    * an 8-word window with it (the oracle uses the exact join; the
+    * Spark side's bloom prescreen + confirm is exact-equivalent by
+    * construction). */
+  val qx45: String = {
+    val W = 8
+    val fold = (1 until W).foldLeft("h[i]")((acc, j) => s"(($acc) * 1009 + h[i+$j]) % $P")
+    s"""WITH RECURSIVE $DOCS, $MH_TABLE, $BANDS,
+       |pairs AS (SELECT DISTINCT x.doc_id AS pa, y.doc_id AS pb
+       |          FROM bands x JOIN bands y ON x.b = y.b AND x.sig = y.sig AND x.doc_id < y.doc_id),
+       |sym AS (SELECT pa, pb FROM pairs UNION SELECT pb, pa FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT pa, pb FROM sym
+       |  UNION
+       |  SELECT r.src, s.pb FROM reach r JOIN sym s ON r.dst = s.pa
+       |),
+       |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS rep
+       |         FROM reach GROUP BY src),
+       |wins AS (SELECT DISTINCT doc_id,
+       |           unnest(list_transform(range(1, len(h) - ${W - 2}), i -> $fold)) AS s
+       |         FROM wh WHERE len(h) >= $W),
+       |ev AS (SELECT doc_id AS eval_doc
+       |       FROM (SELECT lang, doc_id,
+       |               row_number() OVER (PARTITION BY lang
+       |                 ORDER BY (doc_id * 1000003 + 12345) % $P ASC, doc_id ASC) AS rk
+       |             FROM documents) t
+       |       WHERE rk <= 8),
+       |evw AS (SELECT DISTINCT s FROM wins JOIN ev ON wins.doc_id = ev.eval_doc),
+       |flag AS (SELECT DISTINCT w.doc_id FROM wins w JOIN evw USING (s)
+       |         WHERE w.doc_id NOT IN (SELECT eval_doc FROM ev)),
+       |toks AS (SELECT doc_id, lang, CAST(len(ws) AS BIGINT) AS n_tokens,
+       |                (doc_id * 1000003 + 12345) % $P AS h
+       |         FROM docs WHERE len(ws) >= 30
+       |           AND doc_id NOT IN (SELECT eval_doc FROM ev)
+       |           AND doc_id NOT IN (SELECT doc_id FROM flag)),
+       |kept AS (SELECT t.* FROM toks t LEFT JOIN comp c USING (doc_id)
+       |         WHERE c.rep IS NULL OR c.rep = t.doc_id),
+       |sel AS (SELECT lang, doc_id, n_tokens,
+       |               CAST(sum(n_tokens) OVER (PARTITION BY lang
+       |                 ORDER BY h ASC, doc_id ASC
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |        FROM kept)
+       |SELECT lang, doc_id, n_tokens, cum_tokens FROM sel WHERE cum_tokens <= 2000""".stripMargin
+  }
+
   /** qx20 twin: the qx4 pair set closed into components by a recursive
     * transitive-closure CTE, each node labeled min(reachable ∪ self) —
     * the same labeling star contraction converges to. Transitive closure

@@ -666,6 +666,51 @@ object ExtQueries {
       .select("lang", "doc_id", "n_tokens", "cum_tokens")
   }
 
+  /** qx45 — the FULL curation chain as ONE declarative plan: quality
+    * gate (≥30 tokens) → benchmark DECONTAMINATION (qx32's
+    * bloom-prescreened screen; eval docs themselves are held out too) →
+    * near-dup cluster kill-list (qx20, keep the min-id rep) →
+    * per-language token budget (qx22's bounded prune + prefix sum).
+    * qx22 composed three stages; this is the production pipeline with
+    * the fourth, and the stage ORDER is the design: decon runs before
+    * dedup on purpose — a cluster whose representative is contaminated
+    * contributes nothing (near-dups of leaked benchmark text are leaked
+    * benchmark text modulo small edits), which is the conservative
+    * release posture, documented rather than accidental.
+    *
+    * Scale shape: every stage keeps its parent's plan — the decon kill
+    * set is contamination-bound (anti-join), the bloom image broadcast,
+    * the kill-list edge-bound, the budget window sorts ≤66 candidates
+    * per stratum. Oracle replays the whole chain (recursive components
+    * included) and hash-matches. */
+  def qx45(spark: SparkSession, dir: String): DataFrame = {
+    val TokMin = 30L
+    val Budget = 2000L
+    val maxDocs = (Budget / TokMin).toInt
+    val evalIds = qx21(spark, dir).select(col("doc_id").as("eval_doc"))
+    val flagged = qx32(spark, dir).select("doc_id")
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        expr(s"size($WORDS)").cast("long").as("n_tokens"),
+        expr(SAMPLE_HASH).as("h"))
+      .where(col("n_tokens") >= TokMin)
+      .join(broadcast(evalIds), col("doc_id") === col("eval_doc"), "left_anti")
+      .join(flagged, Seq("doc_id"), "left_anti")
+    val kept = toks.join(qx20(spark, dir), Seq("doc_id"), "left")
+      .where(col("rep").isNull || col("rep") === col("doc_id"))
+    val pruned = kept.groupBy("lang")
+      .agg(expr(s"topk_by(CAST(-h AS DOUBLE), doc_id, $maxDocs)").as("tk"))
+      .select(col("lang"), explode(col("tk.id")).as("doc_id"))
+      .join(kept.select("doc_id", "n_tokens", "h"), "doc_id")
+    val byHash = Window.partitionBy("lang")
+      .orderBy(col("h").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pruned
+      .withColumn("cum_tokens", sum("n_tokens").over(byHash))
+      .where(col("cum_tokens") <= Budget)
+      .select("lang", "doc_id", "n_tokens", "cum_tokens")
+  }
+
   /** qx5 — SimHash document fingerprints: 16-bit simhash over the word-hash
     * multiset (bit b set iff Σ_words ±1 on that bit of the hash is
     * positive). One explode + one map-side-combinable aggregation — the
