@@ -135,6 +135,25 @@ class PlanShapeSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("qx45: the composed chain keeps both parents' pinned shapes") {
+    // Composition must not silently undo the component pins: the decon
+    // stage's bloom bit-test prescreen (qx32's shape) and the budget
+    // window sitting above the topk_by candidate prune (qx22's shape)
+    // both have to survive into the ONE composed physical plan.
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val plan = sparkPlan("qx45_curation_decon")
+    assert(plan.collectFirst {
+      case j: BroadcastNestedLoopJoinExec
+        if j.condition.exists(_.toString.contains("shiftright")) => j
+    }.nonEmpty, "bloom bit-test prescreen missing from the composed plan")
+    val win = plan.collectFirst {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.getOrElse(fail("qx45 plan has no budget window"))
+    assert(win.child.collect {
+      case a if a.nodeName.contains("ObjectHashAggregate") => a
+    }.nonEmpty, "budget window input is not bounded by the topk_by prune")
+  }
+
   test("qx42: the ADC scan feeds the partial top-k with no exchange between") {
     // The compressed-domain pass's whole point: ADC scores are computed
     // inside the broadcast-join stage and topk_by's PARTIAL aggregate
