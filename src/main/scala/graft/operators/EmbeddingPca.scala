@@ -66,26 +66,44 @@ object EmbeddingPca {
     (n, DenseVector(s), new DenseMatrix(Dims, Dims, g))
   }
 
-  /** Top-k principal components of `emb`'s covariance: a k-row table
-    * (j, pcv ARRAY<DOUBLE>, mdot, eigval), ordered by eigenvalue DESC.
-    * `whiten` scales each component by 1/√λ so projected dims have unit
-    * variance. mdot = μ·pc is the centering offset, precomputed so the
-    * projection never materializes (x − μ) per row. */
-  def principalComponents(emb: DataFrame, k: Int, whiten: Boolean = false): DataFrame = {
+  /** Driver-side PCA model: `components` is (j, pc vector, mdot = μ·pc,
+    * eigenvalue) ordered by eigenvalue DESC; `trace` is tr(cov) = Σ all
+    * [[Dims]] eigenvalues = Σ per-dim sample variance — the invariant the
+    * qx46 gate checks against DuckDB's per-dim `var_samp`. */
+  final case class PcaModel(
+      components: Seq[(Int, Array[Double], Double, Double)], trace: Double)
+
+  /** Fit the PCA model on the driver (one distributed [[moments]] pass +
+    * a d×d eigensolve — microseconds at d = 64). Each component's sign is
+    * canonicalized (coordinate of max |value| made positive) so repeated
+    * fits over reshuffled data emit replay-identical projections: eigSym
+    * signs are otherwise an arbitrary LAPACK artifact. */
+  def fit(emb: DataFrame, k: Int, whiten: Boolean = false): PcaModel = {
     require(k >= 1 && k <= Dims, s"k must lie in [1, $Dims]")
     val (n, s, g) = moments(emb)
     require(n > 1, "PCA needs at least 2 rows")
     val mu = s / n.toDouble
     // Covariance = (Σx·xᵀ − n·μμᵀ) / (n − 1)
     val cov = (g - (mu * mu.t) * n.toDouble) / (n - 1).toDouble
+    val trace = (0 until Dims).map(d => cov(d, d)).sum
     val es = eigSym(cov) // eigenvalues ASC in breeze
     val order = (0 until Dims).sortBy(i => -es.eigenvalues(i)).take(k)
-    val spark = emb.sparkSession
     val rows = order.zipWithIndex.map { case (ei, j) =>
       val lambda = math.max(es.eigenvalues(ei), 0.0)
       val scale = if (whiten) 1.0 / math.sqrt(lambda + 1e-12) else 1.0
-      val pc = (0 until Dims).map(d => es.eigenvectors(d, ei) * scale).toArray
+      val raw = (0 until Dims).map(d => es.eigenvectors(d, ei)).toArray
+      val flip = if (raw(raw.indices.maxBy(d => math.abs(raw(d)))) < 0) -1.0 else 1.0
+      val pc = raw.map(_ * scale * flip)
       val mdot = (0 until Dims).map(d => mu(d) * pc(d)).sum
+      (j, pc, mdot, lambda)
+    }
+    PcaModel(rows, trace)
+  }
+
+  /** [[fit]]'s component table as a broadcastable DataFrame
+    * (j, pcv ARRAY<DOUBLE>, mdot, eigval), eigenvalue DESC. */
+  def componentsDF(spark: org.apache.spark.sql.SparkSession, model: PcaModel): DataFrame = {
+    val rows = model.components.map { case (j, pc, mdot, lambda) =>
       org.apache.spark.sql.Row(j, pc.toSeq, mdot, lambda)
     }
     spark.createDataFrame(
@@ -97,6 +115,14 @@ object EmbeddingPca {
         org.apache.spark.sql.types.StructField("mdot", org.apache.spark.sql.types.DoubleType, false),
         org.apache.spark.sql.types.StructField("eigval", org.apache.spark.sql.types.DoubleType, false))))
   }
+
+  /** Top-k principal components of `emb`'s covariance: a k-row table
+    * (j, pcv ARRAY<DOUBLE>, mdot, eigval), ordered by eigenvalue DESC.
+    * `whiten` scales each component by 1/√λ so projected dims have unit
+    * variance. mdot = μ·pc is the centering offset, precomputed so the
+    * projection never materializes (x − μ) per row. */
+  def principalComponents(emb: DataFrame, k: Int, whiten: Boolean = false): DataFrame =
+    componentsDF(emb.sparkSession, fit(emb, k, whiten))
 
   /** (vec_id, p ARRAY<DOUBLE>(k)): each vector projected onto the
     * component table — broadcast k rows, one zip_with dot per

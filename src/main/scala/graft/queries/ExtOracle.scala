@@ -1158,4 +1158,27 @@ object ExtOracle {
       |       CAST(sum(first_byte) AS BIGINT) AS sum_first_byte,
       |       CAST(max(payload_len) AS BIGINT) AS max_len
       |FROM per GROUP BY event_type""".stripMargin
+
+  /** qx46 twin — rotation invariance, NO eigendecomposition needed: the
+    * full-rank projected squared norm must equal the centered squared
+    * norm, which IS SQL-computable, exactly, on the shared micro-unit
+    * integers: ‖x − μ‖² = Σ_d (n·x_d − S_d)² / n² (HUGEINT squares —
+    * (n·x − S)² alone brushes int64 at sf0.1 and the 64-dim sum is well
+    * past it). total_var is tr(cov) = Σ_d var_samp, the eigenvalue-sum
+    * invariant, from the same exact numerators. */
+  val qx46: String =
+    """WITH iv AS (SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS v
+      |       FROM embeddings),
+      |params AS (SELECT count(*) AS n FROM embeddings),
+      |dims AS (SELECT vec_id, i AS d, v[i] AS x FROM iv, generate_series(1, 64) t(i)),
+      |sums AS (SELECT d, sum(x) AS s FROM dims GROUP BY d),
+      |cn AS (SELECT vec_id,
+      |         sum(CAST(n * x - s AS HUGEINT) * CAST(n * x - s AS HUGEINT)) AS num
+      |       FROM dims JOIN sums USING (d) CROSS JOIN params GROUP BY vec_id),
+      |tot AS (SELECT sum(num) AS tnum FROM cn)
+      |SELECT vec_id,
+      |       round(CAST(num AS DOUBLE) / (CAST(n AS DOUBLE) * n * 1e12), 3) AS pnorm2,
+      |       round(CAST(tnum AS DOUBLE) / (CAST(n AS DOUBLE) * n * 1e12 * (n - 1)), 3) AS total_var
+      |FROM cn CROSS JOIN params CROSS JOIN tot""".stripMargin
 }

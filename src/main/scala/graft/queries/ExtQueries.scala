@@ -1078,11 +1078,56 @@ object ExtQueries {
     * eigendecomposition, so there is no hash twin — correctness is
     * EmbeddingPcaSpec's geometry proofs (planted directions found and
     * ordered, pairwise distances preserved, whitening equalizes
-    * variance). */
+    * variance) plus qx46's exact rotation-invariance gate.
+    *
+    * Output is EXPLODED scalar rows (vec_id, j, pj) rather than one
+    * ARRAY<DOUBLE> per vector (round-6 verdict #1: the driver harness
+    * cannot sort/hash ndarray cells, so an array column turns even the
+    * rows-only check into an err). The exploded spelling is also the
+    * cheaper plan: the per-(vector, component) dot from the broadcast
+    * join IS the result — no groupBy re-assembly shuffle at all. pj is
+    * rounded 1e-9 (wobble ~1e-15) and signs are canonicalized by
+    * [[EmbeddingPca.fit]], so replays emit identical bytes. */
   def qx28(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-    EmbeddingPca.project(emb, EmbeddingPca.principalComponents(emb, k = 8))
+    emb.crossJoin(broadcast(
+        EmbeddingPca.principalComponents(emb, k = 8).select("j", "pcv", "mdot")))
+      .select(col("vec_id"), col("j"),
+        round(expr("aggregate(zip_with(v, pcv, (a, b) -> a * b), 0D, (s, x) -> s + x)")
+          - col("mdot"), 9).as("pj"))
+  }
+
+  /** qx46 — EXACT oracle gate for the PCA operator via rotation
+    * invariance: project each embedding onto ALL 64 components and emit
+    * its projected squared norm. An orthonormal eigenbasis preserves
+    * norms, so ‖Vᵀ(x − μ)‖² = ‖x − μ‖² — and the RIGHT side needs no
+    * eigendecomposition: DuckDB computes it in EXACT integer arithmetic
+    * on the shared micro-unit quantization, Σ_d (n·x_d − S_d)² / (n²·10¹²)
+    * (HUGEINT squares — 64 · (2000·6·10⁵)² overflows int64). A second
+    * invariant rides along: tr(cov) = Σ all eigenvalues = Σ per-dim
+    * `var_samp`, so the hash also pins the eigenvalue scale. Both sides
+    * round 1e-3; the Spark value differs from the exact rational only by
+    * eigensolve/projection float noise (~1e-12), far under the boundary.
+    * A wrong mean, a non-orthonormal basis, a dropped component or a
+    * mis-scaled eigenvalue all break the hash — this is the gate row
+    * that makes qx28's family oracle-verified, not just spec-argued.
+    * Scale shape: one Gram pass + driver eigensolve + broadcast join;
+    * the groupBy(vec_id) partial-aggregates map-side. */
+  def qx46(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1e6)")
+        .as("v"))
+    val model = EmbeddingPca.fit(emb, k = EmbeddingPca.Dims)
+    emb.crossJoin(broadcast(
+        EmbeddingPca.componentsDF(spark, model).select("j", "pcv", "mdot")))
+      .select(col("vec_id"),
+        (expr("aggregate(zip_with(v, pcv, (a, b) -> a * b), 0D, (s, x) -> s + x)")
+          - col("mdot")).as("pj"))
+      .groupBy("vec_id")
+      .agg(round(sum(col("pj") * col("pj")), 3).as("pnorm2"))
+      .withColumn("total_var", round(lit(model.trace), 3))
   }
 
   /** qx30 — deterministic train/val/test split: 80/10/10 by sampling-

@@ -61,6 +61,30 @@ class EmbeddingPcaSpec extends SparkTestBase {
         s"whitened dim $i variance ${variances.getDouble(i)} != ~1")
   }
 
+  test("component signs are canonical: the max-|coordinate| is positive") {
+    // eigSym's sign is a LAPACK artifact; fit() must flip each component
+    // so replays (different partition orders) emit identical projections.
+    val model = EmbeddingPca.fit(corpus(1000), k = 8)
+    model.components.foreach { case (j, pc, _, _) =>
+      val m = pc.indices.maxBy(d => math.abs(pc(d)))
+      assert(pc(m) > 0, s"component $j max coordinate ${pc(m)} not positive")
+    }
+  }
+
+  test("full-rank projection preserves norms and trace (the qx46 invariant)") {
+    val emb = corpus(800)
+    val model = EmbeddingPca.fit(emb, k = EmbeddingPca.Dims)
+    val pcs = EmbeddingPca.componentsDF(spark, model)
+    val row = EmbeddingPca.project(emb, pcs)
+      .select(col("vec_id"), expr("aggregate(p, 0D, (s, x) -> s + x * x)").as("pn"))
+      .join(emb.select(col("vec_id"), col("v")), "vec_id")
+      .select(sum(col("pn")).as("sp"))
+      .head()
+    // Σ‖p‖² / (n−1) must equal tr(cov) = Σ eigenvalues.
+    assert(math.abs(row.getDouble(0) / 799.0 - model.trace) < 1e-6 * model.trace,
+      s"projected variance ${row.getDouble(0) / 799.0} != trace ${model.trace}")
+  }
+
   test("projects the real embeddings table without degenerate output") {
     val emb = sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
