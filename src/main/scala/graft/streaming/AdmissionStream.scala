@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Streaming ingest-admission gate — the ONLINE flavor of the qx41 batch
   * screen: the standing corpus backfills MinHash band-bucket state, then
@@ -21,8 +21,10 @@ import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
   * intermediate at once). State shape follows [[NearDupStream]]: key =
   * (band << 32 | band sig), per-bucket [[ListState]] of members carrying
   * their 16 minhashes (the verify needs them), optional TTL = retention
-  * horizon. Per-arrival work is bounded by bucket occupancy at every
-  * corpus size; the only exchange carries (bucket, doc_id, 16 longs).
+  * horizon. Per-arrival work is bounded by [[DefaultMaxOccupancy]] at
+  * every corpus size — a boilerplate band signature saturates its bucket
+  * instead of growing it; the only exchange carries
+  * (bucket, doc_id, 16 longs).
   *
   * ORDERING CONTRACT (the [[BudgetAdmission]] discipline): verdicts equal
   * the batch screen when the corpus backfill precedes live intake and new
@@ -41,6 +43,18 @@ import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
   * doc's candidates land in its arrival batch) or on the accumulated sink.
   */
 object AdmissionStream {
+
+  /** Default bucket-occupancy cap — [[NearDupStream.DefaultMaxOccupancy]]'s
+    * contract applied to the admission gate: a saturated bucket keeps
+    * SCREENING arrivals against its retained members (boilerplate docs
+    * still match an exemplar and get rejected — the degradation is
+    * conservative for admission) but stops storing new ones and counts
+    * the overflow in a `ValueState`. Below the cap, verdicts are
+    * byte-identical to batch qx41. The one semantic loss above it:
+    * batch-dup links BETWEEN two post-saturation arrivals that share no
+    * unsaturated band go unseen — acceptable precisely because such docs
+    * are boilerplate the retained exemplars already represent. */
+  val DefaultMaxOccupancy = NearDupStream.DefaultMaxOccupancy
 
   /** A document on the wire; `is_new` = live intake (false = corpus
     * backfill — populates state, never emits). */
@@ -106,18 +120,23 @@ object AdmissionStream {
     * twin's "every batch doc with a smaller id is screened against".
     * Rows are re-sorted (corpus first, then doc_id) so one micro-batch
     * carrying both sides resolves as if delivered sequentially. */
-  class AdmissionProcessor(minAgree: Int, ttl: Option[java.time.Duration])
+  class AdmissionProcessor(minAgree: Int, ttl: Option[java.time.Duration],
+                           maxOccupancy: Int = DefaultMaxOccupancy)
       extends StatefulProcessor[Long, BandRow, DupCandidate] {
     @transient private var members: ListState[Member] = _
+    @transient private var overflow: ValueState[Long] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       members = getHandle.getListState[Member]("members", Encoders.product[Member],
         ttl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE))
+      overflow = getHandle.getValueState[Long]("overflow", Encoders.scalaLong, TTLConfig.NONE)
+    }
 
     override def handleInputRows(key: Long, rows: Iterator[BandRow],
                                  tv: TimerValues): Iterator[DupCandidate] = {
       val seen = scala.collection.mutable.ArrayBuffer.from(members.get())
       val out = scala.collection.mutable.ArrayBuffer.empty[DupCandidate]
+      var skipped = 0L
       rows.toSeq.sortBy(r => (r.is_new, r.doc_id)).foreach { r =>
         if (!seen.exists(_.doc_id == r.doc_id)) {
           if (r.is_new) seen.foreach { m =>
@@ -129,11 +148,15 @@ object AdmissionStream {
               if (agree >= minAgree) out += DupCandidate(r.doc_id, m.doc_id, m.is_new)
             }
           }
-          val me = Member(r.doc_id, r.is_new, r.mh)
-          seen += me
-          members.appendValue(me)
+          if (seen.size < maxOccupancy) {
+            val me = Member(r.doc_id, r.is_new, r.mh)
+            seen += me
+            members.appendValue(me)
+          } else skipped += 1
         }
       }
+      if (skipped > 0)
+        overflow.update((if (overflow.exists) overflow.get else 0L) + skipped)
       out.iterator
     }
   }
@@ -142,7 +165,9 @@ object AdmissionStream {
     * shuffle) → one keyed-state shuffle on the bucket → verified dup
     * candidates. `minAgree` = 8 is qx41's threshold (Jaccard ≳ 0.5). */
   def candidates(docs: Dataset[DocIn], minAgree: Int = 8,
-                 ttl: Option[java.time.Duration] = None): Dataset[DupCandidate] = {
+                 ttl: Option[java.time.Duration] = None,
+                 maxOccupancy: Int = DefaultMaxOccupancy): Dataset[DupCandidate] = {
+    require(maxOccupancy >= 1, "maxOccupancy must be >= 1")
     implicit val rowEnc = Encoders.product[BandRow]
     implicit val outEnc = Encoders.product[DupCandidate]
     docs.flatMap { d =>
@@ -154,7 +179,7 @@ object AdmissionStream {
       }
     }
       .groupByKey(_.bucket)(Encoders.scalaLong)
-      .transformWithState(new AdmissionProcessor(minAgree, ttl),
+      .transformWithState(new AdmissionProcessor(minAgree, ttl, maxOccupancy),
         TimeMode.None(), OutputMode.Update())
   }
 

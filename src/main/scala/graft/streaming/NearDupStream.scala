@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 import graft.operators.SimHashLsh
 
@@ -27,8 +27,10 @@ import graft.operators.SimHashLsh
   *    the corpus — emits matches, and appends itself;
   *  - an optional TTL bounds state to a retention horizon (the streaming
   *    dedup-with-TTL contract, F10) — "near-dup within the last N days",
-  *    the usual production semantics, and the reason per-bucket state
-  *    does not grow forever.
+  *    the usual production semantics — and [[DefaultMaxOccupancy]] caps
+  *    each bucket's member list, so neither time nor a boilerplate band
+  *    signature can grow a bucket (or its per-arrival verify cost)
+  *    without bound.
   *
   * A pair colliding in ≥2 bands emits once per colliding band (the batch
   * miner collapses these with a `distinct()`); downstream either
@@ -42,6 +44,20 @@ import graft.operators.SimHashLsh
   * choosing shuffle partitions for the batch job.
   */
 object NearDupStream {
+
+  /** Default bucket-occupancy cap (round-6 verdict #2 — the streaming
+    * twin of qx17's boilerplate-frequency cap). A band bucket holding
+    * thousands of members is a boilerplate signature (license headers,
+    * templated pages), not a near-dup cluster worth enumerating: its
+    * pair set is quadratic noise, and verifying every arrival against an
+    * unbounded member list is exactly the skew hazard the batch miner
+    * caps. Beyond the cap, arrivals still VERIFY against the stored
+    * members (so boilerplate keeps getting flagged against the retained
+    * exemplars — work bounded by the cap) but stop being stored, and the
+    * bucket counts its overflow in a `ValueState` readable offline via
+    * the statestore source (the F11 pattern). Below the cap, semantics
+    * are byte-identical to the uncapped/batch behavior. */
+  val DefaultMaxOccupancy = 4096
 
   /** A document on the wire. */
   case class DocText(doc_id: Long, text: String)
@@ -95,19 +111,27 @@ object NearDupStream {
   /** Per-bucket matcher: verify the arriving doc against stored members
     * (exact Hamming over all bands), emit pairs ≤ `maxHamming`, append.
     * Re-delivered doc_ids are ignored — at-least-once upstream delivery
-    * must not self-pair or double-store. */
-  class NearDupProcessor(maxHamming: Int, ttl: Option[java.time.Duration])
+    * must not self-pair or double-store. A bucket at `maxOccupancy`
+    * stops storing (arrivals still verify against the retained members)
+    * and counts the skipped appends in the `overflow` ValueState — see
+    * [[DefaultMaxOccupancy]] for the degradation contract. */
+  class NearDupProcessor(maxHamming: Int, ttl: Option[java.time.Duration],
+                         maxOccupancy: Int = DefaultMaxOccupancy)
       extends StatefulProcessor[Long, DocBandRow, NearDupMatch] {
     @transient private var members: ListState[Member] = _
+    @transient private var overflow: ValueState[Long] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       members = getHandle.getListState[Member]("members", Encoders.product[Member],
         ttl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE))
+      overflow = getHandle.getValueState[Long]("overflow", Encoders.scalaLong, TTLConfig.NONE)
+    }
 
     override def handleInputRows(key: Long, rows: Iterator[DocBandRow],
                                  tv: TimerValues): Iterator[NearDupMatch] = {
       val seen = scala.collection.mutable.ArrayBuffer.from(members.get())
       val out = scala.collection.mutable.ArrayBuffer.empty[NearDupMatch]
+      var skipped = 0L
       rows.foreach { r =>
         if (!seen.exists(_.doc_id == r.doc_id)) {
           seen.foreach { m =>
@@ -116,11 +140,15 @@ object NearDupStream {
             if (hamming <= maxHamming)
               out += NearDupMatch(math.min(m.doc_id, r.doc_id), math.max(m.doc_id, r.doc_id), hamming.toLong)
           }
-          val me = Member(r.doc_id, r.s0, r.s1, r.s2, r.s3)
-          seen += me
-          members.appendValue(me)
+          if (seen.size < maxOccupancy) {
+            val me = Member(r.doc_id, r.s0, r.s1, r.s2, r.s3)
+            seen += me
+            members.appendValue(me)
+          } else skipped += 1
         }
       }
+      if (skipped > 0)
+        overflow.update((if (overflow.exists) overflow.get else 0L) + skipped)
       out.iterator
     }
   }
@@ -141,8 +169,10 @@ object NearDupStream {
   def nearDupMatches(docs: Dataset[DocText], bits: Int,
                      maxHamming: Int = SimHashLsh.HammingRadius,
                      ttl: Option[java.time.Duration] = None,
-                     distinctPairs: Boolean = false): Dataset[NearDupMatch] = {
+                     distinctPairs: Boolean = false,
+                     maxOccupancy: Int = DefaultMaxOccupancy): Dataset[NearDupMatch] = {
     require(maxHamming <= SimHashLsh.Bands - 1, "pigeonhole guarantee needs maxHamming <= bands - 1")
+    require(maxOccupancy >= 1, "maxOccupancy must be >= 1")
     implicit val rowEnc = Encoders.product[DocBandRow]
     implicit val outEnc = Encoders.product[NearDupMatch]
     val matches = docs.flatMap { d =>
@@ -151,7 +181,7 @@ object NearDupStream {
         DocBandRow((b.toLong << 32) | sigs(b), d.doc_id, sigs(0), sigs(1), sigs(2), sigs(3)))
     }
       .groupByKey(_.bucket)(Encoders.scalaLong)
-      .transformWithState(new NearDupProcessor(maxHamming, ttl),
+      .transformWithState(new NearDupProcessor(maxHamming, ttl, maxOccupancy),
         TimeMode.None(), OutputMode.Update())
     // A pair's hamming is exact over ALL bands, so every multi-band
     // emission of (doc_a, doc_b) is byte-identical — dedup on the pair

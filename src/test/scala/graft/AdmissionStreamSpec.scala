@@ -80,4 +80,44 @@ class AdmissionStreamSpec extends SparkTestBase {
         "re-delivered wave emitted new candidates")
     } finally q.stop()
   }
+
+  test("occupancy cap: saturated buckets still reject boilerplate intake") {
+    // Round-6 verdict #2, admission flavor: 6 identical corpus docs
+    // saturate each band bucket at cap 4 (corpus processes in doc_id
+    // order, so the retained exemplars are deterministically ids 1–4);
+    // live boilerplate arrivals then verify against exactly those 4 —
+    // bounded work — and are still REJECTED as corpus_dup of the min
+    // exemplar. Overflow per bucket = 2 skipped corpus + 3 skipped live
+    // = 5, × 4 buckets = 20.
+    val template = "permission is hereby granted free of charge to any person"
+    val corpus = (1L to 6L).map(id => DocIn(id, template, is_new = false))
+    val live = (101L to 103L).map(id => DocIn(id, template, is_new = true))
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[DocIn]
+    val input = MemoryStream[DocIn]
+    val ckpt = tmpDir("ckpt_adm_cap")
+    val q = AdmissionStream.candidates(input.toDS(), maxOccupancy = 4)
+      .writeStream.format("memory").queryName("adm_capped")
+      .outputMode("update").option("checkpointLocation", ckpt).start()
+    try {
+      input.addData(corpus); q.processAllAvailable()
+      input.addData(live); q.processAllAvailable()
+    } finally q.stop()
+    val newIds = spark.createDataFrame(live.map(d => Tuple1(d.doc_id))).toDF("doc_id")
+    val verdicts = AdmissionStream.resolveVerdicts(spark.table("adm_capped"), newIds)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(verdicts == live.map(d => (d.doc_id, "corpus_dup", 1L)).toSet,
+      s"capped verdicts diverged: $verdicts")
+    // Each live doc matched exactly the 4 retained exemplars per bucket
+    // (deduped across buckets by the candidate pair identity).
+    val cands = spark.table("adm_capped")
+      .select("doc_id", "other_id").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands == (for (l <- 101L to 103L; m <- 1L to 4L) yield (l, m)).toSet,
+      s"candidate set diverged: $cands")
+    val overflow = spark.read.format("statestore")
+      .option("path", ckpt).option("stateVarName", "overflow").load()
+      .selectExpr("value.value AS n").collect().map(_.getLong(0)).sum
+    assert(overflow == 20L, s"expected 20 skipped appends, got $overflow")
+  }
 }

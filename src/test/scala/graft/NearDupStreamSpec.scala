@@ -132,4 +132,39 @@ class NearDupStreamSpec extends SparkTestBase {
     assert(byPair.forall(_._2 <= SimHashLsh.Bands),
       s"pair emitted more often than once per band: ${byPair.filter(_._2 > SimHashLsh.Bands)}")
   }
+
+  test("occupancy cap bounds per-arrival work under a boilerplate feed") {
+    // Round-6 verdict #2: 20 byte-identical docs (one boilerplate
+    // template — the streaming analogue of qx17's license-phrase hazard)
+    // all land in the SAME four band buckets. With maxOccupancy = 4 each
+    // bucket retains 4 exemplars; every later arrival verifies against
+    // exactly those 4 (bounded work) instead of an ever-growing list.
+    // The distinct pair count is then order-independent: the first wave
+    // of 5 emits C(5,2) = 10 (the 5th doc still matches the 4 stored),
+    // and each of the 15 later docs emits exactly 4 — 70 total, vs 190
+    // uncapped. The skipped appends land in the overflow ValueState:
+    // (20 − 4) per bucket × 4 buckets = 64, read back via the statestore
+    // source (the F11 pattern).
+    val template = "all rights reserved redistribution and use in source and binary forms"
+    val all = (1L to 20L).map(id => DocText(id, template))
+    val w = bits(all.size)
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[DocText]
+    val input = MemoryStream[DocText]
+    val ckpt = tmpDir("ckpt_ndcap")
+    val q = NearDupStream.nearDupMatches(input.toDS(), w, maxOccupancy = 4)
+      .writeStream.format("memory").queryName("neardup_capped")
+      .outputMode("update").option("checkpointLocation", ckpt).start()
+    try {
+      all.grouped(5).foreach { wave => input.addData(wave); q.processAllAvailable() }
+    } finally q.stop()
+    val pairs = spark.table("neardup_capped")
+      .select("doc_a", "doc_b").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.size == 70, s"expected 70 capped pairs, got ${pairs.size}")
+    val overflow = spark.read.format("statestore")
+      .option("path", ckpt).option("stateVarName", "overflow").load()
+      .selectExpr("value.value AS n").collect().map(_.getLong(0)).sum
+    assert(overflow == 64L, s"expected 64 skipped appends, got $overflow")
+  }
 }
