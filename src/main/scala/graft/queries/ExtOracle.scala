@@ -1181,4 +1181,22 @@ object ExtOracle {
       |       round(CAST(num AS DOUBLE) / (CAST(n AS DOUBLE) * n * 1e12), 3) AS pnorm2,
       |       round(CAST(tnum AS DOUBLE) / (CAST(n AS DOUBLE) * n * 1e12 * (n - 1)), 3) AS total_var
       |FROM cn CROSS JOIN params CROSS JOIN tot""".stripMargin
+
+  /** qx47 twin — the decoder's pixel statistics re-derived CLOSED-FORM
+    * from the synthetic generator (byte b of doc d is
+    * (d·31 + b·7 + 11) mod 256; w = 4 + d%5, h = 3 + d%3): the oracle
+    * never parses bytes, so only a correct Spark-side parse of the real
+    * payload reproduces these integers. */
+  val qx47: String =
+    """WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 3 AS h FROM documents),
+      |px AS (SELECT doc_id, w, h, b, (doc_id * 31 + b * 7 + 11) % 256 AS v
+      |       FROM d, unnest(range(0, 3 * w * h)) AS t(b))
+      |SELECT doc_id,
+      |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |       CAST(255 AS BIGINT) AS maxval, CAST(w * h AS BIGINT) AS n_pixels,
+      |       CAST(sum(CASE WHEN b % 3 = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+      |       CAST(sum(CASE WHEN b % 3 = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+      |       CAST(sum(CASE WHEN b % 3 = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b,
+      |       CAST(sum(v * (b + 1)) AS BIGINT) AS wsum
+      |FROM px GROUP BY doc_id, w, h""".stripMargin
 }

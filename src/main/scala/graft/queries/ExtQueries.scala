@@ -1098,6 +1098,26 @@ object ExtQueries {
           - col("mdot"), 9).as("pj"))
   }
 
+  /** qx47 — REAL-format multimodal decode gate (round-6 verdict #3):
+    * build one deterministic binary P6 PPM payload per document (real
+    * bytes, real header grammar including a comment line — see
+    * [[MultimodalCodec.syntheticPpm]]), parse it with the REAL decoder
+    * in the typed mapPartitions slot ([[MultimodalCodec.decodePpm]]),
+    * and emit all-integer pixel statistics. The DuckDB twin re-derives
+    * the stats CLOSED-FORM from the generator formula — it never sees
+    * the bytes — so any header misparse, offset error or transposed
+    * channel read on the Spark side breaks the hash. This is the gate
+    * that makes the BinaryType decode path load-bearing end to end.
+    * Scale shape: shuffle-free partition-parallel decode; the only cost
+    * is the payload scan itself. */
+  def qx47(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, MultimodalCodec.syntheticPpm(id))))
+      .toDF("doc_id", "payload")
+    MultimodalCodec.decodePpm(media)
+  }
+
   /** qx46 — EXACT oracle gate for the PCA operator via rotation
     * invariance: project each embedding onto ALL 64 components and emit
     * its projected squared norm. An orthonormal eigenbasis preserves

@@ -34,4 +34,68 @@ class MultimodalCodecSpec extends SparkTestBase {
     val parts = MultimodalCodec.decodeTyped(media).rdd.getNumPartitions
     assert(parts > 1 || media.rdd.getNumPartitions == 1)
   }
+
+  // --- the REAL decoder (P6 PPM) -------------------------------------
+
+  /** 2×1 image, pixels (1,2,3) and (250,251,252). */
+  private val tinyPixels = Array(1, 2, 3, 250, 251, 252).map(_.toByte)
+
+  private def ppm(header: String): Array[Byte] =
+    header.getBytes("US-ASCII") ++ tinyPixels
+
+  test("parsePpmHeader handles the full header grammar") {
+    // Canonical, comment lines, CRLF/tab separators, multi-digit fields.
+    for (h <- Seq("P6\n2 1\n255\n", "P6\n# a comment\n2 1\n# another\n255\n",
+                  "P6\r\n2\t1\r\n255 ", "P6 2 1 255\n")) {
+      val hdr = MultimodalCodec.parsePpmHeader(ppm(h))
+      assert(hdr.width == 2 && hdr.height == 1 && hdr.maxval == 255, s"header <$h>")
+      assert(ppm(h)(hdr.dataOffset) == 1.toByte, s"wrong data offset for <$h>")
+    }
+    val wide = "P6\n120 1\n255\n".getBytes("US-ASCII") ++ Array.fill(360)(9.toByte)
+    assert(MultimodalCodec.parsePpmHeader(wide).width == 120)
+  }
+
+  test("parsePpmHeader rejects malformed payloads instead of fabricating") {
+    val bad = Seq(
+      "P5\n2 1\n255\n".getBytes("US-ASCII") ++ tinyPixels, // wrong magic
+      "P6\n2 1\n255\n".getBytes("US-ASCII") ++ tinyPixels.take(5), // truncated
+      "P6\n2 1\n65535\n".getBytes("US-ASCII") ++ tinyPixels, // 2-byte samples
+      "P6\n2 0\n255\n".getBytes("US-ASCII"), // degenerate geometry
+      "P6\n\n255\n".getBytes("US-ASCII")) // missing fields
+    for (b <- bad)
+      assertThrows[IllegalArgumentException](MultimodalCodec.parsePpmHeader(b))
+  }
+
+  test("decodePpm: first pixel byte that LOOKS like whitespace is data") {
+    // The spec's one-whitespace-after-maxval rule: pixel r=10 ('\n')
+    // must be read as a sample, not skipped.
+    val payload = "P6\n1 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](10, 32, 9)
+    val df = spark.createDataFrame(Seq((1L, payload))).toDF("doc_id", "payload")
+    val r = MultimodalCodec.decodePpm(df).head()
+    assert(r.getLong(5) == 10L && r.getLong(6) == 32L && r.getLong(7) == 9L,
+      s"whitespace-valued pixels misread: $r")
+  }
+
+  test("decodePpm stats match the closed form on the synthetic corpus") {
+    // The qx47 gate in miniature, locally assertable: generate real
+    // bytes, decode them, compare against the generator formula.
+    val ids = (0L until 200L)
+    val df = spark.createDataFrame(ids.map(id => (id, MultimodalCodec.syntheticPpm(id))))
+      .toDF("doc_id", "payload")
+    val got = MultimodalCodec.decodePpm(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    for (id <- ids) {
+      val w = (4 + id % 5).toInt; val h = (3 + id % 3).toInt
+      val v = (0 until 3 * w * h).map(b => (id * 31 + b * 7 + 11) % 256)
+      val r = got(id)
+      assert(r.getLong(1) == w && r.getLong(2) == h && r.getLong(3) == 255L &&
+        r.getLong(4) == w.toLong * h, s"geometry wrong for doc $id: $r")
+      assert(r.getLong(5) == v.indices.collect { case b if b % 3 == 0 => v(b) }.sum &&
+        r.getLong(6) == v.indices.collect { case b if b % 3 == 1 => v(b) }.sum &&
+        r.getLong(7) == v.indices.collect { case b if b % 3 == 2 => v(b) }.sum,
+        s"channel sums wrong for doc $id")
+      assert(r.getLong(8) == v.indices.map(b => v(b) * (b + 1)).sum,
+        s"weighted checksum wrong for doc $id")
+    }
+  }
 }
