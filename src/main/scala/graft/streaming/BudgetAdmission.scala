@@ -39,7 +39,7 @@ object BudgetAdmission {
     * this doc — batch-identical schema to qx22's output. */
   case class Admitted(lang: String, doc_id: Long, n_tokens: Long, cum_tokens: Long)
 
-  private case class Cursor(cum: Long, h: Long, id: Long)
+  private[streaming] case class Cursor(cum: Long, h: Long, id: Long)
 
   /** Per-language admission: O(1) state (total + cursor), rows within a
     * micro-batch are processed in (h, doc_id) order so any batching of

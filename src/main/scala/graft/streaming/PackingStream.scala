@@ -29,7 +29,7 @@ object PackingStream {
   case class SeqAssigned(source: String, doc_id: Long, chunk_id: Long,
                          n_tokens: Long, seq_id: Long, off: Long)
 
-  private case class Cursor(off: Long, doc: Long, chunk: Long)
+  private[streaming] case class Cursor(off: Long, doc: Long, chunk: Long)
 
   class PackingProcessor(seqLen: Long)
       extends StatefulProcessor[String, ChunkTok, SeqAssigned] {

@@ -12,9 +12,12 @@ import org.apache.spark.sql.streaming.Trigger
   * `writeStream` with a checkpointLocation (F14).
   *
   * Usage: runMain graft.streaming.StreamingMain [durationSec] [rowsPerSec]
+  *    or: runMain graft.streaming.StreamingMain door [outDir]
+  * (`door` runs the composed live ingest pipeline — see [[IngestDoor]].)
   */
 object StreamingMain {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("door")) { doorMain(args.lift(1)); return }
     val durationSec = args.headOption.map(_.toInt).getOrElse(15)
     val rowsPerSec = args.lift(1).map(_.toInt).getOrElse(100)
     val spark = SparkSession.builder()
@@ -56,5 +59,73 @@ object StreamingMain {
       .start()
     query.awaitTermination(durationSec * 1000L)
     query.stop()
+  }
+
+  /** Live end-to-end run of the composed ingest door ([[IngestDoor]])
+    * over the sf0.001 documents: eval set = every 25th doc, corpus
+    * backfill = 60% of the rest, live intake = the remaining 40% fed in
+    * waves. All three checkpointed stages run concurrently; the packed
+    * manifest is compacted into a hive-partitioned curated layout and
+    * summarized on stdout. */
+  def doorMain(outDirOpt: Option[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]"))
+      .appName("graft-ingest-door")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    import graft.streaming.IngestDoor.DoorDoc
+    import graft.functions.BloomFilter
+
+    val base = outDirOpt.getOrElse(Files.createTempDirectory("graft_door").toString)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq.sortBy(_._1)
+    val evalDocs = docs.collect { case (id, _, _) if id % 25 == 0 => id }.toSet
+    val evalWins = docs.filter(d => evalDocs.contains(d._1))
+      .flatMap(d => DeconStream.windowHashes(d._3)).toSet
+    val mWords = 1024
+    val d = 3
+    val image = new Array[Long](mWords)
+    for (s <- evalWins; i <- 0 until d) {
+      val bit = BloomFilter.bitOf(s, i, mWords)
+      image((bit / 64).toInt) |= 1L << (bit % 64).toInt
+    }
+    val rest = docs.filterNot(x => evalDocs.contains(x._1))
+    val (corpus, live) = rest.splitAt(rest.size * 3 / 5)
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DoorDoc]
+    val q1 = IngestDoor.gateStage(input.toDS(), image, d, evalWins, evalDocs,
+      s"$base/staged", s"$base/ckpt1")
+    val q2 = IngestDoor.budgetStage(spark, s"$base/staged", s"$base/budget",
+      budgetPerLang = 20000L, s"$base/ckpt2")
+    val q3 = IngestDoor.packStage(spark, s"$base/budget", s"$base/packed",
+      chunkLen = 256L, seqLen = 1024L, s"$base/ckpt3")
+    input.addData(corpus.map { case (id, lang, t) => DoorDoc(id, lang, t, is_new = false) })
+    q1.processAllAvailable()
+    live.grouped(live.size / 4 + 1).foreach { wave =>
+      input.addData(wave.map { case (id, lang, t) => DoorDoc(id, lang, t, is_new = true) })
+      q1.processAllAvailable(); q2.processAllAvailable(); q3.processAllAvailable()
+      def countIn(root: String, schema: org.apache.spark.sql.types.StructType): Long =
+        if (new java.io.File(root).exists())
+          spark.read.schema(schema).parquet(s"$root/batch=*").count()
+        else 0L
+      val staged = countIn(s"$base/staged", IngestDoor.stagedSchema)
+      val packed = countIn(s"$base/packed",
+        org.apache.spark.sql.Encoders.product[PackingStream.SeqAssigned].schema)
+      println(s"[door] wave: +${wave.size} live docs -> $staged admitted, $packed chunk assignments")
+    }
+    q1.stop(); q2.stop(); q3.stop()
+    IngestDoor.compact(spark, s"$base/packed", s"$base/curated")
+    val curated = spark.read.parquet(s"$base/curated")
+    println(s"[door] curated layout at $base/curated: ${curated.count()} assignments, " +
+      s"languages=${curated.select("lang").distinct().collect().map(_.getString(0)).sorted.mkString(",")}")
+    spark.stop()
   }
 }
