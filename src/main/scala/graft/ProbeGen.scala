@@ -41,10 +41,16 @@ object ProbeGen {
         when(col("doc_id") % 41 === 0 && col("doc_id") > 0, col("doc_id") - 1)
           .otherwise(col("doc_id")))
       .withColumn("len", (col("seed") * 37L % 50L + 30L).cast("int"))
+      // Reduce mod 2³¹−1 BEFORE the 2654435761 multiply (round-6 advice):
+      // the unreduced product overflows signed 64-bit once seed exceeds
+      // ~3.4M, which would silently reshape the word distribution (ANSI
+      // mode: error) at larger probe corpora. Reduced first, the product
+      // is bounded by (2³¹−1)·2654435761 < 2⁶³ at ANY seed — the same
+      // reduce-before-square discipline IvfAnn documents.
       .withColumn("text", expr(
         s"""array_join(transform(sequence(1, len), j -> concat('w',
            |  CAST(CAST($V AS DOUBLE) *
-           |       pow(CAST((seed * 1009 + j) * 2654435761 % 2147483647 AS DOUBLE) / 2147483647.0, 3.0)
+           |       pow(CAST((seed * 1009 + j) % 2147483647 * 2654435761 % 2147483647 AS DOUBLE) / 2147483647.0, 3.0)
            |     AS BIGINT))), ' ')""".stripMargin))
       .select(
         col("doc_id"),

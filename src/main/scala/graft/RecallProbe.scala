@@ -248,54 +248,87 @@ object RecallProbe {
       // ±1000 centers the residual IS the vector); PQ trains on the
       // residuals; each query carries one LUT per probed cell (its
       // residual differs per cell), and ‖q_res‖² rides along so ADC
-      // ranks comparably ACROSS cells.
-      val centersByLvl = (lvl: Int) => broadcast(tBooks.where(col("lvl") === lvl)
-        .select(col("cid").as(s"c$lvl"), col("cv").as(s"cv$lvl")))
-      def residualized(vecs: DataFrame, cellsOf: DataFrame, idCol: String): DataFrame =
-        vecs.join(cellsOf, idCol)
-          .withColumn("c0", expr(s"cell div $kImi"))
-          .withColumn("c1", expr(s"cell % $kImi"))
-          .join(centersByLvl(0), "c0").join(centersByLvl(1), "c1")
-          .withColumn("ivr", expr("zip_with(iv, concat(cv0, cv1), (x, c) -> x - c)"))
-      val resBase = residualized(base.select("vec_id", "iv"), tCells, "vec_id")
-        .select(col("vec_id"), col("cell"), col("ivr").as("iv"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val rBooks = ProductQuantizer.booksN(spark, resBase.select("vec_id", "iv"))
-      val rCodes = ProductQuantizer.packed(resBase.select("vec_id", "iv"), rBooks)
-        .join(resBase.select("vec_id", "cell"), "vec_id")
-      val qProbe = IvfAnn.imiProbeCellsL2(q, tBooks, kImi, 2)
-      val qRes = residualized(
-        q.select(col("qid").as("vec_id"), col("qiv").as("iv")), qProbe
-          .select(col("qid").as("vec_id"), col("cell")), "vec_id")
-        .select(col("vec_id").as("qid"), col("cell"), col("ivr").as("qiv"),
-          expr("long_dot(ivr, ivr)").as("qrn2"))
-      val rLuts = ProductQuantizer.lutsKeyed(qRes, rBooks, Seq("qid", "cell"))
-        .join(qRes.select("qid", "cell", "qrn2"), Seq("qid", "cell"))
-      val rAdc = rCodes.join(broadcast(rLuts), Seq("cell"))
-        .where(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"),
-          (expr("pq_adc(lutarr, codes)") + col("qrn2")).as("adc"))
-      for (c <- Seq(16, 32, 64, 256)) {
-        val (r, cc) = score(adcCut(rAdc, c), base, q, truth)
-        results += (("ivfadc_residual", c, r, cc))
+      // ranks comparably ACROSS cells. Parameterized over the vector
+      // space + coarse index so the rotated composition below reuses
+      // the identical system; the `_64bit` twin (Ksub = 256, the TPAMI
+      // design point) isolates code coarseness from system structure.
+      def residualRows(tag: String, vecsB: DataFrame, qV: DataFrame,
+                       tB: DataFrame, tC: DataFrame): Unit = {
+        val centersByLvl = (lvl: Int) => broadcast(tB.where(col("lvl") === lvl)
+          .select(col("cid").as(s"c$lvl"), col("cv").as(s"cv$lvl")))
+        def residualized(vecs: DataFrame, cellsOf: DataFrame, idCol: String): DataFrame =
+          vecs.join(cellsOf, idCol)
+            .withColumn("c0", expr(s"cell div $kImi"))
+            .withColumn("c1", expr(s"cell % $kImi"))
+            .join(centersByLvl(0), "c0").join(centersByLvl(1), "c1")
+            .withColumn("ivr", expr("zip_with(iv, concat(cv0, cv1), (x, c) -> x - c)"))
+        val resBase = residualized(vecsB.select("vec_id", "iv"), tC, "vec_id")
+          .select(col("vec_id"), col("cell"), col("ivr").as("iv"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val qProbe = IvfAnn.imiProbeCellsL2(qV, tB, kImi, 2)
+        val qRes = residualized(
+          qV.select(col("qid").as("vec_id"), col("qiv").as("iv")), qProbe
+            .select(col("qid").as("vec_id"), col("cell")), "vec_id")
+          .select(col("vec_id").as("qid"), col("cell"), col("ivr").as("qiv"),
+            expr("long_dot(ivr, ivr)").as("qrn2"))
+        for ((suffix, ksub) <- Seq(("", None: Option[Long]), ("_64bit", Some(256L)))) {
+          val rBooks = ksub.fold(ProductQuantizer.booksN(spark, resBase.select("vec_id", "iv")))(
+            k2 => ProductQuantizer.booksN(spark, resBase.select("vec_id", "iv"), k2))
+          val rCodes = ProductQuantizer.packed(resBase.select("vec_id", "iv"), rBooks)
+            .join(resBase.select("vec_id", "cell"), "vec_id")
+          val rLuts = ProductQuantizer.lutsKeyed(qRes, rBooks, Seq("qid", "cell"))
+            .join(qRes.select("qid", "cell", "qrn2"), Seq("qid", "cell"))
+          val rAdc = rCodes.join(broadcast(rLuts), Seq("cell"))
+            .where(col("vec_id") =!= col("qid"))
+            .select(col("qid"), col("vec_id"),
+              (expr("pq_adc(lutarr, codes)") + col("qrn2")).as("adc"))
+          for (c <- Seq(16, 32, 64, 256)) {
+            val (r, cc) = score(adcCut(rAdc, c), base, q, truth)
+            results += ((tag + suffix, c, r, cc))
+          }
+        }
       }
+      residualRows("ivfadc_residual", base.select("vec_id", "iv"),
+        q.select("qid", "qiv"), tBooks, tCells)
 
-      // The bits-per-vector knob: the same residual system at Ksub = 256
-      // (8 bits/subspace, 64-bit codes — the TPAMI paper's design point)
-      // isolates how much of the remaining loss is code coarseness
-      // rather than system structure.
-      val rBooks256 = ProductQuantizer.booksN(spark, resBase.select("vec_id", "iv"), 256L)
-      val rCodes256 = ProductQuantizer.packed(resBase.select("vec_id", "iv"), rBooks256)
-        .join(resBase.select("vec_id", "cell"), "vec_id")
-      val rLuts256 = ProductQuantizer.lutsKeyed(qRes, rBooks256, Seq("qid", "cell"))
-        .join(qRes.select("qid", "cell", "qrn2"), Seq("qid", "cell"))
-      val rAdc256 = rCodes256.join(broadcast(rLuts256), Seq("cell"))
-        .where(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"),
-          (expr("pq_adc(lutarr, codes)") + col("qrn2")).as("adc"))
-      for (c <- Seq(16, 32, 64, 256)) {
-        val (r, cc) = score(adcCut(rAdc256, c), base, q, truth)
-        results += (("ivfadc_residual_64bit", c, r, cc))
+      // ROTATION composed into IVFADC, gated on the MEASURED covariance
+      // (round-6 verdict #5): rotate only when offDiagRatio says the
+      // covariance is genuinely non-diagonal (the corr regime); on
+      // aniso the gate measures ~0 and the skip IS the documented
+      // no-op path (iid noise leaves nothing to decorrelate). The
+      // rotated system re-trains coarse cells and residual codes on
+      // the rotated vectors; candidates still rescore exact cosine on
+      // the RAW vectors, so recall is comparable row-for-row with the
+      // plain system at equal candidate budget.
+      if (mode == "aniso" || mode == "corr") {
+        import graft.operators.EmbeddingPca
+        val dbl = base.select(col("vec_id"),
+          expr("transform(iv, x -> CAST(x AS DOUBLE))").as("v"))
+        val model = EmbeddingPca.fit(dbl, EmbeddingPca.Dims)
+        println(f"rotation gate: offDiagRatio=${model.offDiagRatio}%.4f " +
+          s"advised=${EmbeddingPca.rotationAdvised(model)}")
+        if (EmbeddingPca.rotationAdvised(model)) {
+          // Allocation granularity follows the quantizer (the OPQ
+          // balancing insight): the hashed-IMI rows above interleave
+          // components across the TWO coarse halves; the PQ system has
+          // EIGHT 8-dim subspaces, so eigen-ordered components
+          // round-robin across them (component j → subspace j mod 8,
+          // slot j div 8 ⇒ dim d carries component (d mod 8)·8 + d div 8)
+          // — each subspace gets one top-8 component instead of
+          // subspace 0 hoarding the whole informative spectrum.
+          val pcs = EmbeddingPca.componentsDF(spark, model)
+          val rot = EmbeddingPca.project(dbl, pcs)
+            .select(col("vec_id"), expr(
+              "transform(sequence(0, 63), d -> CAST(round(element_at(p, CAST((d % 8) * 8 + (d div 8) AS INT) + 1)) AS BIGINT))").as("iv"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val rotQ = rot.where(col("vec_id") % 50 === 0)
+            .select(col("vec_id").as("qid"), col("iv").as("qiv"))
+          val tBr = IvfAnn.trainedImiCodebooks(rot, kImi, iters = 2)
+          val tCr = IvfAnn.imiCellsL2(rot, tBr, kImi)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          residualRows("ivfadc_rotated", rot, rotQ, tBr, tCr)
+        } else
+          println("rotation skipped: diagonal covariance (measured no-op - the aniso regime)")
       }
     }
 

@@ -23,16 +23,26 @@ object BloomFilter {
   def a(i: Int): Long = 1000003L * (i + 1) + 31L
   def b(i: Int): Long = 977L * (i + 1)
 
+  /** floorMod (pmod in the SQL spelling) keeps the bit non-negative for
+    * NEGATIVE keys too (round-6 advice: a negative BIGINT fed to the
+    * registered SQL function previously indexed the buffer at a negative
+    * offset). Key domain is |h| < 2³¹ either sign — beyond that h·a
+    * itself overflows int64 (ANSI mode rejects the multiply). For the
+    * non-negative keys every in-repo caller produces, floorMod ≡ % —
+    * bit-identical images. Build and probe share this one function
+    * (bloom_agg / [[probeSql]] / DeconStream.bloomPass), so the
+    * normalization cannot desynchronize them. */
   @inline def bitOf(h: Long, i: Int, mWords: Int): Long =
-    ((h * a(i) + b(i)) % P) % (64L * mWords)
+    Math.floorMod(Math.floorMod(h * a(i) + b(i), P), 64L * mWords)
 
   /** SQL predicate testing all d probe bits of `hashCol` against the
     * ARRAY<BIGINT> column `bloomCol` — pure codegen'd arithmetic
     * (element_at + shiftright), usable in a WHERE that runs inside the
-    * scan stage after a broadcast of the one-row bloom table. */
+    * scan stage after a broadcast of the one-row bloom table. pmod
+    * mirrors [[bitOf]]'s floorMod — same bits for any sign. */
   def probeSql(bloomCol: String, hashCol: String, mWords: Int, d: Int): String =
     (0 until d).map { i =>
-      val bit = s"((($hashCol * ${a(i)} + ${b(i)}) % $P) % ${64L * mWords})"
+      val bit = s"pmod(pmod($hashCol * ${a(i)} + ${b(i)}, $P), ${64L * mWords})"
       s"(shiftright(element_at($bloomCol, CAST($bit div 64 AS INT) + 1), " +
         s"CAST($bit % 64 AS INT)) & 1) = 1"
     }.mkString(" AND ")

