@@ -183,4 +183,49 @@ class PlanShapeSpec extends SparkTestBase {
       "the ADC partial top-k must sit on the broadcast scan stage, " +
         s"not behind an exchange: ${partials.map(a => throughProjections(a.child).getClass.getSimpleName)}")
   }
+
+  /** Round-6 verdict #7: qx43/qx44's composed search path must keep
+    * qx42's discipline END TO END — from the partial topk_by down to
+    * the broadcast candidate-generation join (probes/LUTs are the
+    * build side, corpus cells/codes STREAM), no ShuffleExchange may
+    * intervene: candidates are generated, ADC-scored and pruned inside
+    * one stage. Exchanges BELOW the join (index builds) are the
+    * amortizable part and stay legal. Physical plan without AQE (which
+    * hides the tree inside query stages). */
+  private def assertInStageSearchTail(name: String): Unit = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Partial
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
+      val partials = plan.collect {
+        case a: ObjectHashAggregateExec
+          if a.aggregateExpressions.exists(ae => ae.mode == Partial &&
+            ae.aggregateFunction.isInstanceOf[graft.functions.TopKBy]) => a
+      }
+      assert(partials.nonEmpty, s"no partial topk_by aggregate in the $name plan")
+      // True iff some root-to-cells-join path crosses no shuffle.
+      def cleanPathToCellJoin(p: SparkPlan): Boolean = p match {
+        case _: ShuffleExchangeExec => false
+        case j: BroadcastHashJoinExec
+          if (j.leftKeys ++ j.rightKeys).exists(_.toString.contains("cell")) => true
+        case other => other.children.exists(cleanPathToCellJoin)
+      }
+      assert(partials.exists(a => cleanPathToCellJoin(a.child)),
+        s"$name: an exchange intervenes between the broadcast cell join " +
+          "and the ADC partial top-k — candidates left the stage")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("qx43: probed-cells candidates are scored and pruned in one stage") {
+    assertInStageSearchTail("qx43_ivf_pq")
+  }
+
+  test("qx44: residual-ADC candidates are scored and pruned in one stage") {
+    assertInStageSearchTail("qx44_ivfadc")
+  }
 }
