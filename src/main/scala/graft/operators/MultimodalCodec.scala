@@ -67,9 +67,10 @@ object MultimodalCodec {
     * 1-byte-per-sample images (maxval < 256) are supported; malformed
     * or truncated input throws — a decode error must fail the task, not
     * fabricate pixels. */
-  def parsePpmHeader(b: Array[Byte]): PpmHeader = {
-    require(b.length >= 2 && b(0) == 'P' && b(1) == '6', "not a P6 PPM payload")
-    var pos = 2
+  def parsePpmHeader(b: Array[Byte], start: Int = 0): PpmHeader = {
+    require(b.length >= start + 2 && b(start) == 'P' && b(start + 1) == '6',
+      "not a P6 PPM payload")
+    var pos = start + 2
     def isWs(c: Byte) = c == ' ' || c == '\n' || c == '\r' || c == '\t'
     def readInt(): Int = {
       var skipping = true
@@ -135,6 +136,88 @@ object MultimodalCodec {
       }
       .toDF("doc_id", "width", "height", "maxval", "n_pixels",
         "sum_r", "sum_g", "sum_b", "wsum")
+  }
+
+  /** VIDEO frame sampling in the typed codec slot (builder brief:
+    * "frame-sample" as a first-class multimodal op): the payload is a
+    * STREAM of concatenated P6 frames — the real rawvideo interchange
+    * format ffmpeg's `image2pipe`/ppm pipe produces, where each frame is
+    * a complete PPM and the next begins at the previous one's last pixel
+    * byte + 1. The decoder WALKS the stream (every frame's header must
+    * parse to find the next boundary — a single misparse desynchronizes
+    * every later frame, which is what makes the gate strong), decodes
+    * every `stride`-th frame with the real parser, and emits the same
+    * integer pixel stats as [[decodePpm]] keyed by (doc_id, frame_idx).
+    * Skipped frames cost only a header parse + offset add, the point of
+    * stride sampling: decode cost divides by the stride while the walk
+    * stays exact. Partition-parallel, shuffle-free, like the other
+    * codecs. `media` must carry (doc_id, payload BINARY). */
+  def decodeFrameSampled(media: DataFrame, stride: Int): DataFrame = {
+    require(stride >= 1, s"stride $stride must be >= 1")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[
+            (Long, Long, Long, Long, Long, Long, Long, Long)]
+          var off = 0
+          var f = 0
+          while (off < payload.length) {
+            val hdr = parsePpmHeader(payload, off)
+            val npx = 3 * hdr.width * hdr.height
+            if (f % stride == 0) {
+              var sr = 0L; var sg = 0L; var sb = 0L; var wsum = 0L
+              var b = 0
+              while (b < npx) {
+                val v = (payload(hdr.dataOffset + b) & 0xff).toLong
+                (b % 3: @annotation.switch) match {
+                  case 0 => sr += v
+                  case 1 => sg += v
+                  case 2 => sb += v
+                }
+                wsum += v * (b + 1)
+                b += 1
+              }
+              out += ((id, f.toLong, hdr.width.toLong, hdr.height.toLong,
+                sr, sg, sb, wsum))
+            }
+            off = hdr.dataOffset + npx
+            f += 1
+          }
+          out
+        }
+      }
+      .toDF("doc_id", "frame_idx", "width", "height",
+        "sum_r", "sum_g", "sum_b", "wsum")
+  }
+
+  /** Deterministic synthetic frame stream for `docId`: 4 + id%4 complete
+    * P6 frames back to back (constant per-doc geometry — a video doesn't
+    * change shape mid-stream — but varying ACROSS docs), frame f's pixel
+    * byte b = (docId·31 + f·17 + b·7 + 11) mod 256; each frame header
+    * carries its own comment line so every boundary re-exercises the
+    * full header grammar. */
+  def syntheticVideo(docId: Long): Array[Byte] = {
+    val w = (4 + docId % 5).toInt
+    val h = (3 + docId % 3).toInt
+    val frames = (4 + docId % 4).toInt
+    val bufs = (0 until frames).map { f =>
+      val header = s"P6\n# frame $f\n$w $h\n255\n".getBytes("US-ASCII")
+      val out = new Array[Byte](header.length + 3 * w * h)
+      System.arraycopy(header, 0, out, 0, header.length)
+      var b = 0
+      while (b < 3 * w * h) {
+        out(header.length + b) = ((docId * 31 + f * 17 + b * 7 + 11) % 256).toByte
+        b += 1
+      }
+      out
+    }
+    val total = new Array[Byte](bufs.map(_.length).sum)
+    var p = 0
+    bufs.foreach { fb => System.arraycopy(fb, 0, total, p, fb.length); p += fb.length }
+    total
   }
 
   /** Deterministic synthetic P6 payload for `docId` — REAL bytes in the

@@ -1199,4 +1199,62 @@ object ExtOracle {
       |       CAST(sum(CASE WHEN b % 3 = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b,
       |       CAST(sum(v * (b + 1)) AS BIGINT) AS wsum
       |FROM px GROUP BY doc_id, w, h""".stripMargin
+
+  /** qx48 twin — the WAV decoder's per-channel sample statistics
+    * re-derived CLOSED-FORM from the synthetic generator (sample for
+    * frame i, channel c of doc d is ((d·37 + i·13 + c·101 + 7) mod
+    * 4001) − 2000; channels = 1 + d%2, frames = 40 + (d%9)·5, rate =
+    * 8000 + (d%3)·4000): the oracle never parses the RIFF container,
+    * so only a correct Spark-side chunk walk (JUNK skip, odd-size pad,
+    * 16-bit LE sign extension, channel interleave) reproduces these
+    * integers. */
+  val qx48: String =
+    """WITH d AS (SELECT doc_id, 1 + doc_id % 2 AS channels,
+      |                  40 + (doc_id % 9) * 5 AS frames,
+      |                  8000 + (doc_id % 3) * 4000 AS rate FROM documents),
+      |s AS (SELECT doc_id, channels, frames, rate, c, i,
+      |             (doc_id * 37 + i * 13 + c * 101 + 7) % 4001 - 2000 AS sv
+      |      FROM d, unnest(range(0, channels)) tc(c), unnest(range(0, frames)) ti(i))
+      |SELECT doc_id, CAST(c AS BIGINT) AS channel,
+      |       CAST(rate AS BIGINT) AS sample_rate, CAST(frames AS BIGINT) AS n_frames,
+      |       CAST(sum(sv) AS BIGINT) AS sum_s,
+      |       CAST(min(sv) AS BIGINT) AS min_s,
+      |       CAST(max(sv) AS BIGINT) AS max_s,
+      |       CAST(sum(sv * (i + 1)) AS BIGINT) AS wsum
+      |FROM s GROUP BY doc_id, c, rate, frames""".stripMargin
+
+  /** qx49 twin — the sampled frames' pixel statistics re-derived
+    * CLOSED-FORM from the frame-stream generator (frame f's pixel byte
+    * b of doc d is (d·31 + f·17 + b·7 + 11) mod 256; geometry w = 4 +
+    * d%5, h = 3 + d%3, frames = 4 + d%4, stride 2): the oracle never
+    * walks the byte stream, so a Spark-side frame-boundary misparse —
+    * which desynchronizes every later frame — breaks the hash. */
+  val qx49: String =
+    """WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 3 AS h,
+      |                  4 + doc_id % 4 AS frames FROM documents),
+      |fr AS (SELECT doc_id, w, h, f
+      |       FROM d, unnest(range(0, frames)) t(f) WHERE f % 2 = 0),
+      |px AS (SELECT doc_id, w, h, f, b, (doc_id * 31 + f * 17 + b * 7 + 11) % 256 AS v
+      |       FROM fr, unnest(range(0, 3 * w * h)) t(b))
+      |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+      |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |       CAST(sum(CASE WHEN b % 3 = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+      |       CAST(sum(CASE WHEN b % 3 = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+      |       CAST(sum(CASE WHEN b % 3 = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b,
+      |       CAST(sum(v * (b + 1)) AS BIGINT) AS wsum
+      |FROM px GROUP BY doc_id, f, w, h""".stripMargin
+
+  /** qx50 twin — SemDeDup: the qx16 trained assignment (KMEANS_ASSIGN,
+    * integer-exact Lloyd replay) scopes the pair search to same-cluster
+    * members; exact-integer cosines, threshold 0.35, keep-lowest-id
+    * drop policy. */
+  val qx50: String =
+    s"""WITH $KMEANS_ASSIGN,
+       |m AS (SELECT a.cid, n.vec_id, n.v, n.n2 FROM assign a JOIN n USING (vec_id)),
+       |p AS (SELECT y.vec_id, y.cid, x.vec_id AS prev_id,
+       |             CAST(CAST(list_sum(list_transform(range(1, len(y.v) + 1), i -> y.v[i] * x.v[i])) AS BIGINT) AS DOUBLE)
+       |               / (sqrt(CAST(y.n2 AS DOUBLE)) * sqrt(CAST(x.n2 AS DOUBLE))) AS cosine
+       |      FROM m y JOIN m x ON y.cid = x.cid AND x.vec_id < y.vec_id)
+       |SELECT vec_id, cid, CAST(count(*) AS BIGINT) AS n_better, max(cosine) AS max_cos
+       |FROM p WHERE cosine >= 0.35 GROUP BY vec_id, cid""".stripMargin
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{BloomFilter, Determinism}
-import graft.operators.{ConnectedComponents, EmbeddingLsh, EmbeddingPca, IvfAnn, MultimodalCodec, ProductQuantizer, SimHashLsh}
+import graft.operators.{ConnectedComponents, EmbeddingLsh, EmbeddingPca, IvfAnn, MultimodalCodec, ProductQuantizer, SimHashLsh, WavCodec}
 import graft.sources.Tables
 
 /** The large-scale training-data-pipeline operator family (builder brief +
@@ -1629,5 +1629,83 @@ object ExtQueries {
       .groupBy("event_type")
       .agg(count(lit(1)).as("cnt"), sum("k").as("sum_k"),
         sum("first_byte").as("sum_first_byte"), max("payload_len").as("max_len"))
+  }
+
+  /** qx48 — REAL-format AUDIO decode gate (the WAV/RIFF twin of qx47):
+    * build one deterministic binary WAV per document — real RIFF
+    * container bytes with a JUNK chunk planted before `fmt ` (odd-sized
+    * on odd docs, so chunk skipping AND the RIFF word-alignment pad are
+    * both load-bearing), 16-bit PCM, 1 or 2 channels — parse it with
+    * [[graft.operators.WavCodec.decodeWav]], and emit per-channel
+    * integer sample statistics. The DuckDB twin re-derives the stats
+    * closed-form from the sample generator — it never sees the bytes —
+    * so a misread chunk size, a missed pad byte, a sign-extension error
+    * in the 16-bit samples or swapped channel interleave all break the
+    * hash. Scale shape: shuffle-free partition-parallel decode, one
+    * payload scan. */
+  def qx48(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, WavCodec.syntheticWav(id))))
+      .toDF("doc_id", "payload")
+    WavCodec.decodeWav(media)
+  }
+
+  /** qx49 — VIDEO frame-sampling gate: each document's payload is a
+    * stream of concatenated P6 frames (the real ppm-pipe rawvideo
+    * interchange format), and the decoder samples every 2nd frame —
+    * walking EVERY frame header to find boundaries (one misparsed
+    * length desynchronizes all later frames), decoding only the sampled
+    * ones ([[graft.operators.MultimodalCodec.decodeFrameSampled]]). The
+    * DuckDB twin re-derives the sampled frames' stats closed-form from
+    * the generator. This is the brief's "frame-sample" op made real:
+    * decode cost divides by the stride while the walk stays exact.
+    * Scale shape: shuffle-free partition-parallel scan. */
+  def qx49(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, MultimodalCodec.syntheticVideo(id))))
+      .toDF("doc_id", "payload")
+    MultimodalCodec.decodeFrameSampled(media, stride = 2)
+  }
+
+  /** qx50 — SEMANTIC dedup, cluster-scoped (SemDeDup — Abbas et al.
+    * 2023, arXiv:2303.09540): embeddings are clustered with the SAME
+    * trained k-means as qx16 (K ≈ √n, two exact-integer Lloyd
+    * iterations), then near-duplicate candidates are searched ONLY
+    * within a cluster — the published trick that turns semantic dedup's
+    * all-pairs O(n²) into Σ|cluster|² ≈ n·√n, and the third member of
+    * the dedup family's candidate-generation strategies (qx4 lexical
+    * bands, qx12 LSH bands, qx50 learned cells). A document is DROPPED
+    * when a lower-id same-cluster neighbor clears the cosine threshold
+    * (the deterministic keep-lowest-id policy; survivors = docs not
+    * emitted). Output: one row per dropped doc with its cluster, how
+    * many better (lower-id) neighbors it duplicated, and the best such
+    * cosine — exact integer dots, IEEE-identical in DuckDB, like every
+    * cosine in the family. Threshold 0.35 as qx12 (calibrated to the
+    * synthetic corpus; a real embedding space would use ~0.9).
+    *
+    * 100 TB shape: the pair join is an equi-join on cid (never
+    * all-pairs); per-cluster work is |cluster|², bounded by the K ≈ √n
+    * sizing; the cluster table itself is the qx16 index, amortized
+    * across every query that uses it. */
+  def qx50(spark: SparkSession, dir: String): DataFrame = {
+    val base = intEmbeddings(spark, dir)
+    val k = IvfAnn.kmeansCentroidsFor(Tables.embeddings(spark, dir).count())
+    val cents = IvfAnn.trainedCentroids(base, IvfAnn.centroids(spark, k), iters = 2)
+    val assign = IvfAnn.l2Assignments(base, cents)
+    val m = assign.join(base, "vec_id")
+    val a = m.select(col("cid"), col("vec_id").as("prev_id"),
+      col("iv").as("aiv"), col("n2").as("an2"))
+    val b = m.select(col("cid"), col("vec_id"),
+      col("iv").as("biv"), col("n2").as("bn2"))
+    b.join(a, "cid")
+      .where(col("prev_id") < col("vec_id"))
+      .withColumn("dot", expr("long_dot(aiv, biv)"))
+      .withColumn("cosine",
+        expr("CAST(dot AS DOUBLE) / (sqrt(CAST(an2 AS DOUBLE)) * sqrt(CAST(bn2 AS DOUBLE)))"))
+      .where(col("cosine") >= 0.35)
+      .groupBy("vec_id", "cid")
+      .agg(count(lit(1)).as("n_better"), max("cosine").as("max_cos"))
   }
 }

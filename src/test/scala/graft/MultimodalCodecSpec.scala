@@ -98,4 +98,47 @@ class MultimodalCodecSpec extends SparkTestBase {
         s"weighted checksum wrong for doc $id")
     }
   }
+
+  // --- frame sampling over concatenated-PPM streams (qx49) -----------
+
+  test("decodeFrameSampled walks every boundary, decodes every stride-th frame") {
+    val ids = (0L until 60L)
+    val df = spark.createDataFrame(ids.map(id => (id, MultimodalCodec.syntheticVideo(id))))
+      .toDF("doc_id", "payload")
+    val got = MultimodalCodec.decodeFrameSampled(df, stride = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    for (id <- ids) {
+      val frames = (4 + id % 4).toInt
+      val sampled = (0 until frames).filter(_ % 2 == 0)
+      assert(got.keys.count(_._1 == id) == sampled.size,
+        s"doc $id: expected frames ${sampled.mkString(",")}")
+      for (f <- sampled) {
+        val w = (4 + id % 5).toInt; val h = (3 + id % 3).toInt
+        val v = (0 until 3 * w * h).map(b => (id * 31 + f * 17 + b * 7 + 11) % 256)
+        val r = got((id, f.toLong))
+        assert(r.getLong(2) == w && r.getLong(3) == h, s"geometry wrong for $id/$f")
+        assert(r.getLong(7) == v.indices.map(b => v(b) * (b + 1)).sum,
+          s"frame $f of doc $id decoded from the wrong offset")
+      }
+    }
+  }
+
+  test("decodeFrameSampled stride 1 decodes all frames; stride n samples exactly") {
+    val df = spark.createDataFrame(Seq((5L, MultimodalCodec.syntheticVideo(5L))))
+      .toDF("doc_id", "payload")
+    val frames = (4 + 5 % 4).toInt
+    assert(MultimodalCodec.decodeFrameSampled(df, 1).count() == frames.toLong)
+    assert(MultimodalCodec.decodeFrameSampled(df, 3).count() ==
+      (0 until frames).count(_ % 3 == 0).toLong)
+  }
+
+  test("decodeFrameSampled throws on a desynchronized stream") {
+    // Drop one byte mid-stream: the walk must fail loudly at the next
+    // boundary, not emit garbage frames.
+    val good = MultimodalCodec.syntheticVideo(3L)
+    val broken = good.take(40) ++ good.drop(41)
+    val df = spark.createDataFrame(Seq((3L, broken))).toDF("doc_id", "payload")
+    assertThrows[org.apache.spark.SparkException](
+      MultimodalCodec.decodeFrameSampled(df, 2).collect())
+  }
 }
