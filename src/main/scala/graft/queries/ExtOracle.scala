@@ -1244,17 +1244,24 @@ object ExtOracle {
       |       CAST(sum(v * (b + 1)) AS BIGINT) AS wsum
       |FROM px GROUP BY doc_id, f, w, h""".stripMargin
 
-  /** qx50 twin — SemDeDup: the qx16 trained assignment (KMEANS_ASSIGN,
-    * integer-exact Lloyd replay) scopes the pair search to same-cluster
-    * members; exact-integer cosines, threshold 0.35, keep-lowest-id
-    * drop policy. */
+  /** qx50 twin — SemDeDup: the qx16 trained codebook (KMEANS_ASSIGN,
+    * integer-exact Lloyd replay) indexes every vector under its 2
+    * nearest cells (the qx16 qprobe derivation over ALL vectors);
+    * cell-mate pairs are deduplicated as id pairs, then exact-integer
+    * cosines, threshold 0.35, keep-lowest-id drop policy. */
   val qx50: String =
     s"""WITH $KMEANS_ASSIGN,
-       |m AS (SELECT a.cid, n.vec_id, n.v, n.n2 FROM assign a JOIN n USING (vec_id)),
-       |p AS (SELECT y.vec_id, y.cid, x.vec_id AS prev_id,
+       |cells AS (SELECT vec_id, cid FROM (
+       |            SELECT a.vec_id, a.cid,
+       |                   row_number() OVER (PARTITION BY a.vec_id
+       |                     ORDER BY (2*dot - cn2) DESC, a.cid ASC) AS rn
+       |            FROM adf a JOIN cnf USING (cid)) WHERE rn <= 2),
+       |cand AS (SELECT DISTINCT y.vec_id, x.vec_id AS pid
+       |         FROM cells y JOIN cells x ON y.cid = x.cid AND x.vec_id < y.vec_id),
+       |p AS (SELECT cand.vec_id,
        |             CAST(CAST(list_sum(list_transform(range(1, len(y.v) + 1), i -> y.v[i] * x.v[i])) AS BIGINT) AS DOUBLE)
        |               / (sqrt(CAST(y.n2 AS DOUBLE)) * sqrt(CAST(x.n2 AS DOUBLE))) AS cosine
-       |      FROM m y JOIN m x ON y.cid = x.cid AND x.vec_id < y.vec_id)
-       |SELECT vec_id, cid, CAST(count(*) AS BIGINT) AS n_better, max(cosine) AS max_cos
-       |FROM p WHERE cosine >= 0.35 GROUP BY vec_id, cid""".stripMargin
+       |      FROM cand JOIN n y ON cand.vec_id = y.vec_id JOIN n x ON cand.pid = x.vec_id)
+       |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_better, max(cosine) AS max_cos
+       |FROM p WHERE cosine >= 0.35 GROUP BY vec_id""".stripMargin
 }

@@ -1673,39 +1673,50 @@ object ExtQueries {
     * 2023, arXiv:2303.09540): embeddings are clustered with the SAME
     * trained k-means as qx16 (K ≈ √n, two exact-integer Lloyd
     * iterations), then near-duplicate candidates are searched ONLY
-    * within a cluster — the published trick that turns semantic dedup's
-    * all-pairs O(n²) into Σ|cluster|² ≈ n·√n, and the third member of
-    * the dedup family's candidate-generation strategies (qx4 lexical
-    * bands, qx12 LSH bands, qx50 learned cells). A document is DROPPED
-    * when a lower-id same-cluster neighbor clears the cosine threshold
-    * (the deterministic keep-lowest-id policy; survivors = docs not
-    * emitted). Output: one row per dropped doc with its cluster, how
-    * many better (lower-id) neighbors it duplicated, and the best such
-    * cosine — exact integer dots, IEEE-identical in DuckDB, like every
-    * cosine in the family. Threshold 0.35 as qx12 (calibrated to the
-    * synthetic corpus; a real embedding space would use ~0.9).
+    * among cell-mates — the published trick that turns semantic dedup's
+    * all-pairs O(n²) into ≈ n·√n, and the third member of the dedup
+    * family's candidate-generation strategies (qx4 lexical bands, qx12
+    * LSH bands, qx50 learned cells). A document is DROPPED when a
+    * lower-id cell-mate clears the cosine threshold (the deterministic
+    * keep-lowest-id policy; survivors = docs not emitted).
+    *
+    * MULTI-ASSIGNMENT, because it was measured (SemDedupSpec): each
+    * vector is indexed under its 2 nearest cells — the IVF nprobe knob
+    * applied to dedup. Single assignment (the published baseline) finds
+    * 31% of the brute-force drop set on the test corpus; 2-probe finds
+    * 64%, still with EXACT precision (every emitted pair's cosine is
+    * computed exactly), at ≤4× candidate pairs. Candidates are
+    * deduplicated as bare id PAIRS before vectors are re-joined (the
+    * qx3 narrow-candidates discipline — the distinct never carries
+    * arrays). Output: one row per dropped doc with how many better
+    * (lower-id) neighbors it duplicated and the best such cosine.
+    * Threshold 0.35 as qx12 (calibrated to the synthetic corpus; a
+    * real embedding space would use ~0.9).
     *
     * 100 TB shape: the pair join is an equi-join on cid (never
-    * all-pairs); per-cluster work is |cluster|², bounded by the K ≈ √n
-    * sizing; the cluster table itself is the qx16 index, amortized
+    * all-pairs; plan-pinned); per-cell work is |cell|², bounded by the
+    * K ≈ √n sizing; the trained codebook is the qx16 index, amortized
     * across every query that uses it. */
   def qx50(spark: SparkSession, dir: String): DataFrame = {
     val base = intEmbeddings(spark, dir)
     val k = IvfAnn.kmeansCentroidsFor(Tables.embeddings(spark, dir).count())
     val cents = IvfAnn.trainedCentroids(base, IvfAnn.centroids(spark, k), iters = 2)
-    val assign = IvfAnn.l2Assignments(base, cents)
-    val m = assign.join(base, "vec_id")
-    val a = m.select(col("cid"), col("vec_id").as("prev_id"),
+    val cells = IvfAnn.l2Probes(
+        base.select(col("vec_id").as("qid"), col("iv").as("qiv")), cents, nprobe = 2)
+      .select(col("qid").as("vec_id"), col("cid"))
+    val cand = cells.as("y")
+      .join(cells.as("x"),
+        col("y.cid") === col("x.cid") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("y.vec_id").as("vec_id"), col("x.vec_id").as("pid"))
+      .distinct() // a pair sharing both cells must score once
+    val a = base.select(col("vec_id").as("pid"),
       col("iv").as("aiv"), col("n2").as("an2"))
-    val b = m.select(col("cid"), col("vec_id"),
-      col("iv").as("biv"), col("n2").as("bn2"))
-    b.join(a, "cid")
-      .where(col("prev_id") < col("vec_id"))
-      .withColumn("dot", expr("long_dot(aiv, biv)"))
+    cand.join(base, "vec_id").join(a, "pid")
+      .withColumn("dot", expr("long_dot(aiv, iv)"))
       .withColumn("cosine",
-        expr("CAST(dot AS DOUBLE) / (sqrt(CAST(an2 AS DOUBLE)) * sqrt(CAST(bn2 AS DOUBLE)))"))
+        expr("CAST(dot AS DOUBLE) / (sqrt(CAST(an2 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE)))"))
       .where(col("cosine") >= 0.35)
-      .groupBy("vec_id", "cid")
+      .groupBy("vec_id")
       .agg(count(lit(1)).as("n_better"), max("cosine").as("max_cos"))
   }
 }

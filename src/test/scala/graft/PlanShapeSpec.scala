@@ -228,4 +228,26 @@ class PlanShapeSpec extends SparkTestBase {
   test("qx44: residual-ADC candidates are scored and pruned in one stage") {
     assertInStageSearchTail("qx44_ivfadc")
   }
+
+  test("qx50: pair search is a cid equi-join, never an all-pairs product") {
+    // SemDeDup's whole point is the n·√n bound: the only legal joins are
+    // (a) the corpus × BROADCAST K-row codebook assignment scan and
+    // (b) an equi-join on cid between the two assignment sides. A
+    // CartesianProductExec (corpus × corpus, neither side broadcast)
+    // would silently restore the all-pairs blowup the operator exists
+    // to avoid.
+    import org.apache.spark.sql.execution.joins._
+    val plan = sparkPlan("qx50_semantic_dedup")
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty,
+      "qx50 plan contains a non-broadcast cartesian product")
+    val cidEqui = plan.collect {
+      case j: SortMergeJoinExec
+        if (j.leftKeys ++ j.rightKeys).exists(_.toString.contains("cid")) => j
+      case j: ShuffledHashJoinExec
+        if (j.leftKeys ++ j.rightKeys).exists(_.toString.contains("cid")) => j
+      case j: BroadcastHashJoinExec
+        if (j.leftKeys ++ j.rightKeys).exists(_.toString.contains("cid")) => j
+    }
+    assert(cidEqui.nonEmpty, "no cid equi-join found — pair scoping is gone")
+  }
 }
