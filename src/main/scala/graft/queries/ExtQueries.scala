@@ -1685,37 +1685,45 @@ object ExtQueries {
     * applied to dedup. Single assignment (the published baseline) finds
     * 31% of the brute-force drop set on the test corpus; 2-probe finds
     * 64%, still with EXACT precision (every emitted pair's cosine is
-    * computed exactly), at ≤4× candidate pairs. Candidates are
-    * deduplicated as bare id PAIRS before vectors are re-joined (the
-    * qx3 narrow-candidates discipline — the distinct never carries
-    * arrays). Output: one row per dropped doc with how many better
-    * (lower-id) neighbors it duplicated and the best such cosine.
-    * Threshold 0.35 as qx12 (calibrated to the synthetic corpus; a
-    * real embedding space would use ~0.9).
+    * computed exactly), at ≤4× candidate pairs. Output: one row per
+    * dropped doc with how many better (lower-id) neighbors it
+    * duplicated and the best such cosine. Threshold 0.35 as qx12
+    * (calibrated to the synthetic corpus; a real embedding space would
+    * use ~0.9).
     *
-    * 100 TB shape: the pair join is an equi-join on cid (never
-    * all-pairs; plan-pinned); per-cell work is |cell|², bounded by the
-    * K ≈ √n sizing; the trained codebook is the qx16 index, amortized
-    * across every query that uses it. */
+    * 100 TB shape — a REGIME lesson the 100× probe taught (round 7):
+    * this operator is OUTPUT-bound, not candidate-bound. The cell join
+    * yields ~n·√n candidate pairs (156M at the 200k-vector probe) of
+    * which the threshold keeps ~1%; the first spelling applied qx3's
+    * narrow-candidates discipline — distinct the bare id pairs, then
+    * re-join vectors per side — which is right when candidates are FEW
+    * (ANN probes) and fatally wrong here: it exchanged all 156M pairs
+    * through two array re-joins and OOMed. The shipped plan inverts it:
+    * vectors ride INTO the cid equi-join once (2n rows ≈ 0.5 KB each,
+    * the only array exchange), pairs are generated, scored and
+    * THRESHOLDED inside the join stage — nothing pair-shaped is ever
+    * exchanged except survivors (the pair-sharing-both-cells dedup
+    * moves AFTER the filter, where rows are output-bound). Per-cell
+    * work is |cell|² dots, bounded by the K ≈ √n sizing; the trained
+    * codebook is the qx16 index, amortized across every query that
+    * uses it. */
   def qx50(spark: SparkSession, dir: String): DataFrame = {
     val base = intEmbeddings(spark, dir)
     val k = IvfAnn.kmeansCentroidsFor(Tables.embeddings(spark, dir).count())
     val cents = IvfAnn.trainedCentroids(base, IvfAnn.centroids(spark, k), iters = 2)
-    val cells = IvfAnn.l2Probes(
+    val m = IvfAnn.l2Probes(
         base.select(col("vec_id").as("qid"), col("iv").as("qiv")), cents, nprobe = 2)
       .select(col("qid").as("vec_id"), col("cid"))
-    val cand = cells.as("y")
-      .join(cells.as("x"),
-        col("y.cid") === col("x.cid") && col("x.vec_id") < col("y.vec_id"))
-      .select(col("y.vec_id").as("vec_id"), col("x.vec_id").as("pid"))
-      .distinct() // a pair sharing both cells must score once
-    val a = base.select(col("vec_id").as("pid"),
+      .join(base, "vec_id")
+    val x = m.select(col("cid"), col("vec_id").as("pid"),
       col("iv").as("aiv"), col("n2").as("an2"))
-    cand.join(base, "vec_id").join(a, "pid")
+    m.join(x, "cid")
+      .where(col("pid") < col("vec_id"))
       .withColumn("dot", expr("long_dot(aiv, iv)"))
       .withColumn("cosine",
         expr("CAST(dot AS DOUBLE) / (sqrt(CAST(an2 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE)))"))
       .where(col("cosine") >= 0.35)
+      .select("vec_id", "pid", "cosine").distinct() // both-cells pairs score twice, identically
       .groupBy("vec_id")
       .agg(count(lit(1)).as("n_better"), max("cosine").as("max_cos"))
   }
