@@ -138,6 +138,80 @@ object MultimodalCodec {
         "sum_r", "sum_g", "sum_b", "wsum")
   }
 
+  /** IMAGE RESIZE in the typed codec slot (builder brief: "resize" as a
+    * first-class multimodal op): box-filter downsample by an integer
+    * `factor` — output pixel (ox, oy) is the integer-floor mean of the
+    * factor×factor input block it covers, with PARTIAL edge blocks
+    * (odd-width/height images) averaged over their true pixel count, so
+    * out_w = ceil(w/factor), out_h = ceil(h/factor) and no input pixel
+    * is dropped. All arithmetic is exact-integer (block sums then one
+    * floor division), which is what makes a closed-form DuckDB twin
+    * possible (qx51 re-derives every resized pixel from the generator
+    * formula — a misplaced block boundary, a dropped edge pixel or a
+    * channel transpose breaks the hash). Emits the resized image's
+    * per-channel sums and the position-weighted checksum
+    * Σ rv(p)·(p+1) over RESIZED pixel positions p = 3·(oy·out_w+ox)+c,
+    * pinning the output raster order.
+    * Scale shape: identical to [[decodePpm]] — partition-parallel
+    * mapPartitions, no shuffle, cost = the payload scan; the resize
+    * itself is one extra integer pass over out_w·out_h·3 cells. */
+  def decodeResized(media: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1, s"factor $factor must be >= 1")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val hdr = parsePpmHeader(payload)
+          val w = hdr.width; val h = hdr.height
+          val outW = (w + factor - 1) / factor
+          val outH = (h + factor - 1) / factor
+          val sums = new Array[Long](outW * outH * 3)
+          var y = 0
+          while (y < h) {
+            val oy = y / factor
+            var x = 0
+            while (x < w) {
+              val base = (oy * outW + x / factor) * 3
+              var c = 0
+              while (c < 3) {
+                sums(base + c) += (payload(hdr.dataOffset + 3 * (y * w + x) + c) & 0xff).toLong
+                c += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+          var sr = 0L; var sg = 0L; var sb = 0L; var wsum = 0L
+          var oy = 0
+          while (oy < outH) {
+            val bh = math.min(factor, h - oy * factor)
+            var ox = 0
+            while (ox < outW) {
+              val bw = math.min(factor, w - ox * factor)
+              val cnt = (bw * bh).toLong
+              var c = 0
+              while (c < 3) {
+                val rv = sums((oy * outW + ox) * 3 + c) / cnt
+                (c: @annotation.switch) match {
+                  case 0 => sr += rv
+                  case 1 => sg += rv
+                  case 2 => sb += rv
+                }
+                wsum += rv * (3 * (oy * outW + ox) + c + 1)
+                c += 1
+              }
+              ox += 1
+            }
+            oy += 1
+          }
+          (id, outW.toLong, outH.toLong, sr, sg, sb, wsum)
+        }
+      }
+      .toDF("doc_id", "out_w", "out_h", "sum_r", "sum_g", "sum_b", "wsum")
+  }
+
   /** VIDEO frame sampling in the typed codec slot (builder brief:
     * "frame-sample" as a first-class multimodal op): the payload is a
     * STREAM of concatenated P6 frames — the real rawvideo interchange

@@ -1244,6 +1244,28 @@ object ExtOracle {
       |       CAST(sum(v * (b + 1)) AS BIGINT) AS wsum
       |FROM px GROUP BY doc_id, f, w, h""".stripMargin
 
+  /** qx51 twin — the box-filter downsample re-derived CLOSED-FORM: every
+    * input pixel maps to block (x//2, y//2), each block's resized value
+    * is the integer-floor mean over its TRUE pixel count (edge blocks are
+    * smaller), and the checksum runs over resized raster order. The
+    * oracle never parses bytes and never calls the resizer — only a
+    * correct Spark-side decode + block accounting reproduces it. */
+  val qx51: String =
+    """WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 3 AS h FROM documents),
+      |px AS (SELECT doc_id, w, h, b % 3 AS c,
+      |              ((b // 3) % w) // 2 AS ox, ((b // 3) // w) // 2 AS oy,
+      |              (doc_id * 31 + b * 7 + 11) % 256 AS v
+      |       FROM d, unnest(range(0, 3 * w * h)) t(b)),
+      |blk AS (SELECT doc_id, (w + 1) // 2 AS ow, (h + 1) // 2 AS oh, c, ox, oy,
+      |               CAST(sum(v) // count(*) AS BIGINT) AS rv
+      |        FROM px GROUP BY doc_id, w, h, c, ox, oy)
+      |SELECT doc_id, CAST(ow AS BIGINT) AS out_w, CAST(oh AS BIGINT) AS out_h,
+      |       CAST(sum(CASE WHEN c = 0 THEN rv ELSE 0 END) AS BIGINT) AS sum_r,
+      |       CAST(sum(CASE WHEN c = 1 THEN rv ELSE 0 END) AS BIGINT) AS sum_g,
+      |       CAST(sum(CASE WHEN c = 2 THEN rv ELSE 0 END) AS BIGINT) AS sum_b,
+      |       CAST(sum(rv * (3 * (oy * ow + ox) + c + 1)) AS BIGINT) AS wsum
+      |FROM blk GROUP BY doc_id, ow, oh""".stripMargin
+
   /** qx50 twin — SemDeDup: the qx16 trained codebook (KMEANS_ASSIGN,
     * integer-exact Lloyd replay) indexes every vector under its 2
     * nearest cells (the qx16 qprobe derivation over ALL vectors);

@@ -1669,6 +1669,24 @@ object ExtQueries {
     MultimodalCodec.decodeFrameSampled(media, stride = 2)
   }
 
+  /** qx51 — image RESIZE gate (builder brief: resize as a first-class
+    * multimodal op): the qx47 payloads pushed through
+    * [[MultimodalCodec.decodeResized]] at factor 2 — a box-filter
+    * downsample with exact-integer block means and PARTIAL edge blocks
+    * (the corpus geometry w = 4..8, h = 3..5 makes odd edges common, so
+    * the edge path is load-bearing, not incidental). The DuckDB twin
+    * re-derives every resized pixel closed-form from the generator —
+    * block boundary, edge count and raster order are all pinned by the
+    * checksum. Scale shape: shuffle-free partition-parallel decode,
+    * same class as qx47. */
+  def qx51(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, MultimodalCodec.syntheticPpm(id))))
+      .toDF("doc_id", "payload")
+    MultimodalCodec.decodeResized(media, factor = 2)
+  }
+
   /** qx50 — SEMANTIC dedup, cluster-scoped (SemDeDup — Abbas et al.
     * 2023, arXiv:2303.09540): embeddings are clustered with the SAME
     * trained k-means as qx16 (K ≈ √n, two exact-integer Lloyd

@@ -99,6 +99,51 @@ class MultimodalCodecSpec extends SparkTestBase {
     }
   }
 
+  // --- box-filter resize (qx51) ---------------------------------------
+
+  test("decodeResized factor 1 is the identity: stats equal decodePpm's") {
+    val ids = (0L until 60L)
+    val df = spark.createDataFrame(ids.map(id => (id, MultimodalCodec.syntheticPpm(id))))
+      .toDF("doc_id", "payload")
+    val full = MultimodalCodec.decodePpm(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val same = MultimodalCodec.decodeResized(df, factor = 1).collect()
+    same.foreach { r =>
+      val f = full(r.getLong(0))
+      // factor 1 ⇒ every block is one pixel ⇒ rv = v and positions match,
+      // so channel sums AND the raster checksum are bit-identical.
+      assert(r.getLong(1) == f.getLong(1) && r.getLong(2) == f.getLong(2),
+        s"factor-1 geometry drifted for doc ${r.getLong(0)}")
+      assert(r.getLong(3) == f.getLong(5) && r.getLong(4) == f.getLong(6) &&
+        r.getLong(5) == f.getLong(7) && r.getLong(6) == f.getLong(8),
+        s"factor-1 stats drifted for doc ${r.getLong(0)}")
+    }
+  }
+
+  test("decodeResized handles partial edge blocks exactly (hand case)") {
+    // 3×3 single-image: factor 2 ⇒ out 2×2 with blocks of 4/2/2/1 pixels.
+    val w = 3; val h = 3
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val px = Array.tabulate(3 * w * h)(b => (b * 5 % 256).toByte)
+    val payload = header ++ px
+    val df = spark.createDataFrame(Seq((7L, payload))).toDF("doc_id", "payload")
+    val r = MultimodalCodec.decodeResized(df, factor = 2).collect().head
+    def v(x: Int, y: Int, c: Int) = (px(3 * (y * w + x) + c) & 0xff).toLong
+    def blk(xs: Seq[(Int, Int)], c: Int) = xs.map { case (x, y) => v(x, y, c) }.sum / xs.size
+    val blocks = Seq(
+      Seq((0, 0), (1, 0), (0, 1), (1, 1)), // full 2×2
+      Seq((2, 0), (2, 1)),                 // right edge 1×2
+      Seq((0, 2), (1, 2)),                 // bottom edge 2×1
+      Seq((2, 2)))                         // corner 1×1
+    val expSums = (0 until 3).map(c => blocks.map(b => blk(b, c)).sum)
+    val expW = (for ((b, p) <- blocks.zipWithIndex; c <- 0 until 3)
+      yield blk(b, c) * (3 * p + c + 1)).sum
+    assert(r.getLong(1) == 2 && r.getLong(2) == 2, s"geometry: $r")
+    assert(r.getLong(3) == expSums(0) && r.getLong(4) == expSums(1) &&
+      r.getLong(5) == expSums(2), s"edge-block sums: $r vs $expSums")
+    assert(r.getLong(6) == expW, s"raster checksum: ${r.getLong(6)} vs $expW")
+  }
+
   // --- frame sampling over concatenated-PPM streams (qx49) -----------
 
   test("decodeFrameSampled walks every boundary, decodes every stride-th frame") {
