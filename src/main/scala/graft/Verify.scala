@@ -21,7 +21,15 @@ object Verify {
     // (round-4 verdict task #8). Opt-out via env for A/B timing.
     if (!sys.env.get("SPARK_GRAFT_NO_SHARE").contains("1"))
       queries.ExtQueries.enableSharedDerivations(spark, sfDir)
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Iteration aid: SPARK_GRAFT_VERIFY_ONLY=qx52_audio_features,qx51_...
+    // dumps only the named queries (oracle_sql.json still carries every
+    // entry — the checker only compares queries that have an output dir).
+    // The driver never sets it, so the official gate always runs full.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

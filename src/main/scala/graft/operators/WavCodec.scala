@@ -129,6 +129,64 @@ object WavCodec {
         "sum_s", "min_s", "max_s", "wsum")
   }
 
+  /** AUDIO FEATURE EXTRACTION in the typed codec slot (builder brief:
+    * "feature-extract" as a first-class multimodal op, completing the
+    * decode / resize / frame-sample / feature-extract quartet): the
+    * classic frame-level audio features — per fixed `window`-frame
+    * span of each channel, the signal ENERGY Σ s², the ZERO-CROSSING
+    * count (sign flips between consecutive samples WITHIN the window —
+    * the boundary pair straddling two windows is deliberately not
+    * counted, so windows are independently computable), and the PEAK
+    * max |s|. The trailing window may be partial; its true frame count
+    * is emitted so downstream normalization (energy/n, zc-rate) stays
+    * exact. All-integer arithmetic — a 16-bit sample squares below
+    * 2³⁰, so energy stays in Long for any window under 2³³ frames —
+    * which is what makes the closed-form DuckDB twin possible (qx52
+    * re-derives every window from the sample generator via `lag`; a
+    * sign-extension error, a window-boundary crossing miscount or a
+    * channel transpose breaks the hash).
+    * Scale shape: identical to [[decodeWav]] — partition-parallel
+    * mapPartitions, no shuffle; the windowed rows explode inside the
+    * same pass, cost = the payload scan plus one multiply per sample. */
+  def featuresWindowed(media: DataFrame, window: Int): DataFrame = {
+    require(window >= 2, s"window $window must be >= 2")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          val h = parseWavHeader(payload)
+          (0 until h.channels).flatMap { c =>
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, Long, Long, Long, Long, Long, Long)]
+            var win = 0
+            var n = 0; var energy = 0L; var zc = 0L; var peak = 0L
+            var prev = 0 // sample i-1 within the current window
+            var i = 0
+            while (i < h.nFrames) {
+              val s = s16(payload, h.dataOffset + (i * h.channels + c) * 2)
+              energy += s.toLong * s
+              if (n > 0 && ((prev < 0) != (s < 0))) zc += 1
+              val a = math.abs(s).toLong
+              if (a > peak) peak = a
+              prev = s
+              n += 1
+              if (n == window) {
+                out += ((id, c.toLong, win.toLong, n.toLong, energy, zc, peak))
+                win += 1; n = 0; energy = 0L; zc = 0L; peak = 0L
+              }
+              i += 1
+            }
+            if (n > 0)
+              out += ((id, c.toLong, win.toLong, n.toLong, energy, zc, peak))
+            out
+          }
+        }
+      }
+      .toDF("doc_id", "channel", "win", "n_w", "energy", "zc", "peak")
+  }
+
   /** Deterministic synthetic WAV for `docId` — REAL bytes in the REAL
     * container: RIFF/WAVE, then a JUNK chunk (odd-sized when docId is
     * odd, so the word-alignment pad is exercised on half the corpus),

@@ -1200,6 +1200,30 @@ object ExtOracle {
       |       CAST(sum(v * (b + 1)) AS BIGINT) AS wsum
       |FROM px GROUP BY doc_id, w, h""".stripMargin
 
+  /** qx52 twin — the windowed audio features re-derived CLOSED-FORM
+    * from the qx48 sample generator: windows are i // 16, crossings
+    * compare each sample against `lag` over the per-channel frame
+    * order but only count when the predecessor sits in the SAME window
+    * (i % 16 > 0), and energy/peak are exact integers. The oracle
+    * never parses the RIFF container and never runs the feature
+    * extractor — only a correct decode + windowing reproduces it. */
+  val qx52: String =
+    """WITH d AS (SELECT doc_id, 1 + doc_id % 2 AS channels,
+      |                  40 + (doc_id % 9) * 5 AS frames FROM documents),
+      |s AS (SELECT doc_id, c, i, i // 16 AS win,
+      |             (doc_id * 37 + i * 13 + c * 101 + 7) % 4001 - 2000 AS sv
+      |      FROM d, unnest(range(0, channels)) tc(c), unnest(range(0, frames)) ti(i)),
+      |l AS (SELECT doc_id, c, i, win, sv,
+      |             lag(sv) OVER (PARTITION BY doc_id, c ORDER BY i) AS pv
+      |      FROM s)
+      |SELECT doc_id, CAST(c AS BIGINT) AS channel, CAST(win AS BIGINT) AS win,
+      |       CAST(count(*) AS BIGINT) AS n_w,
+      |       CAST(sum(sv * sv) AS BIGINT) AS energy,
+      |       CAST(sum(CASE WHEN i % 16 > 0 AND ((pv < 0) <> (sv < 0))
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS zc,
+      |       CAST(max(abs(sv)) AS BIGINT) AS peak
+      |FROM l GROUP BY doc_id, c, win""".stripMargin
+
   /** qx48 twin — the WAV decoder's per-channel sample statistics
     * re-derived CLOSED-FORM from the synthetic generator (sample for
     * frame i, channel c of doc d is ((d·37 + i·13 + c·101 + 7) mod

@@ -1631,6 +1631,27 @@ object ExtQueries {
         sum("first_byte").as("sum_first_byte"), max("payload_len").as("max_len"))
   }
 
+  /** qx52 — AUDIO feature-extraction gate (the brief's "feature-extract"
+    * leg, completing the multimodal quartet with qx47/qx48 decode, qx51
+    * resize and qx49 frame-sample): the qx48 WAV payloads pushed through
+    * [[graft.operators.WavCodec.featuresWindowed]] at a 16-frame window —
+    * per (doc, channel, window) signal energy Σ s², zero-crossing count
+    * (sign flips between consecutive samples INSIDE the window only) and
+    * peak |s|, with the trailing partial window's true frame count
+    * emitted. The corpus geometry (40..80 frames) makes partial windows
+    * common, so the edge path is load-bearing. The DuckDB twin
+    * re-derives every window closed-form from the sample generator via
+    * `lag` — window boundaries, the crossing definition and channel
+    * interleave are all hash-pinned. Scale shape: shuffle-free
+    * partition-parallel decode, same class as qx48. */
+  def qx52(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, WavCodec.syntheticWav(id))))
+      .toDF("doc_id", "payload")
+    WavCodec.featuresWindowed(media, window = 16)
+  }
+
   /** qx48 — REAL-format AUDIO decode gate (the WAV/RIFF twin of qx47):
     * build one deterministic binary WAV per document — real RIFF
     * container bytes with a JUNK chunk planted before `fmt ` (odd-sized

@@ -74,4 +74,56 @@ class WavCodecSpec extends SparkTestBase {
     // Coverage: both channel counts actually occurred.
     assert(got.keys.exists(_._2 == 1L) && got.keys.exists(_._2 == 0L))
   }
+
+  // --- windowed feature extraction (qx52) -----------------------------
+
+  test("featuresWindowed matches a scalar reference on the synthetic corpus") {
+    val ids = (0L until 90L)
+    val df = spark.createDataFrame(ids.map(id => (id, WavCodec.syntheticWav(id))))
+      .toDF("doc_id", "payload")
+    val got = WavCodec.featuresWindowed(df, window = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r).toMap
+    var partialSeen = 0
+    for (id <- ids; c <- 0 until (1 + (id % 2).toInt)) {
+      val frames = (40 + (id % 9) * 5).toInt
+      val s = (0 until frames).map(i => ((id * 37 + i * 13 + c * 101 + 7) % 4001).toInt - 2000)
+      for ((w, win) <- s.grouped(16).zipWithIndex) {
+        val r = got((id, c.toLong, win.toLong))
+        val zc = w.indices.tail.count(i => (w(i - 1) < 0) != (w(i) < 0))
+        assert(r.getLong(3) == w.size.toLong, s"n_w doc $id ch $c win $win")
+        assert(r.getLong(4) == w.map(v => v.toLong * v).sum, s"energy doc $id ch $c win $win")
+        assert(r.getLong(5) == zc.toLong, s"zc doc $id ch $c win $win")
+        assert(r.getLong(6) == w.map(v => math.abs(v).toLong).max, s"peak doc $id ch $c win $win")
+        if (w.size < 16) partialSeen += 1
+      }
+    }
+    assert(partialSeen > 0, "corpus produced no partial trailing window — edge path untested")
+  }
+
+  test("featuresWindowed never counts a crossing across a window boundary") {
+    // Alternating-sign signal: every consecutive pair crosses. 8 frames at
+    // window 4 ⇒ 3 crossings per window (not 7 total) — the boundary pair
+    // (i=3→4) must NOT be counted.
+    val frames = 8; val rate = 8000; val blockAlign = 2
+    val dataLen = frames * blockAlign
+    val total = 12 + (8 + 16) + (8 + dataLen)
+    val b = new Array[Byte](total)
+    var p = 0
+    def putcc(s: String): Unit = { s.foreach { ch => b(p) = ch.toByte; p += 1 } }
+    def put16(v: Int): Unit = { b(p) = (v & 0xff).toByte; b(p + 1) = ((v >> 8) & 0xff).toByte; p += 2 }
+    def put32(v: Long): Unit = { (0 until 4).foreach(k => b(p + k) = ((v >> (8 * k)) & 0xff).toByte); p += 4 }
+    putcc("RIFF"); put32(total - 8); putcc("WAVE")
+    putcc("fmt "); put32(16); put16(1); put16(1); put32(rate); put32(rate.toLong * blockAlign)
+    put16(blockAlign); put16(16)
+    putcc("data"); put32(dataLen)
+    (0 until frames).foreach(i => put16(if (i % 2 == 0) 100 else -100 & 0xffff))
+    val df = spark.createDataFrame(Seq((5L, b))).toDF("doc_id", "payload")
+    val rows = WavCodec.featuresWindowed(df, window = 4).collect()
+      .map(r => r.getLong(2) -> r).toMap
+    assert(rows.size == 2)
+    rows.values.foreach { r =>
+      assert(r.getLong(3) == 4 && r.getLong(5) == 3 && r.getLong(6) == 100,
+        s"window features wrong: $r")
+    }
+  }
 }
