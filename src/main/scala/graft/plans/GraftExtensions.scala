@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomAgg, LongDotProduct, PqAdc, TopKBy}
+import graft.functions.{BloomAgg, LongDotProduct, PqAdc, TopKBy, ZOrder2}
 
 /** Engine extension point: registers the custom Catalyst expressions with
   * the session's FunctionRegistry, so SQL/expr() can call them by name.
@@ -33,6 +33,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "pq_adc expects exactly 2 arguments")
         PqAdc(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("zorder2"),
+      new ExpressionInfo(classOf[ZOrder2].getName, "zorder2"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "zorder2 expects exactly 2 arguments")
+        ZOrder2(children.head, children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("topk_by"),

@@ -1200,6 +1200,28 @@ object ExtOracle {
       |       CAST(sum(v * (b + 1)) AS BIGINT) AS wsum
       |FROM px GROUP BY doc_id, w, h""".stripMargin
 
+  /** qx53 twin — the Morton interleave re-derived closed-form: bit i of
+    * bin `a` contributes (aᵢ) · 2^(2i+1) and bit i of bin `b`
+    * contributes (bᵢ) · 2^(2i), summed over i < 16 (computed once per
+    * DISTINCT bin pair, joined back). The oracle never runs the
+    * mask-shift spread — only a bit-exact Spark-side interleave (and
+    * the same bucket boundary and operand order) reproduces the
+    * per-bucket z-sums. */
+  val qx53: String =
+    """WITH t AS (SELECT CAST(floor(l_extendedprice) AS BIGINT) % 65536 AS a,
+      |                  l_orderkey % 65536 AS b FROM lineitem),
+      |ab AS (SELECT DISTINCT a, b FROM t),
+      |zm AS (SELECT a, b,
+      |              CAST(sum((((a >> i) & 1) << (2 * i + 1)) +
+      |                       (((b >> i) & 1) << (2 * i))) AS BIGINT) AS zv
+      |       FROM ab, unnest(range(0, 16)) ti(i) GROUP BY a, b),
+      |j AS (SELECT t.a, t.b, zm.zv FROM t JOIN zm USING (a, b))
+      |SELECT zv >> 22 AS bucket, CAST(count(*) AS BIGINT) AS cnt,
+      |       CAST(sum(zv) AS BIGINT) AS sum_z,
+      |       CAST(min(a) AS BIGINT) AS min_a, CAST(max(a) AS BIGINT) AS max_a,
+      |       CAST(min(b) AS BIGINT) AS min_b, CAST(max(b) AS BIGINT) AS max_b
+      |FROM j GROUP BY 1""".stripMargin
+
   /** qx52 twin — the windowed audio features re-derived CLOSED-FORM
     * from the qx48 sample generator: windows are i // 16, crossings
     * compare each sample against `lag` over the per-channel frame

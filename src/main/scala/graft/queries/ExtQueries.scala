@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{BloomFilter, Determinism}
-import graft.operators.{ConnectedComponents, EmbeddingLsh, EmbeddingPca, IvfAnn, MultimodalCodec, ProductQuantizer, SimHashLsh, WavCodec}
+import graft.operators.{ConnectedComponents, EmbeddingLsh, EmbeddingPca, IvfAnn, MultimodalCodec, ProductQuantizer, SimHashLsh, WavCodec, ZOrderLayout}
 import graft.sources.Tables
 
 /** The large-scale training-data-pipeline operator family (builder brief +
@@ -1629,6 +1629,35 @@ object ExtQueries {
       .groupBy("event_type")
       .agg(count(lit(1)).as("cnt"), sum("k").as("sum_k"),
         sum("first_byte").as("sum_first_byte"), max("payload_len").as("max_len"))
+  }
+
+  /** qx53 — Z-ORDER layout gate: the codegen'd Morton interleave
+    * ([[graft.functions.ZOrder2]], the primitive behind
+    * `OPTIMIZE ZORDER BY`-class multi-dim data layout —
+    * [[graft.operators.ZOrderLayout]]) pinned bit-exactly. Two exact
+    * integer 16-bit bins of independent lineitem dimensions
+    * (floor(l_extendedprice) and l_orderkey, both mod 2¹⁶ so the full
+    * bit width is live) are interleaved, and the gate emits per
+    * z-bucket (z >> 22, 1024 curve segments) the row count, the exact
+    * z-SUM — which pins every individual z-value — and the min/max of
+    * BOTH dims, the rectangle witness that makes the layout prunable on
+    * either predicate. The DuckDB twin re-derives the interleave
+    * closed-form as Σᵢ bit-shifts over i < 16 — one transposed bit,
+    * swapped operand order or off-by-one bucket boundary breaks the
+    * hash. Scale shape: one scan + one hash aggregate on a 1024-value
+    * key; the layout op itself (repartitionByRange + local sort) is a
+    * single range exchange, spec'd separately (ZOrderSpec measures the
+    * rectangle-locality claim at file granularity). */
+  def qx53(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .select(
+        pmod(floor(col("l_extendedprice")).cast("long"), lit(65536L)).as("a"),
+        pmod(col("l_orderkey"), lit(65536L)).as("b"))
+      .withColumn("zv", ZOrderLayout.zvalue(col("a"), col("b")))
+      .groupBy(shiftright(col("zv"), 22).as("bucket"))
+      .agg(count(lit(1)).as("cnt"), sum("zv").as("sum_z"),
+        min("a").as("min_a"), max("a").as("max_a"),
+        min("b").as("min_b"), max("b").as("max_b"))
   }
 
   /** qx52 — AUDIO feature-extraction gate (the brief's "feature-extract"
