@@ -1200,6 +1200,34 @@ object ExtOracle {
       |       CAST(sum(v * (b + 1)) AS BIGINT) AS wsum
       |FROM px GROUP BY doc_id, w, h""".stripMargin
 
+  /** qx54 twin — the BM25-family ranking replayed with the IDENTICAL
+    * micro-unit score expression (same e-notation literals, same CAST
+    * points, same association — see ExtQueries.BM25_MICRO) and a
+    * row_number window over (score DESC, doc_id ASC), the order
+    * topk_by guarantees. Exact equality, not approximate: both engines
+    * floor the same IEEE double. */
+  val qx54: String =
+    """WITH w AS (SELECT doc_id,
+      |                  unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS word
+      |           FROM documents),
+      |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM w GROUP BY doc_id),
+      |st AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n,
+      |              (SELECT CAST(count(*) AS BIGINT) FROM w) AS sumdl),
+      |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM w
+      |       WHERE word IN ('data', 'table', 'stream', 'query', 'spark')
+      |       GROUP BY doc_id, word),
+      |df AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word),
+      |sc AS (SELECT tf.word AS term, tf.doc_id,
+      |              CAST(floor(((CAST(n - df AS DOUBLE) + 5e-1) / (CAST(df AS DOUBLE) + 5e-1)) *
+      |                ((CAST(tf AS DOUBLE) * 22e-1) / (CAST(tf AS DOUBLE) + 12e-1 *
+      |                (25e-2 + 75e-2 * (CAST(dl * n AS DOUBLE) / CAST(sumdl AS DOUBLE))))) * 1e6 + 5e-1) AS BIGINT) AS score_micro
+      |       FROM tf JOIN dl USING (doc_id) JOIN df USING (word), st),
+      |rk AS (SELECT term, doc_id, score_micro,
+      |              CAST(row_number() OVER (PARTITION BY term
+      |                ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rk
+      |       FROM sc)
+      |SELECT term, rk, doc_id, score_micro FROM rk WHERE rk <= 10""".stripMargin
+
   /** qx53 twin — the Morton interleave re-derived closed-form: bit i of
     * bin `a` contributes (aᵢ) · 2^(2i+1) and bit i of bin `b`
     * contributes (bᵢ) · 2^(2i), summed over i < 16 (computed once per

@@ -1631,6 +1631,57 @@ object ExtQueries {
         sum("first_byte").as("sum_first_byte"), max("payload_len").as("max_len"))
   }
 
+  /** The BM25-family score in EXACT micro-units, spelled once and used
+    * verbatim by BOTH engines: all literals in e-notation (a bare `0.5`
+    * parses as DECIMAL in Spark AND DuckDB, silently changing the
+    * arithmetic), every intermediate explicitly CAST to DOUBLE, so both
+    * sides execute the identical IEEE-754 expression tree on identical
+    * integer inputs — bit-identical doubles, one floor at the end.
+    * idf is Robertson's RATIONAL form (N − df + ½)/(df + ½) WITHOUT the
+    * log damping: a transcendental would hang cross-engine equality on
+    * libm rounding, and the rational form preserves the df ordering the
+    * gate needs (documented divergence from the textbook constant). */
+  private val BM25_MICRO =
+    "CAST(floor(((CAST(n - df AS DOUBLE) + 5e-1) / (CAST(df AS DOUBLE) + 5e-1)) * " +
+      "((CAST(tf AS DOUBLE) * 22e-1) / (CAST(tf AS DOUBLE) + 12e-1 * " +
+      "(25e-2 + 75e-2 * (CAST(dl * n AS DOUBLE) / CAST(sumdl AS DOUBLE))))) * 1e6 + 5e-1) AS BIGINT)"
+
+  /** qx54 — LEXICAL relevance search (BM25 family): the keyword-ranking
+    * counterpart of the embedding searches (qx2 dense exact, qx15/qx16
+    * ANN, qx50 semantic dedup) — tf saturation (k1 = 1.2), document
+    * length normalization (b = 0.75), rational-idf df discounting, top
+    * 10 docs per query term via `topk_by`. Scale shape: ONE pass over
+    * the exploded words feeds both the doc-length table (doc-keyed
+    * aggregate) and the term-filtered tf table (the broadcast term list
+    * prunes the corpus BEFORE any per-term aggregation, so only
+    * |terms|·n_docs rows survive); df and the (N, Σdl) stats ride in as
+    * broadcasts; the final top-k is the partial-aggregating `topk_by`,
+    * never a term-partitioned window (|terms| partitions would cap
+    * parallelism and exchange every scored row). The DuckDB twin
+    * replays the identical micro-unit score and a row_number window —
+    * topk_by's (score DESC, id ASC) order makes them provably equal. */
+  def qx54(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val words = docs.select(col("doc_id"), explode(expr(WORDS)).as("word"))
+    val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n"))
+      .crossJoin(words.agg(count(lit(1)).as("sumdl")))
+    val terms = Seq("data", "table", "stream", "query", "spark").toDF("word")
+    val tf = words.join(broadcast(terms), "word")
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    tf.join(dl, "doc_id")
+      .join(broadcast(dfreq), "word")
+      .crossJoin(broadcast(stats))
+      .withColumn("score_micro", expr(BM25_MICRO))
+      .groupBy(col("word").as("term"))
+      .agg(expr("topk_by(CAST(score_micro AS DOUBLE), doc_id, 10)").as("tk"))
+      .select(col("term"), posexplode(col("tk")).as(Seq("p", "t")))
+      .select(col("term"), (col("p") + 1).cast("long").as("rk"),
+        col("t.id").as("doc_id"), col("t.score").cast("long").as("score_micro"))
+  }
+
   /** qx53 — Z-ORDER layout gate: the codegen'd Morton interleave
     * ([[graft.functions.ZOrder2]], the primitive behind
     * `OPTIMIZE ZORDER BY`-class multi-dim data layout —

@@ -250,4 +250,17 @@ class PlanShapeSpec extends SparkTestBase {
     }
     assert(cidEqui.nonEmpty, "no cid equi-join found — pair scoping is gone")
   }
+
+  test("qx54: per-term top-k is the partial aggregate, never a term window") {
+    // Five query terms means five window partitions — a Window spelling
+    // would cap parallelism at |terms| AND exchange every scored row.
+    // topk_by reduces each map task's slice to <=10 per term before the
+    // exchange; the term list joins as a broadcast so the corpus-sized
+    // word table is pruned before any per-term aggregation.
+    val plan = sparkPlan("qx54_bm25_search")
+    val s = plan.toString
+    assert(!s.contains("Window"), "qx54 must not rank through a window")
+    assert(s.contains("topk_by"), "per-term top-k must be the topk_by aggregate")
+    assert(s.contains("BroadcastHashJoin"), "term filter must broadcast")
+  }
 }
