@@ -1200,6 +1200,30 @@ object ExtOracle {
       |       CAST(sum(v * (b + 1)) AS BIGINT) AS wsum
       |FROM px GROUP BY doc_id, w, h""".stripMargin
 
+  /** qx55 twin — the MERGE replayed declaratively: the same derived
+    * changeset (delete precedence over update via CASE order, inserts
+    * keyed at doc_id + 10⁶ but token-scored from the ORIGINAL id), the
+    * same full-outer join + carry-over semantics. */
+  val qx55: String =
+    """WITH base AS (SELECT doc_id, CAST(1 AS BIGINT) AS version,
+      |        CAST(len(list_filter(string_split(text, ' '), w -> length(w) > 0)) AS BIGINT) AS n_tokens
+      |      FROM documents),
+      |ch AS (SELECT doc_id,
+      |              CASE WHEN doc_id % 11 = 3 THEN 'D'
+      |                   WHEN doc_id % 7 = 0 THEN 'U' END AS op,
+      |              (doc_id * 13) % 1000 AS new_tokens
+      |       FROM documents WHERE doc_id % 11 = 3 OR doc_id % 7 = 0
+      |       UNION ALL
+      |       SELECT doc_id + 1000000, 'I', (doc_id * 13) % 1000
+      |       FROM documents WHERE doc_id % 5 = 0),
+      |m AS (SELECT coalesce(base.doc_id, ch.doc_id) AS doc_id,
+      |             version, n_tokens, op, new_tokens
+      |      FROM base FULL OUTER JOIN ch ON base.doc_id = ch.doc_id)
+      |SELECT doc_id,
+      |       CAST(CASE WHEN op IS NOT NULL THEN 2 ELSE version END AS BIGINT) AS version,
+      |       CAST(CASE WHEN op IS NOT NULL THEN new_tokens ELSE n_tokens END AS BIGINT) AS n_tokens
+      |FROM m WHERE coalesce(op, '') <> 'D'""".stripMargin
+
   /** qx54 twin — the BM25-family ranking replayed with the IDENTICAL
     * micro-unit score expression (same e-notation literals, same CAST
     * points, same association — see ExtQueries.BM25_MICRO) and a

@@ -1631,6 +1631,47 @@ object ExtQueries {
         sum("first_byte").as("sum_first_byte"), max("payload_len").as("max_len"))
   }
 
+  /** qx55 — CDC MERGE / upsert: apply a changeset (update / delete /
+    * insert ops) to a standing corpus snapshot in one pass — the
+    * `MERGE INTO` primitive a standing 100 TB training corpus refreshes
+    * through (new crawl batches upsert, takedowns delete). The
+    * changeset here is derived deterministically from the corpus so the
+    * oracle can replay it: doc_id ≡ 0 (mod 7) updates (token count
+    * re-scored), doc_id ≡ 3 (mod 11) deletes, and every doc_id ≡ 0
+    * (mod 5) contributes a NEW row at doc_id + 10⁶ — inserts the base
+    * does not contain. Semantics are standard MERGE: delete wins over
+    * update when both match (spelled as delete-first precedence),
+    * unmatched changes insert, unmatched base rows carry over at their
+    * old version. Spelled as ONE full-outer equi-join on doc_id + a
+    * CASE projection — co-partitioned single shuffle, no driver state;
+    * with a small changeset Catalyst broadcasts it and the snapshot
+    * never exchanges at all. Output: the merged snapshot
+    * (doc_id, version, n_tokens) — version 2 marks rows the merge
+    * touched. */
+  def qx55(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), lit(1L).as("version"),
+        expr(s"CAST(size($WORDS) AS BIGINT)").as("n_tokens"))
+    val changes = Tables.documents(spark, dir).select(col("doc_id"))
+      .withColumn("op",
+        when(pmod(col("doc_id"), lit(11L)) === 3L, lit("D"))
+          .when(pmod(col("doc_id"), lit(7L)) === 0L, lit("U"))
+          .otherwise(lit(null: String)))
+      .where(col("op").isNotNull)
+      .withColumn("new_tokens", pmod(col("doc_id") * 13L, lit(1000L)))
+      .unionByName(
+        Tables.documents(spark, dir).select(col("doc_id"))
+          .where(pmod(col("doc_id"), lit(5L)) === 0L)
+          .select((col("doc_id") + 1000000L).as("doc_id"), lit("I").as("op"),
+            pmod(col("doc_id") * 13L, lit(1000L)).as("new_tokens")))
+    base.join(changes, Seq("doc_id"), "full_outer")
+      .where(coalesce(col("op"), lit("")) =!= "D")
+      .select(col("doc_id"),
+        when(col("op").isNotNull, lit(2L)).otherwise(col("version")).as("version"),
+        when(col("op").isNotNull, col("new_tokens"))
+          .otherwise(col("n_tokens")).as("n_tokens"))
+  }
+
   /** The BM25-family score in EXACT micro-units, spelled once and used
     * verbatim by BOTH engines: all literals in e-notation (a bare `0.5`
     * parses as DECIMAL in Spark AND DuckDB, silently changing the
