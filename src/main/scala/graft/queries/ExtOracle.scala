@@ -1200,6 +1200,36 @@ object ExtOracle {
       |       CAST(sum(v * (b + 1)) AS BIGINT) AS wsum
       |FROM px GROUP BY doc_id, w, h""".stripMargin
 
+  /** qx56 twin — the PII planting replayed, then DuckDB's OWN regex
+    * engine (RE2 family) detects and redacts over the same dirty text
+    * the Spark side (java.util.regex) scrubbed: agreement on counts,
+    * boundaries and replaced lengths is the cross-engine proof the
+    * patterns behave identically. regexp_replace needs the explicit
+    * 'g' flag — DuckDB replaces first-match-only by default, Spark
+    * replaces all. */
+  val qx56: String =
+    """WITH dirty AS (SELECT source,
+      |        text ||
+      |        CASE WHEN doc_id % 3 = 0
+      |             THEN ' user' || CAST(doc_id AS VARCHAR) || '@example.com'
+      |             ELSE '' END ||
+      |        CASE WHEN doc_id % 4 = 1
+      |             THEN ' 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-1234'
+      |             ELSE '' END AS d
+      |      FROM documents),
+      |s AS (SELECT source, d,
+      |             CAST(len(regexp_extract_all(d, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS BIGINT) AS n_email,
+      |             CAST(len(regexp_extract_all(d, '[0-9]{3}-[0-9]{4}-[0-9]{4}')) AS BIGINT) AS n_phone,
+      |             regexp_replace(regexp_replace(d, '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+      |                            '[0-9]{3}-[0-9]{4}-[0-9]{4}', '<PHONE>', 'g') AS clean
+      |      FROM dirty)
+      |SELECT source, CAST(count(*) AS BIGINT) AS docs,
+      |       CAST(sum(n_email) AS BIGINT) AS emails_scrubbed,
+      |       CAST(sum(n_phone) AS BIGINT) AS phones_scrubbed,
+      |       CAST(sum(length(d)) AS BIGINT) AS sum_len_dirty,
+      |       CAST(sum(length(clean)) AS BIGINT) AS sum_len_clean
+      |FROM s GROUP BY source""".stripMargin
+
   /** qx55 twin — the MERGE replayed declaratively: the same derived
     * changeset (delete precedence over update via CASE order, inserts
     * keyed at doc_id + 10⁶ but token-scored from the ORIGINAL id), the

@@ -1631,6 +1631,50 @@ object ExtQueries {
         sum("first_byte").as("sum_first_byte"), max("payload_len").as("max_len"))
   }
 
+  /** qx56 — PII SCRUBBING: detect-and-redact structured identifiers
+    * (emails, phone numbers) from document text — the compliance pass
+    * every web-scale training corpus runs before anything else touches
+    * it. The corpus vocabulary carries no '@' or digits, so the gate
+    * PLANTS deterministic PII from doc_id (an email on ids ≡ 0 mod 3, a
+    * phone on ids ≡ 1 mod 4 — ids ≡ 9 mod 12 get both), then scrubs
+    * with `regexp_replace` and counts with `regexp_extract_all` — both
+    * codegen'd scan-local expressions, no shuffle until the per-source
+    * rollup. The DuckDB twin replays the planting AND runs its OWN
+    * regex engine over the same dirty text (patterns kept to the
+    * class/quantifier subset Java and RE2 agree on), so match
+    * boundaries, the replace-all semantics and redacted lengths are all
+    * hash-pinned. Scale shape: per-row string work + one small-keyed
+    * aggregate — the embarrassingly-parallel class. */
+  def qx56(spark: SparkSession, dir: String): DataFrame = {
+    val email = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+    val phone = "[0-9]{3}-[0-9]{4}-[0-9]{4}"
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(3L)) === 0L,
+            concat(lit(" user"), col("doc_id").cast("string"), lit("@example.com")))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(4L)) === 1L,
+            concat(lit(" 555-"),
+              lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"),
+              lit("-1234")))
+            .otherwise(lit(""))).as("dirty"))
+      .select(col("source"), col("dirty"),
+        // Column-form regexp functions: the pattern string reaches the
+        // regex engine verbatim (an expr() spelling would eat the \. via
+        // SQL string-literal escaping).
+        size(regexp_extract_all(col("dirty"), lit(email), lit(0))).cast("long").as("n_email"),
+        size(regexp_extract_all(col("dirty"), lit(phone), lit(0))).cast("long").as("n_phone"),
+        regexp_replace(regexp_replace(col("dirty"), lit(email), lit("<EMAIL>")),
+          lit(phone), lit("<PHONE>")).as("clean"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"),
+        sum("n_email").as("emails_scrubbed"),
+        sum("n_phone").as("phones_scrubbed"),
+        sum(length(col("dirty")).cast("long")).as("sum_len_dirty"),
+        sum(length(col("clean")).cast("long")).as("sum_len_clean"))
+  }
+
   /** qx55 — CDC MERGE / upsert: apply a changeset (update / delete /
     * insert ops) to a standing corpus snapshot in one pass — the
     * `MERGE INTO` primitive a standing 100 TB training corpus refreshes
