@@ -212,6 +212,50 @@ object MultimodalCodec {
       .toDF("doc_id", "out_w", "out_h", "sum_r", "sum_g", "sum_b", "wsum")
   }
 
+  /** IMAGE FEATURE EXTRACTION in the typed codec slot: per-channel
+    * intensity HISTOGRAMS over the decoded pixels — the image twin of
+    * [[WavCodec.featuresWindowed]]'s audio features, and the canonical
+    * compact image descriptor (color-distribution features for quality
+    * filters, near-dup prescreens, mixture balancing). `bins` must
+    * divide 256; pixel value v lands in bin v / (256/bins). Only
+    * NON-EMPTY bins emit a row — the output is the sparse histogram,
+    * which is also exactly what a GROUP BY over the pixels produces, so
+    * the closed-form DuckDB twin (qx57) meets it row for row.
+    * Scale shape: identical to [[decodePpm]] — partition-parallel
+    * mapPartitions, no shuffle; the histogram accumulates in one
+    * 3·bins-long array per image inside the decode pass. */
+  def histogramPpm(media: DataFrame, bins: Int): DataFrame = {
+    require(bins >= 1 && 256 % bins == 0, s"bins $bins must divide 256")
+    val width = 256 / bins
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          val hdr = parsePpmHeader(payload)
+          val counts = new Array[Long](3 * bins)
+          val n = hdr.width * hdr.height
+          var p = 0
+          while (p < n) {
+            var c = 0
+            while (c < 3) {
+              val v = payload(hdr.dataOffset + 3 * p + c) & 0xff
+              counts(c * bins + v / width) += 1L
+              c += 1
+            }
+            p += 1
+          }
+          for {
+            c <- 0 until 3
+            b <- 0 until bins
+            if counts(c * bins + b) > 0
+          } yield (id, c.toLong, b.toLong, counts(c * bins + b))
+        }
+      }
+      .toDF("doc_id", "channel", "bin", "cnt")
+  }
+
   /** VIDEO frame sampling in the typed codec slot (builder brief:
     * "frame-sample" as a first-class multimodal op): the payload is a
     * STREAM of concatenated P6 frames — the real rawvideo interchange

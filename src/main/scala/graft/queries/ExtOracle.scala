@@ -1200,6 +1200,18 @@ object ExtOracle {
       |       CAST(sum(v * (b + 1)) AS BIGINT) AS wsum
       |FROM px GROUP BY doc_id, w, h""".stripMargin
 
+  /** qx57 twin — the per-channel histogram re-derived closed-form from
+    * the pixel generator: bin = v // 32 over channel b % 3. GROUP BY
+    * yields exactly the non-empty bins the sparse decoder emits. */
+  val qx57: String =
+    """WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 3 AS h FROM documents),
+      |px AS (SELECT doc_id, b % 3 AS c,
+      |              ((doc_id * 31 + b * 7 + 11) % 256) // 32 AS bin
+      |       FROM d, unnest(range(0, 3 * w * h)) t(b))
+      |SELECT doc_id, CAST(c AS BIGINT) AS channel, CAST(bin AS BIGINT) AS bin,
+      |       CAST(count(*) AS BIGINT) AS cnt
+      |FROM px GROUP BY doc_id, c, bin""".stripMargin
+
   /** qx56 twin — the PII planting replayed, then DuckDB's OWN regex
     * engine (RE2 family) detects and redacts over the same dirty text
     * the Spark side (java.util.regex) scrubbed: agreement on counts,

@@ -1631,6 +1631,24 @@ object ExtQueries {
         sum("first_byte").as("sum_first_byte"), max("payload_len").as("max_len"))
   }
 
+  /** qx57 — IMAGE feature-extraction gate: per-channel 8-bin intensity
+    * histograms over the qx47 PPM payloads
+    * ([[MultimodalCodec.histogramPpm]]) — the image leg of the
+    * feature-extract family (qx52 is the audio leg). Sparse output:
+    * only non-empty bins emit, exactly the row set a GROUP BY over the
+    * pixels produces, so the closed-form DuckDB twin meets it row for
+    * row — a mis-binned pixel, a channel transpose or a dropped edge
+    * pixel changes some bin's count and breaks the hash. Scale shape:
+    * shuffle-free partition-parallel decode, histogram accumulated
+    * in-pass. */
+  def qx57(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, MultimodalCodec.syntheticPpm(id))))
+      .toDF("doc_id", "payload")
+    MultimodalCodec.histogramPpm(media, bins = 8)
+  }
+
   /** qx56 — PII SCRUBBING: detect-and-redact structured identifiers
     * (emails, phone numbers) from document text — the compliance pass
     * every web-scale training corpus runs before anything else touches

@@ -144,6 +144,27 @@ class MultimodalCodecSpec extends SparkTestBase {
     assert(r.getLong(6) == expW, s"raster checksum: ${r.getLong(6)} vs $expW")
   }
 
+  // --- per-channel histograms (qx57) ----------------------------------
+
+  test("histogramPpm bins every pixel once, sparsely, per channel") {
+    val ids = (0L until 60L)
+    val df = spark.createDataFrame(ids.map(id => (id, MultimodalCodec.syntheticPpm(id))))
+      .toDF("doc_id", "payload")
+    val rows = MultimodalCodec.histogramPpm(df, bins = 8).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    for (id <- ids) {
+      val w = (4 + id % 5).toInt; val h = (3 + id % 3).toInt
+      val expected = (0 until 3 * w * h)
+        .map(b => (b % 3, ((id * 31 + b * 7 + 11) % 256).toInt / 32))
+        .groupBy(identity).map { case ((c, bin), xs) => (c.toLong, bin.toLong) -> xs.size.toLong }
+      val got = byDoc(id).map(r => (r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+      assert(got == expected, s"histogram wrong for doc $id")
+      // Sparse: every emitted bin is non-zero, and totals tile the image.
+      assert(got.values.forall(_ > 0) &&
+        (0L until 3L).forall(c => got.collect { case ((`c`, _), n) => n }.sum == w * h))
+    }
+  }
+
   // --- frame sampling over concatenated-PPM streams (qx49) -----------
 
   test("decodeFrameSampled walks every boundary, decodes every stride-th frame") {
