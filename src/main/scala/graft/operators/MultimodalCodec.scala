@@ -256,6 +256,62 @@ object MultimodalCodec {
       .toDF("doc_id", "channel", "bin", "cnt")
   }
 
+  /** dHash grid geometry: an (HashCols+1) × HashRows grayscale sample
+    * grid yields HashCols·HashRows = 56 difference bits — deliberately
+    * under 63 so the hash is a plain non-negative BIGINT in BOTH engines
+    * (64 bits would need DuckDB HUGEINT on the oracle side). */
+  val HashCols = 7
+  val HashRows = 8
+
+  /** PERCEPTUAL image hash (dHash — the difference-hash family used for
+    * web-scale image dedup, e.g. the LAION pipeline's pHash screen) in
+    * the typed codec slot: parse the P6 payload with the REAL decoder,
+    * nearest-neighbor sample an 8×8 grayscale grid (gray = (r+g+b)/3,
+    * integer division; sample (gx,gy) reads source pixel
+    * (gx·w/8, gy·h/8) — pure integer scaling, no float resample), and
+    * emit one bit per HORIZONTAL neighbor comparison
+    * bit(gy·7+gx) = [gray(gx+1,gy) > gray(gx,gy)] packed little-endian
+    * into a 56-bit BIGINT. Gradient direction survives brightness
+    * shifts, which is exactly the invariance a perceptual dedup wants.
+    * All-integer ⇒ an EXACT closed-form oracle exists (qx58 re-derives
+    * every sampled gray value from the generator formula).
+    * Partition-parallel mapPartitions, no shuffle — the hash is 8 bytes
+    * per image no matter the source size, the property that makes
+    * image dedup feasible at 100 TB. `media` carries (doc_id, payload). */
+  def decodeDHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val cols = HashCols; val rows = HashRows
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val hdr = parsePpmHeader(payload)
+          val w = hdr.width; val h = hdr.height
+          def gray(gx: Int, gy: Int): Int = {
+            val sx = gx * w / (cols + 1)
+            val sy = gy * h / rows
+            val base = hdr.dataOffset + 3 * (sy * w + sx)
+            ((payload(base) & 0xff) + (payload(base + 1) & 0xff) +
+              (payload(base + 2) & 0xff)) / 3
+          }
+          var hash = 0L
+          var gy = 0
+          while (gy < rows) {
+            var gx = 0
+            while (gx < cols) {
+              if (gray(gx + 1, gy) > gray(gx, gy))
+                hash |= 1L << (gy * cols + gx)
+              gx += 1
+            }
+            gy += 1
+          }
+          (id, hash)
+        }
+      }
+      .toDF("doc_id", "dhash")
+  }
+
   /** VIDEO frame sampling in the typed codec slot (builder brief:
     * "frame-sample" as a first-class multimodal op): the payload is a
     * STREAM of concatenated P6 frames — the real rawvideo interchange

@@ -1203,6 +1203,39 @@ object ExtOracle {
   /** qx57 twin — the per-channel histogram re-derived closed-form from
     * the pixel generator: bin = v // 32 over channel b % 3. GROUP BY
     * yields exactly the non-empty bins the sparse decoder emits. */
+  /** qx58 twin — the dHash re-derived CLOSED-FORM from the generator:
+    * every sampled gray value is computed from the pixel formula (never
+    * the bytes), bits packed into the same 56-bit BIGINT, then the
+    * class-collapse + 4×14-bit band join + keep-lowest-id verdicts
+    * replayed relationally. bit_count/xor pin the Hamming arithmetic
+    * across engines. */
+  val qx58: String =
+    """WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 3 AS h FROM documents),
+      |pts AS (SELECT doc_id, w, gy, gx, (gx*w)//8 AS sx, (gy*h)//8 AS sy
+      |        FROM d, unnest(range(0,8)) t1(gy), unnest(range(0,8)) t2(gx)),
+      |g AS (SELECT doc_id, gy, gx,
+      |        (  (doc_id*31 + (3*(sy*w+sx)+0)*7 + 11) % 256
+      |         + (doc_id*31 + (3*(sy*w+sx)+1)*7 + 11) % 256
+      |         + (doc_id*31 + (3*(sy*w+sx)+2)*7 + 11) % 256) // 3 AS gv
+      |      FROM pts),
+      |bits AS (SELECT a.doc_id, (a.gy*7 + a.gx) AS bit
+      |         FROM g a JOIN g b ON a.doc_id = b.doc_id AND a.gy = b.gy AND b.gx = a.gx + 1
+      |         WHERE a.gx < 7 AND b.gv > a.gv),
+      |hs AS (SELECT d.doc_id, CAST(COALESCE(sum(CAST(1 AS BIGINT) << bit), 0) AS BIGINT) AS dhash
+      |       FROM d LEFT JOIN bits USING (doc_id) GROUP BY d.doc_id),
+      |cls AS (SELECT dhash, min(doc_id) AS cmin FROM hs GROUP BY dhash),
+      |bands AS (SELECT dhash, cmin, b, (dhash >> (14*b)) & 16383 AS sig
+      |          FROM cls, unnest(range(0,4)) t(b)),
+      |adj AS (SELECT DISTINCT x.dhash, y.cmin AS nm
+      |        FROM bands x JOIN bands y ON x.b = y.b AND x.sig = y.sig AND x.dhash <> y.dhash
+      |        WHERE bit_count(xor(x.dhash, y.dhash)) <= 3),
+      |nbr AS (SELECT dhash, min(nm) AS nmin FROM adj GROUP BY dhash),
+      |eff AS (SELECT c.dhash, least(c.cmin, COALESCE(n.nmin, c.cmin)) AS keeper_id
+      |        FROM cls c LEFT JOIN nbr n ON c.dhash = n.dhash)
+      |SELECT h.doc_id, e.keeper_id
+      |FROM hs h JOIN eff e ON h.dhash = e.dhash
+      |WHERE h.doc_id > e.keeper_id""".stripMargin
+
   val qx57: String =
     """WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 3 AS h FROM documents),
       |px AS (SELECT doc_id, b % 3 AS c,

@@ -1631,6 +1631,49 @@ object ExtQueries {
         sum("first_byte").as("sum_first_byte"), max("payload_len").as("max_len"))
   }
 
+  /** qx58 — PERCEPTUAL image near-dup (dHash): the image-modality member
+    * of the dedup family (qx4 lexical bands, qx12 LSH bands, qx50
+    * learned cells — this is the LAION-style pHash screen). Every PPM
+    * payload is decoded by the REAL parser into a 56-bit difference
+    * hash ([[MultimodalCodec.decodeDHash]]); a doc is DROPPED when a
+    * lower-id doc hashes within Hamming distance 3 — emitted as
+    * (doc_id, keeper_id), the keep-lowest-id policy shared with qx50.
+    *
+    * The plan collapses EXACT-duplicate hashes into classes BEFORE any
+    * pairwise work — the step that keeps this linear: the synthetic
+    * corpus has ≤ 3,840 distinct images at ANY sf (15 geometries × 256
+    * phases), so a naive doc-level band join is n²/3840 (1.7M candidate
+    * pairs at sf0.1, quadratic growth) while the class-level join is
+    * bounded by distinct-hash count forever. Real image corpora behave
+    * the same way: exact re-posts dominate, and the near-dup search
+    * belongs on the class representatives. Banding: 4 disjoint 14-bit
+    * bands ⇒ any pair within Hamming 3 shares ≥ 1 band (pigeonhole, the
+    * SimHashLsh guarantee), so banding loses no recall. Shape: decode
+    * scan → one 8-byte-key shuffle to classes → class-sized band join →
+    * verdicts broadcast back on dhash. */
+  def qx58(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, MultimodalCodec.syntheticPpm(id))))
+      .toDF("doc_id", "payload")
+    val hs = MultimodalCodec.decodeDHash(media)
+    val cls = hs.groupBy("dhash").agg(min("doc_id").as("cmin"))
+    val bands = cls.select(col("dhash"), col("cmin"),
+        posexplode(expr("transform(sequence(0, 3), b -> shiftright(dhash, 14 * b) & 16383)")))
+      .withColumnRenamed("pos", "b").withColumnRenamed("col", "sig")
+    val x = bands.select(col("b"), col("sig"), col("dhash").as("h1"))
+    val y = bands.select(col("b"), col("sig"), col("dhash").as("h2"), col("cmin").as("m2"))
+    val adj = x.join(y, Seq("b", "sig"))
+      .where(col("h1") =!= col("h2") && expr("bit_count(h1 ^ h2) <= 3"))
+      .select(col("h1").as("dhash"), col("m2").as("nm")).distinct()
+    val nbr = adj.groupBy("dhash").agg(min("nm").as("nmin"))
+    val eff = cls.join(nbr, Seq("dhash"), "left")
+      .select(col("dhash"), least(col("cmin"), coalesce(col("nmin"), col("cmin"))).as("keeper_id"))
+    hs.join(eff, "dhash")
+      .where(col("doc_id") > col("keeper_id"))
+      .select("doc_id", "keeper_id")
+  }
+
   /** qx57 — IMAGE feature-extraction gate: per-channel 8-bin intensity
     * histograms over the qx47 PPM payloads
     * ([[MultimodalCodec.histogramPpm]]) — the image leg of the
