@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-Pair-Encoding vocabulary induction (Sennrich et al. 2016,
+  * arXiv:1508.07909) as a distributed pipeline — the "BPE-ish" leg of the
+  * builder brief's token-counting family made REAL: learn the merge table
+  * from the corpus, not just count whitespace tokens.
+  *
+  * The published algorithm iterates: count adjacent symbol pairs over the
+  * vocabulary (frequency-weighted), merge the most frequent pair
+  * everywhere, repeat. The distributed rendering keeps the corpus-sized
+  * work to ONE pass (the word-frequency aggregate); every iteration then
+  * runs on the VOCABULARY table (distinct words + counts), which is
+  * lexicon-bounded — a few million rows for any natural corpus, invariant
+  * in corpus size. Per iteration: one vocabulary-sized pair count + a
+  * 1-row argmax collect (the bounded Lloyd-style driver round-trip, same
+  * budget class as IvfAnn's trainings) + one narrow map applying the
+  * merge.
+  *
+  * MERGE SEMANTICS, pinned exactly: a merge (l, r) rewrites each symbol
+  * sequence greedily LEFT-TO-RIGHT, non-overlapping — in `a a a` merging
+  * (a,a) produces `aa a`, not `a aa`. Both engines implement it as the
+  * SAME left fold over the symbol list with a string accumulator
+  * ('|'-separated; '|' cannot appear in a symbol): append each symbol,
+  * except when the accumulator ends with `|l` and the incoming symbol is
+  * `r`, replace that tail with `|lr`. A symbol produced by the current
+  * pass can never retrigger the rule because the merged symbol `lr` is
+  * strictly longer than `l` — so the fold IS the greedy non-overlapping
+  * rewrite, no flag needed. The DuckDB oracle replays the identical fold
+  * via list_reduce (see ExtOracle.bpeChain), so the learned merge tables
+  * match string-for-string.
+  *
+  * Tiebreak: highest pair count, then (left, right) ascending —
+  * deterministic for replay.
+  */
+object BpeTrainer {
+
+  val EndMark = "</w>"
+
+  /** One learned merge. */
+  final case class Merge(step: Int, left: String, right: String, pairCount: Long)
+
+  /** Initial vocabulary state: (word, cnt, seq) where seq is the
+    * '|'-prefixed, '|'-joined character sequence plus the end-of-word
+    * marker — `low` → `|l|o|w|</w>`. */
+  def initState(wordFreq: DataFrame): DataFrame =
+    wordFreq.select(col("word"), col("cnt"),
+      concat(lit("|"), array_join(split(col("word"), ""), "|"),
+        lit("|" + EndMark)).as("seq"))
+
+  /** Symbol list of a seq column (drops the leading empty from the '|'
+    * prefix). Split pattern is a regex on the Spark side — escape it. */
+  private def symsCol: Column = expr("filter(split(seq, '[|]'), s -> s != '')")
+
+  /** Train `steps` merges over a (word, cnt) frequency table. Returns the
+    * learned merge list and the final vocabulary state (word, cnt, seq) —
+    * the per-word tokenization under the learned vocabulary. */
+  def train(wordFreq: DataFrame, steps: Int): (Seq[Merge], DataFrame) = {
+    var state = initState(wordFreq)
+    state.persist()
+    val merges = Seq.newBuilder[Merge]
+    var step = 1
+    while (step <= steps) {
+      val best = state
+        .select(col("cnt"), symsCol.as("syms"))
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("cnt").as("pc"))
+        .orderBy(col("pc").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      require(best.nonEmpty, s"BPE step $step: no pairs left to merge")
+      val (l, r, pc) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+      merges += Merge(step, l, r, pc)
+      val lLit = lit(l); val rLit = lit(r)
+      val next = state.select(col("word"), col("cnt"),
+        aggregate(symsCol, lit(""), (acc, x) =>
+          when(acc.endsWith("|" + l) && (x === rLit),
+            concat(acc.substr(lit(1), length(acc) - lit(l.length + 1)), lit("|"), lLit, rLit))
+            .otherwise(concat(acc, lit("|"), x))).as("seq"))
+      next.persist()
+      next.count() // materialize before dropping the parent from cache
+      state.unpersist()
+      state = next
+      step += 1
+    }
+    (merges.result(), state)
+  }
+
+  /** Merge table as a DataFrame — qx60's gate shape. */
+  def mergesDF(spark: org.apache.spark.sql.SparkSession, merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    // lhs/rhs, not left/right: LEFT/RIGHT are SQL keywords and the
+    // oracle twin would have to quote them everywhere.
+    merges.toDF("step", "lhs", "rhs", "pair_count")
+      .select(col("step").cast("long"), col("lhs"), col("rhs"), col("pair_count"))
+  }
+
+  /** Token count per word under a trained state: symbols in seq. */
+  def tokenCount: Column = size(symsCol).cast("long")
+}

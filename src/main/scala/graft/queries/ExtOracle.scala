@@ -1203,6 +1203,80 @@ object ExtOracle {
   /** qx57 twin — the per-channel histogram re-derived closed-form from
     * the pixel generator: bin = v // 32 over channel b % 3. GROUP BY
     * yields exactly the non-empty bins the sparse decoder emits. */
+  /** Shared BPE training chain (qx60/qx61 twins): replays
+    * [[graft.operators.BpeTrainer]] — word frequencies, then `steps`
+    * iterations of (pair count → argmax with (pc DESC, l, r) tiebreak →
+    * greedy left-to-right merge fold). The fold is the IDENTICAL
+    * string-accumulator list_reduce as the Spark aggregate(): append
+    * each symbol unless the accumulator ends with `|l` and the symbol
+    * is `r`, in which case the tail rewrites to `|lr`. list_prepend('')
+    * seeds the fold's empty accumulator (list_reduce inits from the
+    * first element). */
+  private def bpeChain(steps: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"$DOCS,\n"
+    sb ++= "wf AS (SELECT w AS word, count(*) AS cnt FROM docs, unnest(ws) t(w) GROUP BY w),\n"
+    sb ++= "v0 AS (SELECT word, cnt, '|' || array_to_string(string_split(word, ''), '|') || '|</w>' AS seq FROM wf)"
+    for (i <- 1 to steps) {
+      sb ++= s""",
+        |p$i AS (SELECT s.l, s.r, sum(s.cnt) AS pc FROM (
+        |  SELECT cnt, syms[j] AS l, syms[j+1] AS r
+        |  FROM (SELECT cnt, list_filter(string_split(seq, '|'), x -> x <> '') AS syms FROM v${i - 1}),
+        |       unnest(range(1, len(syms))) t(j)) s GROUP BY s.l, s.r),
+        |b$i AS (SELECT l, r, pc FROM p$i ORDER BY pc DESC, l ASC, r ASC LIMIT 1),
+        |v$i AS (SELECT word, cnt,
+        |  list_reduce(list_prepend('', list_filter(string_split(seq, '|'), x -> x <> '')),
+        |    (acc, x) -> CASE WHEN ends_with(acc, '|' || b.l) AND x = b.r
+        |                     THEN substr(acc, 1, length(acc) - length(b.l) - 1) || '|' || b.l || b.r
+        |                     ELSE acc || '|' || x END) AS seq
+        |  FROM v${i - 1}, b$i b)""".stripMargin
+    }
+    sb.result()
+  }
+
+  /** qx60 twin — the learned merge table, steps stamped on. */
+  val qx60: String = {
+    val steps = 8
+    val union = (1 to steps)
+      .map(i => s"SELECT $i AS step, l, r, pc FROM b$i")
+      .mkString(" UNION ALL ")
+    s"""WITH ${bpeChain(steps)}
+       |SELECT CAST(step AS BIGINT) AS step, l AS lhs, r AS rhs,
+       |       CAST(pc AS BIGINT) AS pair_count
+       |FROM ($union)""".stripMargin
+  }
+
+  /** qx61 twin — training replayed, then the apply join: per-word token
+    * counts from the final state, summed per document. */
+  val qx61: String = {
+    val steps = 8
+    s"""WITH ${bpeChain(steps)},
+       |tok AS (SELECT word, len(list_filter(string_split(seq, '|'), x -> x <> '')) AS n_tok
+       |        FROM v$steps)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens
+       |FROM docs, unnest(ws) t(w) JOIN tok ON w = tok.word
+       |GROUP BY doc_id""".stripMargin
+  }
+
+  /** qx59 twin — the corpus bigram LM replayed relationally: identical
+    * integer smoothing and the same ⌊10⁶·(c₁+V)/(c₁₂+1)⌋ surrogate, so
+    * both engines sum identical BIGINTs. */
+  val qx59: String =
+    s"""WITH $DOCS,
+       |bg AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+       |       FROM docs, unnest(range(1, len(ws))) t(i)
+       |       WHERE len(ws) >= 2),
+       |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+       |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+       |v AS (SELECT count(DISTINCT w) AS vocab FROM docs, unnest(ws) t(w)),
+       |s AS (SELECT doc_id, (1000000 * (c1 + vocab)) // (c12 + 1) AS s
+       |      FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |       CAST(sum(s) AS BIGINT) AS surprisal_sum,
+       |       CAST(sum(s) // count(*) AS BIGINT) AS mean_surprisal
+       |FROM s GROUP BY doc_id""".stripMargin
+
   /** qx58 twin — the dHash re-derived CLOSED-FORM from the generator:
     * every sampled gray value is computed from the pixel formula (never
     * the bytes), bits packed into the same 56-bit BIGINT, then the

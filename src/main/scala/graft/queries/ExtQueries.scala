@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{BloomFilter, Determinism}
-import graft.operators.{ConnectedComponents, EmbeddingLsh, EmbeddingPca, IvfAnn, MultimodalCodec, ProductQuantizer, SimHashLsh, WavCodec, ZOrderLayout}
+import graft.operators.{BpeTrainer, ConnectedComponents, EmbeddingLsh, EmbeddingPca, IvfAnn, MultimodalCodec, ProductQuantizer, SimHashLsh, WavCodec, ZOrderLayout}
 import graft.sources.Tables
 
 /** The large-scale training-data-pipeline operator family (builder brief +
@@ -1285,6 +1285,90 @@ object ExtQueries {
     * it composes with qx22's gate as one more scan-local predicate. The
     * bigram hash is the same (h1*1009 + h2) mod p family as qx36's
     * corpus-frequency rows, so the two screens share vocabulary. */
+  /** qx60 — BPE vocabulary INDUCTION (Sennrich et al. 2016): learn the
+    * first 8 merges of a byte-pair-encoding tokenizer from the corpus —
+    * the brief's "BPE-ish" token counting upgraded to the real
+    * algorithm, learned distributively. One corpus-sized pass builds
+    * the word-frequency table; every Lloyd-style iteration after that
+    * is VOCABULARY-bounded (pair count + 1-row argmax collect + merge
+    * fold — see [[graft.operators.BpeTrainer]] for the greedy
+    * left-to-right fold both engines share). The oracle replays all 8
+    * iterations as a generated CTE chain, so the learned merge table —
+    * including count ties broken (lhs, rhs)-ascending — matches
+    * string-for-string. Output: (step, lhs, rhs, pair_count). */
+  def qx60(spark: SparkSession, dir: String): DataFrame = {
+    val wf = Tables.documents(spark, dir)
+      .select(explode(expr(WORDS)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val (merges, state) = BpeTrainer.train(wf, steps = 8)
+    state.unpersist()
+    BpeTrainer.mergesDF(spark, merges)
+  }
+
+  /** qx61 — BPE tokenizer APPLY: tokenize the corpus under qx60's
+    * learned vocabulary and report per-document token counts — the
+    * number a training-data budget actually meters (qx22/qx45 window on
+    * whitespace tokens; a real pipeline windows on tokenizer output).
+    * The trained per-word tokenization (the final BPE state) is
+    * vocabulary-sized, so the apply is ONE broadcast join over the
+    * exploded corpus — at 100 TB the tokenizer table broadcasts and the
+    * corpus is scanned once, the published pipeline shape. The oracle
+    * replays training AND apply in the same CTE chain. */
+  def qx61(spark: SparkSession, dir: String): DataFrame = {
+    val wf = Tables.documents(spark, dir)
+      .select(explode(expr(WORDS)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val (_, state) = BpeTrainer.train(wf, steps = 8)
+    val tok = state.select(col("word"), BpeTrainer.tokenCount.as("n_tok"))
+    val out = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(expr(WORDS)).as("word"))
+      .join(broadcast(tok), "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_tok").as("n_bpe_tokens"))
+    state.unpersist()
+    out
+  }
+
+  /** qx59 — corpus-LM SURPRISAL quality score: the CCNet/Gopher move —
+    * score each document by how unlikely its word sequence is under a
+    * language model fit on the corpus itself — rendered integer-EXACT
+    * so a hash oracle exists. The "LM" is the corpus bigram table with
+    * add-one-style smoothing, and the per-bigram surprisal surrogate is
+    * s(w1,w2) = ⌊10⁶ · (c₁(w1) + V) / (c₁₂(w1,w2) + 1)⌋ — a monotone
+    * image of −log P̂(w2|w1) (bigger = less likely), all BIGINT: no
+    * transcendental log whose platform rounding could split the
+    * engines. c₁ counts w1 as a LEFT context, c₁₂ the bigram, V the
+    * distinct-word vocabulary. Output per doc (≥ 2 words): bigram
+    * count, surprisal sum, and the integer mean — the column a
+    * perplexity-percentile filter thresholds.
+    *
+    * Scale shape: one explode pass builds the bigram stream; the two
+    * count tables are VOCABULARY-bounded (not corpus-bounded) so their
+    * joins broadcast for any real lexicon, and every aggregate is
+    * map-side partial. The corpus-sized work is exactly two scans of
+    * the bigram stream — the published CCNet pipeline's cost. */
+  def qx59(spark: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documents(spark, dir)
+      .select(col("doc_id"), expr(WORDS).as("ws"))
+      .where(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = Tables.documents(spark, dir)
+      .select(explode(expr(WORDS)).as("w")).agg(countDistinct("w").as("vocab"))
+    bg.join(broadcast(c12), Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        expr("(1000000L * (c1 + vocab)) div (c12 + 1)").as("s"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("s").as("surprisal_sum"))
+      .withColumn("mean_surprisal", expr("surprisal_sum div n_bigrams"))
+  }
+
   def qx31(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), expr(WORD_HASHES).as("whs"))
