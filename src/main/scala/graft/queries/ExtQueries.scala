@@ -1285,6 +1285,12 @@ object ExtQueries {
     * it composes with qx22's gate as one more scan-local predicate. The
     * bigram hash is the same (h1*1009 + h2) mod p family as qx36's
     * corpus-frequency rows, so the two screens share vocabulary. */
+  /** qx59's LM-broadcast ceiling: a bigram count table under this many
+    * rows ships to every worker (the KenLM-style model broadcast);
+    * above it the scoring join falls back to the shuffle plan. ~4M rows
+    * ≈ 150 MB serialized — conservative for a 4 GB executor. */
+  val LmBroadcastRows: Long = 4000000L
+
   /** qx60 — BPE vocabulary INDUCTION (Sennrich et al. 2016): learn the
     * first 8 merges of a byte-pair-encoding tokenizer from the corpus —
     * the brief's "BPE-ish" token counting upgraded to the real
@@ -1320,13 +1326,15 @@ object ExtQueries {
       .groupBy("word").agg(count(lit(1)).as("cnt"))
     val (_, state) = BpeTrainer.train(wf, steps = 8)
     val tok = state.select(col("word"), BpeTrainer.tokenCount.as("n_tok"))
-    val out = Tables.documents(spark, dir)
+    // state stays cached (vocabulary-sized, MEMORY_ONLY — evictable):
+    // unpersisting here would recompute the whole 8-fold training chain,
+    // including the corpus-sized word count, when the apply executes —
+    // the 100× probe measured that as a full extra corpus scan.
+    Tables.documents(spark, dir)
       .select(col("doc_id"), explode(expr(WORDS)).as("word"))
       .join(broadcast(tok), "word")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum("n_tok").as("n_bpe_tokens"))
-    state.unpersist()
-    out
   }
 
   /** qx59 — corpus-LM SURPRISAL quality score: the CCNet/Gopher move —
@@ -1342,11 +1350,19 @@ object ExtQueries {
     * count, surprisal sum, and the integer mean — the column a
     * perplexity-percentile filter thresholds.
     *
-    * Scale shape: one explode pass builds the bigram stream; the two
-    * count tables are VOCABULARY-bounded (not corpus-bounded) so their
-    * joins broadcast for any real lexicon, and every aggregate is
-    * map-side partial. The corpus-sized work is exactly two scans of
-    * the bigram stream — the published CCNet pipeline's cost. */
+    * Scale shape: one explode pass builds the bigram stream; the count
+    * tables are LEXICON-bounded (not corpus-bounded). The published
+    * CCNet shape broadcasts the LM to every worker — and the 100×
+    * probe measured both spellings: broadcast-joined counts score the
+    * stream map-side in 28 s; hint-free AQE picks sort-merge and pays
+    * two full-stream sort exchanges (95 s, 3.4×). But c₁₂ is
+    * bigram-vocabulary-sized — millions of rows on a real corpus — so
+    * the broadcast is GATED ON MEASUREMENT, not assumed: the count
+    * table is persisted (it is needed twice anyway), its exact row
+    * count is read off the required aggregation, and the plan
+    * broadcasts only under [[LmBroadcastRows]], falling back to the
+    * shuffle join on the already-shared (w1, w2) key above it. Every
+    * aggregate is map-side partial. */
   def qx59(spark: SparkSession, dir: String): DataFrame = {
     val bg = Tables.documents(spark, dir)
       .select(col("doc_id"), expr(WORDS).as("ws"))
@@ -1355,12 +1371,15 @@ object ExtQueries {
         "transform(sequence(1, size(ws) - 1), i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"))
         .as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    // Persisted because the row count below consumes the aggregation
+    // we need anyway; MEMORY_ONLY, evictable.
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12")).persist()
     val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
     val v = Tables.documents(spark, dir)
       .select(explode(expr(WORDS)).as("w")).agg(countDistinct("w").as("vocab"))
-    bg.join(broadcast(c12), Seq("w1", "w2"))
-      .join(broadcast(c1), Seq("w1"))
+    val lmFits = c12.count() <= LmBroadcastRows
+    bg.join(if (lmFits) broadcast(c12) else c12, Seq("w1", "w2"))
+      .join(if (lmFits) broadcast(c1) else c1, Seq("w1"))
       .crossJoin(broadcast(v))
       .select(col("doc_id"),
         expr("(1000000L * (c1 + vocab)) div (c12 + 1)").as("s"))
