@@ -1203,6 +1203,30 @@ object ExtOracle {
   /** qx57 twin — the per-channel histogram re-derived closed-form from
     * the pixel generator: bin = v // 32 over channel b % 3. GROUP BY
     * yields exactly the non-empty bins the sparse decoder emits. */
+  /** qx62 twin — planting replayed, DuckDB's RE2 runs the same
+    * host/eTLD+1 regexes, and the cap is the row_number spelling of the
+    * identical (hash, doc_id) order — the oracle checks WHICH docs
+    * survive, not how the engine avoided the skew exchange. */
+  val qx62: String =
+    """WITH planted AS (SELECT doc_id,
+      |        'http://' ||
+      |        CASE WHEN doc_id % 3 = 0 THEN 'www' ELSE 's' || CAST(doc_id % 7 AS VARCHAR) END ||
+      |        '.' || 'site' || CAST(doc_id % 40 AS VARCHAR) ||
+      |        '.' || (['com','org','net','io'])[CAST(doc_id % 4 AS INTEGER) + 1] ||
+      |        '/p/' || CAST(doc_id AS VARCHAR) AS url
+      |      FROM documents),
+      |ext AS (SELECT doc_id,
+      |          regexp_extract(regexp_extract(url, 'http://([a-z0-9.]+)/', 1),
+      |                         '([a-z0-9]+[.][a-z]+)$', 1) AS domain,
+      |          (doc_id * 1000003 + 12345) % 2147483647 AS h
+      |        FROM planted),
+      |rk AS (SELECT domain, doc_id,
+      |          row_number() OVER (PARTITION BY domain ORDER BY h ASC, doc_id ASC) AS rk,
+      |          count(*) OVER (PARTITION BY domain) AS n_domain
+      |       FROM ext)
+      |SELECT domain, CAST(rk AS BIGINT) AS rk, doc_id, CAST(n_domain AS BIGINT) AS n_domain
+      |FROM rk WHERE rk <= 5""".stripMargin
+
   /** Shared BPE training chain (qx60/qx61 twins): replays
     * [[graft.operators.BpeTrainer]] — word frequencies, then `steps`
     * iterations of (pair count → argmax with (pc DESC, l, r) tiebreak →

@@ -1285,6 +1285,45 @@ object ExtQueries {
     * it composes with qx22's gate as one more scan-local predicate. The
     * bigram hash is the same (h1*1009 + h2) mod p family as qx36's
     * corpus-frequency rows, so the two screens share vocabulary. */
+  /** qx62 — per-DOMAIN document cap (the RefinedWeb/C4 URL discipline):
+    * extract each document's registered domain (eTLD+1) from its source
+    * URL and keep a deterministic sample of at most 5 docs per domain —
+    * the anti-SEO-farm move every web-scale corpus applies so no single
+    * host dominates training. The corpus vocabulary carries no URLs, so
+    * the gate PLANTS one per doc from doc_id (subdomain × 40 sites × 4
+    * TLDs, the qx56 planting discipline), then parses host and eTLD+1
+    * with regexes kept to the Java/RE2 agreement subset. Selection is
+    * by affine-hash rank (injective mod 2³¹−1 ⇒ tie-free), REPRODUCIBLE
+    * forever like qx30's splits.
+    *
+    * Scale shape: the cap is `topk_by` — a partial-aggregating bounded
+    * top-k, so each map task reduces its slice to ≤ 5 rows per domain
+    * and the exchange carries k-row buffers, never the corpus (the
+    * window spelling would exchange EVERY row of a hot domain to one
+    * partition first — the classic skew trap this family documents).
+    * Output: (domain, rk, doc_id, n_domain), ≤ 5·|domains| rows. */
+  def qx62(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(spark, dir).select(col("doc_id"),
+      concat(lit("http://"),
+        when(pmod(col("doc_id"), lit(3L)) === 0L, lit("www"))
+          .otherwise(concat(lit("s"), pmod(col("doc_id"), lit(7L)).cast("string"))),
+        lit("."), concat(lit("site"), pmod(col("doc_id"), lit(40L)).cast("string")),
+        lit("."),
+        element_at(array(lit("com"), lit("org"), lit("net"), lit("io")),
+          (pmod(col("doc_id"), lit(4L)) + 1L).cast("int")),
+        lit("/p/"), col("doc_id").cast("string")).as("url"))
+    planted
+      .withColumn("host", regexp_extract(col("url"), "http://([a-z0-9.]+)/", 1))
+      .withColumn("domain", regexp_extract(col("host"), "([a-z0-9]+[.][a-z]+)$", 1))
+      .withColumn("h", expr(SAMPLE_HASH))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_domain"),
+        expr("topk_by(CAST(-h AS DOUBLE), doc_id, 5)").as("tk"))
+      .select(col("domain"), col("n_domain"), posexplode(col("tk")))
+      .select(col("domain"), (col("pos") + 1L).cast("long").as("rk"),
+        col("col.id").as("doc_id"), col("n_domain"))
+  }
+
   /** qx59's LM-broadcast ceiling: a bigram count table under this many
     * rows ships to every worker (the KenLM-style model broadcast);
     * above it the scoring join falls back to the shuffle plan. ~4M rows
