@@ -1203,6 +1203,57 @@ object ExtOracle {
   /** qx57 twin — the per-channel histogram re-derived closed-form from
     * the pixel generator: bin = v // 32 over channel b % 3. GROUP BY
     * yields exactly the non-empty bins the sparse decoder emits. */
+  /** qx64 twin — the domain-keyed split replayed: same planted domain,
+    * Horner char fold, affine band and 80/10/10 thresholds; both `%`
+    * spellings agree on the all-positive operands. */
+  val qx64: String =
+    s"""WITH $DOCS,
+       |pl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+       |         'site' || CAST(doc_id % 40 AS VARCHAR) ||
+       |         '.' || (['com','org','net','io'])[CAST(doc_id % 4 AS INTEGER) + 1] AS domain
+       |       FROM docs),
+       |dh AS (SELECT *, list_reduce([CAST(0 AS BIGINT)] ||
+       |           list_transform(string_split(domain, ''), c -> CAST(ascii(c) AS BIGINT)),
+       |           (a, b) -> (a * 31 + b) % 1000003) AS dh
+       |       FROM pl),
+       |sp AS (SELECT *, CASE WHEN (dh * 2654435761 + 12345) % 100 < 80 THEN 'train'
+       |                      WHEN (dh * 2654435761 + 12345) % 100 < 90 THEN 'val'
+       |                      ELSE 'test' END AS split
+       |       FROM dh)
+       |SELECT split, CAST(count(DISTINCT domain) AS BIGINT) AS n_domains,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_words) AS BIGINT) AS sum_words
+       |FROM sp GROUP BY split""".stripMargin
+
+  /** qx63 twin — the NB-style classifier replayed relationally: same
+    * pseudo-labels, class-conditional counts, 10⁴-scaled integer
+    * likelihood-ratio surrogate and cross-multiplied decision rule.
+    * Both `div` spellings floor on positive operands identically. */
+  val qx63: String =
+    s"""WITH $DOCS,
+       |w AS (SELECT doc_id, source,
+       |        CAST(substring(source, 4) AS BIGINT) % 4 = 0 AS pos, word
+       |      FROM docs, unnest(ws) t(word)),
+       |cls AS (SELECT word,
+       |          sum(CASE WHEN pos THEN 1 ELSE 0 END) AS c_pos,
+       |          sum(CASE WHEN pos THEN 0 ELSE 1 END) AS c_neg
+       |        FROM w GROUP BY word),
+       |tot AS (SELECT sum(c_pos) AS t_pos, sum(c_neg) AS t_neg,
+       |          count(*) AS vocab FROM cls),
+       |s AS (SELECT doc_id, source,
+       |        (10000 * (c_pos + 1)) // (c_neg + 1) AS s
+       |      FROM w JOIN cls USING (word)),
+       |pd AS (SELECT doc_id, source, count(*) AS n_words, sum(s) AS score
+       |       FROM s GROUP BY doc_id, source),
+       |fin AS (SELECT source, n_words, score,
+       |          score > n_words * ((10000 * (t_pos + vocab)) // (t_neg + vocab)) AS pred_pos
+       |        FROM pd CROSS JOIN tot)
+       |SELECT source, CAST(count(*) AS BIGINT) AS docs,
+       |       CAST(sum(CASE WHEN pred_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_pos,
+       |       CAST(sum(n_words) AS BIGINT) AS sum_words,
+       |       CAST(sum(score) AS BIGINT) AS sum_score
+       |FROM fin GROUP BY source""".stripMargin
+
   /** qx62 twin — planting replayed, DuckDB's RE2 runs the same
     * host/eTLD+1 regexes, and the cap is the row_number spelling of the
     * identical (hash, doc_id) order — the oracle checks WHICH docs

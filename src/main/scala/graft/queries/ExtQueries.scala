@@ -1285,6 +1285,95 @@ object ExtQueries {
     * it composes with qx22's gate as one more scan-local predicate. The
     * bigram hash is the same (h1*1009 + h2) mod p family as qx36's
     * corpus-frequency rows, so the two screens share vocabulary. */
+  /** qx64 — GROUP-aware train/val/test split (the leakage discipline
+    * qx30's doc-level banding cannot give): membership is a pure
+    * function of the document's DOMAIN, so every doc from one domain —
+    * including the near-duplicates domains are full of — lands in the
+    * same split, and train can never leak a val/test document's twin.
+    * This is sklearn's GroupShuffleSplit / the dedup-aware split every
+    * contamination-careful release uses, composed from qx62's eTLD+1
+    * extraction: domain → Horner char fold (the corpus-wide hash
+    * family) → affine band mod 100 → 80/10/10. Deterministic and
+    * replay-stable forever; no domain straddles splits BY CONSTRUCTION
+    * (the split column is functionally dependent on domain — the gate's
+    * n_domains sums to the distinct-domain total across splits).
+    *
+    * Scale shape: scan-local planting + regex + fold, ONE map-side
+    * combinable aggregate on a 3-value key carrying (domain, doc,
+    * token) accounting; countDistinct(domain) is exact over a
+    * domain-bounded key set. Output: split, n_domains, n_docs,
+    * sum_words. */
+  def qx64(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(spark, dir).select(col("doc_id"),
+      expr(s"CAST(size($WORDS) AS BIGINT)").as("n_words"),
+      concat(lit("site"), pmod(col("doc_id"), lit(40L)).cast("string"), lit("."),
+        element_at(array(lit("com"), lit("org"), lit("net"), lit("io")),
+          (pmod(col("doc_id"), lit(4L)) + 1L).cast("int"))).as("domain"))
+    planted
+      .withColumn("dh",
+        expr("aggregate(split(domain, ''), 0L, (a, c) -> (a * 31 + ascii(c)) % 1000003)"))
+      .withColumn("band", pmod(col("dh") * 2654435761L + 12345L, lit(100L)))
+      .withColumn("split",
+        when(col("band") < 80L, lit("train"))
+          .when(col("band") < 90L, lit("val")).otherwise(lit("test")))
+      .groupBy("split")
+      .agg(countDistinct("domain").as("n_domains"),
+        count(lit(1)).as("n_docs"),
+        sum("n_words").as("sum_words"))
+  }
+
+  /** qx63 — TRAINED quality classifier (the CCNet/GPT-3 "looks like the
+    * reference corpus" filter): a Naive-Bayes-style lexicon model fit
+    * distributively on deterministic pseudo-labels (positive = source
+    * number ≡ 0 mod 4 — the "curated slice" every self-training quality
+    * filter bootstraps from), then every document scored against it.
+    * Rendered integer-EXACT so a hash oracle exists: the per-word
+    * likelihood-ratio surrogate is s(w) = ⌊10⁴·(c₊(w)+1)/(c₋(w)+1)⌋ —
+    * a monotone image of the smoothed ratio P̂(w|pos)/P̂(w|neg) with the
+    * corpus-constant factor pulled out — and the decision rule compares
+    * the SUM (the arithmetic-mean surrogate of NB's product; documented
+    * divergence, same discipline as qx54's rational idf) against
+    * n_words · r, r = ⌊10⁴·(T₊+V)/(T₋+V)⌋, cross-multiplied so no
+    * division touches a per-doc number. All BIGINT: scale 10⁴ keeps
+    * every product under 2⁶³ out to ~10¹⁴ corpus words.
+    *
+    * Scale shape: ONE exploded-words pass feeds the class-conditional
+    * count table (VOCABULARY-bounded, map-side combinable); totals and
+    * V derive from that table, not a second corpus pass; the scoring
+    * join broadcasts the model GATED ON ITS MEASURED ROW COUNT (the
+    * qx59 discipline — the table is persisted because the gate needs
+    * its count anyway), falling back to a hash join on the word key;
+    * per-doc and per-source rollups are map-side-combinable aggregates.
+    * Output per source: docs, predicted-positive count, word and score
+    * sums — the grid a filter-calibration report reads. */
+  def qx63(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        expr("CAST(substring(source, 4) AS BIGINT) % 4 = 0").as("pos"),
+        explode(expr(WORDS)).as("word"))
+    // Persisted because the broadcast gate consumes the aggregation we
+    // need anyway; MEMORY_ONLY, evictable (same policy as qx59's c12).
+    val cls = words.groupBy("word")
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("c_pos"),
+        sum(when(col("pos"), 0L).otherwise(1L)).as("c_neg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val tot = cls.agg(sum("c_pos").as("t_pos"), sum("c_neg").as("t_neg"),
+      count(lit(1)).as("vocab"))
+    val modelFits = cls.count() <= LmBroadcastRows
+    words.join(if (modelFits) broadcast(cls) else cls, "word")
+      .withColumn("s", expr("(10000 * (c_pos + 1)) div (c_neg + 1)"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_words"), sum("s").as("score"))
+      .crossJoin(broadcast(tot))
+      .withColumn("pred_pos",
+        col("score") > col("n_words") * expr("(10000 * (t_pos + vocab)) div (t_neg + vocab)"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"),
+        sum(when(col("pred_pos"), 1L).otherwise(0L)).as("n_pred_pos"),
+        sum("n_words").as("sum_words"),
+        sum("score").as("sum_score"))
+  }
+
   /** qx62 — per-DOMAIN document cap (the RefinedWeb/C4 URL discipline):
     * extract each document's registered domain (eTLD+1) from its source
     * URL and keep a deterministic sample of at most 5 docs per domain —
