@@ -1200,9 +1200,6 @@ object ExtOracle {
       |       CAST(sum(v * (b + 1)) AS BIGINT) AS wsum
       |FROM px GROUP BY doc_id, w, h""".stripMargin
 
-  /** qx57 twin — the per-channel histogram re-derived closed-form from
-    * the pixel generator: bin = v // 32 over channel b % 3. GROUP BY
-    * yields exactly the non-empty bins the sparse decoder emits. */
   /** qx64 twin — the domain-keyed split replayed: same planted domain,
     * Horner char fold, affine band and 80/10/10 thresholds; both `%`
     * spellings agree on the all-positive operands. */
@@ -1385,6 +1382,9 @@ object ExtOracle {
       |FROM hs h JOIN eff e ON h.dhash = e.dhash
       |WHERE h.doc_id > e.keeper_id""".stripMargin
 
+  /** qx57 twin — the per-channel histogram re-derived closed-form from
+    * the pixel generator: bin = v // 32 over channel b % 3. GROUP BY
+    * yields exactly the non-empty bins the sparse decoder emits. */
   val qx57: String =
     """WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 3 AS h FROM documents),
       |px AS (SELECT doc_id, b % 3 AS c,

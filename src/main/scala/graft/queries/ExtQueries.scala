@@ -1272,19 +1272,6 @@ object ExtQueries {
       .agg(min("cell_cnt").as("cms_est"))
   }
 
-  /** qx31 — within-document repetition screen (the Gopher-style quality
-    * rule "drop docs whose n-gram stream is mostly self-repetition" —
-    * machine-generated and boilerplate text repeats itself long before
-    * it duplicates anything else in the corpus). Per doc: bigram count,
-    * duplicate-bigram count (multiset minus set), the dup ratio, and the
-    * ≥0.2 flag a curation gate would key on.
-    *
-    * Scale shape: ZERO shuffles — the bigram array is built and measured
-    * inside the scan's projection (array HOFs over the word-hash list),
-    * so the screen costs exactly one corpus pass no matter the scale;
-    * it composes with qx22's gate as one more scan-local predicate. The
-    * bigram hash is the same (h1*1009 + h2) mod p family as qx36's
-    * corpus-frequency rows, so the two screens share vocabulary. */
   /** qx64 — GROUP-aware train/val/test split (the leakage discipline
     * qx30's doc-level banding cannot give): membership is a pure
     * function of the document's DOMAIN, so every doc from one domain —
@@ -1516,6 +1503,19 @@ object ExtQueries {
       .withColumn("mean_surprisal", expr("surprisal_sum div n_bigrams"))
   }
 
+  /** qx31 — within-document repetition screen (the Gopher-style quality
+    * rule "drop docs whose n-gram stream is mostly self-repetition" —
+    * machine-generated and boilerplate text repeats itself long before
+    * it duplicates anything else in the corpus). Per doc: bigram count,
+    * duplicate-bigram count (multiset minus set), the dup ratio, and the
+    * ≥0.2 flag a curation gate would key on.
+    *
+    * Scale shape: ZERO shuffles — the bigram array is built and measured
+    * inside the scan's projection (array HOFs over the word-hash list),
+    * so the screen costs exactly one corpus pass no matter the scale;
+    * it composes with qx22's gate as one more scan-local predicate. The
+    * bigram hash is the same (h1*1009 + h2) mod p family as qx36's
+    * corpus-frequency rows, so the two screens share vocabulary. */
   def qx31(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), expr(WORD_HASHES).as("whs"))

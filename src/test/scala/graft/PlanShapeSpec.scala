@@ -263,4 +263,38 @@ class PlanShapeSpec extends SparkTestBase {
     assert(s.contains("topk_by"), "per-term top-k must be the topk_by aggregate")
     assert(s.contains("BroadcastHashJoin"), "term filter must broadcast")
   }
+
+  test("qx62: the domain cap is a partial top-k, never a domain window") {
+    // A hot domain (the SEO farm the cap exists for) must never funnel
+    // its full row set to one partition: the cap has to be topk_by's
+    // PARTIAL aggregate (<=5 rows per domain per map task cross the
+    // exchange), not a row_number window over domain partitions.
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Partial
+    val plan = sparkPlan("qx62_domain_cap")
+    assert(!plan.toString.contains("Window"), "qx62 must not rank through a window")
+    assert(plan.collect {
+      case a: ObjectHashAggregateExec
+        if a.aggregateExpressions.exists(ae => ae.mode == Partial &&
+          ae.aggregateFunction.isInstanceOf[graft.functions.TopKBy]) => a
+    }.nonEmpty, "the domain cap must be a partial topk_by aggregate")
+  }
+
+  test("qx63: the lexicon model joins the word stream as a broadcast") {
+    // Below the measured LmBroadcastRows gate the class-count model must
+    // ship to the workers (scoring stays map-side in the explode stage);
+    // a sort-merge join here re-sorts the full word stream — the 100×
+    // probe measured that spelling 3.4× slower on qx59's twin shape.
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    val plan = sparkPlan("qx63_quality_classifier")
+    val wordJoins = plan.collect {
+      case j: BroadcastHashJoinExec
+        if (j.leftKeys ++ j.rightKeys).exists(_.toString.contains("word")) => j
+    }
+    assert(wordJoins.nonEmpty, "the model join must broadcast the class counts")
+    assert(plan.collect {
+      case j: SortMergeJoinExec
+        if (j.leftKeys ++ j.rightKeys).exists(_.toString.contains("word")) => j
+    }.isEmpty, "the word stream must not be sort-merge joined at gate scale")
+  }
 }
