@@ -8,10 +8,11 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
 import graft.sinks.{CuratedWriter, TxnFileSink}
 
 /** The COMPLETE live ingest door (round-6 verdict #4): decontamination →
-  * near-dup admission → token-budget admission → sequence packing →
-  * curated layout, as one launchable, checkpointed, exactly-once
-  * pipeline — the production composition of the five spec'd twins
-  * ([[DeconStream]], [[AdmissionStream]], [[BudgetAdmission]],
+  * quality screen (optional, round 7) → near-dup admission →
+  * token-budget admission → sequence packing → curated layout, as one
+  * launchable, checkpointed, exactly-once pipeline — the production
+  * composition of the six spec'd twins ([[DeconStream]],
+  * [[QualityGateStream]], [[AdmissionStream]], [[BudgetAdmission]],
   * [[PackingStream]], [[graft.sinks.CuratedWriter]]).
   *
   * Shape: three streaming stages joined by transactional parquet
@@ -130,21 +131,28 @@ object IngestDoor {
     n
   }
 
-  /** Stage-1 stream: decon screen → band-bucket gate → per-bucket
-    * summaries. Dropped at the door: benchmark docs themselves
-    * (`evalDocs`) and any doc sharing an 8-word window with the eval
-    * set (Bloom prescreen + exact confirm — contaminated text must
+  /** Stage-1 stream: decon screen → quality screen → band-bucket gate →
+    * per-bucket summaries. Dropped at the door: benchmark docs
+    * themselves (`evalDocs`), any doc sharing an 8-word window with the
+    * eval set (Bloom prescreen + exact confirm — contaminated text must
     * never enter the dedup state, where it could shadow a later clean
-    * near-dup). Short docs (no shingles) bypass the stateful probe. */
+    * near-dup), and — when a trained [[QualityGateStream.Model]] is
+    * supplied — any LIVE doc failing the quality verdict (stateless and
+    * cheap, so it runs BEFORE the stateful probe: a rejected doc never
+    * occupies a dedup bucket; corpus backfill bypasses it — the
+    * standing corpus already passed its own curation). Short docs (no
+    * shingles) bypass the stateful probe. */
   def gateRows(docs: Dataset[DoorDoc], image: Array[Long], d: Int,
                evalWins: Set[Long], evalDocs: Set[Long], minAgree: Int = 8,
-               maxOccupancy: Int = AdmissionStream.DefaultMaxOccupancy): Dataset[GateRow] = {
+               maxOccupancy: Int = AdmissionStream.DefaultMaxOccupancy,
+               quality: Option[QualityGateStream.Model] = None): Dataset[GateRow] = {
     implicit val bandEnc = Encoders.product[GateBandRow]
     implicit val gateEnc = Encoders.product[GateRow]
     val clean = docs.filter { doc =>
       !evalDocs.contains(doc.doc_id) &&
         !DeconStream.windowHashes(doc.text)
-          .exists(s => DeconStream.bloomPass(image, s, d) && evalWins.contains(s))
+          .exists(s => DeconStream.bloomPass(image, s, d) && evalWins.contains(s)) &&
+        quality.forall(m => !doc.is_new || QualityGateStream.passes(doc.text, m))
     }
     val probed = clean.flatMap { doc =>
       AdmissionStream.docMinhashes(doc.text) match {
@@ -185,8 +193,10 @@ object IngestDoor {
   def gateStage(docs: Dataset[DoorDoc], image: Array[Long], d: Int,
                 evalWins: Set[Long], evalDocs: Set[Long],
                 stagingRoot: String, checkpoint: String,
-                minAgree: Int = 8): StreamingQuery =
-    gateRows(docs, image, d, evalWins, evalDocs, minAgree).toDF()
+                minAgree: Int = 8,
+                quality: Option[QualityGateStream.Model] = None): StreamingQuery =
+    gateRows(docs, image, d, evalWins, evalDocs, minAgree,
+      AdmissionStream.DefaultMaxOccupancy, quality).toDF()
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val admitted = resolveGate(batch)

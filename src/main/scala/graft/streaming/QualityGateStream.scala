@@ -25,21 +25,37 @@ object QualityGateStream {
   /** Per-document quality verdict under the trained lexicon model. */
   case class DocVerdict(doc_id: Long, n_words: Long, score: Long, pred_pos: Boolean)
 
+  /** A trained lexicon model: word → (c₊, c₋) plus the decision
+    * threshold r = ⌊10⁴·(T₊+V)/(T₋+V)⌋. */
+  case class Model(counts: Map[String, (Long, Long)], r: Long)
+
   /** Per-word likelihood-ratio surrogate, the batch gate's spelling. */
   def wordScore(cPos: Long, cNeg: Long): Long = 10000L * (cPos + 1) / (cNeg + 1)
 
-  /** Score a document stream under a fixed (word → (c₊, c₋)) model and
-    * decision threshold r = ⌊10⁴·(T₊+V)/(T₋+V)⌋. */
+  /** Sum of word scores — unseen words score the neutral 10⁴. */
+  def docScore(words: Array[String], counts: Map[String, (Long, Long)]): Long = {
+    var score = 0L
+    for (w <- words) {
+      val (cp, cn) = counts.getOrElse(w, (0L, 0L))
+      score += wordScore(cp, cn)
+    }
+    score
+  }
+
+  /** The admission predicate a composed door applies (one doc, no row
+    * machinery) — identical arithmetic to [[verdicts]]. */
+  def passes(text: String, m: Model): Boolean = {
+    val words = text.split(" ").filter(_.nonEmpty)
+    docScore(words, m.counts) > words.length * m.r
+  }
+
+  /** Score a document stream under a fixed model. */
   def verdicts(docs: Dataset[DocText], model: Map[String, (Long, Long)], r: Long): Dataset[DocVerdict] = {
     implicit val enc = Encoders.product[DocVerdict]
     docs.mapPartitions { it =>
       it.map { d =>
         val words = d.text.split(" ").filter(_.nonEmpty)
-        var score = 0L
-        for (w <- words) {
-          val (cp, cn) = model.getOrElse(w, (0L, 0L))
-          score += wordScore(cp, cn)
-        }
+        val score = docScore(words, model)
         DocVerdict(d.doc_id, words.length.toLong, score, score > words.length * r)
       }
     }

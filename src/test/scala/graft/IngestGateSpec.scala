@@ -4,8 +4,9 @@ import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-import graft.streaming.{AdmissionStream, DeconStream}
+import graft.streaming.{AdmissionStream, DeconStream, IngestDoor, QualityGateStream}
 import graft.streaming.AdmissionStream.DocIn
+import graft.streaming.IngestDoor.DoorDoc
 import graft.streaming.NearDupStream.DocText
 
 /** The composed LIVE INGEST DOOR: decontamination (stateless Bloom +
@@ -105,5 +106,67 @@ class IngestGateSpec extends SparkTestBase {
       else assert(composedMap.get(id).exists(_._2 == "admitted") || composedMap(id)._2 == "admitted",
         s"batch-admitted clean doc $id not admitted by the gate: ${composedMap(id)}")
     }
+  }
+
+  test("quality screen == pre-filtering the live feed; backfill bypasses it") {
+    // The door with a trained quality model must behave EXACTLY like
+    // the door without one fed the already-screened live docs (screen-
+    // before-state), while corpus backfill flows through unscreened —
+    // a low-quality standing-corpus doc still occupies dedup state.
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text", "lang", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      .toSeq.sortBy(_._1)
+
+    // Train the lexicon model in plain Scala (the qx63 arithmetic).
+    val labeled = docs.flatMap { case (_, text, _, source) =>
+      val pos = source.drop(3).toLong % 4 == 0
+      text.split(" ").filter(_.nonEmpty).map(w => (w, pos))
+    }
+    val counts = labeled.groupBy(_._1).map { case (w, ws) =>
+      val cp = ws.count(_._2).toLong
+      (w, (cp, ws.length.toLong - cp))
+    }
+    val tPos = counts.valuesIterator.map(_._1).sum
+    val tNeg = counts.valuesIterator.map(_._2).sum
+    val model = QualityGateStream.Model(counts,
+      10000L * (tPos + counts.size) / (tNeg + counts.size))
+
+    val feed = docs.map { case (id, text, lang, _) =>
+      DoorDoc(id, lang, text, is_new = id % 10 == 7)
+    }
+    val screenedOut = feed.filter(d => d.is_new && !QualityGateStream.passes(d.text, model))
+    assert(screenedOut.nonEmpty, "quality screen rejects nothing at this sf — test is vacuous")
+
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[DoorDoc]
+    val noBloom = Array.fill(MWords / 64)(0L)
+
+    def run(in: Seq[DoorDoc], q: Option[QualityGateStream.Model],
+            name: String): Set[(Long, String, Long, String, Long)] = {
+      val input = MemoryStream[DoorDoc]
+      val query = IngestDoor.gateRows(input.toDS(), noBloom, D, Set.empty, Set.empty,
+          8, AdmissionStream.DefaultMaxOccupancy, q)
+        .toDF().writeStream.format("memory").queryName(name)
+        .outputMode("update").option("checkpointLocation", tmpDir(s"ckpt_$name")).start()
+      try {
+        in.grouped(in.size / 3 + 1).foreach { w =>
+          input.addData(w); query.processAllAvailable()
+        }
+      } finally query.stop()
+      IngestDoor.resolveGate(spark.table(name)).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3), r.getLong(4)))
+        .toSet
+    }
+
+    val withScreen = run(feed, Some(model), "door_screened")
+    val prefiltered = feed.filter(d => !d.is_new || QualityGateStream.passes(d.text, model))
+    val reference = run(prefiltered, None, "door_prefiltered")
+    assert(withScreen == reference,
+      s"screened door diverges from pre-filtered feed: only-screened=${(withScreen -- reference).take(3)}, " +
+        s"only-ref=${(reference -- withScreen).take(3)}")
+    val admittedIds = withScreen.map(_._1)
+    screenedOut.foreach(d => assert(!admittedIds.contains(d.doc_id),
+      s"screened-out doc ${d.doc_id} leaked through the door"))
   }
 }
