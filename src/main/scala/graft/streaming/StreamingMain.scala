@@ -84,9 +84,10 @@ object StreamingMain {
 
     val base = outDirOpt.getOrElse(Files.createTempDirectory("graft_door").toString)
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-      .select("doc_id", "lang", "text").collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq.sortBy(_._1)
-    val evalDocs = docs.collect { case (id, _, _) if id % 25 == 0 => id }.toSet
+      .select("doc_id", "lang", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      .toSeq.sortBy(_._1)
+    val evalDocs = docs.collect { case (id, _, _, _) if id % 25 == 0 => id }.toSet
     val evalWins = docs.filter(d => evalDocs.contains(d._1))
       .flatMap(d => DeconStream.windowHashes(d._3)).toSet
     val mWords = 1024
@@ -99,18 +100,36 @@ object StreamingMain {
     val rest = docs.filterNot(x => evalDocs.contains(x._1))
     val (corpus, live) = rest.splitAt(rest.size * 3 / 5)
 
+    // Quality model trained on the STANDING CORPUS split (the production
+    // discipline: fit the filter on the frozen snapshot, meter the live
+    // intake with it) — the qx63 arithmetic in plain Scala.
+    val labeled = corpus.flatMap { case (_, _, text, source) =>
+      val pos = source.drop(3).toLong % 4 == 0
+      text.split(" ").filter(_.nonEmpty).map(w => (w, pos))
+    }
+    val counts = labeled.groupBy(_._1).map { case (w, ws) =>
+      val cp = ws.count(_._2).toLong
+      (w, (cp, ws.length.toLong - cp))
+    }
+    val tPos = counts.valuesIterator.map(_._1).sum
+    val tNeg = counts.valuesIterator.map(_._2).sum
+    val model = QualityGateStream.Model(counts,
+      10000L * (tPos + counts.size) / (tNeg + counts.size))
+    println(s"[door] quality screen: ${live.count(x => !QualityGateStream.passes(x._3, model))}" +
+      s" of ${live.size} live docs will be rejected")
+
     implicit val sqlCtx = spark.sqlContext
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DoorDoc]
     val q1 = IngestDoor.gateStage(input.toDS(), image, d, evalWins, evalDocs,
-      s"$base/staged", s"$base/ckpt1")
+      s"$base/staged", s"$base/ckpt1", quality = Some(model))
     val q2 = IngestDoor.budgetStage(spark, s"$base/staged", s"$base/budget",
       budgetPerLang = 20000L, s"$base/ckpt2")
     val q3 = IngestDoor.packStage(spark, s"$base/budget", s"$base/packed",
       chunkLen = 256L, seqLen = 1024L, s"$base/ckpt3")
-    input.addData(corpus.map { case (id, lang, t) => DoorDoc(id, lang, t, is_new = false) })
+    input.addData(corpus.map { case (id, lang, t, _) => DoorDoc(id, lang, t, is_new = false) })
     q1.processAllAvailable()
     live.grouped(live.size / 4 + 1).foreach { wave =>
-      input.addData(wave.map { case (id, lang, t) => DoorDoc(id, lang, t, is_new = true) })
+      input.addData(wave.map { case (id, lang, t, _) => DoorDoc(id, lang, t, is_new = true) })
       q1.processAllAvailable(); q2.processAllAvailable(); q3.processAllAvailable()
       def countIn(root: String, schema: org.apache.spark.sql.types.StructType): Long =
         if (new java.io.File(root).exists())
