@@ -17,7 +17,10 @@ object Explain {
         "qx15_ann_imi", "qx16_ann_kmeans",
         "qx17_substring_dup", "qx20_dup_clusters", "qx22_curation_pipeline",
         "qx24_chunking", "qx26_rare_terms",
-        "qx41_incremental_dedup", "qx42_pq_adc", "qx43_ivf_pq", "qx44_ivfadc")
+        "qx41_incremental_dedup", "qx42_pq_adc", "qx43_ivf_pq", "qx44_ivfadc",
+        "qx50_semantic_dedup", "qx54_bm25_search", "qx58_image_neardup",
+        "qx59_lm_surprisal", "qx61_bpe_tokenize", "qx62_domain_cap",
+        "qx63_quality_classifier")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
