@@ -1333,7 +1333,11 @@ object ExtQueries {
     * per-doc and per-source rollups are map-side-combinable aggregates.
     * Output per source: docs, predicted-positive count, word and score
     * sums — the grid a filter-calibration report reads. */
-  def qx63(spark: SparkSession, dir: String): DataFrame = {
+  def qx63(spark: SparkSession, dir: String): DataFrame =
+    qx63At(spark, dir, LmBroadcastRows)
+
+  /** qx63 with an explicit broadcast ceiling (see [[qx59At]]). */
+  def qx63At(spark: SparkSession, dir: String, broadcastRows: Long): DataFrame = {
     val words = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         expr("CAST(substring(source, 4) AS BIGINT) % 4 = 0").as("pos"),
@@ -1346,7 +1350,7 @@ object ExtQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val tot = cls.agg(sum("c_pos").as("t_pos"), sum("c_neg").as("t_neg"),
       count(lit(1)).as("vocab"))
-    val modelFits = cls.count() <= LmBroadcastRows
+    val modelFits = cls.count() <= broadcastRows
     words.join(if (modelFits) broadcast(cls) else cls, "word")
       .withColumn("s", expr("(10000 * (c_pos + 1)) div (c_neg + 1)"))
       .groupBy(col("doc_id"), col("source"))
@@ -1478,7 +1482,14 @@ object ExtQueries {
     * broadcasts only under [[LmBroadcastRows]], falling back to the
     * shuffle join on the already-shared (w1, w2) key above it. Every
     * aggregate is map-side partial. */
-  def qx59(spark: SparkSession, dir: String): DataFrame = {
+  def qx59(spark: SparkSession, dir: String): DataFrame =
+    qx59At(spark, dir, LmBroadcastRows)
+
+  /** qx59 with an explicit broadcast ceiling — the fallback path (model
+    * above the ceiling ⇒ shuffle join on the already-shared (w1, w2)
+    * key) is result-identical by construction; BroadcastGateSpec pins
+    * both the equality and the two plan shapes. */
+  def qx59At(spark: SparkSession, dir: String, broadcastRows: Long): DataFrame = {
     val bg = Tables.documents(spark, dir)
       .select(col("doc_id"), expr(WORDS).as("ws"))
       .where(size(col("ws")) >= 2)
@@ -1492,7 +1503,7 @@ object ExtQueries {
     val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
     val v = Tables.documents(spark, dir)
       .select(explode(expr(WORDS)).as("w")).agg(countDistinct("w").as("vocab"))
-    val lmFits = c12.count() <= LmBroadcastRows
+    val lmFits = c12.count() <= broadcastRows
     bg.join(if (lmFits) broadcast(c12) else c12, Seq("w1", "w2"))
       .join(if (lmFits) broadcast(c1) else c1, Seq("w1"))
       .crossJoin(broadcast(v))
