@@ -1608,4 +1608,64 @@ object ExtOracle {
        |      FROM cand JOIN n y ON cand.vec_id = y.vec_id JOIN n x ON cand.pid = x.vec_id)
        |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_better, max(cosine) AS max_cos
        |FROM p WHERE cosine >= 0.35 GROUP BY vec_id""".stripMargin
+
+  /** qx65 twin — the URL planting replayed, then DuckDB's RE2 engine
+    * runs the SAME five-step canonicalization chain the Spark side
+    * codegen'd (java.util.regex): agreement on every canonical string
+    * is the cross-engine proof the chain is in the shared regex
+    * subset. DuckDB regexp_replace is first-match-only by default —
+    * 'g' everywhere for Spark's replace-all semantics (qx56's flag
+    * lesson). */
+  val qx65: String =
+    """WITH planted AS (SELECT doc_id, doc_id // 3 AS base, doc_id % 3 AS v
+      |                 FROM documents),
+      |u AS (SELECT doc_id,
+      |        CASE WHEN v = 0 THEN
+      |               'http://www.site' || CAST(base % 40 AS VARCHAR) ||
+      |               '.com/page/' || CAST(base AS VARCHAR)
+      |             WHEN v = 1 THEN
+      |               'HTTP://WWW.SITE' || CAST(base % 40 AS VARCHAR) ||
+      |               '.COM:80/page/' || CAST(base AS VARCHAR) || '/'
+      |             WHEN doc_id % 9 = 2 THEN
+      |               'http://www.site' || CAST(base % 40 AS VARCHAR) ||
+      |               '.com/page/' || CAST(base AS VARCHAR) || '?page=2'
+      |             ELSE
+      |               'http://www.site' || CAST(base % 40 AS VARCHAR) ||
+      |               '.com/page/' || CAST(base AS VARCHAR) ||
+      |               '?utm_source=feed&utm_campaign=c' || CAST(base % 5 AS VARCHAR) ||
+      |               '#sec' || CAST(base % 3 AS VARCHAR)
+      |        END AS url
+      |      FROM planted),
+      |c AS (SELECT doc_id, url,
+      |        regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |          lower(url),
+      |          '#[a-z0-9]*$', '', 'g'),
+      |          'utm_[a-z]+=[a-z0-9]*&?', '', 'g'),
+      |          '[?&]$', '', 'g'),
+      |          ':80/', '/', 'g'),
+      |          '/$', '', 'g') AS canon
+      |      FROM u)
+      |SELECT canon AS canon_url, CAST(count(*) AS BIGINT) AS n_docs,
+      |       min(doc_id) AS keeper_id,
+      |       CAST(count(DISTINCT url) AS BIGINT) AS n_raw_forms
+      |FROM c GROUP BY canon""".stripMargin
+
+  /** qx66 twin — the reformatted-twin planting replayed (SHOUT +
+    * whitespace padding on every 10th doc), then the same three-step
+    * normalization (lower, collapse space runs, trim) in DuckDB; the
+    * corpus is all-ASCII so upper/lower agree across engines by
+    * construction. */
+  val qx66: String =
+    """WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, '  ' || upper(text) || ' ' AS text
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |nrm AS (SELECT doc_id, text,
+      |          trim(regexp_replace(lower(text), ' +', ' ', 'g')) AS norm
+      |        FROM all_docs)
+      |SELECT min(doc_id) AS keeper_id, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(count(DISTINCT text) AS BIGINT) AS n_exact_variants,
+      |       CAST(length(norm) AS BIGINT) AS n_norm_chars
+      |FROM nrm GROUP BY norm HAVING count(*) > 1""".stripMargin
 }

@@ -2234,4 +2234,109 @@ object ExtQueries {
       .groupBy("vec_id")
       .agg(count(lit(1)).as("n_better"), max("cosine").as("max_cos"))
   }
+
+  /** qx65 — URL CANONICALIZATION dedup (the crawl-frontier discipline):
+    * collapse the URL variants every crawler meets — scheme/host case,
+    * default :80 port, trailing slash, `#fragment`, and `utm_*`
+    * tracking parameters — to one canonical form, then dedup at the URL
+    * level (keep-lowest doc_id), the screen every web corpus applies
+    * BEFORE fetching bodies. Real query parameters (`?page=2`) must
+    * SURVIVE: canonicalization may not over-merge. The corpus carries
+    * no URLs, so the gate PLANTS three variants per page (doc_id div 3
+    * = the page; doc_id mod 3 picks clean / SHOUTED+port+slash /
+    * tracked+fragment — and every doc_id ≡ 2 (mod 9) gets a real
+    * `?page=2` instead, which must stay a distinct canonical URL).
+    *
+    * Scale shape: the canonicalization is a scan-local chain of five
+    * codegen'd regexp_replace steps (no shuffle, no UDF); the dedup is
+    * the two-phase distinct aggregate countDistinct plans to — a
+    * partial-dedup exchange on (canon, url) then the final exchange on
+    * canon, both carrying (url, id)-sized rows, linear at any corpus
+    * size (drop n_raw_forms and it collapses to qx1's single
+    * exchange). The
+    * regex subset is kept to the Java/RE2 agreement set (qx56's
+    * cross-engine discipline) so DuckDB replays it byte-for-byte.
+    * Output: (canon_url, n_docs, keeper_id, n_raw_forms).
+    *
+    * The planting + canonicalization live in [[urlCanon]] so the
+    * streaming frontier twin ([[graft.streaming.UrlFrontierStream]])
+    * feeds on EXACTLY the rows the batch gate groups — one definition
+    * of the regex chain. */
+  private[graft] def urlCanon(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(spark, dir)
+      .select(col("doc_id"), expr("doc_id div 3").as("base"),
+        pmod(col("doc_id"), lit(3L)).as("v"))
+      .withColumn("site", pmod(col("base"), lit(40L)).cast("string"))
+      .withColumn("url",
+        when(col("v") === 0L,
+          concat(lit("http://www.site"), col("site"), lit(".com/page/"),
+            col("base").cast("string")))
+        .when(col("v") === 1L,
+          concat(lit("HTTP://WWW.SITE"), col("site"), lit(".COM:80/page/"),
+            col("base").cast("string"), lit("/")))
+        .otherwise(
+          when(pmod(col("doc_id"), lit(9L)) === 2L,
+            concat(lit("http://www.site"), col("site"), lit(".com/page/"),
+              col("base").cast("string"), lit("?page=2")))
+          .otherwise(
+            concat(lit("http://www.site"), col("site"), lit(".com/page/"),
+              col("base").cast("string"), lit("?utm_source=feed&utm_campaign=c"),
+              pmod(col("base"), lit(5L)).cast("string"), lit("#sec"),
+              pmod(col("base"), lit(3L)).cast("string")))))
+    planted
+      // lower → strip #fragment → strip utm_* params (+ dangling ?/&) →
+      // drop default port → drop trailing slash. Column-form regexps:
+      // the pattern reaches the engine verbatim (qx56's lesson).
+      .withColumn("canon",
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          lower(col("url")),
+          lit("#[a-z0-9]*$"), lit("")),
+          lit("utm_[a-z]+=[a-z0-9]*&?"), lit("")),
+          lit("[?&]$"), lit("")),
+          lit(":80/"), lit("/")),
+          lit("/$"), lit("")))
+      .select(col("doc_id"), col("url"), col("canon"))
+  }
+
+  def qx65(spark: SparkSession, dir: String): DataFrame =
+    urlCanon(spark, dir)
+      .groupBy("canon")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper_id"),
+        countDistinct("url").as("n_raw_forms"))
+      .select(col("canon").as("canon_url"), col("n_docs"),
+        col("keeper_id"), col("n_raw_forms"))
+
+  /** qx66 — NORMALIZATION-AWARE exact dedup: case-fold, collapse
+    * whitespace runs and trim BEFORE hashing, so trivially-reformatted
+    * copies (the mirror-site / re-crawl artifacts exact dedup misses)
+    * collapse into one group — the canonicalization step C4/RefinedWeb
+    * run ahead of their hash dedup. The corpus has no reformatted
+    * twins, so the gate PLANTS one per 10th doc (doc_id + 10⁶, text
+    * SHOUTED with padded whitespace); `n_exact_variants` counts the
+    * distinct RAW texts inside each normalized group — > 1 exactly
+    * where normalization, not raw equality, did the merging (the
+    * planted rows), = 1 where the corpus's own byte-identical dups
+    * land (qx1's groups, which this screen must still find).
+    *
+    * Scale shape: normalization is scan-local (lower/regexp/trim,
+    * codegen'd — no UDF); the dedup is the countDistinct two-phase
+    * aggregate — a partial-dedup exchange on (norm, text) then the
+    * final on norm. At 100 TB key by a 128-bit hash
+    * of the normalized text instead of the text itself — same plan,
+    * constant-width shuffle rows. Output: one row per duplicate group
+    * (keeper_id, n_docs, n_exact_variants, n_norm_chars). */
+  def qx66(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val twins = docs.where(pmod(col("doc_id"), lit(10L)) === 0L)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("  "), upper(col("text")), lit(" ")).as("text"))
+    docs.unionAll(twins)
+      .withColumn("norm", trim(regexp_replace(lower(col("text")), lit(" +"), lit(" "))))
+      .groupBy("norm")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper_id"),
+        countDistinct("text").as("n_exact_variants"))
+      .where(col("n_docs") > 1L)
+      .select(col("keeper_id"), col("n_docs"), col("n_exact_variants"),
+        length(col("norm")).cast("long").as("n_norm_chars"))
+  }
 }
