@@ -1668,4 +1668,27 @@ object ExtOracle {
       |       CAST(count(DISTINCT text) AS BIGINT) AS n_exact_variants,
       |       CAST(length(norm) AS BIGINT) AS n_norm_chars
       |FROM nrm GROUP BY norm HAVING count(*) > 1""".stripMargin
+
+  /** qx67 twin — the line planting replayed, then first-occurrence
+    * election per line via a window (the oracle need not be
+    * skew-shaped; the Spark side elects the same keeper with a
+    * map-side-combinable min-struct aggregate). */
+  val qx67: String =
+    """WITH lines AS (
+      |  SELECT doc_id, 0 AS line_no, text AS line FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, 1 AS line_no,
+      |         'subscribe to site ' || CAST(doc_id % 5 AS VARCHAR) ||
+      |         ' newsletter for daily updates' AS line
+      |  FROM documents WHERE doc_id % 7 = 0),
+      |r AS (SELECT doc_id, line,
+      |        row_number() OVER (PARTITION BY line
+      |                           ORDER BY doc_id, line_no) AS rk
+      |      FROM lines)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+      |       CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |       CAST(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      |       CAST(sum(CASE WHEN rk = 1 THEN length(line) ELSE 0 END) AS BIGINT)
+      |         AS n_chars_kept
+      |FROM r GROUP BY doc_id""".stripMargin
 }

@@ -2339,4 +2339,47 @@ object ExtQueries {
       .select(col("keeper_id"), col("n_docs"), col("n_exact_variants"),
         length(col("norm")).cast("long").as("n_norm_chars"))
   }
+
+  /** qx67 — LINE-LEVEL corpus dedup (C4's sub-document discipline,
+    * Raffel et al. 2020 §2.2): duplicated LINES are removed corpus-wide
+    * — every occurrence but the first (lowest (doc_id, line_no)) — so
+    * boilerplate repeated across pages disappears without dropping the
+    * documents that carry it; doc-level dedup (qx1/qx66) cannot see it.
+    * The corpus's docs are single-line, so the gate PLANTS the C4
+    * scenario: each doc is one content line, and every 7th doc appends
+    * one of 5 shared boilerplate lines ("subscribe..." — the
+    * cross-page footer). Content lines of byte-identical dup docs
+    * (qx1's groups) dedup too — both effects land in the same report:
+    * per doc (n_lines, n_kept, n_removed, n_chars_kept).
+    *
+    * Scale shape: the keeper election is a map-side-combinable
+    * min(struct(doc_id, line_no)) groupBy — a hot boilerplate line
+    * partial-aggregates to ONE row per map task, so the skew the
+    * window spelling would funnel into a single partition (qx62's
+    * trap) never reaches the exchange; the verdict join back to the
+    * line rows rides the SAME hash partitioning (exchange reuse) with
+    * AQE skew-join covering the hot probe key. Per-doc rollup is one
+    * more narrow exchange. At 100 TB group on a 128-bit hash of the
+    * line instead of the string — same plan, constant-width rows. */
+  def qx67(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val content = docs.select(col("doc_id"), lit(0L).as("line_no"),
+      col("text").as("line"))
+    val boiler = docs.where(pmod(col("doc_id"), lit(7L)) === 0L)
+      .select(col("doc_id"), lit(1L).as("line_no"),
+        concat(lit("subscribe to site "), pmod(col("doc_id"), lit(5L)).cast("string"),
+          lit(" newsletter for daily updates")).as("line"))
+    val lines = content.unionAll(boiler)
+    val keepers = lines.groupBy("line")
+      .agg(min(struct(col("doc_id"), col("line_no"))).as("keeper"))
+    lines.join(keepers, "line")
+      .withColumn("kept", col("doc_id") === col("keeper.doc_id") &&
+        col("line_no") === col("keeper.line_no"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!col("kept"), 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("kept"), length(col("line")).cast("long")).otherwise(0L))
+          .as("n_chars_kept"))
+  }
 }
