@@ -1691,4 +1691,27 @@ object ExtOracle {
       |       CAST(sum(CASE WHEN rk = 1 THEN length(line) ELSE 0 END) AS BIGINT)
       |         AS n_chars_kept
       |FROM r GROUP BY doc_id""".stripMargin
+
+  /** qx68 twin — the extractor's output re-derived CLOSED-FORM from the
+    * HTML generator formula: visible body text is the h1 heading, the
+    * doc text, the anchor texts in document order and the entity-laden
+    * tail, whitespace-collapsed; the comment, style, script, attribute
+    * values and the href's &amp; never reach it. The oracle never
+    * parses HTML — only a correct Spark-side parse of the real markup
+    * reproduces these strings. */
+  val qx68: String =
+    """WITH e AS (
+      |  SELECT doc_id,
+      |    'Doc ' || CAST(doc_id AS VARCHAR) || ' & friends' AS title,
+      |    'Doc ' || CAST(doc_id AS VARCHAR) || ' ' || text || ' more > info' ||
+      |      CASE CAST(doc_id % 3 AS INTEGER)
+      |        WHEN 1 THEN ' r0' WHEN 2 THEN ' r0 r1' ELSE '' END ||
+      |      ' tail AB' || repeat('.', CAST(doc_id % 4 AS INTEGER)) || ' end'
+      |      AS extracted,
+      |    CAST(1 + doc_id % 3 AS BIGINT) AS n_links,
+      |    CAST(3 + doc_id % 4 AS BIGINT) AS n_entities
+      |  FROM documents)
+      |SELECT doc_id, title, extracted, n_links, n_entities,
+      |       CAST(length(extracted) AS BIGINT) AS n_chars
+      |FROM e""".stripMargin
 }

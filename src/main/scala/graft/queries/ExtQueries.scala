@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{BloomFilter, Determinism}
-import graft.operators.{BpeTrainer, ConnectedComponents, EmbeddingLsh, EmbeddingPca, IvfAnn, MultimodalCodec, ProductQuantizer, SimHashLsh, WavCodec, ZOrderLayout}
+import graft.operators.{BpeTrainer, ConnectedComponents, EmbeddingLsh, EmbeddingPca, HtmlCodec, IvfAnn, MultimodalCodec, ProductQuantizer, SimHashLsh, WavCodec, ZOrderLayout}
 import graft.sources.Tables
 
 /** The large-scale training-data-pipeline operator family (builder brief +
@@ -2381,5 +2381,44 @@ object ExtQueries {
         sum(when(!col("kept"), 1L).otherwise(0L)).as("n_removed"),
         sum(when(col("kept"), length(col("line")).cast("long")).otherwise(0L))
           .as("n_chars_kept"))
+  }
+
+  /** qx68 — HTML TEXT EXTRACTION (the WET stage: crawl bytes → prose).
+    * Each doc's text is wrapped in a deterministic HTML page WITH the
+    * classic parser traps planted — a comment carrying tag decoys, a
+    * `<style>`/`<script>` raw-text span containing `<`/`>`/quotes, an
+    * attribute value `data-x="a>b"`, an `&amp;` inside an href (markup,
+    * not text), named + decimal + hex character references in prose —
+    * and pushed through the REAL single-pass parser in the typed slot
+    * ([[graft.operators.HtmlCodec.extract]]). The DuckDB twin re-derives
+    * title, extracted prose, link and entity counts CLOSED-FORM from the
+    * generator formula (it never parses HTML), so a leaked attribute, an
+    * early tag close, a comment byte in the text or an undecoded entity
+    * each break the hash. Generation is pure codegen'd concat (no typed
+    * boundary); extraction is the one mapPartitions pass.
+    * Scale shape: shuffle-free partition-parallel scan, the qx47 class. */
+  def qx68(spark: SparkSession, dir: String): DataFrame = {
+    val m3 = pmod(col("doc_id"), lit(3L))
+    val media = Tables.documents(spark, dir).select(col("doc_id"),
+      concat(
+        lit("<!DOCTYPE html>\n<html lang=\"en\">\n<head>\n<title>Doc "),
+        col("doc_id").cast("string"),
+        lit(" &amp; friends</title>\n" +
+          "<style type=\"text/css\">p > a { color: #fff; }</style>\n" +
+          "<script type=\"text/javascript\">if (2 < 3) { var s = \"<b>not text</b>\"; }</script>\n" +
+          "</head>\n<body>\n<!-- nav <div> decoy > comment -->\n<h1 class=\"t\">Doc "),
+        col("doc_id").cast("string"),
+        lit("</h1>\n<p id=\"c\" data-x=\"a>b\">"),
+        col("text"),
+        lit("</p>\n<a href=\"/page?id="),
+        col("doc_id").cast("string"),
+        lit("&amp;ref=top\">more &gt; info</a>\n"),
+        when(m3 === 1L, lit("<a href=\"/r/0\">r0</a>\n"))
+          .when(m3 === 2L, lit("<a href=\"/r/0\">r0</a>\n<a href=\"/r/1\">r1</a>\n"))
+          .otherwise(lit("")),
+        lit("<p>tail &#65;&#x42;"),
+        repeat(lit("&#46;"), pmod(col("doc_id"), lit(4L)).cast("int")),
+        lit(" end</p>\n</body>\n</html>\n")).as("html"))
+    HtmlCodec.extractDF(media)
   }
 }

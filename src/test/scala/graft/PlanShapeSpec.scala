@@ -280,6 +280,24 @@ class PlanShapeSpec extends SparkTestBase {
     }.nonEmpty, "the domain cap must be a partial topk_by aggregate")
   }
 
+  test("qx67: line-keeper election partial-aggregates before the exchange") {
+    // A hot boilerplate line (the C4 footer the op exists for) must
+    // collapse to one row per map task BEFORE the exchange — the
+    // row_number-over-line window spelling funnels every occurrence of
+    // the hot line into a single partition (qx62's trap at line
+    // granularity).
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Min, Partial}
+    val plan = sparkPlan("qx67_line_dedup")
+    assert(!plan.toString.contains("Window"),
+      "qx67 must not rank lines through a window")
+    assert(plan.collect {
+      case a: BaseAggregateExec
+        if a.aggregateExpressions.exists(ae => ae.mode == Partial &&
+          ae.aggregateFunction.isInstanceOf[Min]) => a
+    }.nonEmpty, "the keeper election must be a partial min aggregate")
+  }
+
   test("qx63: the lexicon model joins the word stream as a broadcast") {
     // Below the measured LmBroadcastRows gate the class-count model must
     // ship to the workers (scoring stays map-side in the explode stage);
