@@ -58,7 +58,10 @@ object HtmlCodec {
 
   /** Decode one character reference starting at `i` (which points at
     * '&'). Returns (codepoint, charsConsumed) or (-1, 0) if not a valid
-    * reference — in which case the '&' is literal text. */
+    * reference — in which case the '&' is literal text. Surrogate code
+    * points (0xD800–0xDFFF) are rejected: HTML5 maps them to U+FFFD, and
+    * emitting an unpaired surrogate would corrupt downstream UTF-8
+    * encoding — here the whole reference stays literal text instead. */
   private def decodeEntity(html: String, i: Int): (Int, Int) = {
     val semi = html.indexOf(';', i + 1)
     if (semi < 0 || semi - i > 10) return (-1, 0)
@@ -77,17 +80,38 @@ object HtmlCodec {
             if (num.nonEmpty && (num.charAt(0) == 'x' || num.charAt(0) == 'X'))
               Integer.parseInt(num.substring(1), 16)
             else Integer.parseInt(num, 10)
-          if (cp > 0 && cp <= 0x10ffff) (cp, consumed) else (-1, 0)
+          if (cp > 0 && cp <= 0x10ffff &&
+              !(cp >= 0xd800 && cp <= 0xdfff)) (cp, consumed) else (-1, 0)
         } catch { case _: NumberFormatException => (-1, 0) }
       case _ => (-1, 0)
     }
+  }
+
+  /** Find the raw-text close tag `</name` at-or-after `from`, requiring
+    * the name to be followed by whitespace, '/' or '>' per HTML5 —
+    * `</scriptfoo>` must NOT terminate a `<script>` span. Returns the
+    * index of '<' or -1. */
+  private def rawTextClose(lower: String, name: String, from: Int): Int = {
+    val needle = "</" + name
+    var e = lower.indexOf(needle, from)
+    while (e >= 0) {
+      val after = e + needle.length
+      if (after >= lower.length) return e
+      val ch = lower.charAt(after)
+      if (ch == '>' || ch == '/' || ch == ' ' || ch == '\t' ||
+          ch == '\n' || ch == '\r' || ch == '\f') return e
+      e = lower.indexOf(needle, e + 1)
+    }
+    -1
   }
 
   /** Single-pass extraction. Unknown tags are stripped; unknown entities
     * stay literal; a document with no `<body>` yields empty text. */
   def extract(html: String): Extracted = {
     val n = html.length
-    val lower = html.toLowerCase
+    // Locale.ROOT: tag-name matching must be locale-independent (under
+    // tr-TR a default-locale lowercase turns <TITLE> into "tıtle").
+    val lower = html.toLowerCase(java.util.Locale.ROOT)
     val body = new StringBuilder
     val title = new StringBuilder
     var inBody = false
@@ -129,7 +153,7 @@ object HtmlCodec {
           if (!closing) name match {
             case "script" | "style" =>
               // raw-text element: content runs to the matching close tag
-              val e = lower.indexOf("</" + name, i)
+              val e = rawTextClose(lower, name, i)
               i = if (e < 0) n else e // close tag handled next iteration
             case "body"  => inBody = true
             case "title" => inTitle = true
@@ -164,14 +188,18 @@ object HtmlCodec {
   }
 
   /** The typed codec slot: (doc_id, html STRING) → extracted text and
-    * markup statistics. Partition-parallel, shuffle-free. */
+    * markup statistics. Partition-parallel, shuffle-free. `n_chars`
+    * counts Unicode CODE POINTS (not UTF-16 units) so an astral
+    * reference like &#x1F600; counts as one character, matching the
+    * DuckDB twin's length() semantics. */
   def extractDF(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("doc_id"), col("html")).as[(Long, String)]
       .mapPartitions(_.map { case (id, h) =>
         val x = extract(h)
-        (id, x.title, x.text, x.nLinks, x.nEntities, x.text.length.toLong)
+        (id, x.title, x.text, x.nLinks, x.nEntities,
+          x.text.codePointCount(0, x.text.length).toLong)
       })
       .toDF("doc_id", "title", "extracted", "n_links", "n_entities", "n_chars")
   }

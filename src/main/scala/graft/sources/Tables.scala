@@ -6,11 +6,19 @@ import org.apache.spark.sql.functions._
 /** Readers for the driver-generated parquet tables (TESTDATA.md).
   *
   * All time handling is anchored on integer epoch arithmetic: `events.ts`
-  * is parquet TIMESTAMP(NANOS), which Spark cannot represent natively, so
-  * it is read as a raw Long (nanos) via `spark.sql.legacy.parquet.nanosAsLong`
-  * and ms/us/timestamp views are derived with integer `div` (double math
-  * would lose precision at 1e18). This keeps every derived time column
-  * bit-identical to the DuckDB oracle's `epoch_ms`/`epoch_us`.
+  * is exposed to every consumer as a raw Long of epoch NANOS, and ms/us/
+  * timestamp views are derived with integer `div` (double math would lose
+  * precision at 1e18). This keeps every derived time column bit-identical
+  * to the DuckDB oracle's `epoch_ms`/`epoch_us`.
+  *
+  * The driver has generated `ts` under two different parquet physical
+  * types across rounds — TIMESTAMP(NANOS) (unrepresentable natively;
+  * read as raw nanos via `spark.sql.legacy.parquet.nanosAsLong`) and
+  * TIMESTAMP(MICROS) (plain TimestampNTZ) — so [[events]] sniffs the
+  * loaded schema and normalizes BOTH to the nanos-Long contract
+  * (`unix_micros * 1000` is exact and fits a Long until 2262). The
+  * NTZ→timestamp cast is wall-clock-identity because the session TZ is
+  * pinned UTC repo-wide (build.sbt javaOptions + every main's builder).
   */
 object Tables {
   private def read(spark: SparkSession, dir: String, name: String): DataFrame = {
@@ -25,7 +33,15 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = read(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "events")
+
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val df = read(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df // TIMESTAMP(NANOS) as raw nanos
+      case _ => // TIMESTAMP(MICROS) (NTZ or TZ): exact integer micros → nanos
+        df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
 
