@@ -1698,20 +1698,74 @@ object ExtOracle {
     * tail, whitespace-collapsed; the comment, style, script, attribute
     * values and the href's &amp; never reach it. The oracle never
     * parses HTML — only a correct Spark-side parse of the real markup
-    * reproduces these strings. */
+    * reproduces these strings. The concatenation is run through the
+    * SAME whitespace-collapse the parser applies (runs of space/tab/
+    * CR/LF → one space, trimmed), so the twin holds for ANY `text`
+    * shape — empty, leading/trailing or multi-space. The one remaining
+    * contract is that `text` contains no '<' or '&' (it would be parsed
+    * as markup on the Spark side but stay literal here); TESTDATA's
+    * generator satisfies it. */
   val qx68: String =
     """WITH e AS (
       |  SELECT doc_id,
       |    'Doc ' || CAST(doc_id AS VARCHAR) || ' & friends' AS title,
-      |    'Doc ' || CAST(doc_id AS VARCHAR) || ' ' || text || ' more > info' ||
+      |    trim(regexp_replace(
+      |      'Doc ' || CAST(doc_id AS VARCHAR) || ' ' || text || ' more > info' ||
       |      CASE CAST(doc_id % 3 AS INTEGER)
       |        WHEN 1 THEN ' r0' WHEN 2 THEN ' r0 r1' ELSE '' END ||
-      |      ' tail AB' || repeat('.', CAST(doc_id % 4 AS INTEGER)) || ' end'
-      |      AS extracted,
+      |      ' tail AB' || repeat('.', CAST(doc_id % 4 AS INTEGER)) || ' end',
+      |      '[ \t\n\r]+', ' ', 'g')) AS extracted,
       |    CAST(1 + doc_id % 3 AS BIGINT) AS n_links,
       |    CAST(3 + doc_id % 4 AS BIGINT) AS n_entities
       |  FROM documents)
       |SELECT doc_id, title, extracted, n_links, n_entities,
       |       CAST(length(extracted) AS BIGINT) AS n_chars
+      |FROM e""".stripMargin
+
+  /** qx69 twin — the WARC→HTTP→HTML chain re-derived CLOSED-FORM from
+    * the generator formula: record census (warcinfo + optional metadata
+    * + response), the planted 404s, the HTML body length (recomputed by
+    * replaying the page concat, including the comment decoy bytes the
+    * extractor must skip), and the visible prose through the same
+    * whitespace-collapse contract as qx68. The oracle never parses WARC,
+    * HTTP or HTML — only a correct Content-Length-framed record walk, a
+    * consistent HTTP unwrap and a trap-proof HTML pass reproduce these
+    * values. Assumes `text` has no '<'/'&' (documented at qx68). */
+  val qx69: String =
+    """WITH e AS (
+      |  SELECT doc_id, text, doc_id % 13 = 0 AS is404,
+      |    CASE WHEN doc_id % 13 = 0
+      |      THEN '<html><head><title>Not Found</title></head><body><p>missing '
+      |           || CAST(doc_id AS VARCHAR) || '</p></body></html>'
+      |      ELSE '<html><head><title>Page ' || CAST(doc_id AS VARCHAR)
+      |           || '</title></head>' || chr(10)
+      |           || '<body><!-- ' || chr(13) || chr(10) || chr(13) || chr(10)
+      |           || 'WARC/1.0' || chr(13) || chr(10)
+      |           || 'content-length: 0 decoy -->' || chr(10)
+      |           || '<h1>Page ' || CAST(doc_id AS VARCHAR) || '</h1>' || chr(10)
+      |           || '<p>' || text || '</p>' || chr(10)
+      |           || '<a href="/n?d=' || CAST(doc_id AS VARCHAR)
+      |           || '&amp;x=1">next &gt; page</a>' || chr(10) || '</body></html>'
+      |    END AS html
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(2 + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_records,
+      |  'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example/page/'
+      |    || CAST(doc_id AS VARCHAR) AS uri,
+      |  CAST(CASE WHEN is404 THEN 404 ELSE 200 END AS BIGINT) AS http_status,
+      |  'text/html; charset=utf-8' AS mime,
+      |  CAST(length(html) AS BIGINT) AS body_len,
+      |  CASE WHEN is404 THEN 'Not Found'
+      |       ELSE 'Page ' || CAST(doc_id AS VARCHAR) END AS title,
+      |  trim(regexp_replace(
+      |    CASE WHEN is404 THEN 'missing ' || CAST(doc_id AS VARCHAR)
+      |         ELSE 'Page ' || CAST(doc_id AS VARCHAR) || ' ' || text
+      |              || ' next > page' END,
+      |    '[ \t\n\r]+', ' ', 'g')) AS extracted,
+      |  CAST(length(trim(regexp_replace(
+      |    CASE WHEN is404 THEN 'missing ' || CAST(doc_id AS VARCHAR)
+      |         ELSE 'Page ' || CAST(doc_id AS VARCHAR) || ' ' || text
+      |              || ' next > page' END,
+      |    '[ \t\n\r]+', ' ', 'g'))) AS BIGINT) AS n_chars
       |FROM e""".stripMargin
 }

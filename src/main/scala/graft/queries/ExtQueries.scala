@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{BloomFilter, Determinism}
-import graft.operators.{BpeTrainer, ConnectedComponents, EmbeddingLsh, EmbeddingPca, HtmlCodec, IvfAnn, MultimodalCodec, ProductQuantizer, SimHashLsh, WavCodec, ZOrderLayout}
+import graft.operators.{BpeTrainer, ConnectedComponents, EmbeddingLsh, EmbeddingPca, HtmlCodec, IvfAnn, MultimodalCodec, ProductQuantizer, SimHashLsh, WarcCodec, WavCodec, ZOrderLayout}
 import graft.sources.Tables
 
 /** The large-scale training-data-pipeline operator family (builder brief +
@@ -2420,5 +2420,71 @@ object ExtQueries {
         repeat(lit("&#46;"), pmod(col("doc_id"), lit(4L)).cast("int")),
         lit(" end</p>\n</body>\n</html>\n")).as("html"))
     HtmlCodec.extractDF(media)
+  }
+
+  /** qx69 — WARC CONTAINER PARSING (the step before qx68: crawl archives
+    * → HTTP responses → prose). Each doc becomes a real multi-record
+    * WARC file (ISO 28500, the Common Crawl container): a `warcinfo`
+    * record, a planted `metadata` record on every 5th doc (unknown-type
+    * skip path), and a `response` record whose content is a genuine
+    * HTTP/1.1 message wrapping an HTML page — with the framing traps a
+    * cheap parser fails: a literal `WARC/1.0` + CRLF·CRLF decoy inside
+    * an HTML comment (sentinel-split parsers break; Content-Length
+    * framing succeeds), lowercase WARC header names on even docs
+    * (case-insensitivity load-bearing), a planted 404 on every 13th doc,
+    * and the HTTP Content-Length cross-checked against the actual body.
+    * [[graft.operators.WarcCodec.parseDF]] walks the records and chains
+    * [[graft.operators.HtmlCodec.extract]] over the response body in the
+    * SAME partition pass. The DuckDB twin re-derives every output column
+    * CLOSED-FORM from the generator formula (it never parses WARC, HTTP
+    * or HTML) — only a correct three-layer parse of the real bytes
+    * reproduces the hash. Generation is pure codegen'd concat; the
+    * payload crosses into the typed slot as BINARY.
+    * Scale shape: shuffle-free partition-parallel scan (the qx47/qx68
+    * class) — at 100 TB this is the embarrassingly parallel unwrap. */
+  def qx69(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val is404 = pmod(d, lit(13L)) === 0L
+    val html200 = concat(
+      lit("<html><head><title>Page "), d.cast("string"),
+      lit("</title></head>\n<body><!-- \r\n\r\nWARC/1.0\r\ncontent-length: 0 decoy -->\n<h1>Page "),
+      d.cast("string"),
+      lit("</h1>\n<p>"), col("text"),
+      lit("</p>\n<a href=\"/n?d="), d.cast("string"),
+      lit("&amp;x=1\">next &gt; page</a>\n</body></html>"))
+    val html404 = concat(
+      lit("<html><head><title>Not Found</title></head><body><p>missing "),
+      d.cast("string"), lit("</p></body></html>"))
+    val docs = Tables.documents(spark, dir).select(d, col("text"))
+      .withColumn("html", when(is404, html404).otherwise(html200))
+      .withColumn("http", concat(
+        lit("HTTP/1.1 "), when(is404, lit("404 Not Found")).otherwise(lit("200 OK")),
+        lit("\r\nContent-Type: text/html; charset=utf-8\r\nServer: graft/1.0\r\nContent-Length: "),
+        length(col("html")).cast("string"), lit("\r\n\r\n"), col("html")))
+    val info = "software: graft-crawler/1.0\r\nformat: WARC File Format 1.0\r\n"
+    val media = docs.select(d, concat(
+      lit(s"WARC/1.0\r\nWARC-Type: warcinfo\r\nWARC-Record-ID: <urn:uuid:info-"),
+      d.cast("string"),
+      lit(s">\r\nWARC-Date: 2026-01-01T00:00:00Z\r\nContent-Type: application/warc-fields\r\nContent-Length: ${info.length}\r\n\r\n$info\r\n\r\n"),
+      when(pmod(d, lit(5L)) === 0L, concat(
+        lit("WARC/1.0\r\nWARC-Type: metadata\r\nWARC-Record-ID: <urn:uuid:meta-"),
+        d.cast("string"),
+        lit(">\r\nContent-Length: 9\r\n\r\nvia: seed\r\n\r\n"))).otherwise(lit("")),
+      // even docs: lowercase WARC header names; odd docs: canonical case
+      when(pmod(d, lit(2L)) === 0L, concat(
+        lit("WARC/1.0\r\nwarc-type: response\r\nwarc-record-id: <urn:uuid:resp-"),
+        d.cast("string"),
+        lit(">\r\nwarc-date: 2026-01-01T00:00:01Z\r\nwarc-target-uri: https://site"),
+        pmod(d, lit(7L)).cast("string"), lit(".example/page/"), d.cast("string"),
+        lit("\r\ncontent-type: application/http; msgtype=response\r\ncontent-length: "),
+        length(col("http")).cast("string"), lit("\r\n"))).otherwise(concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:resp-"),
+        d.cast("string"),
+        lit(">\r\nWARC-Date: 2026-01-01T00:00:01Z\r\nWARC-Target-URI: https://site"),
+        pmod(d, lit(7L)).cast("string"), lit(".example/page/"), d.cast("string"),
+        lit("\r\nContent-Type: application/http; msgtype=response\r\nContent-Length: "),
+        length(col("http")).cast("string"), lit("\r\n"))),
+      lit("\r\n"), col("http"), lit("\r\n\r\n")).cast("binary").as("warc"))
+    WarcCodec.parseDF(media)
   }
 }
