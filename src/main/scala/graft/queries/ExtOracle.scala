@@ -1768,4 +1768,44 @@ object ExtOracle {
       |              || ' next > page' END,
       |    '[ \t\n\r]+', ' ', 'g'))) AS BIGINT) AS n_chars
       |FROM e""".stripMargin
+
+  /** qx70 twin — ExactSubstr replayed relationally: the same K=8 grams
+    * via 1-based list slicing, first occurrence by (doc_id, start)
+    * (row_number — the oracle may use the skew-trap spelling, it only
+    * runs at gate scale), the same gaps-and-islands merge (equal-length
+    * spans ⇒ a region breaks iff the start-gap ≥ K). */
+  val qx70: String =
+    """WITH d AS (
+      |  SELECT doc_id, CASE WHEN doc_id % 3 = 0
+      |    THEN text || ' all rights reserved see license terms at mirror '
+      |         || CAST(doc_id % 5 AS VARCHAR)
+      |    ELSE text END AS text
+      |  FROM documents),
+      |w AS (SELECT doc_id,
+      |        list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
+      |      FROM d),
+      |g AS (SELECT doc_id, i - 1 AS i, array_to_string(ws[i:i+7], ' ') AS gram
+      |      FROM w, unnest(range(1, len(ws) - 6)) AS t(i)
+      |      WHERE len(ws) >= 8),
+      |r AS (SELECT doc_id, i,
+      |        row_number() OVER (PARTITION BY gram ORDER BY doc_id, i) AS rk
+      |      FROM g),
+      |f AS (SELECT doc_id, i FROM r WHERE rk > 1),
+      |s AS (SELECT doc_id, i,
+      |        CASE WHEN lag(i) OVER w2 IS NULL OR i - lag(i) OVER w2 >= 8
+      |             THEN 1 ELSE 0 END AS brk
+      |      FROM f WINDOW w2 AS (PARTITION BY doc_id ORDER BY i)),
+      |isl AS (SELECT doc_id, i,
+      |          sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+      |                         ROWS UNBOUNDED PRECEDING) AS region
+      |        FROM s),
+      |sp AS (SELECT doc_id, region, min(i) AS a, max(i) + 8 AS b
+      |       FROM isl GROUP BY doc_id, region),
+      |per AS (SELECT doc_id, count(*) AS n_spans, sum(b - a) AS n_removed
+      |        FROM sp GROUP BY doc_id)
+      |SELECT w.doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+      |       CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+      |       CAST(coalesce(n_removed, 0) AS BIGINT) AS n_removed,
+      |       CAST(len(ws) - coalesce(n_removed, 0) AS BIGINT) AS n_kept
+      |FROM w LEFT JOIN per ON w.doc_id = per.doc_id""".stripMargin
 }

@@ -2487,4 +2487,67 @@ object ExtQueries {
       lit("\r\n"), col("http"), lit("\r\n\r\n")).cast("binary").as("warc"))
     WarcCodec.parseDF(media)
   }
+
+  /** qx70 — EXACT SUBSTRING SPAN REMOVAL (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better": the
+    * ExactSubstr discipline). Finer than qx1 (whole doc), qx67 (whole
+    * line) or qx17 (doc-level screen): any K=8-token span occurring
+    * more than once ANYWHERE in the corpus is removed at every position
+    * except its first (lowest (doc_id, start)) occurrence, and
+    * overlapping removed spans merge into maximal cut regions. The gate
+    * plants the scenario (every 3rd doc carries one of 5 license-footer
+    * variants ≥ K tokens) on top of whatever natural span duplication
+    * the corpus has, and reports per doc: n_tokens, n_spans (merged cut
+    * regions), n_removed (tokens cut), n_kept.
+    *
+    * Plan, in Spark terms: overlapping K-grams materialize scan-local
+    * (one `transform(sequence(...))` + posexplode — no shuffle);
+    * first-occurrence election is a map-side-combinable
+    * min(struct(doc_id, i)) groupBy on the gram — the qx67 lesson: a
+    * hot license gram partial-aggregates to ONE row per map task,
+    * never a gram-partitioned window; flagged occurrences join back on
+    * the same hash partitioning (AQE covers the hot keys); interval
+    * merging is a per-DOC window (gaps-and-islands on equal-length
+    * spans: a new region starts iff the gap since the previous flagged
+    * start ≥ K), bounded by document length, never corpus-wide. At
+    * 100 TB group on a 128-bit gram hash instead of the string — same
+    * plan, constant-width shuffle rows. */
+  def qx70(spark: SparkSession, dir: String): DataFrame = {
+    val K = 8
+    val planted = Tables.documents(spark, dir).select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(3L)) === 0L,
+        concat(col("text"), lit(" all rights reserved see license terms at mirror "),
+          pmod(col("doc_id"), lit(5L)).cast("string")))
+        .otherwise(col("text")).as("text"))
+    val docs = planted.withColumn("ws", expr(WORDS))
+    val grams = docs.select(col("doc_id"),
+        posexplode(expr(
+          s"""CASE WHEN size(ws) >= $K
+             |THEN transform(sequence(0, size(ws) - $K),
+             |               i -> array_join(slice(ws, i + 1, $K), ' '))
+             |ELSE array() END""".stripMargin)))
+      .toDF("doc_id", "i", "gram")
+    val keepers = grams.groupBy("gram")
+      .agg(min(struct(col("doc_id"), col("i"))).as("keeper"))
+    val flagged = grams.join(keepers, "gram")
+      .where(!(col("doc_id") === col("keeper.doc_id") && col("i") === col("keeper.i")))
+      .select(col("doc_id"), col("i"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("i")
+    val spans = flagged
+      .withColumn("prev", lag("i", 1).over(byDoc))
+      .withColumn("brk", when(col("prev").isNull || col("i") - col("prev") >= K, 1L)
+        .otherwise(0L))
+      .withColumn("region", sum("brk").over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "region")
+      .agg(min("i").as("a"), (max("i") + K).as("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum(col("b") - col("a")).as("n_removed"))
+    docs.select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        (col("n_tokens") - coalesce(col("n_removed"), lit(0L))).as("n_kept"))
+  }
 }
