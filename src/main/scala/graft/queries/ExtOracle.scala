@@ -1808,4 +1808,46 @@ object ExtOracle {
       |       CAST(coalesce(n_removed, 0) AS BIGINT) AS n_removed,
       |       CAST(len(ws) - coalesce(n_removed, 0) AS BIGINT) AS n_kept
       |FROM w LEFT JOIN per ON w.doc_id = per.doc_id""".stripMargin
+
+  /** qx71 twin — the full 8-round integer PageRank replayed as a
+    * GENERATED CTE chain (the qx60 discipline): same graph derivation,
+    * same floor-division update, same dangling-mass redistribution, so
+    * the hash pins every rank bit of every iteration's fixpoint. */
+  val qx71: String = {
+    val iters = 8
+    val base =
+      """WITH nodes AS (SELECT DISTINCT doc_id % 40 AS u FROM documents),
+        |e AS (SELECT DISTINCT u, v FROM (
+        |    SELECT doc_id % 40 AS u, (doc_id * 7 + 3) % 40 AS v FROM documents
+        |    UNION ALL
+        |    SELECT doc_id % 40 AS u, (doc_id * 13 + 11) % 40 AS v FROM documents) t
+        |  WHERE u % 10 <> 7),
+        |deg AS (SELECT u, count(*) AS od FROM e GROUP BY u),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |r0 AS (SELECT u, CAST(1000000 AS BIGINT) AS r FROM nodes)""".stripMargin
+    val its = (1 to iters).map { k =>
+      s"""r$k AS (
+         |  SELECT nd.u,
+         |    CAST(150000 + (85 * (coalesce(i.inc, 0) + dang.dg // (SELECT n FROM nn))) // 100
+         |         AS BIGINT) AS r
+         |  FROM nodes nd
+         |  LEFT JOIN (SELECT e.v AS u, CAST(sum(p.r // dg2.od) AS BIGINT) AS inc
+         |             FROM r${k - 1} p JOIN deg dg2 ON p.u = dg2.u JOIN e ON e.u = p.u
+         |             GROUP BY e.v) i ON nd.u = i.u
+         |  CROSS JOIN (SELECT CAST(coalesce(sum(p.r), 0) AS BIGINT) AS dg
+         |              FROM r${k - 1} p LEFT JOIN deg dg3 ON p.u = dg3.u
+         |              WHERE dg3.u IS NULL) dang)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$its
+       |SELECT 'site' || CAST(nd.u AS VARCHAR) || '.' ||
+       |       (['com','org','net','io'])[CAST(nd.u % 4 AS INTEGER) + 1] AS domain,
+       |       fin.r AS rank_micro, c.n_docs,
+       |       CAST(coalesce(dg.od, 0) AS BIGINT) AS out_deg
+       |FROM nodes nd
+       |JOIN r$iters fin ON nd.u = fin.u
+       |JOIN (SELECT doc_id % 40 AS u, count(*) AS n_docs
+       |      FROM documents GROUP BY 1) c ON nd.u = c.u
+       |LEFT JOIN deg dg ON nd.u = dg.u""".stripMargin
+  }
 }

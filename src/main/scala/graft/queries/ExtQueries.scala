@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{BloomFilter, Determinism}
-import graft.operators.{BpeTrainer, ConnectedComponents, EmbeddingLsh, EmbeddingPca, HtmlCodec, IvfAnn, MultimodalCodec, ProductQuantizer, SimHashLsh, WarcCodec, WavCodec, ZOrderLayout}
+import graft.operators.{BpeTrainer, ConnectedComponents, EmbeddingLsh, EmbeddingPca, HtmlCodec, IvfAnn, MultimodalCodec, PageRank, ProductQuantizer, SimHashLsh, WarcCodec, WavCodec, ZOrderLayout}
 import graft.sources.Tables
 
 /** The large-scale training-data-pipeline operator family (builder brief +
@@ -2549,5 +2549,45 @@ object ExtQueries {
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"),
         (col("n_tokens") - coalesce(col("n_removed"), lit(0L))).as("n_kept"))
+  }
+
+  /** qx71 — DOMAIN AUTHORITY via integer-exact PageRank: the link-graph
+    * quality prior (the Common Crawl ranking discipline) over qx62's
+    * planted-URL world. The domain link graph derives deterministically
+    * from the corpus — each doc's domain node is `doc_id % 40` (the
+    * qx62 eTLD+1 space) and links to the two affine-mapped domains
+    * `(7·d+3) % 40` and `(13·d+11) % 40` (distinct pairs, never a self
+    * loop by construction); every domain with `u % 10 = 7` has its
+    * out-links DROPPED, planting four genuinely dangling nodes so the
+    * stochastic-matrix patch (uniform dangling-mass redistribution) is
+    * load-bearing, not decorative. Eight power iterations in micro-unit
+    * integer arithmetic ([[graft.operators.PageRank]]) — floor division
+    * everywhere, so the DuckDB twin replays the full iteration chain as
+    * generated CTEs and the hash pins every rank bit. Output per
+    * domain: rank, doc count, out-degree (0 = dangling).
+    * Scale shape: per iteration two edge-list-sized shuffles + one
+    * scalar cross-join; the qx20 class — at 100 TB the domain graph is
+    * millions of nodes and nothing driver-side grows with it. */
+  def qx71(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val docs = Tables.documents(spark, dir).select(d)
+    val nodes = docs.select(pmod(d, lit(40L)).as("u")).distinct()
+    val edges = docs.select(pmod(d, lit(40L)).as("u"),
+        pmod(d * 7L + 3L, lit(40L)).as("v"))
+      .unionAll(docs.select(pmod(d, lit(40L)).as("u"),
+        pmod(d * 13L + 11L, lit(40L)).as("v")))
+      .where(pmod(col("u"), lit(10L)) =!= 7L)
+      .distinct()
+    val ranks = PageRank.run(nodes, edges, iters = 8)
+    val census = docs.select(pmod(d, lit(40L)).as("u"))
+      .groupBy("u").agg(count(lit(1)).as("n_docs"))
+    val deg = edges.groupBy("u").agg(count(lit(1)).as("out_deg"))
+    ranks.join(census, "u").join(deg, Seq("u"), "left")
+      .select(
+        concat(lit("site"), col("u").cast("string"), lit("."),
+          element_at(array(lit("com"), lit("org"), lit("net"), lit("io")),
+            (pmod(col("u"), lit(4L)) + 1L).cast("int"))).as("domain"),
+        col("r").as("rank_micro"), col("n_docs"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"))
   }
 }

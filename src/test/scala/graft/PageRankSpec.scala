@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.PageRank
+
+/** Pins the integer-exact PageRank update (qx71's kernel): one
+  * hand-computed iteration including the dangling-mass patch, authority
+  * ordering on a star graph, and the bounded floor-loss mass contract. */
+class PageRankSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("one iteration matches the hand-computed integer update") {
+    // 0 -> {1,2}, 1 -> 2, 2 -> 3; node 3 dangling. scale 1e6, n = 4.
+    val nodes = Seq(0L, 1L, 2L, 3L).toDF("u")
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 3L)).toDF("u", "v")
+    val r = PageRank.run(nodes, edges, iters = 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // contribs: c0 = 1e6 div 2 = 500000 (to 1 and 2), c1 = 1e6 (to 2),
+    // c2 = 1e6 (to 3); dang = 1e6 (node 3), dang div 4 = 250000.
+    // r(0) = 150000 + 85*(0 + 250000) div 100        = 362500
+    // r(1) = 150000 + 85*(500000 + 250000) div 100   = 787500
+    // r(2) = 150000 + 85*(1500000 + 250000) div 100  = 1637500
+    // r(3) = 150000 + 85*(1000000 + 250000) div 100  = 1212500
+    assert(r === Map(0L -> 362500L, 1L -> 787500L, 2L -> 1637500L, 3L -> 1212500L))
+  }
+
+  test("star-graph authority: the hub outranks every spoke") {
+    // spokes all point at the hub; the hub links back to every spoke
+    val nodes = (0L to 5L).toDF("u")
+    val all = ((1L to 5L).map(i => (i, 0L)) ++ (1L to 5L).map(i => (0L, i)))
+      .toDF("u", "v")
+    val r = PageRank.run(nodes, all, iters = 8)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert((1L to 5L).forall(i => r(0L) > r(i)))
+    // spokes are rank-identical by symmetry
+    assert((2L to 5L).forall(i => r(i) === r(1L)))
+  }
+
+  test("mass is conserved up to bounded floor loss") {
+    val nodes = (0L until 10L).toDF("u")
+    val edges = (0L until 10L).map(i => (i, (i + 1) % 10)).toDF("u", "v")
+    val total = PageRank.run(nodes, edges, iters = 4)
+      .agg(sum("r")).collect().head.getLong(0)
+    val mass0 = 10L * 1000000L
+    // each iteration loses < 2 units per node to the two floor divisions
+    assert(total <= mass0 && total >= mass0 - 4 * 10 * 2 - 100)
+  }
+}
