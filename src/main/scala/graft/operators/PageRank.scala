@@ -27,9 +27,15 @@ import org.apache.spark.sql.functions._
   * node count is computed ONCE before the loop (a single bounded
   * collect, the IvfAnn Lloyd precedent). Nothing driver-side grows with
   * the graph: at 100 TB the domain graph is millions of nodes and each
-  * iteration is two edge-list-sized shuffles, the qx20 class. For deep
-  * iteration counts, checkpoint ranks every ~10 rounds to cut lineage —
-  * at the gate's 8 rounds plain composition is the faster plan.
+  * iteration is two edge-list-sized shuffles, the qx20 class.
+  *
+  * Each round ends in `localCheckpoint`: the update reads the previous
+  * ranks TWICE (contributions + dangling mass), so composing plans
+  * doubles the logical tree per iteration — 2^T analysis cost by round
+  * T (measured: 5.9 s → sub-second at the gate's 8 rounds). Truncating
+  * lineage each round is also what bounds recovery cost for genuinely
+  * iterative jobs at cluster scale (the GraphX/Pregel discipline; on a
+  * cluster prefer reliable `checkpoint` to survive executor loss).
   */
 object PageRank {
 
@@ -43,7 +49,7 @@ object PageRank {
     val deg = edges.groupBy("u").agg(count(lit(1)).as("od"))
     val n = nodes.count() // bounded: one scalar, once, before the loop
     var ranks = nodes.select(col("u"), lit(scale).as("r"))
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       val contrib = ranks.join(deg, "u").join(edges, "u")
         .select(col("v"), expr("r div od").as("c"))
         .groupBy("v").agg(sum("c").as("inc"))
@@ -55,6 +61,11 @@ object PageRank {
         .select(col("u"),
           (lit(15L * scale / 100L) +
             expr(s"(85 * (coalesce(inc, CAST(0 AS BIGINT)) + dg div $n)) div 100")).as("r"))
+      // Cut the doubled-per-round lineage (see scaladoc). Measured at
+      // the gate: eager per-round 3.8 s, every-2-rounds 4.0 s, lazy
+      // 4.6 s — the remaining cost is per-round stage scheduling, the
+      // honest price of a genuinely iterative fixpoint.
+      ranks = ranks.localCheckpoint()
     }
     ranks
   }
