@@ -1850,4 +1850,33 @@ object ExtOracle {
        |      FROM documents GROUP BY 1) c ON nd.u = c.u
        |LEFT JOIN deg dg ON nd.u = dg.u""".stripMargin
   }
+
+  /** qx72 twin — the RFC 9309 decision table closed-form: per path
+    * class (deep-private / private-pub / tmp / plain) and domain rule
+    * set, the verdict, the winning rule's length and the group's crawl
+    * delay. The oracle never parses robots.txt — only correct group
+    * selection, longest-match precedence, glob/anchor matching and
+    * case-insensitive field handling reproduce the table. */
+  val qx72: String =
+    """WITH urls AS (
+      |  SELECT doc_id, doc_id % 40 AS u,
+      |    CASE CAST(doc_id % 7 AS INTEGER)
+      |      WHEN 0 THEN '/private/x/' || CAST(doc_id AS VARCHAR)
+      |      WHEN 1 THEN '/private/pub/' || CAST(doc_id AS VARCHAR)
+      |      WHEN 2 THEN '/tmp/' || CAST(doc_id AS VARCHAR) || '.tmp'
+      |      ELSE '/p/' || CAST(doc_id AS VARCHAR) END AS path
+      |  FROM documents)
+      |SELECT doc_id,
+      |  'site' || CAST(u AS VARCHAR) || '.' ||
+      |    (['com','org','net','io'])[CAST(u % 4 AS INTEGER) + 1] AS domain,
+      |  path,
+      |  CASE WHEN doc_id % 7 = 0 THEN false
+      |       WHEN doc_id % 7 = 2 AND u % 4 = 0 THEN false
+      |       ELSE true END AS fetchable,
+      |  CAST(CASE WHEN doc_id % 7 = 0 THEN 9
+      |            WHEN doc_id % 7 = 1 THEN 13
+      |            WHEN doc_id % 7 = 2 AND u % 4 = 0 THEN 7
+      |            ELSE 0 END AS BIGINT) AS rule_len,
+      |  CAST(u % 7 + 1 AS BIGINT) AS crawl_delay
+      |FROM urls""".stripMargin
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{BloomFilter, Determinism}
-import graft.operators.{BpeTrainer, ConnectedComponents, EmbeddingLsh, EmbeddingPca, HtmlCodec, IvfAnn, MultimodalCodec, PageRank, ProductQuantizer, SimHashLsh, WarcCodec, WavCodec, ZOrderLayout}
+import graft.operators.{BpeTrainer, ConnectedComponents, EmbeddingLsh, EmbeddingPca, HtmlCodec, IvfAnn, MultimodalCodec, PageRank, ProductQuantizer, RobotsTxt, SimHashLsh, WarcCodec, WavCodec, ZOrderLayout}
 import graft.sources.Tables
 
 /** The large-scale training-data-pipeline operator family (builder brief +
@@ -2589,5 +2589,58 @@ object ExtQueries {
             (pmod(col("u"), lit(4L)) + 1L).cast("int"))).as("domain"),
         col("r").as("rank_micro"), col("n_docs"),
         coalesce(col("out_deg"), lit(0L)).as("out_deg"))
+  }
+
+  /** qx72 — ROBOTS.TXT FRONTIER FILTERING (RFC 9309): the politeness
+    * gate between qx65's URL frontier and the fetch. Every qx62-world
+    * domain gets a REAL robots.txt with the protocol's traps planted —
+    * a decoy `other-bot` group and (on every 3rd domain) a
+    * `User-agent: *` / `Disallow: /` fallback that must be IGNORED
+    * because our agent has its own group; lowercase field names on the
+    * named-group branch (case-insensitivity load-bearing); an
+    * `Allow: /private/pub/` that outranks `Disallow: /private/` only by
+    * LONGEST-MATCH precedence; a wildcard+end-anchor `.tmp` rule
+    * (slash, star, ".tmp", dollar) on every 4th domain; per-domain
+    * `Crawl-delay`. Doc URLs fall into
+    * four path classes (deep-private, private-pub, tmp, plain), so a
+    * parser that botches group selection, precedence, glob or anchor
+    * semantics flips whole verdict classes and breaks the hash. The
+    * DuckDB twin is the closed-form RFC decision table.
+    * Scale shape: robots content rides a broadcast domains-sized table
+    * joined to the URL stream; [[graft.operators.RobotsTxt.evalDF]]
+    * is partition-local with a per-domain parse memo — no shuffle of
+    * its own (pre-partition URLs by domain at 100 TB and each robots
+    * parses once per domain). */
+  def qx72(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val docs = Tables.documents(spark, dir).select(d)
+    val urls = docs.select(d, pmod(d, lit(40L)).as("u"),
+      when(pmod(d, lit(7L)) === 0L, concat(lit("/private/x/"), d.cast("string")))
+        .when(pmod(d, lit(7L)) === 1L, concat(lit("/private/pub/"), d.cast("string")))
+        .when(pmod(d, lit(7L)) === 2L, concat(lit("/tmp/"), d.cast("string"), lit(".tmp")))
+        .otherwise(concat(lit("/p/"), d.cast("string"))).as("path"))
+    val u = col("u")
+    val delayLine = concat(lit("rawl-delay: "),
+      (pmod(u, lit(7L)) + 1L).cast("string"), lit("\n"))
+    val domains = docs.select(pmod(d, lit(40L)).as("u")).distinct()
+      .withColumn("domain", concat(lit("site"), u.cast("string"), lit("."),
+        element_at(array(lit("com"), lit("org"), lit("net"), lit("io")),
+          (pmod(u, lit(4L)) + 1L).cast("int"))))
+      .withColumn("content", concat(
+        lit("# robots for "), col("domain"),
+        lit("\nSitemap: https://"), col("domain"),
+        lit("/sitemap.xml\n\nUser-agent: other-bot\nDisallow: /\n\n"),
+        when(pmod(u, lit(3L)) === 0L, concat(
+          lit("user-agent: smelter\nc"), delayLine,
+          lit("disallow: /private/\nallow: /private/pub/\n"),
+          when(pmod(u, lit(4L)) === 0L, lit("disallow: /*.tmp$\n")).otherwise(lit("")),
+          lit("\nUser-agent: *\nDisallow: /\n"))
+        ).otherwise(concat(
+          lit("User-Agent: *\nC"), delayLine,
+          lit("Disallow: /private/\nAllow: /private/pub/\n"),
+          when(pmod(u, lit(4L)) === 0L, lit("Disallow: /*.tmp$\n")).otherwise(lit(""))))))
+    RobotsTxt.evalDF(
+      urls.join(broadcast(domains), "u").select("doc_id", "domain", "path", "content"),
+      ua = "Smelter") // deliberate case mismatch: token match is case-insensitive
   }
 }
