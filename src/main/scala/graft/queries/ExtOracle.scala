@@ -1879,4 +1879,25 @@ object ExtOracle {
       |            ELSE 0 END AS BIGINT) AS rule_len,
       |  CAST(u % 7 + 1 AS BIGINT) AS crawl_delay
       |FROM urls""".stripMargin
+
+  /** qx73 twin — the HLL register grid replayed with the same
+    * overflow-free 55-bit key and the shared bin()-length rho. */
+  val qx73: String =
+    s"""WITH $DOCS,
+       |toks AS (SELECT DISTINCT lang, wh
+       |         FROM (SELECT lang, unnest(h) AS wh FROM wh)),
+       |rr AS (SELECT lang, k % 256 AS idx,
+       |         CASE WHEN k // 256 = 0 THEN 48
+       |              ELSE 48 - length(bin(k // 256)) END AS rho
+       |       FROM (SELECT lang,
+       |               ((wh * 1000003 + 12345) % 2147483647) * 16777216
+       |                 + ((wh * 69069 + 54321) % 2147483647) % 16777216 AS k
+       |             FROM toks)),
+       |regs AS (SELECT lang, idx, max(rho) AS r FROM rr GROUP BY lang, idx),
+       |hist AS (SELECT lang, r, count(*) AS n_regs FROM regs GROUP BY lang, r),
+       |exact AS (SELECT lang, count(*) AS n_exact FROM toks GROUP BY lang)
+       |SELECT hist.lang, CAST(r AS BIGINT) AS register_value,
+       |       CAST(n_regs AS BIGINT) AS n_regs,
+       |       CAST(n_exact AS BIGINT) AS n_exact
+       |FROM hist JOIN exact ON hist.lang = exact.lang""".stripMargin
 }

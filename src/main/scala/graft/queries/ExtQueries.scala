@@ -2643,4 +2643,45 @@ object ExtQueries {
       urls.join(broadcast(domains), "u").select("doc_id", "domain", "path", "content"),
       ua = "Smelter") // deliberate case mismatch: token match is case-insensitive
   }
+
+  /** qx73 — HYPERLOGLOG register sketch (Flajolet et al. 2007): the
+    * canonical distributed distinct counter, completing the sketch
+    * family (KMV qx18 trades k rows for an unbiased estimator; HLL
+    * trades 256 REGISTERS for register-wise-max mergeability — the
+    * shape every warehouse's approx_count_distinct ships). The gate
+    * pins the DISTRIBUTED part hash-exact: per language, the non-empty
+    * register histogram (register value → count) of the distinct-token
+    * sketch, plus the exact distinct count riding along as truth. The
+    * float estimate never enters the oracle (the qx18 discipline) —
+    * [[graft.functions.HllEstimate]] computes it from these rows and
+    * HllSketchSpec pins its accuracy and the merge law. Register
+    * geometry: a 55-bit key composed overflow-free from two affine
+    * word-hash maps mod 2³¹−1 (both engines exact in BIGINT), low 8
+    * bits → register index, high 47 → rho = 48 − bitlength(w) via the
+    * shared `bin()` spelling. MEASURED caveat: affine-mod keys have bad
+    * deep-tail discrepancy on structured token inputs (3× overestimate
+    * at 20k distinct) — HLL is uniquely tail-sensitive, unlike KMV's
+    * rank-128 statistic on the same key family. So this key exists for
+    * cross-engine grid verifiability; a production estimate should key
+    * on `xxhash64` (codegen'd, avalanche — but engine-specific, which
+    * is exactly why the float estimate never enters the oracle;
+    * HllSketchSpec pins accuracy under the avalanche mixer).
+    * Scale shape: one distinct-aggregate exchange (lang, wh), then two
+    * bounded aggregations — state is ≤ 256 rows per (lang, map task),
+    * mergeable by max, the CMS/KMV class. */
+  def qx73(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("lang"), explode(expr(WORD_HASHES)).as("wh")).distinct()
+      .withColumn("h",
+        expr("((wh * 1000003 + 12345) % 2147483647) * 16777216 + ((wh * 69069 + 54321) % 2147483647) % 16777216"))
+      .withColumn("idx", expr("h % 256"))
+      .withColumn("rho", expr(
+        "CASE WHEN h div 256 = 0 THEN 48 ELSE 48 - length(bin(h div 256)) END"))
+    val regs = toks.groupBy("lang", "idx").agg(max("rho").as("r"))
+    val exact = toks.groupBy("lang").agg(count(lit(1)).as("n_exact"))
+    regs.groupBy("lang", "r").agg(count(lit(1)).as("n_regs"))
+      .join(exact, "lang")
+      .select(col("lang"), col("r").cast("long").as("register_value"),
+        col("n_regs"), col("n_exact"))
+  }
 }
