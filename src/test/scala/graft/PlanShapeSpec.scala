@@ -315,4 +315,48 @@ class PlanShapeSpec extends SparkTestBase {
         if (j.leftKeys ++ j.rightKeys).exists(_.toString.contains("word")) => j
     }.isEmpty, "the word stream must not be sort-merge joined at gate scale")
   }
+
+  test("qx69/qx68: the codec chain stays shuffle-free") {
+    // WARC walk -> HTTP unwrap -> HTML extraction is one partition-
+    // parallel pass; any Exchange here means a generation or decode
+    // stage lost its scan-locality (the qx47 contract).
+    import org.apache.spark.sql.execution.exchange.Exchange
+    for (q <- Seq("qx69_warc_extract", "qx68_html_extract"))
+      assert(sparkPlan(q).collect { case e: Exchange => e }.isEmpty,
+        s"$q must not exchange")
+  }
+
+  test("qx70: gram-keeper election partial-aggregates; islands window per doc only") {
+    // The hot license gram must collapse map-side (qx67's lesson at
+    // span granularity); the only Window allowed is the per-doc
+    // gaps-and-islands merge, partitioned by doc_id — a gram-keyed
+    // window would funnel every boilerplate occurrence into one
+    // partition.
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Min, Partial}
+    val plan = sparkPlan("qx70_span_dedup")
+    assert(plan.collect {
+      case a: BaseAggregateExec
+        if a.aggregateExpressions.exists(ae => ae.mode == Partial &&
+          ae.aggregateFunction.isInstanceOf[Min]) => a
+    }.nonEmpty, "the keeper election must be a partial min aggregate")
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    assert(windows.forall(
+      _.partitionSpec.exists(_.toString.contains("doc_id"))),
+      "every window must partition by doc_id (doc-bounded), never by gram")
+  }
+
+  test("qx72: robots content joins the URL stream as a broadcast") {
+    // The domains-sized robots table must ship to the workers; a
+    // sort-merge join would re-sort the full URL stream to pair it
+    // with 40 rows of robots content.
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    val plan = sparkPlan("qx72_robots_filter")
+    assert(plan.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "the robots join must broadcast")
+    assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty,
+      "the URL stream must not be sort-merge joined")
+  }
 }
