@@ -20,7 +20,8 @@ object Explain {
         "qx41_incremental_dedup", "qx42_pq_adc", "qx43_ivf_pq", "qx44_ivfadc",
         "qx50_semantic_dedup", "qx54_bm25_search", "qx58_image_neardup",
         "qx59_lm_surprisal", "qx61_bpe_tokenize", "qx62_domain_cap",
-        "qx63_quality_classifier")
+        "qx63_quality_classifier", "qx70_span_dedup", "qx71_pagerank",
+        "qx72_robots_filter", "qx73_hll_registers")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
