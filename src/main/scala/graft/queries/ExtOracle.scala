@@ -1802,12 +1802,21 @@ object ExtOracle {
       |sp AS (SELECT doc_id, region, min(i) AS a, max(i) + 8 AS b
       |       FROM isl GROUP BY doc_id, region),
       |per AS (SELECT doc_id, count(*) AS n_spans, sum(b - a) AS n_removed
-      |        FROM sp GROUP BY doc_id)
+      |        FROM sp GROUP BY doc_id),
+      |pos AS (SELECT doc_id, i - 1 AS j, ws[i] AS wd
+      |        FROM w, unnest(range(1, len(ws) + 1)) AS t(i)),
+      |cov AS (SELECT DISTINCT sp.doc_id, c.j
+      |        FROM sp, unnest(range(sp.a, sp.b)) AS c(j)),
+      |keptx AS (SELECT p.doc_id, string_agg(p.wd, ' ' ORDER BY p.j) AS text_kept
+      |          FROM pos p LEFT JOIN cov c ON p.doc_id = c.doc_id AND p.j = c.j
+      |          WHERE c.j IS NULL GROUP BY p.doc_id)
       |SELECT w.doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
       |       CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
       |       CAST(coalesce(n_removed, 0) AS BIGINT) AS n_removed,
-      |       CAST(len(ws) - coalesce(n_removed, 0) AS BIGINT) AS n_kept
-      |FROM w LEFT JOIN per ON w.doc_id = per.doc_id""".stripMargin
+      |       CAST(len(ws) - coalesce(n_removed, 0) AS BIGINT) AS n_kept,
+      |       coalesce(k.text_kept, '') AS text_kept
+      |FROM w LEFT JOIN per ON w.doc_id = per.doc_id
+      |       LEFT JOIN keptx k ON w.doc_id = k.doc_id""".stripMargin
 
   /** qx71 twin — the full 8-round integer PageRank replayed as a
     * GENERATED CTE chain (the qx60 discipline): same graph derivation,
@@ -1900,4 +1909,37 @@ object ExtOracle {
        |       CAST(n_regs AS BIGINT) AS n_regs,
        |       CAST(n_exact AS BIGINT) AS n_exact
        |FROM hist JOIN exact ON hist.lang = exact.lang""".stripMargin
+
+  /** qx74 twin — the eval-overlap audit replayed relationally: same
+    * planted passages, same qx30 split bands, same 8-gram slicing, a
+    * distinct train-gram set and a per-eval-doc position join. */
+  val qx74: String =
+    """WITH d2 AS (
+      |  SELECT doc_id, CASE WHEN doc_id % 9 = 0
+      |    THEN text || ' shared passage ' || CAST(doc_id % 3 AS VARCHAR)
+      |         || ' about spark window agg join scan filter hash sort'
+      |    ELSE text END AS text
+      |  FROM documents),
+      |w AS (SELECT doc_id,
+      |        list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws,
+      |        CASE WHEN (doc_id * 1000003 + 12345) % 2147483647 % 100 < 80 THEN 'train'
+      |             WHEN (doc_id * 1000003 + 12345) % 2147483647 % 100 < 90 THEN 'val'
+      |             ELSE 'test' END AS split
+      |      FROM d2),
+      |g AS (SELECT doc_id, split, array_to_string(ws[i:i+7], ' ') AS gram
+      |      FROM w, unnest(range(1, len(ws) - 6)) AS t(i)
+      |      WHERE len(ws) >= 8),
+      |t AS (SELECT DISTINCT gram FROM g WHERE split = 'train'),
+      |agg AS (SELECT e.doc_id,
+      |          count(*) AS n_grams,
+      |          sum(CASE WHEN t.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_overlap
+      |        FROM g e LEFT JOIN t ON e.gram = t.gram
+      |        WHERE e.split <> 'train'
+      |        GROUP BY e.doc_id)
+      |SELECT w.doc_id, w.split,
+      |       CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+      |       CAST(coalesce(n_overlap, 0) AS BIGINT) AS n_overlap,
+      |       coalesce(n_overlap, 0) > 0 AS dirty
+      |FROM w LEFT JOIN agg ON w.doc_id = agg.doc_id
+      |WHERE w.split <> 'train'""".stripMargin
 }

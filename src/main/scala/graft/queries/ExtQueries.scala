@@ -2540,15 +2540,26 @@ object ExtQueries {
       .withColumn("region", sum("brk").over(
         byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy("doc_id", "region")
-      .agg(min("i").as("a"), (max("i") + K).as("b"))
+      .agg(min("i").cast("long").as("a"), (max("i") + K).cast("long").as("b"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_spans"), sum(col("b") - col("a")).as("n_removed"))
-    docs.select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("b") - col("a")).as("n_removed"),
+        collect_list(struct(col("a"), col("b"))).as("regions"))
+    // The REWRITE itself, not just the accounting: token j survives iff
+    // no cut region covers it. The regions array is per-doc and only
+    // consulted as a predicate SET, so collect_list's nondeterministic
+    // order cannot affect the output.
+    docs.select(col("doc_id"), col("ws"), size(col("ws")).cast("long").as("n_tokens"))
       .join(spans, Seq("doc_id"), "left")
+      .withColumn("kept_ws", expr(
+        """filter(transform(sequence(0, size(ws) - 1),
+          |  j -> IF(regions IS NOT NULL AND
+          |          exists(regions, r -> j >= r.a AND j < r.b), NULL, ws[j])),
+          |  x -> x IS NOT NULL)""".stripMargin))
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"),
-        (col("n_tokens") - coalesce(col("n_removed"), lit(0L))).as("n_kept"))
+        (col("n_tokens") - coalesce(col("n_removed"), lit(0L))).as("n_kept"),
+        array_join(col("kept_ws"), " ").as("text_kept"))
   }
 
   /** qx71 — DOMAIN AUTHORITY via integer-exact PageRank: the link-graph
@@ -2683,5 +2694,58 @@ object ExtQueries {
       .join(exact, "lang")
       .select(col("lang"), col("r").cast("long").as("register_value"),
         col("n_regs"), col("n_exact"))
+  }
+
+  /** qx74 — EVAL-OVERLAP MEMORIZATION AUDIT (Brown et al. 2020 App. C,
+    * the GPT-3 "dirty eval" analysis; the flip side of qx29/qx32's
+    * decontamination): for every doc in the val/test splits (qx30's
+    * replay-stable hash bands), what fraction of its 8-token spans also
+    * occurs ANYWHERE in the train split? Decon removes known benchmarks
+    * from training data; this measures the leakage that remains INTO
+    * the held-out splits — the report a release publishes next to its
+    * eval numbers. The gate plants the scenario (every 9th doc carries
+    * one of 3 shared passages, so passages straddle split bands by
+    * construction) on top of the corpus's natural span duplication.
+    * Output per eval doc: split, n_grams, n_overlap (gram POSITIONS
+    * covered by train), dirty.
+    *
+    * Plan: grams scan-local (the qx70 spelling); the train gram set is
+    * a two-phase DISTINCT (partial dedup map-side — a hot boilerplate
+    * gram collapses per map task); eval positions LEFT-join it on the
+    * same gram hash partitioning (AQE covers hot keys); final rollup is
+    * doc-keyed. At 100 TB: join on a 128-bit gram hash, constant-width
+    * shuffle rows — the qx67/qx70 class. */
+  def qx74(spark: SparkSession, dir: String): DataFrame = {
+    val K = 8
+    val d = col("doc_id")
+    val planted = Tables.documents(spark, dir).select(d,
+      when(pmod(d, lit(9L)) === 0L,
+        concat(col("text"), lit(" shared passage "), pmod(d, lit(3L)).cast("string"),
+          lit(" about spark window agg join scan filter hash sort")))
+        .otherwise(col("text")).as("text"))
+    val docs = planted
+      .withColumn("ws", expr(WORDS))
+      .withColumn("b", expr(s"($SAMPLE_HASH) % 100"))
+      .withColumn("split",
+        when(col("b") < 80, "train").when(col("b") < 90, "val").otherwise("test"))
+    val grams = docs.select(d, col("split"),
+        explode(expr(
+          s"""CASE WHEN size(ws) >= $K
+             |THEN transform(sequence(0, size(ws) - $K),
+             |               i -> array_join(slice(ws, i + 1, $K), ' '))
+             |ELSE array() END""".stripMargin)).as("gram"))
+    val trainGrams = grams.where(col("split") === "train")
+      .select("gram").distinct().withColumn("hit", lit(1L))
+    val overlap = grams.where(col("split") =!= "train")
+      .join(trainGrams, Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+    docs.where(col("split") =!= "train").select(d, col("split"))
+      .join(overlap, Seq("doc_id"), "left")
+      .select(d, col("split"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) > 0L).as("dirty"))
   }
 }
