@@ -1822,7 +1822,9 @@ object ExtOracle {
     * GENERATED CTE chain (the qx60 discipline): same graph derivation,
     * same floor-division update, same dangling-mass redistribution, so
     * the hash pins every rank bit of every iteration's fixpoint. */
-  val qx71: String = {
+  /** The full qx71 iteration chain as a reusable WITH body (nodes, e,
+    * deg, nn, r0..r8) — shared by the qx71 and qx75 twins. */
+  private val pagerankChain: String = {
     val iters = 8
     val base =
       """WITH nodes AS (SELECT DISTINCT doc_id % 40 AS u FROM documents),
@@ -1847,18 +1849,45 @@ object ExtOracle {
          |              FROM r${k - 1} p LEFT JOIN deg dg3 ON p.u = dg3.u
          |              WHERE dg3.u IS NULL) dang)""".stripMargin
     }.mkString(",\n")
-    s"""$base,
-       |$its
+    s"$base,\n$its"
+  }
+
+  val qx71: String =
+    s"""$pagerankChain
        |SELECT 'site' || CAST(nd.u AS VARCHAR) || '.' ||
        |       (['com','org','net','io'])[CAST(nd.u % 4 AS INTEGER) + 1] AS domain,
        |       fin.r AS rank_micro, c.n_docs,
        |       CAST(coalesce(dg.od, 0) AS BIGINT) AS out_deg
        |FROM nodes nd
-       |JOIN r$iters fin ON nd.u = fin.u
+       |JOIN r8 fin ON nd.u = fin.u
        |JOIN (SELECT doc_id % 40 AS u, count(*) AS n_docs
        |      FROM documents GROUP BY 1) c ON nd.u = c.u
        |LEFT JOIN deg dg ON nd.u = dg.u""".stripMargin
-  }
+
+  /** qx75 twin — authority-weighted caps: the qx71 chain feeds an
+    * integer share formula (no order statistics, no global window),
+    * then the qx62 hash-rank selection under the per-domain cap. */
+  val qx75: String =
+    s"""$pagerankChain,
+       |auth AS (SELECT 'site' || CAST(nd.u AS VARCHAR) || '.' ||
+       |           (['com','org','net','io'])[CAST(nd.u % 4 AS INTEGER) + 1] AS domain,
+       |           fin.r AS rank_micro
+       |         FROM nodes nd JOIN r8 fin ON nd.u = fin.u),
+       |tot AS (SELECT CAST(sum(rank_micro) AS BIGINT) AS t, count(*) AS nn FROM auth),
+       |caps AS (SELECT domain, CAST(rank_micro AS BIGINT) AS rank_micro,
+       |           CAST(2 + least(6, (rank_micro * 4 * tot.nn) // tot.t) AS BIGINT) AS cap
+       |         FROM auth, tot),
+       |docs2 AS (SELECT doc_id,
+       |            'site' || CAST(doc_id % 40 AS VARCHAR) || '.' ||
+       |            (['com','org','net','io'])[CAST(doc_id % 4 AS INTEGER) + 1] AS domain,
+       |            (doc_id * 1000003 + 12345) % 2147483647 AS h
+       |          FROM documents),
+       |rk2 AS (SELECT domain, doc_id,
+       |          row_number() OVER (PARTITION BY domain ORDER BY h ASC, doc_id ASC) AS rk
+       |        FROM docs2)
+       |SELECT c.domain, c.rank_micro, c.cap, CAST(r2.rk AS BIGINT) AS rk, r2.doc_id
+       |FROM rk2 r2 JOIN caps c ON r2.domain = c.domain
+       |WHERE r2.rk <= c.cap""".stripMargin
 
   /** qx72 twin — the RFC 9309 decision table closed-form: per path
     * class (deep-private / private-pub / tmp / plain) and domain rule

@@ -2748,4 +2748,40 @@ object ExtQueries {
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
         (coalesce(col("n_overlap"), lit(0L)) > 0L).as("dirty"))
   }
+
+  /** qx75 — AUTHORITY-WEIGHTED DOMAIN CAPS: qx71's PageRank composed
+    * into qx62's per-domain cap discipline — the curation policy real
+    * crawls run (keep MORE from high-authority domains, less from
+    * link-farm tiers). The cap derives from an integer SHARE formula,
+    * not order statistics: cap(u) = 2 + min(6, (rank·4·N) div Σrank) —
+    * one aggregate cross-joined, NO global window, no ntile (a global
+    * ntile over the domain table would single-partition it; the share
+    * formula is map-side arithmetic and equally deterministic).
+    * Selection is the qx62 shape hardened for a VARIABLE cap: topk_by
+    * with k = the maximum cap (8) bounds every map task, then the
+    * per-domain cap filters the exploded ranks — skew-trap-free even
+    * though caps differ per domain. Oracle replays the full PageRank
+    * chain + share + hash-rank selection. Output: one row per KEPT doc
+    * (domain, rank_micro, cap, rk, doc_id).
+    * Scale shape: qx71's build (edge-list shuffles) + one broadcast of
+    * the domains-sized caps table + qx62's bounded partial top-k. */
+  def qx75(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val auth = qx71(spark, dir).select("domain", "rank_micro")
+    val tot = auth.agg(sum("rank_micro").as("t"), count(lit(1)).as("nn"))
+    val caps = auth.crossJoin(tot).select(col("domain"), col("rank_micro"),
+      (lit(2L) + least(lit(6L), expr("(rank_micro * 4 * nn) div t"))).as("cap"))
+    val docs = Tables.documents(spark, dir).select(d,
+        concat(lit("site"), pmod(d, lit(40L)).cast("string"), lit("."),
+          element_at(array(lit("com"), lit("org"), lit("net"), lit("io")),
+            (pmod(d, lit(4L)) + 1L).cast("int"))).as("domain"))
+      .withColumn("h", expr(SAMPLE_HASH))
+    docs.join(broadcast(caps), "domain")
+      .groupBy("domain", "rank_micro", "cap")
+      .agg(expr("topk_by(CAST(-h AS DOUBLE), doc_id, 8)").as("tk"))
+      .select(col("domain"), col("rank_micro"), col("cap"), posexplode(col("tk")))
+      .select(col("domain"), col("rank_micro"), col("cap"),
+        (col("pos") + 1L).cast("long").as("rk"), col("col.id").as("doc_id"))
+      .where(col("rk") <= col("cap"))
+  }
 }
