@@ -195,7 +195,13 @@ object WavCodec {
     * form the DuckDB twin re-derives without parsing. Channel count,
     * frame count and sample rate all vary with docId so the fmt fields
     * are load-bearing across shapes. */
-  def syntheticWav(docId: Long): Array[Byte] = {
+  def syntheticWav(docId: Long): Array[Byte] = syntheticWav(docId, 1)
+
+  /** `gain` scales every sample (a volume change — ×2 stays within
+    * 16-bit range for this corpus); container geometry derives from
+    * `docId` alone, so a gained payload is a bit-level DIFFERENT file
+    * with the same perceptual content (qx76's planted twins). */
+  def syntheticWav(docId: Long, gain: Int): Array[Byte] = {
     val channels = 1 + (docId % 2).toInt
     val frames = (40 + (docId % 9) * 5).toInt
     val rate = 8000 + (docId % 3).toInt * 4000
@@ -225,7 +231,7 @@ object WavCodec {
     while (i < frames) {
       var c = 0
       while (c < channels) {
-        val s = ((docId * 37 + i * 13 + c * 101 + 7) % 4001).toInt - 2000
+        val s = (((docId * 37 + i * 13 + c * 101 + 7) % 4001).toInt - 2000) * gain
         b(p) = (s & 0xff).toByte; b(p + 1) = ((s >> 8) & 0xff).toByte; p += 2
         c += 1
       }

@@ -1971,4 +1971,41 @@ object ExtOracle {
       |       coalesce(n_overlap, 0) > 0 AS dirty
       |FROM w LEFT JOIN agg ON w.doc_id = agg.doc_id
       |WHERE w.split <> 'train'""".stripMargin
+
+  /** qx76 twin — the audio fingerprint replayed closed-form from the
+    * WAV generator's sample formula (never parsing the container):
+    * mono mixdown by channel sum, complete 8-frame window energies,
+    * gain-invariant quantized energy ratios (7-bit codes) packed by
+    * window index, then the exact-class collapse. */
+  val qx76: String =
+    """WITH f AS (SELECT doc_id,
+      |             CASE WHEN doc_id % 4 = 1 THEN doc_id - 1 ELSE doc_id END AS s0,
+      |             CASE WHEN doc_id % 4 = 1 THEN 2 ELSE 1 END AS g
+      |           FROM documents),
+      |p AS (SELECT doc_id, s0, g, 1 + s0 % 2 AS ch,
+      |             40 + (s0 % 9) * 5 AS fr FROM f),
+      |m AS (SELECT doc_id, t.i // 8 AS w,
+      |        g * (((s0 * 37 + t.i * 13 + 7) % 4001 - 2000)
+      |             + CASE WHEN ch = 2
+      |                    THEN ((s0 * 37 + t.i * 13 + 108) % 4001 - 2000)
+      |                    ELSE 0 END) AS mono
+      |      FROM p, unnest(range(0, (fr // 8) * 8)) AS t(i)),
+      |e AS (SELECT doc_id, w, CAST(sum(mono * mono) AS BIGINT) AS en
+      |      FROM m GROUP BY doc_id, w),
+      |st AS (SELECT doc_id, w, en,
+      |         lead(en) OVER (PARTITION BY doc_id ORDER BY w) AS en2
+      |       FROM e),
+      |codes AS (SELECT doc_id, w,
+      |            CAST(least(127, (64 * en2) // greatest(en, 1)) AS BIGINT) AS code
+      |          FROM st WHERE en2 IS NOT NULL),
+      |fps AS (SELECT doc_id, CAST(sum(code << (7 * w)) AS BIGINT) AS fp
+      |        FROM codes GROUP BY doc_id),
+      |q AS (SELECT p.doc_id, CAST(fr // 8 AS BIGINT) AS n_windows,
+      |             coalesce(fps.fp, 0) AS fp
+      |      FROM p LEFT JOIN fps ON p.doc_id = fps.doc_id),
+      |cls AS (SELECT n_windows, fp, min(doc_id) AS keeper,
+      |               CAST(count(*) AS BIGINT) AS n_group
+      |        FROM q GROUP BY n_windows, fp)
+      |SELECT q.doc_id, q.n_windows, q.fp, cls.keeper, cls.n_group
+      |FROM q JOIN cls ON q.n_windows = cls.n_windows AND q.fp = cls.fp""".stripMargin
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{BloomFilter, Determinism}
-import graft.operators.{BpeTrainer, ConnectedComponents, EmbeddingLsh, EmbeddingPca, HtmlCodec, IvfAnn, MultimodalCodec, PageRank, ProductQuantizer, RobotsTxt, SimHashLsh, WarcCodec, WavCodec, ZOrderLayout}
+import graft.operators.{AudioFingerprint, BpeTrainer, ConnectedComponents, EmbeddingLsh, EmbeddingPca, HtmlCodec, IvfAnn, MultimodalCodec, PageRank, ProductQuantizer, RobotsTxt, SimHashLsh, WarcCodec, WavCodec, ZOrderLayout}
 import graft.sources.Tables
 
 /** The large-scale training-data-pipeline operator family (builder brief +
@@ -2783,5 +2783,30 @@ object ExtQueries {
       .select(col("domain"), col("rank_micro"), col("cap"),
         (col("pos") + 1L).cast("long").as("rk"), col("col.id").as("doc_id"))
       .where(col("rk") <= col("cap"))
+  }
+
+  /** qx76 — AUDIO PERCEPTUAL NEAR-DUP (Haitsma & Kalker 2002): the
+    * audio member of the perceptual dedup matrix (text minhash/simhash,
+    * image dHash qx58, audio THIS). Every 4th doc's payload is its
+    * neighbor's recording at DOUBLE volume — a bit-level different WAV
+    * (every sample byte differs) with the same perceptual content — and
+    * the energy-profile fingerprint ([[graft.operators
+    * .AudioFingerprint]]: real RIFF decode → mono mixdown → 8-frame
+    * window energies → gain-invariant delta-sign + bitlength-delta
+    * codes) lands the pair in one exact-match class, keep-lowest-id.
+    * The DuckDB twin replays sample synthesis, windowed energies and
+    * the 6-bit step packing closed-form (it never parses WAV) — a
+    * wrong decode offset, window boundary, mixdown or clamp breaks the
+    * hash. Scale shape: shuffle-free fingerprint scan + one
+    * map-side-combinable class collapse (the qx58 discipline). */
+  def qx76(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val seed = if (id % 4 == 1) id - 1 else id
+        val gain = if (id % 4 == 1) 2 else 1
+        (id, WavCodec.syntheticWav(seed, gain))
+      }).toDF("doc_id", "payload")
+    AudioFingerprint.fingerprintDF(media)
   }
 }
