@@ -2008,4 +2008,47 @@ object ExtOracle {
       |        FROM q GROUP BY n_windows, fp)
       |SELECT q.doc_id, q.n_windows, q.fp, cls.keeper, cls.n_group
       |FROM q JOIN cls ON q.n_windows = cls.n_windows AND q.fp = cls.fp""".stripMargin
+
+  /** qx77 twin — the WET funnel replayed closed-form: mirror seeds,
+    * 404 screen, extracted prose via the shared whitespace-collapse,
+    * integer cross-multiplied language gate, length screen, Horner
+    * fingerprint dedup among screened survivors, funnel rollup. */
+  val qx77: String =
+    """WITH base AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 11 = 10 THEN doc_id - 1 ELSE doc_id END AS seed
+      |  FROM documents),
+      |tx AS (SELECT b.doc_id, d2.text AS t
+      |       FROM base b JOIN documents d2 ON b.seed = d2.doc_id),
+      |ext AS (SELECT doc_id, doc_id % 13 = 0 AS is404,
+      |          CASE WHEN doc_id % 13 = 0 THEN 'gone'
+      |               ELSE trim(regexp_replace(t || ' next > page',
+      |                                        '[ \t\n\r]+', ' ', 'g')) END AS extracted
+      |        FROM tx),
+      |ws AS (SELECT doc_id, is404,
+      |         list_filter(string_split(extracted, ' '), w -> length(w) > 0) AS ws
+      |       FROM ext),
+      |fl AS (SELECT doc_id, NOT is404 AS ok_http,
+      |         CAST(len(ws) AS BIGINT) AS n_tokens,
+      |         CAST(len(list_filter(ws, w -> w IN ('the', 'a'))) AS BIGINT) AS n_stop,
+      |         list_reduce([CAST(0 AS BIGINT)] ||
+      |           list_transform(ws, w -> list_reduce(
+      |             [CAST(0 AS BIGINT)] ||
+      |               list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT)),
+      |             (a, b) -> (a*31 + b) % 1000003)),
+      |           (a, h) -> (a * 1000003 + h) % 2147483647) AS fp
+      |       FROM ws),
+      |f3 AS (SELECT *,
+      |         ok_http AND n_stop * 20 > n_tokens AS ok_lang,
+      |         ok_http AND n_stop * 20 > n_tokens AND n_tokens >= 30 AS ok_q
+      |       FROM fl),
+      |k AS (SELECT fp, min(doc_id) AS keeper FROM f3 WHERE ok_q GROUP BY fp),
+      |f4 AS (SELECT f3.*, ok_q AND f3.doc_id = k.keeper AS ok_u
+      |       FROM f3 LEFT JOIN k ON f3.fp = k.fp)
+      |SELECT CAST(count(*) AS BIGINT) AS n_fetched,
+      |       CAST(sum(CASE WHEN ok_http THEN 1 ELSE 0 END) AS BIGINT) AS n_http_ok,
+      |       CAST(sum(CASE WHEN ok_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_ok,
+      |       CAST(sum(CASE WHEN ok_q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ok,
+      |       CAST(sum(CASE WHEN ok_u THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+      |       CAST(sum(CASE WHEN ok_u THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_final
+      |FROM f4""".stripMargin
 }

@@ -2809,4 +2809,73 @@ object ExtQueries {
       }).toDF("doc_id", "payload")
     AudioFingerprint.fingerprintDF(media)
   }
+
+  /** qx77 — the COMPOSED WET FUNNEL (the crawl-side capstone, qx45's
+    * analogue for ingestion): WARC container walk → HTTP status screen
+    * → HTML extraction → language gate → length screen → exact dedup of
+    * the EXTRACTED prose, one declarative flow over binary crawl
+    * payloads, reported as the funnel every corpus release publishes
+    * (docs surviving each stage + final token yield). Mirror sites are
+    * planted (every 11th doc serves its neighbor's CONTENT at a
+    * different URL — the visible page carries no doc id, so extraction
+    * yields byte-identical prose and the dedup stage must catch it);
+    * every 13th doc 404s and must die at the status screen. The
+    * language gate is qx8's stop-ratio rule cross-multiplied to
+    * integers (20·n_stop > n_tokens — no float near the boundary, the
+    * qx63 discipline); identity is qx10's order-sensitive Horner
+    * fingerprint over the extracted words; keeper election min(doc_id)
+    * per fingerprint among screened survivors only. The DuckDB twin
+    * replays the whole funnel closed-form (never parsing WARC/HTML).
+    * Scale shape: one shuffle-free decode scan + one broadcast-able
+    * seed self-join (mirror planting only) + one fingerprint groupBy —
+    * every screen is scan-local. */
+  def qx77(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val base = Tables.documents(spark, dir).select(d,
+      when(pmod(d, lit(11L)) === 10L, d - 1L).otherwise(d).as("seed"))
+    val withText = base.join(
+      Tables.documents(spark, dir).select(col("doc_id").as("seed"), col("text")),
+      "seed")
+    val is404 = pmod(d, lit(13L)) === 0L
+    val withHttp = withText
+      .withColumn("html", when(is404,
+          lit("<html><head><title>Not Found</title></head><body><p>gone</p></body></html>"))
+        .otherwise(concat(
+          lit("<html><head><title>Doc "), d.cast("string"),
+          lit("</title></head>\n<body><!-- \r\nWARC/1.0 decoy -->\n<p>"),
+          col("text"),
+          lit("</p>\n<a href=\"/n?x=1&amp;y=2\">next &gt; page</a>\n</body></html>"))))
+      .withColumn("http", concat(
+        lit("HTTP/1.1 "), when(is404, lit("404 Not Found")).otherwise(lit("200 OK")),
+        lit("\r\nContent-Type: text/html\r\nContent-Length: "),
+        length(col("html")).cast("string"), lit("\r\n\r\n"), col("html")))
+    val media = withHttp.select(d, concat(
+      lit("WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 13\r\n\r\nsoftware: g\r\n\r\n\r\n"),
+      lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://m"),
+      pmod(d, lit(40L)).cast("string"), lit(".example/p/"), d.cast("string"),
+      lit("\r\nContent-Length: "), length(col("http")).cast("string"),
+      lit("\r\n\r\n"), col("http"), lit("\r\n\r\n")).cast("binary").as("warc"))
+    val parsed = WarcCodec.parseDF(media)
+    val scored = parsed
+      .withColumn("ws", expr("filter(split(extracted, ' '), w -> length(w) > 0)"))
+      .withColumn("n_tokens", size(col("ws")).cast("long"))
+      .withColumn("n_stop", expr("size(filter(ws, w -> w IN ('the', 'a')))").cast("long"))
+      .withColumn("fp", expr(
+        """aggregate(transform(ws, w -> aggregate(split(w, ''), 0L,
+          |  (a, c) -> (a*31 + ascii(c)) % 1000003)),
+          |  0L, (a, h) -> (a * 1000003 + h) % 2147483647)""".stripMargin))
+      .withColumn("ok_http", col("http_status") === 200L)
+      .withColumn("ok_lang", col("ok_http") && col("n_stop") * 20L > col("n_tokens"))
+      .withColumn("ok_q", col("ok_lang") && col("n_tokens") >= 30L)
+    val keepers = scored.where(col("ok_q"))
+      .groupBy("fp").agg(min("doc_id").as("keeper"))
+    scored.join(keepers, Seq("fp"), "left")
+      .withColumn("ok_u", col("ok_q") && col("doc_id") === col("keeper"))
+      .agg(count(lit(1)).as("n_fetched"),
+        sum(when(col("ok_http"), 1L).otherwise(0L)).as("n_http_ok"),
+        sum(when(col("ok_lang"), 1L).otherwise(0L)).as("n_lang_ok"),
+        sum(when(col("ok_q"), 1L).otherwise(0L)).as("n_quality_ok"),
+        sum(when(col("ok_u"), 1L).otherwise(0L)).as("n_unique"),
+        sum(when(col("ok_u"), col("n_tokens")).otherwise(0L)).as("tokens_final"))
+  }
 }
