@@ -21,7 +21,8 @@ object Explain {
         "qx50_semantic_dedup", "qx54_bm25_search", "qx58_image_neardup",
         "qx59_lm_surprisal", "qx61_bpe_tokenize", "qx62_domain_cap",
         "qx63_quality_classifier", "qx70_span_dedup", "qx71_pagerank",
-        "qx72_robots_filter", "qx73_hll_registers")
+        "qx72_robots_filter", "qx73_hll_registers", "qx74_eval_overlap",
+        "qx75_authority_cap", "qx76_audio_neardup", "qx77_wet_funnel")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -359,4 +359,28 @@ class PlanShapeSpec extends SparkTestBase {
     assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty,
       "the URL stream must not be sort-merge joined")
   }
+
+  test("qx75: variable caps stay a bounded partial top-k, never a domain window") {
+    // The qx62 lesson under VARIABLE caps: topk_by bounded by the max
+    // cap partial-aggregates per map task; a rank window keyed on the
+    // domain would funnel every doc of a hot domain to one partition.
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    val plan = sparkPlan("qx75_authority_cap")
+    assert(plan.collect { case a: ObjectHashAggregateExec => a }.nonEmpty,
+      "the cap selection must run through topk_by")
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.exists(_.toString.contains("domain")) => w
+    }.isEmpty, "no domain-partitioned rank window")
+  }
+
+  test("qx76: the fingerprint scan reaches the class collapse with one exchange") {
+    // Decode + fingerprint are partition-local; the only exchanges are
+    // the fingerprint-class groupBy and its join-back — anything more
+    // means a codec stage lost scan-locality.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val n = sparkPlan("qx76_audio_neardup")
+      .collect { case e: ShuffleExchangeExec => e }.size
+    assert(n <= 2, s"qx76 should shuffle only for the class collapse, saw $n")
+  }
 }
