@@ -41,9 +41,15 @@ object PageRank {
 
   /** @param nodes one column `u` (distinct node ids)
     * @param edges columns `u` (src), `v` (dst), distinct pairs
+    * @param init  optional WARM-START ranks (`u`, `r`) — the
+    *              incremental-crawl path: when the frontier grows the
+    *              graph by a delta, restarting from the previous
+    *              fixpoint reaches the new one in a fraction of the
+    *              rounds (PageRankSpec measures it). New nodes absent
+    *              from `init` enter at `scale`.
     * @return columns `u`, `r` (final rank in `scale`-units) */
   def run(nodes: DataFrame, edges: DataFrame, iters: Int,
-          scale: Long = 1000000L): DataFrame = {
+          scale: Long = 1000000L, init: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1, "need at least one iteration")
     require(scale % 100L == 0L, "scale must be a multiple of 100 (exact teleport term)")
     // The graph is REUSED every round; without caching, a derived edge
@@ -55,7 +61,12 @@ object PageRank {
     val edgesC = edges.cache()
     val deg = edgesC.groupBy("u").agg(count(lit(1)).as("od")).cache()
     val n = nodesC.count() // bounded: one scalar, once, before the loop
-    var ranks = nodesC.select(col("u"), lit(scale).as("r"))
+    var ranks = init match {
+      case None => nodesC.select(col("u"), lit(scale).as("r"))
+      case Some(prev) => nodesC
+        .join(prev.select(col("u"), col("r").as("r0")), Seq("u"), "left")
+        .select(col("u"), coalesce(col("r0"), lit(scale)).as("r"))
+    }
     for (it <- 1 to iters) {
       val contrib = ranks.join(deg, "u").join(edgesC, "u")
         .select(col("v"), expr("r div od").as("c"))

@@ -37,6 +37,30 @@ class PageRankSpec extends SparkTestBase {
     assert((2L to 5L).forall(i => r(i) === r(1L)))
   }
 
+  test("warm-start reaches the grown graph's fixpoint in fewer rounds") {
+    // cold fixpoint of a 20-node affine expander (fast mixing — a ring
+    // would need far more rounds to converge at all)
+    val nodes = (0L until 20L).toDF("u")
+    val edges = (0L until 20L).flatMap(i =>
+      Seq((i, (i * 3 + 1) % 20), (i, (i * 5 + 2) % 20), (i, (i * 7 + 3) % 20)))
+      .filter { case (a, b) => a != b }
+      .toDF("u", "v").distinct()
+    val cold = PageRank.run(nodes, edges, iters = 30)
+    // the crawl discovers two new chords
+    val grown = edges.unionAll(Seq((3L, 11L), (9L, 2L)).toDF("u", "v")).distinct()
+    val target = PageRank.run(nodes, grown, iters = 30)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def dist(df: org.apache.spark.sql.DataFrame): Long =
+      df.collect().map(r => math.abs(target(r.getLong(0)) - r.getLong(1))).max
+    // warm-started from the old fixpoint, 6 rounds land within tight
+    // tolerance of the new fixpoint; a cold 6-round run is far off
+    val warm6 = dist(PageRank.run(nodes, grown, iters = 6, init = Some(cold)))
+    val cold6 = dist(PageRank.run(nodes, grown, iters = 6))
+    assert(warm6 < cold6 / 4,
+      s"warm-start should converge much faster: warm=$warm6 cold=$cold6")
+    assert(warm6 < 2000L, s"warm-start 6 rounds should be near fixpoint, off by $warm6")
+  }
+
   test("mass is conserved up to bounded floor loss") {
     val nodes = (0L until 10L).toDF("u")
     val edges = (0L until 10L).map(i => (i, (i + 1) % 10)).toDF("u", "v")
