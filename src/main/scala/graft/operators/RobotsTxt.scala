@@ -94,7 +94,11 @@ object RobotsTxt {
             case "disallow" if current != null =>
               current.rules += Rule(allow = false, value); lastWasUa = false
             case "crawl-delay" if current != null =>
-              current.delay = value.toLong; lastWasUa = false
+              // Unparseable values (fractional "0.5", junk) are ignored
+              // like any other malformed line — a general RFC 9309
+              // evaluator must not fail the task on one bad directive.
+              value.trim.toLongOption.foreach(d => current.delay = d)
+              lastWasUa = false
             case _ => lastWasUa = false // sitemap, unknown fields, orphan rules
           }
         }

@@ -2396,6 +2396,13 @@ object ExtQueries {
     * early tag close, a comment byte in the text or an undecoded entity
     * each break the hash. Generation is pure codegen'd concat (no typed
     * boundary); extraction is the one mapPartitions pass.
+    * TEXT CONTRACT (shared by qx69/qx77's generators): the oracles
+    * replay the page concat closed-form, so `documents.text` must
+    * contain no '<' or '&' (they would read as markup) and must be
+    * ASCII — the WARC/HTTP framing declares byte lengths
+    * (octet_length) while the closed-form twins count characters, so
+    * a non-ASCII regeneration surfaces as an understandable hash
+    * mismatch on body_len, never a parse-task error.
     * Scale shape: shuffle-free partition-parallel scan, the qx47 class. */
   def qx68(spark: SparkSession, dir: String): DataFrame = {
     val m3 = pmod(col("doc_id"), lit(3L))
@@ -2460,7 +2467,7 @@ object ExtQueries {
       .withColumn("http", concat(
         lit("HTTP/1.1 "), when(is404, lit("404 Not Found")).otherwise(lit("200 OK")),
         lit("\r\nContent-Type: text/html; charset=utf-8\r\nServer: graft/1.0\r\nContent-Length: "),
-        length(col("html")).cast("string"), lit("\r\n\r\n"), col("html")))
+        octet_length(col("html")).cast("string"), lit("\r\n\r\n"), col("html")))
     val info = "software: graft-crawler/1.0\r\nformat: WARC File Format 1.0\r\n"
     val media = docs.select(d, concat(
       lit(s"WARC/1.0\r\nWARC-Type: warcinfo\r\nWARC-Record-ID: <urn:uuid:info-"),
@@ -2477,13 +2484,13 @@ object ExtQueries {
         lit(">\r\nwarc-date: 2026-01-01T00:00:01Z\r\nwarc-target-uri: https://site"),
         pmod(d, lit(7L)).cast("string"), lit(".example/page/"), d.cast("string"),
         lit("\r\ncontent-type: application/http; msgtype=response\r\ncontent-length: "),
-        length(col("http")).cast("string"), lit("\r\n"))).otherwise(concat(
+        octet_length(col("http")).cast("string"), lit("\r\n"))).otherwise(concat(
         lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:resp-"),
         d.cast("string"),
         lit(">\r\nWARC-Date: 2026-01-01T00:00:01Z\r\nWARC-Target-URI: https://site"),
         pmod(d, lit(7L)).cast("string"), lit(".example/page/"), d.cast("string"),
         lit("\r\nContent-Type: application/http; msgtype=response\r\nContent-Length: "),
-        length(col("http")).cast("string"), lit("\r\n"))),
+        octet_length(col("http")).cast("string"), lit("\r\n"))),
       lit("\r\n"), col("http"), lit("\r\n\r\n")).cast("binary").as("warc"))
     WarcCodec.parseDF(media)
   }
@@ -2551,10 +2558,11 @@ object ExtQueries {
     docs.select(col("doc_id"), col("ws"), size(col("ws")).cast("long").as("n_tokens"))
       .join(spans, Seq("doc_id"), "left")
       .withColumn("kept_ws", expr(
-        """filter(transform(sequence(0, size(ws) - 1),
-          |  j -> IF(regions IS NOT NULL AND
-          |          exists(regions, r -> j >= r.a AND j < r.b), NULL, ws[j])),
-          |  x -> x IS NOT NULL)""".stripMargin))
+        """IF(size(ws) = 0, ws,
+          |  filter(transform(sequence(0, size(ws) - 1),
+          |    j -> IF(regions IS NOT NULL AND
+          |            exists(regions, r -> j >= r.a AND j < r.b), NULL, ws[j])),
+          |    x -> x IS NOT NULL))""".stripMargin))
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"),
@@ -2792,10 +2800,12 @@ object ExtQueries {
     * (every sample byte differs) with the same perceptual content — and
     * the energy-profile fingerprint ([[graft.operators
     * .AudioFingerprint]]: real RIFF decode → mono mixdown → 8-frame
-    * window energies → gain-invariant delta-sign + bitlength-delta
-    * codes) lands the pair in one exact-match class, keep-lowest-id.
+    * window energies → gain-invariant 7-bit quantized energy-RATIO
+    * codes; the delta-sign variant was measured and rejected — see
+    * AudioFingerprint's scaladoc) lands the pair in one exact-match
+    * class, keep-lowest-id.
     * The DuckDB twin replays sample synthesis, windowed energies and
-    * the 6-bit step packing closed-form (it never parses WAV) — a
+    * the 7-bit-per-step code packing closed-form (it never parses WAV) — a
     * wrong decode offset, window boundary, mixdown or clamp breaks the
     * hash. Scale shape: shuffle-free fingerprint scan + one
     * map-side-combinable class collapse (the qx58 discipline). */
@@ -2848,12 +2858,12 @@ object ExtQueries {
       .withColumn("http", concat(
         lit("HTTP/1.1 "), when(is404, lit("404 Not Found")).otherwise(lit("200 OK")),
         lit("\r\nContent-Type: text/html\r\nContent-Length: "),
-        length(col("html")).cast("string"), lit("\r\n\r\n"), col("html")))
+        octet_length(col("html")).cast("string"), lit("\r\n\r\n"), col("html")))
     val media = withHttp.select(d, concat(
       lit("WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 13\r\n\r\nsoftware: g\r\n\r\n\r\n"),
       lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://m"),
       pmod(d, lit(40L)).cast("string"), lit(".example/p/"), d.cast("string"),
-      lit("\r\nContent-Length: "), length(col("http")).cast("string"),
+      lit("\r\nContent-Length: "), octet_length(col("http")).cast("string"),
       lit("\r\n\r\n"), col("http"), lit("\r\n\r\n")).cast("binary").as("warc"))
     val parsed = WarcCodec.parseDF(media)
     val scored = parsed

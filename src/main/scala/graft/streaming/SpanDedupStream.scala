@@ -31,7 +31,12 @@ object SpanDedupStream {
   case class SpanVerdict(doc_id: Long, i: Long, claimed: Boolean,
                          keeper_doc: Long, keeper_i: Long)
 
-  private case class Claim(doc: Long, i: Long, cursor: Long)
+  /** `subCursor` counts rows that arrived strictly below the cursor —
+    * re-deliveries in the documented doc_id-ordered contract, but a
+    * genuine ordering violation lands in the same bucket, so the count
+    * makes a broken intake OBSERVABLE (statestore-readable) instead of
+    * silently absorbed (r8 ADVICE). */
+  private case class Claim(doc: Long, i: Long, cursor: Long, subCursor: Long)
 
   class ClaimProcessor extends StatefulProcessor[Long, SpanObs, SpanVerdict] {
     @transient private var st: ValueState[Claim] = _
@@ -42,21 +47,23 @@ object SpanDedupStream {
 
     override def handleInputRows(key: Long, rows: Iterator[SpanObs],
                                  tv: TimerValues): Iterator[SpanVerdict] = {
-      var cur = if (st.exists) st.get() else Claim(Long.MaxValue, Long.MaxValue, Long.MinValue)
+      var cur = if (st.exists) st.get()
+                else Claim(Long.MaxValue, Long.MaxValue, Long.MinValue, 0L)
       val out = scala.collection.mutable.ArrayBuffer.empty[SpanVerdict]
       // in-batch (doc_id, i) order: any split of an ordered feed elects
       // the same claimant (the UrlFrontierStream argument)
       rows.toSeq.sortBy(r => (r.doc_id, r.i)).foreach { r =>
         if (r.doc_id > cur.cursor ||
             (r.doc_id == cur.cursor && cur.doc != Long.MaxValue)) {
-          if (cur.doc == Long.MaxValue) cur = Claim(r.doc_id, r.i, r.doc_id)
+          if (cur.doc == Long.MaxValue)
+            cur = Claim(r.doc_id, r.i, r.doc_id, cur.subCursor)
           else cur = cur.copy(cursor = math.max(cur.cursor, r.doc_id))
           // identity check against the STANDING claim (not "was first
           // this batch"), so a re-delivered keeper row re-emits its
           // original claimed=false verdict — emission is idempotent.
           val isKeeper = cur.doc == r.doc_id && cur.i == r.i
           out += SpanVerdict(r.doc_id, r.i, claimed = !isKeeper, cur.doc, cur.i)
-        }
+        } else cur = cur.copy(subCursor = cur.subCursor + 1L)
       }
       st.update(cur)
       out.iterator

@@ -30,6 +30,18 @@ class RobotsTxtSpec extends SparkTestBase {
     assert(!evaluate(fallback, "/page/1").fetchable)
   }
 
+  test("malformed crawl-delay is ignored, not thrown (r8 ADVICE)") {
+    // fractional delays are common in the wild; a general evaluator
+    // skips the unparseable line instead of failing the task
+    val r = parse(
+      "User-agent: *\nCrawl-delay: 0.5\nDisallow: /x/\nCrawl-delay: junk\n", "x")
+    assert(r.crawlDelay === 0L)
+    assert(!evaluate(r, "/x/1").fetchable)
+    // a later VALID delay still takes effect
+    val r2 = parse("User-agent: *\nCrawl-delay: 0.5\nCrawl-delay: 7\n", "x")
+    assert(r2.crawlDelay === 7L)
+  }
+
   test("longest match wins; allow beats disallow on ties") {
     val r = parse("User-agent: *\nDisallow: /a/\nAllow: /a/b/\n", "x")
     assert(!evaluate(r, "/a/z").fetchable)

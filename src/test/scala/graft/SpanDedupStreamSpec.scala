@@ -61,9 +61,10 @@ class SpanDedupStreamSpec extends SparkTestBase {
     implicit val sqlCtx = spark.sqlContext
     implicit val enc = Encoders.product[SpanObs]
     val input = MemoryStream[SpanObs]
+    val ckpt = tmpDir("ckpt_sd")
     val q = SpanDedupStream.claims(input.toDS())
       .writeStream.format("memory").queryName("span_stream")
-      .outputMode("update").option("checkpointLocation", tmpDir("ckpt_sd")).start()
+      .outputMode("update").option("checkpointLocation", ckpt).start()
     try {
       obs.grouped(obs.size / 4 + 1).foreach { w =>
         input.addData(w); q.processAllAvailable()
@@ -82,5 +83,17 @@ class SpanDedupStreamSpec extends SparkTestBase {
     val expect = batch.filter(_._2._1 > 0L)
     assert(got == expect,
       s"only-stream=${(got.toSet -- expect.toSet).take(3)}, only-batch=${(expect.toSet -- got.toSet).take(3)}")
+
+    // Observability (r8 ADVICE): sub-cursor arrivals — re-deliveries
+    // here, but an ordering violation lands in the same counter — are
+    // COUNTED in state, not silently absorbed. The replayed prefix
+    // contributes exactly its strictly-below-final-cursor rows.
+    val maxDoc = obs.groupBy(_.gram).map { case (g, xs) => g -> xs.map(_.doc_id).max }
+    val expectSub = obs.take(50).count(o => o.doc_id < maxDoc(o.gram)).toLong
+    val sub = spark.read.format("statestore")
+      .option("path", ckpt).option("stateVarName", "claim").load()
+      .selectExpr("value.subCursor AS s").collect().map(_.getLong(0)).sum
+    assert(sub == expectSub, s"expected $expectSub sub-cursor rows counted, got $sub")
+    assert(expectSub > 0L, "fixture must exercise the sub-cursor path")
   }
 }
