@@ -81,7 +81,7 @@ object EmbeddingPca {
     * default threshold. */
   final case class PcaModel(
       components: Seq[(Int, Array[Double], Double, Double)], trace: Double,
-      offDiagRatio: Double)
+      offDiagRatio: Double, mean: Array[Double])
 
   /** Default [[PcaModel.offDiagRatio]] threshold above which rotation is
     * worth composing into a product index — an order of magnitude above
@@ -121,7 +121,7 @@ object EmbeddingPca {
       val mdot = (0 until Dims).map(d => mu(d) * pc(d)).sum
       (j, pc, mdot, lambda)
     }
-    PcaModel(rows, trace, offDiagRatio)
+    PcaModel(rows, trace, offDiagRatio, mu.toArray)
   }
 
   /** [[fit]]'s component table as a broadcastable DataFrame

@@ -1166,6 +1166,26 @@ object ExtOracle {
     * (n·x − S)² alone brushes int64 at sf0.1 and the 64-dim sum is well
     * past it). total_var is tr(cov) = Σ_d var_samp, the eigenvalue-sum
     * invariant, from the same exact numerators. */
+  /** qx28 twin — the k=8 split invariant needs NO eigendecomposition:
+    * ‖p₈‖² + ‖residual‖² collapses to ‖x − μ‖², exact in HUGEINT on
+    * the micro-unit grid (the qx46 spelling); total_var = Σ var_samp
+    * = trace pins the eigenvalue scale. */
+  val qx28: String =
+    """WITH iv AS (SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS v
+      |       FROM embeddings),
+      |params AS (SELECT count(*) AS n FROM embeddings),
+      |dims AS (SELECT vec_id, i AS d, v[i] AS x FROM iv, generate_series(1, 64) t(i)),
+      |sums AS (SELECT d, sum(x) AS s FROM dims GROUP BY d),
+      |cn AS (SELECT vec_id,
+      |         sum(CAST(n * x - s AS HUGEINT) * CAST(n * x - s AS HUGEINT)) AS num
+      |       FROM dims JOIN sums USING (d) CROSS JOIN params GROUP BY vec_id),
+      |tot AS (SELECT sum(num) AS tnum FROM cn)
+      |SELECT vec_id,
+      |       round(CAST(num AS DOUBLE) / (CAST(n AS DOUBLE) * n * 1e12), 3) AS norm2_split8,
+      |       round(CAST(tnum AS DOUBLE) / (CAST(n AS DOUBLE) * n * 1e12 * (n - 1)), 3) AS total_var
+      |FROM cn CROSS JOIN params CROSS JOIN tot""".stripMargin
+
   val qx46: String =
     """WITH iv AS (SELECT vec_id,
       |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS v

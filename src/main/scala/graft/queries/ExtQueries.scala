@@ -1087,34 +1087,49 @@ object ExtQueries {
         (-col("t.score")).cast("long").as("df"))
   }
 
-  /** qx28 — PCA projection of the embeddings onto 8 components (the
-    * standard pre-quantization decorrelation for the qx13/qx15/qx16
-    * index family — see [[graft.operators.EmbeddingPca]] for the
-    * one-pass Gram + driver eigensolve + broadcast-projection shape).
-    *
-    * ROWS-ONLY gate entry by design: the Gram reduce sums doubles in
-    * partition order (~1e-15 wobble) and no SQL oracle can re-derive an
-    * eigendecomposition, so there is no hash twin — correctness is
-    * EmbeddingPcaSpec's geometry proofs (planted directions found and
-    * ordered, pairwise distances preserved, whitening equalizes
-    * variance) plus qx46's exact rotation-invariance gate.
-    *
-    * Output is EXPLODED scalar rows (vec_id, j, pj) rather than one
-    * ARRAY<DOUBLE> per vector (round-6 verdict #1: the driver harness
-    * cannot sort/hash ndarray cells, so an array column turns even the
-    * rows-only check into an err). The exploded spelling is also the
-    * cheaper plan: the per-(vector, component) dot from the broadcast
-    * join IS the result — no groupBy re-assembly shuffle at all. pj is
-    * rounded 1e-9 (wobble ~1e-15) and signs are canonicalized by
-    * [[EmbeddingPca.fit]], so replays emit identical bytes. */
+  /** qx28 — the k=8 PCA PROJECTION made oracle-EXACT (r8 verdict #1:
+    * the suite's last rows-only gate row, now hash-gated by the qx46
+    * discipline). The k=8 subspace split is verified by Pythagoras
+    * with an EXPLICIT reconstruction: p = V₈ᵀ(x−μ) from the broadcast
+    * components, residual r = (x−μ) − V₈·p rebuilt coordinate by
+    * coordinate (never the ‖x−μ‖²−‖p‖² shortcut, which would be a
+    * tautology), and the emitted invariant ‖p₈‖² + ‖r‖² equals
+    * ‖x−μ‖² — which DuckDB computes with NO eigendecomposition, in
+    * exact HUGEINT arithmetic on the shared micro-unit quantization
+    * (Σ_d (n·x_d − S_d)² / (n²·10¹²), the qx46 spelling). A wrong
+    * projection value, a non-orthonormal top-8 basis, a wrong mean or
+    * a mis-quantized input each break the equality; the trace
+    * invariant (Σ all eigenvalues = Σ var_samp) rides along pinning
+    * the eigenvalue scale. What the hash deliberately does NOT pin —
+    * that the 8 directions are the TOP-variance eigenvectors — is
+    * EmbeddingPcaSpec's planted-direction ordering proof, and qx46
+    * pins the full-rank family. Scale shape: one Gram pass + driver
+    * eigensolve + broadcast join; 8·64 + 64·8 flops per row, no
+    * shuffle after the scan. */
   def qx28(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-    emb.crossJoin(broadcast(
-        EmbeddingPca.principalComponents(emb, k = 8).select("j", "pcv", "mdot")))
-      .select(col("vec_id"), col("j"),
-        round(expr("aggregate(zip_with(v, pcv, (a, b) -> a * b), 0D, (s, x) -> s + x)")
-          - col("mdot"), 9).as("pj"))
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1e6)")
+        .as("v"))
+    val model = EmbeddingPca.fit(emb, k = 8)
+    val side = Seq((model.mean.toSeq,
+        model.components.map(_._2.toSeq), model.components.map(_._3)))
+      .toDF("mu", "comps", "mdots")
+    emb.crossJoin(broadcast(side))
+      .withColumn("p", expr(
+        """transform(sequence(0, 7), j ->
+          |  aggregate(zip_with(v, comps[j], (a, b) -> a * b), 0D, (s, x) -> s + x)
+          |  - mdots[j])""".stripMargin))
+      .withColumn("pnorm2", expr("aggregate(p, 0D, (s, x) -> s + x * x)"))
+      .withColumn("rnorm2", expr(
+        """aggregate(transform(sequence(0, 63), d ->
+          |  v[d] - mu[d] - aggregate(sequence(0, 7), 0D,
+          |                           (acc, j) -> acc + p[j] * comps[j][d])),
+          |  0D, (s, r) -> s + r * r)""".stripMargin))
+      .select(col("vec_id"),
+        round(col("pnorm2") + col("rnorm2"), 3).as("norm2_split8"),
+        round(lit(model.trace), 3).as("total_var"))
   }
 
   /** qx47 — REAL-format multimodal decode gate (round-6 verdict #3):
