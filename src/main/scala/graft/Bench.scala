@@ -28,13 +28,11 @@ object Bench {
     // artifact, "all reps slow" (environment) vs "best rep slow"
     // (regression) is decidable from the JSON alone).
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt
-    // Round-5 verdict #6: qx13's deliberately-quadratic build (the
-    // documented K-tracks-n demonstration index, superseded by qx15/qx16
-    // for building at scale) is the suite's run-to-run noise source at
-    // large sf. Skip it in the headline bench by default — it stays in
-    // the correctness gate — and record the skip in the artifact so the
-    // round-over-round record shows WHY the number is absent.
-    val skip = sys.env.getOrElse("SPARK_GRAFT_BENCH_SKIP", "qx13_ann_ivf")
+    // qx13 was bench-skipped rounds 5-8 while its gate build was the
+    // K-tracks-n quadratic demonstration; round 9 bounds the gate K at
+    // the power-of-2 sqrt (IvfAnn.gateCentroidsFor, O(n^1.5) build), so
+    // it benches again by default.
+    val skip = sys.env.getOrElse("SPARK_GRAFT_BENCH_SKIP", "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     // Probe subsets (e.g. a documents-only 100× corpus with no
     // events/embeddings tables): bench ONLY the named queries.

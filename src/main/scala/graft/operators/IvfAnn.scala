@@ -66,6 +66,17 @@ object IvfAnn {
   def centroidsFor(n: Long): Long =
     math.min(MaxCentroids, math.max(MinCentroids, n / TargetListSize))
 
+  /** GATE-entry K (round-8 verdict #3): [[centroidsFor]]'s K = n/64
+    * makes the n·K build pass quadratic — honest as the K-tracks-n
+    * demonstration (pinned at spec scale by IvfAnnSpec), but a standing
+    * foot-gun as a gate query whose corpus the driver regenerates.
+    * Bounding K by the power-of-2 √(n/64) (the IMI per-level size,
+    * [[imiCentroidsFor]]) keeps K monotone in n while capping the build
+    * at O(n^1.5); expected list length grows as √n past the bound — the
+    * declared flat-IVF trade, with qx15/qx16 as the real scale paths. */
+  def gateCentroidsFor(n: Long): Long =
+    math.min(centroidsFor(n), imiCentroidsFor(n))
+
   /** K centroids as (cid, cv ARRAY<BIGINT>), built by expression — K rows
     * only, always broadcastable. */
   def centroids(spark: org.apache.spark.sql.SparkSession, k: Long): DataFrame =

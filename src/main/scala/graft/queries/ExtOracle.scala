@@ -122,7 +122,13 @@ object ExtOracle {
   val qx13: String =
     s"""WITH $EMB,
        |params AS (SELECT count(*) AS n FROM embeddings),
-       |kk AS (SELECT CAST(least(65536, greatest(4, n // 64)) AS BIGINT) AS k FROM params),
+       |-- gateCentroidsFor: K = min(n/64, pow2-sqrt(n/64)), both clamped
+       |-- [4, 65536] — the O(n^1.5) gate bound (r8 verdict #3)
+       |kk AS (SELECT CAST(least(
+       |         least(65536, greatest(4, n // 64)),
+       |         least(65536, greatest(4,
+       |           1 << ((length(bin(greatest(n // 64, 2))) - 1 + 1) // 2)))) AS BIGINT) AS k
+       |       FROM params),
        |cents AS (SELECT c AS cid, d,
        |            -- reduce mod p BEFORE squaring: (h%p)^2 == h^2 (mod p) but
        |            -- never overflows BIGINT (the raw square errors past c~3037)

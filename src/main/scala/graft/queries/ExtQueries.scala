@@ -268,7 +268,7 @@ object ExtQueries {
     * [[graft.operators.IvfAnn]]. */
   def qx13(spark: SparkSession, dir: String): DataFrame = {
     val base = intEmbeddings(spark, dir)
-    val k = IvfAnn.centroidsFor(Tables.embeddings(spark, dir).count())
+    val k = IvfAnn.gateCentroidsFor(Tables.embeddings(spark, dir).count())
     val cents = IvfAnn.centroids(spark, k)
     val assign = IvfAnn.assignments(base, cents)
     val q = base.where(col("vec_id") % 50 === 0)
