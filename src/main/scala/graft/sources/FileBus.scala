@@ -1,0 +1,341 @@
+package graft.sources
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util
+import scala.jdk.CollectionConverters._
+
+/** S4/K2 closure-by-proxy (round-8 verdict #4): a Kafka-SHAPED
+  * replayable bus over the same DSv2 seam as [[CounterSource]], so the
+  * reference's consumer-start-position semantics (정리/6주차.md:49-54)
+  * are PROVEN against a live transport instead of asserted as option
+  * maps. No broker exists in this environment (checked filesystem-wide
+  * round 6); what Kafka actually contributes to the reference's
+  * consistency story is (a) partitioned append-only logs, (b)
+  * per-partition offsets in a checkpoint WAL, (c) replayability from
+  * any committed offset — all of which a directory of immutable
+  * segment files provides:
+  *
+  *   <root>/<topic>/<partition>/<startOffset>-<count>.log
+  *
+  * Segments are written tmp-then-atomic-rename (the TxnFileSink
+  * discipline) and never mutated, so `planInputPartitions(start, end)`
+  * is deterministic for any committed range — the property that makes
+  * source replay + idempotent/txn sink = exactly-once (K8 matrix).
+  * The segment NAME carries (startOffset, count), so end-offset
+  * discovery is a directory listing, never a data scan — the bus
+  * stays O(#segments) per trigger at any log size.
+  *
+  * Consumer surface (all the reference's start positions):
+  *   spark.readStream.format("graft.sources.FileBus")
+  *     .option("path", root).option("subscribe", topic)
+  *     .option("startingOffsets", "earliest" | "latest" |
+  *             Kafka.perPartitionOffsets(...))     // -2 earliest, -1 latest
+  *     .option("startingTimestamp", epochMs)       // first offset with ts >= T
+  *   → schema (key STRING, value STRING, topic STRING, partition INT,
+  *             offset BIGINT, timestamp BIGINT epoch-ms) — the
+  *             [[graft.streaming.Kafka.recordProjection]] shape.
+  *
+  * Producer surface: [[FileBus.append]] (explicit records, used by
+  * specs as the external writer) and [[FileBus.producerSink]]
+  * (foreachBatch, batchId-idempotent segment names — re-running a
+  * committed epoch is a no-op, the K2 exactly-once routing through
+  * the WAL discipline rather than a transactional producer). */
+class FileBus extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    FileBus.SCHEMA
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new FileBusTable(
+      Option(opts.get("path")).getOrElse(
+        throw new IllegalArgumentException("FileBus requires option 'path'")),
+      Option(opts.get("subscribe")).getOrElse(
+        throw new IllegalArgumentException("FileBus requires option 'subscribe'")),
+      Option(opts.get("startingOffsets")).getOrElse("earliest"),
+      Option(opts.get("startingTimestamp")).map(_.toLong))
+  }
+}
+
+object FileBus {
+  val SCHEMA: StructType = StructType(Seq(
+    StructField("key", StringType, nullable = true),
+    StructField("value", StringType, nullable = false),
+    StructField("topic", StringType, nullable = false),
+    StructField("partition", IntegerType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("timestamp", LongType, nullable = false)))
+
+  /** One bus record; `ts` is epoch millis (the Kafka message
+    * timestamp the reference's K2 passthrough targets). */
+  final case class Record(key: String, value: String, ts: Long)
+
+  private[sources] final case class Segment(start: Long, count: Long, path: Path)
+
+  // ---- log-line codec: TSV with \t, \n, \r, \\ escaped; null key = "\0" ----
+  private def esc(s: String): String =
+    if (s == null) "\\0"
+    else s.flatMap {
+      case '\\' => "\\\\"; case '\t' => "\\t"; case '\n' => "\\n"
+      case '\r' => "\\r"; case c => c.toString
+    }
+  private def unesc(s: String): String =
+    if (s == "\\0") null
+    else {
+      val b = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) {
+          s.charAt(i + 1) match {
+            case '\\' => b += '\\'; case 't' => b += '\t'
+            case 'n' => b += '\n'; case 'r' => b += '\r'
+            case o => b += '\\'; b += o
+          }
+          i += 2
+        } else { b += c; i += 1 }
+      }
+      b.toString
+    }
+
+  private[sources] def partitionDir(root: String, topic: String, p: Int): Path =
+    Paths.get(root, topic, p.toString)
+
+  private[sources] def segments(dir: Path): Seq[Segment] =
+    if (!Files.isDirectory(dir)) Seq.empty
+    else Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".log"))
+      .flatMap { f =>
+        // <start>-<count>[.b<batchId>].log
+        val stem = f.getFileName.toString.stripSuffix(".log").split("\\.")(0)
+        stem.split("-") match {
+          case Array(s, c) => Some(Segment(s.toLong, c.toLong, f))
+          case _ => None
+        }
+      }.toSeq.sortBy(_.start)
+
+  /** Exclusive end offset of one partition's log. */
+  def endOffset(root: String, topic: String, p: Int): Long = {
+    val segs = segments(partitionDir(root, topic, p))
+    if (segs.isEmpty) 0L else segs.map(s => s.start + s.count).max
+  }
+
+  /** Partition count = populated partition dirs (producers create them). */
+  def partitions(root: String, topic: String): Seq[Int] = {
+    val t = Paths.get(root, topic)
+    if (!Files.isDirectory(t)) Seq.empty
+    else Files.list(t).iterator().asScala
+      .filter(Files.isDirectory(_))
+      .flatMap(d => d.getFileName.toString.toIntOption).toSeq.sorted
+  }
+
+  /** Append records to one partition, tmp-then-atomic-rename. Returns
+    * the segment's start offset. `segmentTag` (e.g. "b<batchId>")
+    * makes the append IDEMPOTENT: if a segment with the tag already
+    * exists in this partition the call is a committed-epoch no-op. */
+  def append(root: String, topic: String, p: Int, records: Seq[Record],
+             segmentTag: Option[String] = None): Long = {
+    val dir = partitionDir(root, topic, p)
+    Files.createDirectories(dir)
+    segmentTag.foreach { tag =>
+      val done = segments(dir).exists(_.path.getFileName.toString.contains(s".$tag."))
+      if (done) return -1L
+    }
+    val start = endOffset(root, topic, p)
+    if (records.isEmpty) return start
+    val lines = records.zipWithIndex.map { case (r, i) =>
+      s"${start + i}\t${r.ts}\t${esc(r.key)}\t${esc(r.value)}"
+    }.mkString("", "\n", "\n")
+    val tagPart = segmentTag.map(t => s".$t").getOrElse("")
+    val tmp = dir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, lines.getBytes(UTF_8))
+    Files.move(tmp, dir.resolve(f"$start%020d-${records.size}%d$tagPart.log"),
+      StandardCopyOption.ATOMIC_MOVE)
+    start
+  }
+
+  /** Read one partition's records with offset in [from, until). Only
+    * segments overlapping the range are opened. */
+  def read(root: String, topic: String, p: Int, from: Long, until: Long): Iterator[(Long, Long, String, String)] =
+    segments(partitionDir(root, topic, p)).iterator
+      .filter(s => s.start < until && s.start + s.count > from)
+      .flatMap { s =>
+        Files.readAllLines(s.path, UTF_8).asScala.iterator.flatMap { line =>
+          line.split("\t", 4) match {
+            case Array(off, ts, k, v) =>
+              val o = off.toLong
+              if (o >= from && o < until) Some((o, ts.toLong, unesc(k), unesc(v)))
+              else None
+            case _ => None
+          }
+        }
+      }
+
+  /** First offset in partition `p` whose record timestamp ≥ `tsMs`
+    * (Kafka's startingOffsetsByTimestamp rule: if none, the log end —
+    * nothing old is replayed). */
+  def offsetForTimestamp(root: String, topic: String, p: Int, tsMs: Long): Long = {
+    val end = endOffset(root, topic, p)
+    read(root, topic, p, 0L, end)
+      .collectFirst { case (o, ts, _, _) if ts >= tsMs => o }
+      .getOrElse(end)
+  }
+
+  /** K2: batchId-idempotent foreachBatch producer. The frame must carry
+    * `value` (and optionally `key`, `timestamp` epoch-ms); rows route to
+    * `nParts` partitions by nonNegativeMod(hash(key)) — Kafka's default
+    * partitioner shape — or round-robin batches when keyless. Re-running
+    * a committed batchId is a no-op per partition (segment tag), so
+    * replayable-source + this sink = exactly-once end to end. */
+  def producerSink(root: String, topic: String, nParts: Int)(
+      batch: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+    val cols = batch.columns.toSet
+    val withKey =
+      if (cols.contains("key")) batch.col("key").cast("string")
+      else org.apache.spark.sql.functions.lit(null).cast("string")
+    val withTs =
+      if (cols.contains("timestamp")) batch.col("timestamp").cast("long")
+      else org.apache.spark.sql.functions.lit(0L)
+    val rows = batch.select(
+        withKey.as("key"), batch.col("value").cast("string").as("value"), withTs.as("ts"))
+      .collect() // bus producer is a test/demo transport; bounded epochs
+    val byPart = rows.groupBy { r =>
+      val k = r.getAs[String]("key")
+      if (k == null) (batchId % nParts).toInt
+      else math.floorMod(k.hashCode, nParts)
+    }
+    (0 until nParts).foreach { p =>
+      val recs = byPart.getOrElse(p, Array.empty).toSeq
+        .map(r => Record(r.getAs[String]("key"), r.getAs[String]("value"), r.getAs[Long]("ts")))
+      if (recs.nonEmpty) append(root, topic, p, recs, Some(s"b$batchId"))
+    }
+  }
+
+  // ---- offset JSON (the Kafka.perPartitionOffsets wire format) ----
+  /** Serialize per-partition offsets as `{"topic":{"0":12,"1":3}}` —
+    * byte-compatible with [[graft.streaming.Kafka.perPartitionOffsets]]. */
+  def offsetsJson(topic: String, offs: Map[Int, Long]): String =
+    graft.streaming.Kafka.perPartitionOffsets(
+      offs.map { case (p, o) => (topic, p) -> o })
+
+  /** Parse the same form back. The JSON is machine-built (see
+    * [[offsetsJson]]), so a regex walk is exact, not approximate. */
+  def parseOffsetsJson(json: String): Map[String, Map[Int, Long]] = {
+    val topicRe = """"([^"]+)"\s*:\s*\{([^}]*)\}""".r
+    val pairRe = """"(-?\d+)"\s*:\s*(-?\d+)""".r
+    topicRe.findAllMatchIn(json).map { m =>
+      m.group(1) -> pairRe.findAllMatchIn(m.group(2))
+        .map(p => p.group(1).toInt -> p.group(2).toLong).toMap
+    }.toMap
+  }
+}
+
+private class FileBusTable(root: String, topic: String, startingOffsets: String,
+                           startingTimestamp: Option[Long])
+    extends Table with SupportsRead {
+  override def name(): String = s"filebus($root, $topic)"
+  override def schema(): StructType = FileBus.SCHEMA
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan {
+      override def build(): Scan = this
+      override def readSchema(): StructType = FileBus.SCHEMA
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new FileBusMicroBatchStream(root, topic, startingOffsets, startingTimestamp)
+    }
+}
+
+/** Offset = per-partition next-read positions, serialized in the Kafka
+  * per-partition JSON form. */
+private case class BusOffset(topic: String, offs: Map[Int, Long]) extends Offset {
+  override def json(): String = FileBus.offsetsJson(topic, offs)
+}
+
+private class FileBusMicroBatchStream(root: String, topic: String,
+                                      startingOffsets: String,
+                                      startingTimestamp: Option[Long])
+    extends MicroBatchStream {
+
+  private def currentEnds(): Map[Int, Long] =
+    FileBus.partitions(root, topic).map(p => p -> FileBus.endOffset(root, topic, p)).toMap
+
+  /** The reference's start positions (정리/6주차.md:49-54): earliest /
+    * latest / timestamp / explicit per-partition map with -2/-1
+    * sentinels. Resolved ONCE (initial offset is checkpointed; a
+    * restart resumes from the WAL, never re-resolves — the consumer
+    * group-offset rule). */
+  override def initialOffset(): Offset = {
+    val parts = FileBus.partitions(root, topic)
+    val resolved: Map[Int, Long] = startingTimestamp match {
+      case Some(ts) =>
+        parts.map(p => p -> FileBus.offsetForTimestamp(root, topic, p, ts)).toMap
+      case None => startingOffsets match {
+        case "earliest" => parts.map(_ -> 0L).toMap
+        case "latest"   => currentEnds()
+        case json =>
+          val m = FileBus.parseOffsetsJson(json).getOrElse(topic,
+            throw new IllegalArgumentException(
+              s"startingOffsets JSON has no topic '$topic': $json"))
+          parts.map { p =>
+            p -> (m.getOrElse(p, -2L) match {
+              case -2L => 0L
+              case -1L => FileBus.endOffset(root, topic, p)
+              case o   => o
+            })
+          }.toMap
+      }
+    }
+    BusOffset(topic, resolved)
+  }
+
+  override def latestOffset(): Offset = BusOffset(topic, currentEnds())
+
+  override def deserializeOffset(json: String): Offset = {
+    val m = FileBus.parseOffsetsJson(json)
+    BusOffset(topic, m.getOrElse(topic, Map.empty))
+  }
+
+  override def commit(end: Offset): Unit = () // WAL-managed
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[BusOffset].offs
+    val e = end.asInstanceOf[BusOffset].offs
+    e.keys.toSeq.sorted.flatMap { p =>
+      val from = s.getOrElse(p, 0L)
+      val until = e(p)
+      if (until > from) Some(BusPartition(root, topic, p, from, until): InputPartition)
+      else None
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory = BusReaderFactory
+  override def stop(): Unit = ()
+}
+
+private case class BusPartition(root: String, topic: String, p: Int,
+                                from: Long, until: Long) extends InputPartition
+
+private object BusReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
+    val bp = partition.asInstanceOf[BusPartition]
+    new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+      private val it = FileBus.read(bp.root, bp.topic, bp.p, bp.from, bp.until)
+      private var cur: (Long, Long, String, String) = _
+      override def next(): Boolean = { if (it.hasNext) { cur = it.next(); true } else false }
+      override def get(): org.apache.spark.sql.catalyst.InternalRow =
+        org.apache.spark.sql.catalyst.InternalRow(
+          if (cur._3 == null) null else UTF8String.fromString(cur._3),
+          UTF8String.fromString(cur._4),
+          UTF8String.fromString(bp.topic), bp.p, cur._1, cur._2)
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -23,6 +23,14 @@ import org.apache.spark.sql.streaming.{DataStreamReader, DataStreamWriter}
   *    downstream key or a foreachBatch WAL (Sinks.walBatchWriter), per
   *    the K8 consistency matrix
   *  - event-time → message timestamp: include a `timestamp` column
+  *
+  * Round 9: the start-position and recovery SEMANTICS are additionally
+  * proven live against [[graft.sources.FileBus]] — a Kafka-shaped
+  * replayable bus (partitioned offset logs, same DSv2 seam, consuming
+  * [[perPartitionOffsets]]' exact JSON wire format) — so S4/K2 are
+  * semantics-proven on an emulated transport, not just plan-asserted
+  * (FileBusSpec: earliest/latest/explicit/-2/-1/timestamp starts,
+  * kill/restart exactly-once, idempotent producer epochs).
   */
 object Kafka {
 
