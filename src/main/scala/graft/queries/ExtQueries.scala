@@ -2854,7 +2854,11 @@ object ExtQueries {
     * Scale shape: one shuffle-free decode scan + one broadcast-able
     * seed self-join (mirror planting only) + one fingerprint groupBy —
     * every screen is scan-local. */
-  def qx77(spark: SparkSession, dir: String): DataFrame = {
+  /** qx77's crawl-archive generator, (doc_id, warc BINARY) — shared
+    * with CrawlDoorSpec so the LIVE door consumes byte-identical crawl
+    * media. Every 11th doc re-fetches its neighbor's page (the dup the
+    * funnel must collapse); every 13th is a 404. */
+  def qx77Media(spark: SparkSession, dir: String): DataFrame = {
     val d = col("doc_id")
     val base = Tables.documents(spark, dir).select(d,
       when(pmod(d, lit(11L)) === 10L, d - 1L).otherwise(d).as("seed"))
@@ -2874,24 +2878,20 @@ object ExtQueries {
         lit("HTTP/1.1 "), when(is404, lit("404 Not Found")).otherwise(lit("200 OK")),
         lit("\r\nContent-Type: text/html\r\nContent-Length: "),
         octet_length(col("html")).cast("string"), lit("\r\n\r\n"), col("html")))
-    val media = withHttp.select(d, concat(
+    withHttp.select(d, concat(
       lit("WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 13\r\n\r\nsoftware: g\r\n\r\n\r\n"),
       lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://m"),
       pmod(d, lit(40L)).cast("string"), lit(".example/p/"), d.cast("string"),
       lit("\r\nContent-Length: "), octet_length(col("http")).cast("string"),
       lit("\r\n\r\n"), col("http"), lit("\r\n\r\n")).cast("binary").as("warc"))
-    val parsed = WarcCodec.parseDF(media)
-    val scored = parsed
-      .withColumn("ws", expr("filter(split(extracted, ' '), w -> length(w) > 0)"))
-      .withColumn("n_tokens", size(col("ws")).cast("long"))
-      .withColumn("n_stop", expr("size(filter(ws, w -> w IN ('the', 'a')))").cast("long"))
-      .withColumn("fp", expr(
-        """aggregate(transform(ws, w -> aggregate(split(w, ''), 0L,
-          |  (a, c) -> (a*31 + ascii(c)) % 1000003)),
-          |  0L, (a, h) -> (a * 1000003 + h) % 2147483647)""".stripMargin))
-      .withColumn("ok_http", col("http_status") === 200L)
-      .withColumn("ok_lang", col("ok_http") && col("n_stop") * 20L > col("n_tokens"))
-      .withColumn("ok_q", col("ok_lang") && col("n_tokens") >= 30L)
+  }
+
+  def qx77(spark: SparkSession, dir: String): DataFrame = {
+    val media = qx77Media(spark, dir)
+    // Scoring shared verbatim with the LIVE door (CrawlDoor.score) —
+    // the round-9 composition's stream==batch equality is by
+    // construction, not parallel maintenance.
+    val scored = graft.streaming.CrawlDoor.score(WarcCodec.parseDF(media))
     val keepers = scored.where(col("ok_q"))
       .groupBy("fp").agg(min("doc_id").as("keeper"))
     scored.join(keepers, Seq("fp"), "left")

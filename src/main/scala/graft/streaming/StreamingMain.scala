@@ -13,11 +13,14 @@ import org.apache.spark.sql.streaming.Trigger
   *
   * Usage: runMain graft.streaming.StreamingMain [durationSec] [rowsPerSec]
   *    or: runMain graft.streaming.StreamingMain door [outDir]
-  * (`door` runs the composed live ingest pipeline — see [[IngestDoor]].)
+  *    or: runMain graft.streaming.StreamingMain crawl [outDir]
+  * (`door` runs the composed live ingest pipeline — see [[IngestDoor]];
+  * `crawl` runs the live crawl front door — see [[CrawlDoor]].)
   */
 object StreamingMain {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("door")) { doorMain(args.lift(1)); return }
+    if (args.headOption.contains("crawl")) { crawlMain(args.lift(1)); return }
     val durationSec = args.headOption.map(_.toInt).getOrElse(15)
     val rowsPerSec = args.lift(1).map(_.toInt).getOrElse(100)
     val spark = SparkSession.builder()
@@ -145,6 +148,52 @@ object StreamingMain {
     val curated = spark.read.parquet(s"$base/curated")
     println(s"[door] curated layout at $base/curated: ${curated.count()} assignments, " +
       s"languages=${curated.select("lang").distinct().collect().map(_.getString(0)).sorted.mkString(",")}")
+    spark.stop()
+  }
+
+  /** Live end-to-end run of the crawl front door ([[CrawlDoor]]): the
+    * qx77 crawl archive over sf0.001 fed in doc_id-ordered waves
+    * through unwrap+robots → frontier → dedup stages, then the funnel
+    * summary printed next to batch qx77's row (they must agree —
+    * CrawlDoorSpec pins it under kill/restart too). */
+  def crawlMain(outDirOpt: Option[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]"))
+      .appName("graft-crawl-door")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sfDir = "/root/testdata/sf0.001"
+    val base = outDirOpt.getOrElse(Files.createTempDirectory("graft_crawl").toString)
+
+    val media = graft.queries.ExtQueries.qx77Media(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1))).sortBy(_._1)
+    println(s"[crawl] ${media.length} archived fetches; door at $base")
+
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.BINARY)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Byte])]
+    val q1 = CrawlDoor.unwrapStage(input.toDF().toDF("doc_id", "warc"),
+      robotsByDomain = Map.empty, ua = "graftbot",
+      s"$base/staged", s"$base/ck1")
+    val q2 = CrawlDoor.frontierStage(spark, s"$base/staged", s"$base/frontier", s"$base/ck2")
+    val q3 = CrawlDoor.dedupStage(spark, s"$base/frontier", s"$base/manifest", s"$base/ck3")
+    media.grouped(media.length / 4 + 1).foreach { wave =>
+      input.addData(wave.toSeq)
+      q1.processAllAvailable(); q2.processAllAvailable(); q3.processAllAvailable()
+      println(s"[crawl] wave: +${wave.length} fetches")
+    }
+    q1.stop(); q2.stop(); q3.stop()
+    val live = CrawlDoor.counts(spark, s"$base/staged", s"$base/manifest").collect().head
+    val batch = graft.queries.ExtQueries.qx77(spark, sfDir).collect().head
+    println(s"[crawl] live door: $live")
+    println(s"[crawl] batch qx77: $batch")
+    println(s"[crawl] agree: ${live == batch}")
     spark.stop()
   }
 }

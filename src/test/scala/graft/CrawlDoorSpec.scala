@@ -1,0 +1,123 @@
+package graft
+
+import java.io.File
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.streaming.CrawlDoor
+
+/** Top-level so Spark builds the Encoder without an outer scope. */
+case class CrawlBytes(doc_id: Long, warc: Array[Byte])
+
+/** The LIVE crawl front door ([[CrawlDoor]], r8 verdict #5): crawl
+  * bytes → WARC → robots → frontier → quality/dedup door as three
+  * checkpointed stages over transactional handoffs, KILLED mid-feed
+  * (all stages) and restarted — and the funnel summary equals batch
+  * qx77's row EXACTLY (same media bytes, same shared scoring), with an
+  * idle restart committing nothing. A second test makes the robots
+  * stage load-bearing: a disallow snapshot excludes exactly its
+  * domains' docs from the frontier handoff while the fetch census is
+  * unchanged. */
+class CrawlDoorSpec extends SparkTestBase {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def media(): Seq[CrawlBytes] =
+    queries.ExtQueries.qx77Media(spark, dir)
+      .collect().map(r => CrawlBytes(r.getLong(0), r.getAs[Array[Byte]](1)))
+      .toSeq.sortBy(_.doc_id)
+
+  private def startStages(base: String, input: MemoryStream[CrawlBytes],
+                          robots: Map[String, String]): Seq[StreamingQuery] = {
+    val q1 = CrawlDoor.unwrapStage(input.toDF(), robots, "graftbot",
+      s"$base/staged", s"$base/ck1")
+    val q2 = CrawlDoor.frontierStage(spark, s"$base/staged", s"$base/frontier",
+      s"$base/ck2")
+    val q3 = CrawlDoor.dedupStage(spark, s"$base/frontier", s"$base/manifest",
+      s"$base/ck3")
+    Seq(q1, q2, q3)
+  }
+
+  private def drain(qs: Seq[StreamingQuery]): Unit =
+    qs.foreach(_.processAllAvailable())
+
+  test("the live funnel equals batch qx77 across a kill/restart of all stages") {
+    val base = tmpDir("crawl_door")
+    val batchRow = SparkEntry.queries("qx77_wet_funnel")(spark, dir).collect().head
+    val expect = (0 until 6).map(i => batchRow.getLong(i))
+
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[CrawlBytes]
+    val bytes = media()
+    val (w1, w2) = bytes.splitAt(bytes.size / 2)
+
+    // One MemoryStream across restarts (its offsets are the replayable
+    // upstream; the IngestDoorRecoverySpec pattern).
+    val input = MemoryStream[CrawlBytes]
+
+    // Run 1: first wave, then kill every stage mid-pipeline.
+    val qs1 = startStages(base, input, Map.empty)
+    input.addData(w1)
+    drain(qs1)
+    qs1.foreach(_.stop())
+
+    // Run 2: same checkpoints, remainder of the crawl.
+    val qs2 = startStages(base, input, Map.empty)
+    input.addData(w2)
+    drain(qs2)
+    qs2.foreach(_.stop())
+
+    // Run 3: idle restart commits nothing new at any seam.
+    def committed(): Set[String] =
+      Seq("staged", "frontier", "manifest").flatMap { s =>
+        val d = new File(s"$base/$s")
+        if (d.exists()) d.listFiles().map(f => s"$s/${f.getName}") else Array.empty[String]
+      }.toSet
+    val after2 = committed()
+    val qs3 = startStages(base, input, Map.empty)
+    drain(qs3)
+    qs3.foreach(_.stop())
+    assert(committed() == after2, "idle restart committed new batches")
+
+    val got = CrawlDoor.counts(spark, s"$base/staged", s"$base/manifest")
+      .collect().head
+    val gotSeq = (0 until 6).map(i => got.getLong(i))
+    assert(gotSeq == expect, s"funnel diverged: stream=$gotSeq batch=$expect")
+  }
+
+  test("the robots stage is load-bearing: disallowed domains never reach the frontier handoff") {
+    val base = tmpDir("crawl_door_rb")
+    // Disallow everything on m1.example and m2.example.
+    val robots = Map(
+      "m1.example" -> "User-agent: *\nDisallow: /\n",
+      "m2.example" -> "User-agent: *\nDisallow: /\n")
+
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[CrawlBytes]
+    val input = MemoryStream[CrawlBytes]
+    val qs = startStages(base, input, robots)
+    input.addData(media())
+    drain(qs)
+    qs.foreach(_.stop())
+
+    val staged = spark.read.schema(CrawlDoor.stagedSchema)
+      .parquet(s"$base/staged/batch=*")
+    val frontier = spark.read.schema(CrawlDoor.stagedSchema)
+      .parquet(s"$base/frontier/batch=*")
+    val blockedStaged = staged
+      .where(org.apache.spark.sql.functions.col("domain").isin("m1.example", "m2.example"))
+      .count()
+    assert(blockedStaged > 0, "fixture must fetch blocked-domain docs")
+    // census keeps them; the frontier handoff excludes them
+    val blockedThrough = frontier
+      .where(org.apache.spark.sql.functions.col("domain").isin("m1.example", "m2.example"))
+      .count()
+    assert(blockedThrough == 0L, s"$blockedThrough disallowed docs passed the gate")
+    // and nothing ELSE was dropped by robots
+    assert(frontier.count() ==
+      staged.where(!org.apache.spark.sql.functions.col("domain")
+        .isin("m1.example", "m2.example"))
+        .select("uri").distinct().count())
+  }
+}
