@@ -1524,6 +1524,27 @@ object ExtOracle {
       |       CAST(min(b) AS BIGINT) AS min_b, CAST(max(b) AS BIGINT) AS max_b
       |FROM j GROUP BY 1""".stripMargin
 
+  /** qx78 twin — the 3-dim Morton weave replayed per-bit with shifts
+    * (the qx53 oracle at stride 3: dim bit j of a/b/c lands at output
+    * bit 3j+2 / 3j+1 / 3j). */
+  val qx78: String =
+    """WITH t AS (SELECT CAST(floor(l_extendedprice) AS BIGINT) % 65536 AS a,
+      |                  l_orderkey % 65536 AS b,
+      |                  l_partkey % 65536 AS c FROM lineitem),
+      |abc AS (SELECT DISTINCT a, b, c FROM t),
+      |zm AS (SELECT a, b, c,
+      |              CAST(sum((((a >> i) & 1) << (3 * i + 2)) +
+      |                       (((b >> i) & 1) << (3 * i + 1)) +
+      |                       (((c >> i) & 1) << (3 * i))) AS BIGINT) AS zv
+      |       FROM abc, unnest(range(0, 16)) ti(i) GROUP BY a, b, c),
+      |j AS (SELECT t.a, t.b, t.c, zm.zv FROM t JOIN zm USING (a, b, c))
+      |SELECT zv >> 36 AS bucket, CAST(count(*) AS BIGINT) AS cnt,
+      |       CAST(sum(zv) AS BIGINT) AS sum_z,
+      |       CAST(min(a) AS BIGINT) AS min_a, CAST(max(a) AS BIGINT) AS max_a,
+      |       CAST(min(b) AS BIGINT) AS min_b, CAST(max(b) AS BIGINT) AS max_b,
+      |       CAST(min(c) AS BIGINT) AS min_c, CAST(max(c) AS BIGINT) AS max_c
+      |FROM j GROUP BY 1""".stripMargin
+
   /** qx52 twin — the windowed audio features re-derived CLOSED-FORM
     * from the qx48 sample generator: windows are i // 16, crossings
     * compare each sample against `lag` over the per-channel frame

@@ -2114,6 +2114,31 @@ object ExtQueries {
         min("b").as("min_b"), max("b").as("max_b"))
   }
 
+  /** qx78 — THREE-dimensional Z-order clustering (r8 verdict #8: a real
+    * layout optimizer weaves 3–4 dims): qx53's discipline at k = 3 via
+    * the variadic [[graft.functions.ZOrderN]] codegen'd Morton weave —
+    * price × orderkey × partkey bins → 48-bit z-values, range-bucketed
+    * by the top 12 bits, with min/max HYPER-RECTANGLE witnesses per
+    * bucket on all THREE dims (the file-statistics pruning a 100 TB
+    * layout buys on any filter column). The DuckDB twin replays the
+    * interleave per-bit with shifts (the qx53 bit-shift oracle at
+    * stride 3) — every bit of every z-value is hash-pinned.
+    * Scale shape: one scan + one map-side-combinable groupBy; the
+    * weave itself is ~15 shift/mask ops inside WholeStageCodegen. */
+  def qx78(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .select(
+        pmod(floor(col("l_extendedprice")).cast("long"), lit(65536L)).as("a"),
+        pmod(col("l_orderkey"), lit(65536L)).as("b"),
+        pmod(col("l_partkey"), lit(65536L)).as("c"))
+      .withColumn("zv", expr("zordern(a, b, c)"))
+      .groupBy(shiftright(col("zv"), 36).as("bucket"))
+      .agg(count(lit(1)).as("cnt"), sum("zv").as("sum_z"),
+        min("a").as("min_a"), max("a").as("max_a"),
+        min("b").as("min_b"), max("b").as("max_b"),
+        min("c").as("min_c"), max("c").as("max_c"))
+  }
+
   /** qx52 — AUDIO feature-extraction gate (the brief's "feature-extract"
     * leg, completing the multimodal quartet with qx47/qx48 decode, qx51
     * resize and qx49 frame-sample): the qx48 WAV payloads pushed through

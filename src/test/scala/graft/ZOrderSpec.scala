@@ -41,6 +41,40 @@ class ZOrderSpec extends SparkTestBase {
     assert(edge.isNullAt(4))
   }
 
+  /** Stride-k bit-loop reference for [[graft.functions.ZOrderN]]. */
+  private def refZN(dims: Seq[Long]): Long = {
+    val k = dims.size
+    var z = 0L
+    for (i <- 0 until 16; d <- 0 until k)
+      z |= ((dims(d) >> i) & 1L) << (i * k + (k - 1 - d))
+    z
+  }
+
+  test("zordern matches the bit-loop reference at k=2,3,4; k=2 equals zorder2; null propagates") {
+    val rows = spark.range(0, 2000)
+      .selectExpr("CAST(hash(id) AS BIGINT) & 65535 AS a",
+        "CAST(hash(id, 7) AS BIGINT) & 65535 AS b",
+        "CAST(hash(id, 13) AS BIGINT) & 65535 AS c",
+        "CAST(hash(id, 29) AS BIGINT) & 65535 AS d")
+      .selectExpr("a", "b", "c", "d",
+        "zordern(a, b) AS z2", "zordern(a, b, c) AS z3", "zordern(a, b, c, d) AS z4",
+        "zorder2(a, b) AS z2ref")
+      .collect()
+    rows.foreach { r =>
+      val (a, b, c, d) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(r.getLong(4) == refZN(Seq(a, b)), s"k=2 diverged at ($a,$b)")
+      assert(r.getLong(5) == refZN(Seq(a, b, c)), s"k=3 diverged at ($a,$b,$c)")
+      assert(r.getLong(6) == refZN(Seq(a, b, c, d)), s"k=4 diverged at ($a,$b,$c,$d)")
+      assert(r.getLong(4) == r.getLong(7), "zordern(a,b) != zorder2(a,b)")
+    }
+    // high bits masked; null propagates
+    val masked = spark.sql(
+      "SELECT zordern(65536L + 3L, 2L, 1L), zordern(3L, 2L, 1L), zordern(CAST(NULL AS BIGINT), 2L, 1L)")
+      .collect().head
+    assert(masked.getLong(0) == masked.getLong(1))
+    assert(masked.isNullAt(2))
+  }
+
   test("zorder2 orders as the Z-curve: prefix buckets are rectangles") {
     // Quadrant check: the top bit of z is a's top bit, the next is b's —
     // so z >> 30 enumerates the four quadrants of the (a, b) square in
