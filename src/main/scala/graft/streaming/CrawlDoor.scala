@@ -89,6 +89,19 @@ object CrawlDoor {
     StructField("fetchable", BooleanType, false),
     StructField("crawl_delay", LongType, false)))
 
+  /** Crawl bytes arriving over the [[graft.sources.FileBus]] replayable
+    * transport: key = doc_id, value = base64(warc). The bus contributes
+    * exactly what Kafka would — partitioned offset logs the checkpoint
+    * WAL can resume — so the whole door runs off an external
+    * re-playable feed (CrawlDoorSpec pins bus-fed == batch qx77). */
+  def busCrawlSource(spark: SparkSession, root: String, topic: String): DataFrame =
+    spark.readStream.format("graft.sources.FileBus")
+      .option("path", root).option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .load()
+      .select(col("key").cast("long").as("doc_id"),
+        unbase64(col("value")).as("warc"))
+
   /** Stage 1: crawl-bytes stream (doc_id, warc BINARY) → unwrap +
     * score + robots → transactional handoff of every fetched record. */
   def unwrapStage(crawl: DataFrame, robotsByDomain: Map[String, String], ua: String,

@@ -86,6 +86,42 @@ class CrawlDoorSpec extends SparkTestBase {
     assert(gotSeq == expect, s"funnel diverged: stream=$gotSeq batch=$expect")
   }
 
+  test("the door runs off the FileBus replayable transport: bus-fed == batch qx77") {
+    val base = tmpDir("crawl_bus")
+    val busRoot = tmpDir("crawl_bus_log")
+    val topic = "crawl"
+    val batchRow = SparkEntry.queries("qx77_wet_funnel")(spark, dir).collect().head
+    val expect = (0 until 6).map(i => batchRow.getLong(i))
+
+    val bytes = media()
+    val enc64 = java.util.Base64.getEncoder
+    // producer: doc_id-ordered waves, keyed routing across 2 partitions
+    def produce(wave: Seq[CrawlBytes], tag: String): Unit =
+      wave.groupBy(b => (b.doc_id % 2).toInt).foreach { case (p, recs) =>
+        graft.sources.FileBus.append(busRoot, topic, p,
+          recs.sortBy(_.doc_id).map(b => graft.sources.FileBus.Record(
+            b.doc_id.toString, enc64.encodeToString(b.warc), b.doc_id)),
+          Some(tag))
+      }
+
+    val q1 = CrawlDoor.unwrapStage(
+      CrawlDoor.busCrawlSource(spark, busRoot, topic), Map.empty, "graftbot",
+      s"$base/staged", s"$base/ck1")
+    val q2 = CrawlDoor.frontierStage(spark, s"$base/staged", s"$base/frontier", s"$base/ck2")
+    val q3 = CrawlDoor.dedupStage(spark, s"$base/frontier", s"$base/manifest", s"$base/ck3")
+    try {
+      bytes.grouped(bytes.size / 3 + 1).zipWithIndex.foreach { case (w, i) =>
+        produce(w, s"w$i")
+        q1.processAllAvailable(); q2.processAllAvailable(); q3.processAllAvailable()
+      }
+    } finally { q1.stop(); q2.stop(); q3.stop() }
+
+    val got = CrawlDoor.counts(spark, s"$base/staged", s"$base/manifest")
+      .collect().head
+    assert((0 until 6).map(got.getLong) == expect,
+      s"bus-fed funnel diverged: ${(0 until 6).map(got.getLong)} vs $expect")
+  }
+
   test("the robots stage is load-bearing: disallowed domains never reach the frontier handoff") {
     val base = tmpDir("crawl_door_rb")
     // Disallow everything on m1.example and m2.example.
