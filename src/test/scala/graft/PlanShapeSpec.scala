@@ -383,4 +383,27 @@ class PlanShapeSpec extends SparkTestBase {
       .collect { case e: ShuffleExchangeExec => e }.size
     assert(n <= 2, s"qx76 should shuffle only for the class collapse, saw $n")
   }
+
+  test("qx78: the 3-dim weave partial-aggregates before its single exchange") {
+    // zordern + bucket derivation are row-local (inside the scan's
+    // codegen stage); the ONLY exchange is the bucket groupBy, with a
+    // partial HashAggregate below it — at 100 TB the per-bucket
+    // hyper-rectangle witnesses combine map-side.
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Partial
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    assert(sparkPlan("qx78_zorder3").collect {
+      case a: BaseAggregateExec
+        if a.aggregateExpressions.exists(_.mode == Partial) => a
+    }.nonEmpty, "the bucket rollup must partial-aggregate map-side")
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val exchanges = SparkEntry.queries("qx78_zorder3")(spark, dir)
+        .queryExecution.executedPlan.collect {
+          case e: ShuffleExchangeExec => e
+        }
+      assert(exchanges.size == 1, s"qx78 should shuffle once, saw ${exchanges.size}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }
