@@ -2098,4 +2098,60 @@ object ExtOracle {
       |       CAST(sum(CASE WHEN ok_u THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
       |       CAST(sum(CASE WHEN ok_u THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_final
       |FROM f4""".stripMargin
+
+  /** qx79 twin — both retrieval legs replayed independently (the qx2
+    * dot-product fold for dense, the qx54 micro-unit BM25 expression
+    * SUMMED over the query doc's distinct terms for lexical), cut to
+    * top-20 with row_number over (score DESC, doc_id ASC) — the order
+    * topk_by guarantees — then the identical integer RRF (k = 60,
+    * floor division) and the fused top-10. Absent-leg ranks are 0 on
+    * both sides. */
+  val qx79: String =
+    s"""WITH $EMB,
+       |dsc AS (
+       |  SELECT q.qid, n.vec_id AS doc_id,
+       |         CAST(CAST(list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * qv[i])) AS BIGINT) AS DOUBLE)
+       |           / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE))) AS cosine
+       |  FROM n CROSS JOIN q WHERE n.vec_id <> q.qid),
+       |drk AS (SELECT qid, doc_id,
+       |               CAST(row_number() OVER (PARTITION BY qid
+       |                 ORDER BY cosine DESC, doc_id ASC) AS BIGINT) AS dense_rk
+       |        FROM dsc QUALIFY dense_rk <= 20),
+       |w AS (SELECT doc_id,
+       |             unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS word
+       |      FROM documents),
+       |qt AS (SELECT DISTINCT doc_id AS qid, word FROM w WHERE doc_id % 50 = 0),
+       |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM w GROUP BY doc_id),
+       |st AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n,
+       |              (SELECT CAST(count(*) AS BIGINT) FROM w) AS sumdl),
+       |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM w
+       |       WHERE word IN (SELECT word FROM qt)
+       |       GROUP BY doc_id, word),
+       |df AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word),
+       |sc AS (SELECT tf.word, tf.doc_id,
+       |              CAST(floor(((CAST(n - df AS DOUBLE) + 5e-1) / (CAST(df AS DOUBLE) + 5e-1)) *
+       |                ((CAST(tf AS DOUBLE) * 22e-1) / (CAST(tf AS DOUBLE) + 12e-1 *
+       |                (25e-2 + 75e-2 * (CAST(dl * n AS DOUBLE) / CAST(sumdl AS DOUBLE))))) * 1e6 + 5e-1) AS BIGINT) AS s_micro
+       |       FROM tf JOIN dl USING (doc_id) JOIN df USING (word), st),
+       |ls AS (SELECT qt.qid, sc.doc_id, CAST(sum(s_micro) AS BIGINT) AS score_micro
+       |       FROM sc JOIN qt USING (word) WHERE sc.doc_id <> qt.qid
+       |       GROUP BY qt.qid, sc.doc_id),
+       |lrk AS (SELECT qid, doc_id,
+       |               CAST(row_number() OVER (PARTITION BY qid
+       |                 ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS lex_rk
+       |        FROM ls QUALIFY lex_rk <= 20),
+       |f AS (SELECT COALESCE(d.qid, l.qid) AS qid,
+       |             COALESCE(d.doc_id, l.doc_id) AS doc_id,
+       |             COALESCE(d.dense_rk, 0) AS dense_rk,
+       |             COALESCE(l.lex_rk, 0) AS lex_rk,
+       |             CAST((CASE WHEN d.dense_rk IS NULL THEN 0
+       |                        ELSE 1000000 // (60 + d.dense_rk) END) +
+       |                  (CASE WHEN l.lex_rk IS NULL THEN 0
+       |                        ELSE 1000000 // (60 + l.lex_rk) END) AS BIGINT) AS rrf_micro
+       |      FROM drk d FULL OUTER JOIN lrk l
+       |        ON d.qid = l.qid AND d.doc_id = l.doc_id)
+       |SELECT qid, rk, doc_id, rrf_micro, dense_rk, lex_rk
+       |FROM (SELECT *, CAST(row_number() OVER (PARTITION BY qid
+       |        ORDER BY rrf_micro DESC, doc_id ASC) AS BIGINT) AS rk FROM f) t
+       |WHERE rk <= 10""".stripMargin
 }

@@ -2928,4 +2928,85 @@ object ExtQueries {
         sum(when(col("ok_u"), 1L).otherwise(0L)).as("n_unique"),
         sum(when(col("ok_u"), col("n_tokens")).otherwise(0L)).as("tokens_final"))
   }
+
+  /** qx79 — HYBRID retrieval with reciprocal-rank fusion: the modern
+    * RAG-retrieval composition — a DENSE leg (qx2's brute-force cosine
+    * over the integer-quantized embeddings) and a LEXICAL leg (true
+    * per-query-document BM25: the query's DISTINCT words are the query
+    * terms, scored with the qx54 micro-unit expression and SUMMED per
+    * candidate) are each cut to top-20 per query, then fused by
+    * RRF(d) = Σ_leg ⌊10⁶ / (60 + rank_leg(d))⌋ (Cormack et al.'s
+    * reciprocal-rank fusion, k = 60) — integer-exact, so the gate
+    * hash-pins the fused ranking end to end. Output per query: the
+    * fused top-10 with both per-leg ranks (0 = absent from that leg's
+    * top-20), the audit columns a retrieval-quality dashboard reads.
+    *
+    * Scale shape: the dense leg is the qx2 broadcast-query scan with
+    * map-side `topk_by` pruning (k rows per map task cross the
+    * exchange, never n·q). The lexical leg prunes the exploded corpus
+    * with a broadcast of the query-term lexicon BEFORE any aggregation
+    * (qx54's discipline), sums per (query, doc) map-side, and cuts
+    * with `topk_by` — no rank window ever partitions by query. The
+    * fusion input is ≤ 40 rows/query BY CONSTRUCTION (two top-20
+    * lists), so the full-outer merge and final top-10 are
+    * metadata-sized regardless of corpus scale. The query set here is
+    * the gate's vec_id % 50 slice; a production query set is an input
+    * table and rides the same broadcasts. */
+  def qx79(spark: SparkSession, dir: String): DataFrame = {
+    // Dense leg: qx2's scan, k = 20.
+    val base = intEmbeddings(spark, dir)
+    val qv = base.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("n2").as("qn2"))
+    val denseScored = base.crossJoin(broadcast(qv))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("dot", expr("long_dot(iv, qiv)"))
+      .withColumn("cosine", expr(COSINE))
+    val dense = topK(denseScored, 20)
+      .select(col("qid"), col("vec_id").as("doc_id"),
+        col("rk").cast("long").as("dense_rk"))
+
+    // Lexical leg: BM25 with the query doc's distinct words as terms.
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val words = docs.select(col("doc_id"), explode(expr(WORDS)).as("word"))
+    val qterms = words.where(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("qid"), col("word")).distinct()
+    val terms = qterms.select("word").distinct()
+    val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n"))
+      .crossJoin(words.agg(count(lit(1)).as("sumdl")))
+    val tf = words.join(broadcast(terms), "word")
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val lex = tf.join(dl, "doc_id")
+      .join(broadcast(dfreq), "word")
+      .crossJoin(broadcast(stats))
+      .withColumn("s_micro", expr(BM25_MICRO))
+      .join(broadcast(qterms), "word")
+      .where(col("doc_id") =!= col("qid"))
+      .groupBy("qid", "doc_id").agg(sum("s_micro").as("score_micro"))
+      .groupBy("qid")
+      .agg(expr("topk_by(CAST(score_micro AS DOUBLE), doc_id, 20)").as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("p", "t")))
+      .select(col("qid"), col("t.id").as("doc_id"),
+        (col("p") + 1).cast("long").as("lex_rk"))
+
+    // Fusion: both rank lists are k·q rows — metadata-sized at any SF.
+    val fused = dense.join(lex, Seq("qid", "doc_id"), "full_outer")
+      .na.fill(0L, Seq("dense_rk", "lex_rk"))
+      .withColumn("rrf_micro",
+        when(col("dense_rk") > 0, expr("1000000L div (60L + dense_rk)"))
+          .otherwise(0L) +
+        when(col("lex_rk") > 0, expr("1000000L div (60L + lex_rk)"))
+          .otherwise(0L))
+    fused
+      .groupBy("qid")
+      .agg(expr("topk_by(CAST(rrf_micro AS DOUBLE), doc_id, 10)").as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("p", "t")))
+      .select(col("qid"), (col("p") + 1).cast("long").as("rk"),
+        col("t.id").as("doc_id"))
+      .join(fused, Seq("qid", "doc_id"))
+      .select(col("qid"), col("rk"), col("doc_id"),
+        col("rrf_micro").cast("long").as("rrf_micro"),
+        col("dense_rk"), col("lex_rk"))
+  }
 }

@@ -264,6 +264,22 @@ class PlanShapeSpec extends SparkTestBase {
     assert(s.contains("BroadcastHashJoin"), "term filter must broadcast")
   }
 
+  test("qx79: both retrieval legs cut with topk_by; no rank window; lexical leg broadcasts") {
+    // Each leg must prune map-side (topk_by partial) — a Window spelling
+    // would exchange every scored row and cap parallelism at |queries|.
+    // The lexical leg's term lexicon, df table, corpus stats and query
+    // terms all ride broadcasts, so the only corpus-sized exchanges are
+    // the word-table aggregations themselves.
+    val plan = sparkPlan("qx79_hybrid_rrf")
+    val s = plan.toString
+    assert(!s.contains("Window"), "qx79 must not rank through a window")
+    assert(s.contains("topk_by"), "per-query top-k must be the topk_by aggregate")
+    assert(s.contains("BroadcastHashJoin"), "lexical-leg lookups must broadcast")
+    assert(plan.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, "qx79 must not plan a non-broadcast cartesian product")
+  }
+
   test("qx62: the domain cap is a partial top-k, never a domain window") {
     // A hot domain (the SEO farm the cap exists for) must never funnel
     // its full row set to one partition: the cap has to be topk_by's
