@@ -2154,4 +2154,27 @@ object ExtOracle {
        |FROM (SELECT *, CAST(row_number() OVER (PARTITION BY qid
        |        ORDER BY rrf_micro DESC, doc_id ASC) AS BIGINT) AS rk FROM f) t
        |WHERE rk <= 10""".stripMargin
+
+  /** qx80 twin — the blocklist scan re-derived by brute force: every
+    * (document, pattern, start-position) substring comparison is
+    * enumerated (O(len · terms), the cost whose avoidance is the
+    * operator's reason to exist), so ALL occurrences — overlapping,
+    * nested, shared-suffix — are found by construction. The VALUES
+    * list is generated from the SAME Scala constant the Spark side
+    * scans with ([[graft.operators.AhoCorasick.GateBlocklist]]); the
+    * two sides cannot drift. */
+  val qx80: String = {
+    val vals = graft.operators.AhoCorasick.GateBlocklist.zipWithIndex
+      .map { case (p, i) => s"(${i + 1}, '$p', ${p.length})" }
+      .mkString(", ")
+    s"""WITH p(pid, pat, plen) AS (VALUES $vals),
+       |occ AS (SELECT doc_id, pid, CAST(i AS BIGINT) AS i
+       |        FROM documents, p, unnest(range(1, length(text) - plen + 2)) t(i)
+       |        WHERE substr(text, CAST(i AS INTEGER), CAST(plen AS INTEGER)) = pat)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+       |       CAST(count(DISTINCT pid) AS BIGINT) AS n_patterns,
+       |       CAST(min(i) AS BIGINT) AS first_pos,
+       |       CAST(sum(pid) AS BIGINT) AS hit_sig
+       |FROM occ GROUP BY doc_id""".stripMargin
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{BloomFilter, Determinism}
-import graft.operators.{AudioFingerprint, BpeTrainer, ConnectedComponents, EmbeddingLsh, EmbeddingPca, HtmlCodec, IvfAnn, MultimodalCodec, PageRank, ProductQuantizer, RobotsTxt, SimHashLsh, WarcCodec, WavCodec, ZOrderLayout}
+import graft.operators.{AhoCorasick, AudioFingerprint, BpeTrainer, ConnectedComponents, EmbeddingLsh, EmbeddingPca, HtmlCodec, IvfAnn, MultimodalCodec, PageRank, ProductQuantizer, RobotsTxt, SimHashLsh, WarcCodec, WavCodec, ZOrderLayout}
 import graft.sources.Tables
 
 /** The large-scale training-data-pipeline operator family (builder brief +
@@ -3009,4 +3009,24 @@ object ExtQueries {
         col("rrf_micro").cast("long").as("rrf_micro"),
         col("dense_rk"), col("lex_rk"))
   }
+
+  /** qx80 — BLOCKLIST scan gate: [[graft.operators.AhoCorasick]]'s
+    * single-pass dense DFA over the documents table with a 15-term
+    * blocklist built to stress the automaton (nested suffixes
+    * scan/can/an and table/able, shared stems part/art, and the
+    * self-overlapping cross-word bigram "a a"). Emits per hit-document
+    * the total occurrence count (ALL matches — overlapping and nested
+    * both count), the distinct-pattern count, the 1-based position of
+    * the earliest match and Σ pattern-id over occurrences (`hit_sig`,
+    * which pins per-pattern counts, not just totals). The DuckDB twin
+    * enumerates every (position, pattern) substring comparison
+    * closed-form — it never builds an automaton — so a wrong failure
+    * link, a lost nested match or an off-by-one start position each
+    * break the hash. Scale shape: shuffle-free partition-parallel
+    * scan, O(1)/char independent of blocklist size (a regexp
+    * alternation is O(terms)/char — the difference IS the operator). */
+  def qx80(spark: SparkSession, dir: String): DataFrame =
+    AhoCorasick.scanDF(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      AhoCorasick.GateBlocklist)
 }
