@@ -2177,4 +2177,26 @@ object ExtOracle {
        |       CAST(sum(pid) AS BIGINT) AS hit_sig
        |FROM occ GROUP BY doc_id""".stripMargin
   }
+
+  /** qx81 twin — priority sampling replayed closed-form: the identical
+    * squared-affine hash, the identical one-multiply-one-divide
+    * priority (both IEEE-correctly-rounded, so the doubles are
+    * bit-equal), a row_number over (priority DESC, doc_id ASC) — the
+    * topk_by order — τ read at rank k+1, and the max(w, τ) estimator
+    * floored to micro-units. */
+  val qx81: String =
+    """WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+      |                  (((doc_id * 1000003 + 12345) % 2147483647) *
+      |                   ((doc_id * 1000003 + 12345) % 2147483647)) % 2147483647 AS h
+      |           FROM documents),
+      |p AS (SELECT doc_id, w,
+      |             CAST(w AS DOUBLE) * 2147483647.0 / (CAST(h AS DOUBLE) + 5e-1) AS pri
+      |      FROM d),
+      |r AS (SELECT *, CAST(row_number() OVER
+      |        (ORDER BY pri DESC, doc_id ASC) AS BIGINT) AS rk FROM p),
+      |tau AS (SELECT pri AS tau FROM r WHERE rk = 65)
+      |SELECT rk, doc_id, w,
+      |       CAST(floor(pri * 1e6 + 5e-1) AS BIGINT) AS pri_micro,
+      |       CAST(floor(greatest(CAST(w AS DOUBLE), tau) * 1e6 + 5e-1) AS BIGINT) AS est_micro
+      |FROM r, tau WHERE rk <= 64""".stripMargin
 }

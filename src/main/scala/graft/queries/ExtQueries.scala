@@ -3029,4 +3029,57 @@ object ExtQueries {
     AhoCorasick.scanDF(
       Tables.documents(spark, dir).select(col("doc_id"), col("text")),
       AhoCorasick.GateBlocklist)
+
+  /** qx81 — PRIORITY sampling (Duffield–Lund–Thorup, JACM 2007): the
+    * one-pass WEIGHTED sample the sampling family was missing — qx21
+    * is uniform per stratum, qx27 proportional by stratum SIZE, qx34
+    * temperature-scaled by stratum size; this one weights each
+    * individual document (by n_chars — "sample bytes, not docs", the
+    * correct unit when downstream cost is tokens). Each doc gets
+    * priority pᵢ = wᵢ/uᵢ with uᵢ deterministic-uniform from its id;
+    * the k highest priorities are the sample, and τ = the (k+1)-th
+    * priority yields the scheme's unbiased subset-sum estimator
+    * ŵᵢ = max(wᵢ, τ) — Σ ŵ over any subset of the sample estimates
+    * that subset's true weight. Output: rank, doc, weight, priority
+    * and estimator (micro-units).
+    *
+    * Determinism across engines: u = (h + ½)/2³¹ with h the squared
+    * affine hash ((id·1000003+12345) mod p)² mod p (p = 2³¹−1, the
+    * LSH oracle's nonlinearity trick; products stay < 2⁶³). The
+    * priority w·(2³¹−1)/(h+½) uses one multiply and one divide — both
+    * IEEE-correctly-rounded, so both engines produce the identical
+    * double, and the micro-unit floor is exact. The affine-squared
+    * hash is the gate's deterministic stand-in (same caveat as
+    * qx73's): production would use xxhash64, which is engine-specific.
+    *
+    * Scale shape: the canonical distributed top-k — ONE global
+    * `topk_by` whose partial pass prunes every map task to k+1 rows
+    * before a single k+1-row merge; the sample (65 rows) then
+    * broadcasts back against the corpus to recover weights. No
+    * corpus-sized shuffle at any k; this is the weighted subsample
+    * you can afford per-shard at 100 TB. */
+  def qx81(spark: SparkSession, dir: String): DataFrame = {
+    val K = 64
+    val pri = "CAST(w AS DOUBLE) * 2147483647.0 / (CAST(h AS DOUBLE) + 5e-1)"
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars").cast("long").as("w"))
+      .withColumn("h", expr(
+        s"(($SAMPLE_HASH) * ($SAMPLE_HASH)) % 2147483647"))
+      .withColumn("pri", expr(pri))
+    val top = docs
+      .groupBy()
+      .agg(expr(s"topk_by(pri, doc_id, ${K + 1})").as("tk"))
+      .select(posexplode(col("tk")).as(Seq("p", "t")))
+      .select((col("p") + 1).cast("long").as("rk"),
+        col("t.id").as("doc_id"), col("t.score").as("pri"))
+    val tau = top.where(col("rk") === K + 1)
+      .select(col("pri").as("tau"))
+    val sample = top.where(col("rk") <= K).join(tau) // 64 rows × 1-row tau
+    docs.select("doc_id", "w")
+      .join(broadcast(sample), "doc_id") // corpus scan × broadcast sample
+      .select(col("rk"), col("doc_id"), col("w"),
+        expr("CAST(floor(pri * 1e6 + 5e-1) AS BIGINT)").as("pri_micro"),
+        expr("CAST(floor(greatest(CAST(w AS DOUBLE), tau) * 1e6 + 5e-1) AS BIGINT)")
+          .as("est_micro"))
+  }
 }

@@ -280,6 +280,18 @@ class PlanShapeSpec extends SparkTestBase {
     }.isEmpty, "qx79 must not plan a non-broadcast cartesian product")
   }
 
+  test("qx81: global weighted top-k is the partial aggregate; sample broadcasts back") {
+    // The whole point is one k+1-bounded merge: every map task prunes to
+    // k+1 rows via topk_by's partial pass, and the 64-row sample joins
+    // back against the corpus as the BROADCAST side (a corpus-side
+    // broadcast would ship the table).
+    val plan = sparkPlan("qx81_priority_sample")
+    val s = plan.toString
+    assert(!s.contains("Window"), "qx81 must not rank through a window")
+    assert(s.contains("topk_by"), "global top-k must be the topk_by aggregate")
+    assert(s.contains("BroadcastHashJoin"), "the sample must join back as a broadcast")
+  }
+
   test("qx62: the domain cap is a partial top-k, never a domain window") {
     // A hot domain (the SEO farm the cap exists for) must never funnel
     // its full row set to one partition: the cap has to be topk_by's
