@@ -2112,7 +2112,7 @@ object ExtOracle {
        |  SELECT q.qid, n.vec_id AS doc_id,
        |         CAST(CAST(list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * qv[i])) AS BIGINT) AS DOUBLE)
        |           / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE))) AS cosine
-       |  FROM n CROSS JOIN q WHERE n.vec_id <> q.qid),
+       |  FROM n CROSS JOIN q WHERE n.vec_id <> q.qid AND q.qid < 5000),
        |drk AS (SELECT qid, doc_id,
        |               CAST(row_number() OVER (PARTITION BY qid
        |                 ORDER BY cosine DESC, doc_id ASC) AS BIGINT) AS dense_rk
@@ -2120,7 +2120,8 @@ object ExtOracle {
        |w AS (SELECT doc_id,
        |             unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS word
        |      FROM documents),
-       |qt AS (SELECT DISTINCT doc_id AS qid, word FROM w WHERE doc_id % 50 = 0),
+       |qt AS (SELECT DISTINCT doc_id AS qid, word FROM w
+       |       WHERE doc_id % 50 = 0 AND doc_id < 5000),
        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM w GROUP BY doc_id),
        |st AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n,
        |              (SELECT CAST(count(*) AS BIGINT) FROM w) AS sumdl),

@@ -2949,13 +2949,18 @@ object ExtQueries {
     * with `topk_by` — no rank window ever partitions by query. The
     * fusion input is ≤ 40 rows/query BY CONSTRUCTION (two top-20
     * lists), so the full-outer merge and final top-10 are
-    * metadata-sized regardless of corpus scale. The query set here is
-    * the gate's vec_id % 50 slice; a production query set is an input
-    * table and rides the same broadcasts. */
+    * metadata-sized regardless of corpus scale. The query set is the
+    * gate's vec_id % 50 slice CAPPED at id < 5000 — a production
+    * query set is an INPUT, not a corpus slice, and the cap is what
+    * makes that true at probe scale: uncapped, |queries| grows with n
+    * and the lexical term join is Σ_t df(t)·qf(t) ~ n²/vocab — the
+    * 100× probe OOM'd exactly there (10k queries × head terms). The
+    * cap keeps every gate SF's query set bit-identical (max doc_id at
+    * sf0.1 is 4999) while bounding the probe at 100 queries. */
   def qx79(spark: SparkSession, dir: String): DataFrame = {
     // Dense leg: qx2's scan, k = 20.
     val base = intEmbeddings(spark, dir)
-    val qv = base.where(col("vec_id") % 50 === 0)
+    val qv = base.where(col("vec_id") % 50 === 0 && col("vec_id") < 5000)
       .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("n2").as("qn2"))
     val denseScored = base.crossJoin(broadcast(qv))
       .where(col("vec_id") =!= col("qid"))
@@ -2968,7 +2973,7 @@ object ExtQueries {
     // Lexical leg: BM25 with the query doc's distinct words as terms.
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val words = docs.select(col("doc_id"), explode(expr(WORDS)).as("word"))
-    val qterms = words.where(col("doc_id") % 50 === 0)
+    val qterms = words.where(col("doc_id") % 50 === 0 && col("doc_id") < 5000)
       .select(col("doc_id").as("qid"), col("word")).distinct()
     val terms = qterms.select("word").distinct()
     val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
