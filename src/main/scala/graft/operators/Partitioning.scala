@@ -57,4 +57,29 @@ object Partitioning {
     * two-phase prefix scan relies on). */
   def partitionByRange(df: DataFrame, n: Int, keys: Column*): DataFrame =
     df.repartitionByRange(n, keys: _*)
+
+  /** Rendezvous (highest-random-weight) sharding — Thaler & Ravishankar
+    * 1998: item → argmax over shards of hash(item, shard). Unlike the
+    * mod-N placement `partitionCustom` gives you, growing N → N+1 moves
+    * ONLY the items the new shard wins (an expected 1/(N+1) fraction),
+    * and every mover lands on the new shard — the property that makes
+    * standing shard maps (ANN index cells, per-shard dedup state,
+    * sticky caches) survive a resize without a full reshuffle.
+    *
+    * Determinism across engines: per-shard weight is the squared-affine
+    * hash ((id·1000003 + s·97 + 7) mod p)² mod p (the LSH-family mix),
+    * and the argmax is spelled max(weight·16 + s) mod 16 — a single
+    * integer max whose low bits carry the winner, so there is no
+    * tie-break ambiguity anywhere (n ≤ 16; weights stay < 2³⁵).
+    *
+    * Scale shape: pure scan-local codegen'd expression — no shuffle, no
+    * state; the column then FEEDS `partitionCustom` (one exchange) when
+    * materializing placement. */
+  def rendezvousShard(idCol: String, nShards: Int): Column = {
+    require(nShards >= 1 && nShards <= 16, "1..16 shards (4 winner bits)")
+    val h1 = s"(($idCol * 1000003 + s * 97 + 7) % 2147483647)"
+    org.apache.spark.sql.functions.expr(
+      s"array_max(transform(sequence(0, ${nShards - 1}), " +
+        s"s -> ($h1 * $h1 % 2147483647) * 16 + s)) % 16")
+  }
 }

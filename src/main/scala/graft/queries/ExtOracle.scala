@@ -2200,4 +2200,19 @@ object ExtOracle {
       |       CAST(floor(pri * 1e6 + 5e-1) AS BIGINT) AS pri_micro,
       |       CAST(floor(greatest(CAST(w AS DOUBLE), tau) * 1e6 + 5e-1) AS BIGINT) AS est_micro
       |FROM r, tau WHERE rk <= 64""".stripMargin
+
+  /** qx82 twin — the HRW argmax replayed per (doc, shard) pair: the
+    * identical squared-affine weight, the identical weight·16+s
+    * combined max (so winner selection has no tie ambiguity to
+    * replicate), at N = 8 and N = 9. */
+  val qx82: String =
+    """WITH a AS (SELECT doc_id, s,
+      |             (((doc_id * 1000003 + s * 97 + 7) % 2147483647) *
+      |              ((doc_id * 1000003 + s * 97 + 7) % 2147483647) % 2147483647) * 16 + s AS key
+      |           FROM documents, unnest(range(0, 9)) t(s)),
+      |m8 AS (SELECT doc_id, CAST(max(key) % 16 AS BIGINT) AS shard8 FROM a WHERE s < 8 GROUP BY doc_id),
+      |m9 AS (SELECT doc_id, CAST(max(key) % 16 AS BIGINT) AS shard9 FROM a GROUP BY doc_id)
+      |SELECT doc_id, shard8, shard9,
+      |       CAST(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END AS BIGINT) AS moved
+      |FROM m8 JOIN m9 USING (doc_id)""".stripMargin
 }

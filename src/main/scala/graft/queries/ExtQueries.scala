@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{BloomFilter, Determinism}
-import graft.operators.{AhoCorasick, AudioFingerprint, BpeTrainer, ConnectedComponents, EmbeddingLsh, EmbeddingPca, HtmlCodec, IvfAnn, MultimodalCodec, PageRank, ProductQuantizer, RobotsTxt, SimHashLsh, WarcCodec, WavCodec, ZOrderLayout}
+import graft.operators.{AhoCorasick, AudioFingerprint, BpeTrainer, ConnectedComponents, EmbeddingLsh, EmbeddingPca, HtmlCodec, IvfAnn, MultimodalCodec, PageRank, Partitioning, ProductQuantizer, RobotsTxt, SimHashLsh, WarcCodec, WavCodec, ZOrderLayout}
 import graft.sources.Tables
 
 /** The large-scale training-data-pipeline operator family (builder brief +
@@ -3087,4 +3087,23 @@ object ExtQueries {
         expr("CAST(floor(greatest(CAST(w AS DOUBLE), tau) * 1e6 + 5e-1) AS BIGINT)")
           .as("est_micro"))
   }
+
+  /** qx82 — RENDEZVOUS sharding gate: [[Partitioning.rendezvousShard]]
+    * evaluated at N = 8 and N = 9 over every document, emitting both
+    * assignments and the moved flag. This pins (a) every individual
+    * HRW argmax bit-for-bit (the DuckDB twin replays the weight·16+s
+    * max from the same hash family) and (b) the minimal-movement
+    * CONTRACT — together with the oracle's row hash, `moved = 1 ⟺
+    * shard9 = 8` means a resize relocates only what the new shard
+    * wins (RendezvousShardSpec asserts the implication and the ≈1/9
+    * movement fraction explicitly). Scale shape: two scan-local
+    * codegen'd expressions, zero exchanges — the cheapest gate row in
+    * the suite, because placement must be. */
+  def qx82(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        Partitioning.rendezvousShard("doc_id", 8).cast("long").as("shard8"),
+        Partitioning.rendezvousShard("doc_id", 9).cast("long").as("shard9"))
+      .withColumn("moved",
+        when(col("shard8") =!= col("shard9"), 1L).otherwise(0L))
 }
