@@ -44,8 +44,7 @@ object AhoCorasick {
                            first_pos: Long, hit_sig: Long)
 
   final class Automaton(patterns: IndexedSeq[String]) extends Serializable {
-    require(patterns.nonEmpty && patterns.size <= 64,
-      "1..64 patterns (distinct-pattern tracking uses a Long bitmask)")
+    require(patterns.nonEmpty, "at least one pattern")
     private val A = 128
 
     // Trie build.
@@ -105,11 +104,16 @@ object AhoCorasick {
 
     private val plen: Array[Int] = patterns.map(_.length).toArray
 
-    /** One pass; never materializes the match list. */
-    def stats(docId: Long, text: String): DocHits = {
+    /** One pass; never materializes the match list. The distinct-pattern
+      * bitset is ⌈terms/64⌉ longs, reused across docs in a partition. */
+    def stats(docId: Long, text: String): DocHits =
+      stats(docId, text, new Array[Long]((plen.length + 63) >> 6))
+
+    private[operators] def stats(docId: Long, text: String,
+                                 mask: Array[Long]): DocHits = {
+      java.util.Arrays.fill(mask, 0L)
       var s = 0
       var nHits = 0L
-      var mask = 0L
       var firstPos = Long.MaxValue
       var sig = 0L
       var i = 0
@@ -120,7 +124,7 @@ object AhoCorasick {
         while (j < em.length) {
           val p = em(j)
           nHits += 1
-          mask |= 1L << p
+          mask(p >> 6) |= 1L << (p & 63)
           sig += p + 1
           val start = i + 2 - plen(p) // 1-based
           if (start < firstPos) firstPos = start
@@ -128,8 +132,10 @@ object AhoCorasick {
         }
         i += 1
       }
-      DocHits(docId, nHits, java.lang.Long.bitCount(mask).toLong,
-        if (nHits == 0) 0L else firstPos, sig)
+      var nPat = 0L
+      var m = 0
+      while (m < mask.length) { nPat += java.lang.Long.bitCount(mask(m)); m += 1 }
+      DocHits(docId, nHits, nPat, if (nHits == 0) 0L else firstPos, sig)
     }
   }
 
@@ -142,8 +148,9 @@ object AhoCorasick {
       .as[(Long, String)]
       .mapPartitions { it =>
         val ac = new Automaton(pats)
+        val mask = new Array[Long]((pats.length + 63) >> 6)
         it.flatMap { case (id, text) =>
-          val h = ac.stats(id, text)
+          val h = ac.stats(id, text, mask)
           if (h.n_hits > 0) Some(h) else None
         }
       }
