@@ -71,6 +71,34 @@ class AhoCorasickSpec extends SparkTestBase {
     assert(out == Map(1L -> 3L, 3L -> 6L)) // doc 2 absent
   }
 
+  test("scanDF on a streaming frame equals batch (stateless online twin)") {
+    // The scan is stateless, so the online twin IS the batch operator
+    // applied per micro-batch — no processor, no state, no replay
+    // contract needed beyond the sink's.
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    implicit val enc = Encoders.product[(Long, String)]
+    val input = MemoryStream[(Long, String)]
+    val q = AhoCorasick.scanDF(
+        input.toDS().toDF("doc_id", "text"), AhoCorasick.GateBlocklist)
+      .writeStream.format("memory").queryName("bl_stream")
+      .outputMode("append").option("checkpointLocation", tmpDir("ckpt_bl")).start()
+    try {
+      docs.grouped(docs.size / 3 + 1).foreach { w => input.addData(w); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table("bl_stream").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val want = AhoCorasick.scanDF(
+        graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+          .select($"doc_id", $"text"), AhoCorasick.GateBlocklist)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == want)
+  }
+
   test("gate blocklist on the sf0.001 corpus matches the brute force") {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
