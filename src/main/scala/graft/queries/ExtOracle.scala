@@ -2215,4 +2215,15 @@ object ExtOracle {
       |SELECT doc_id, shard8, shard9,
       |       CAST(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END AS BIGINT) AS moved
       |FROM m8 JOIN m9 USING (doc_id)""".stripMargin
+
+  /** qx83 twin — both epochs' Feistel keys, with the round expression
+    * GENERATED by the same builder the Spark side compiles
+    * ([[graft.operators.EpochShuffle.keyExpr]]); only the integer-
+    * division token differs (`//` here, `div` there). */
+  val qx83: String = {
+    val k1 = graft.operators.EpochShuffle.keyExpr("doc_id", 1, "//")
+    val k2 = graft.operators.EpochShuffle.keyExpr("doc_id", 2, "//")
+    s"""SELECT doc_id, CAST($k1 AS BIGINT) AS k1, CAST($k2 AS BIGINT) AS k2
+       |FROM documents""".stripMargin
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{BloomFilter, Determinism}
-import graft.operators.{AhoCorasick, AudioFingerprint, BpeTrainer, ConnectedComponents, EmbeddingLsh, EmbeddingPca, HtmlCodec, IvfAnn, MultimodalCodec, PageRank, Partitioning, ProductQuantizer, RobotsTxt, SimHashLsh, WarcCodec, WavCodec, ZOrderLayout}
+import graft.operators.{AhoCorasick, AudioFingerprint, BpeTrainer, ConnectedComponents, EmbeddingLsh, EmbeddingPca, EpochShuffle, HtmlCodec, IvfAnn, MultimodalCodec, PageRank, Partitioning, ProductQuantizer, RobotsTxt, SimHashLsh, WarcCodec, WavCodec, ZOrderLayout}
 import graft.sources.Tables
 
 /** The large-scale training-data-pipeline operator family (builder brief +
@@ -3106,4 +3106,23 @@ object ExtQueries {
         Partitioning.rendezvousShard("doc_id", 9).cast("long").as("shard9"))
       .withColumn("moved",
         when(col("shard8") =!= col("shard9"), 1L).otherwise(0L))
+
+  /** qx83 — EPOCH-SHUFFLE gate: [[graft.operators.EpochShuffle]]'s
+    * Feistel permutation keys for epochs 1 and 2 over every document
+    * — the reproducible global training-order shuffle (sort by a
+    * collision-free key any worker recomputes from the id alone; no
+    * RNG state, no stored random column, a fresh order per epoch).
+    * Both keys are hash-pinned per doc; EpochShuffleSpec asserts the
+    * structural guarantees (bijectivity — distinct ids ⇒ distinct
+    * keys — and epoch decorrelation) that ranking by a RAW hash
+    * cannot give (birthday collisions make raw-hash order engine-
+    * tie-broken, i.e. silently non-reproducible). The oracle twin is
+    * generated from the SAME round builder, `div` spelling aside.
+    * Scale shape: scan-local codegen'd integer ops; materializing an
+    * epoch's order is one range exchange on the key (the qx53 class). */
+  def qx83(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        EpochShuffle.shuffleKey("doc_id", 1).cast("long").as("k1"),
+        EpochShuffle.shuffleKey("doc_id", 2).cast("long").as("k2"))
 }
