@@ -22,7 +22,9 @@ object Explain {
         "qx59_lm_surprisal", "qx61_bpe_tokenize", "qx62_domain_cap",
         "qx63_quality_classifier", "qx70_span_dedup", "qx71_pagerank",
         "qx72_robots_filter", "qx73_hll_registers", "qx74_eval_overlap",
-        "qx75_authority_cap", "qx76_audio_neardup", "qx77_wet_funnel")
+        "qx75_authority_cap", "qx76_audio_neardup", "qx77_wet_funnel",
+        "qx78_zorder3", "qx79_hybrid_rrf", "qx81_priority_sample",
+        "qx82_rendezvous_shard", "qx83_epoch_shuffle")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
