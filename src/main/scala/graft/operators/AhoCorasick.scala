@@ -27,8 +27,12 @@ import org.apache.spark.sql.functions.col
   * the scan loop never walks fail links) and (b) each state's emitted
   * pattern set precomputed by merging its own terminals with its fail
   * state's set (BFS order makes the parent set final before the
-  * child). Alphabet is ASCII (the documented documents.text contract,
-  * qx68): chars are masked to 7 bits.
+  * child). Alphabet: patterns must be 7-bit ASCII below DEL; text may
+  * be ANY Unicode — every char ≥ 0x7F routes to a reserved dead class
+  * (127) that no pattern can contain, so a non-ASCII char simply
+  * breaks any match in progress instead of ALIASING into one (a plain
+  * 7-bit mask would make 'é' (0xE9) match 'i' (0x69) — a false
+  * positive, the wrong failure mode for a blocklist).
   *
   * Scale shape: partition-parallel mapPartitions, no shuffle — the
   * automaton rebuilds per partition from the pattern list (O(states ·
@@ -45,7 +49,13 @@ object AhoCorasick {
 
   final class Automaton(patterns: IndexedSeq[String]) extends Serializable {
     require(patterns.nonEmpty, "at least one pattern")
+    require(patterns.forall(_.forall(_ < 0x7f)),
+      "patterns must be 7-bit ASCII below DEL (text may be any Unicode)")
     private val A = 128
+
+    /** Text chars ≥ DEL collapse to the reserved dead class no pattern
+      * holds: they can never extend or alias a match. */
+    @inline private def clazz(c: Char): Int = if (c < 0x7f) c else 0x7f
 
     // Trie build.
     private var cap = 16
@@ -118,7 +128,7 @@ object AhoCorasick {
       var sig = 0L
       var i = 0
       while (i < text.length) {
-        s = delta(s)(text.charAt(i) & 0x7f)
+        s = delta(s)(clazz(text.charAt(i)))
         val em = emit(s)
         var j = 0
         while (j < em.length) {

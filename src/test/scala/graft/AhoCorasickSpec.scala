@@ -56,6 +56,17 @@ class AhoCorasickSpec extends SparkTestBase {
     }
   }
 
+  test("non-ASCII text never aliases into a match") {
+    // 'é' (0xE9) masks to 'i' (0x69) under a naive 7-bit fold — the
+    // automaton must treat it as a dead class instead.
+    val ac = new Automaton(IndexedSeq("in"))
+    assert(ac.stats(0L, "én").n_hits == 0L, "aliased match on é→i")
+    assert(ac.stats(0L, "in én in").n_hits == 2L)
+    // A non-ASCII char breaks a match in progress.
+    assert(ac.stats(0L, "ién").n_hits == 0L)
+    intercept[IllegalArgumentException](new Automaton(IndexedSeq("café")))
+  }
+
   test("empty and missing texts produce no hits") {
     val ac = new Automaton(IndexedSeq("zz"))
     assert(ac.stats(0L, "") == DocHits(0L, 0L, 0L, 0L, 0L))
