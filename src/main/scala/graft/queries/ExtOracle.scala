@@ -2226,4 +2226,102 @@ object ExtOracle {
     s"""SELECT doc_id, CAST($k1 AS BIGINT) AS k1, CAST($k2 AS BIGINT) AS k2
        |FROM documents""".stripMargin
   }
+
+  /** qx84 twin — the Gopher rule screen replayed rule-for-rule in the
+    * same integer cross-multiplied thresholds; translate()-deletion for
+    * alpha detection matches Spark's exactly (no regex dialect). */
+  val qx84: String =
+    """WITH d AS (SELECT lang, source,
+      |             list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+      |           FROM documents),
+      |s AS (SELECT lang, source,
+      |        CAST(len(ws) AS BIGINT) AS n_words,
+      |        CAST(list_sum([CAST(0 AS BIGINT)] || list_transform(ws, w -> CAST(length(w) AS BIGINT))) AS BIGINT) AS sum_wc,
+      |        CAST(len(list_filter(ws, w -> w IN ('the', 'a'))) AS BIGINT) AS n_stop,
+      |        CAST(len(list_filter(ws, w -> length(translate(w, 'abcdefghijklmnopqrstuvwxyz', '')) < length(w))) AS BIGINT) AS n_alpha,
+      |        CAST(len(list_filter(ws, w -> contains(w, '#') OR contains(w, '...'))) AS BIGINT) AS n_sym
+      |      FROM d),
+      |f AS (SELECT lang, source, n_words,
+      |        CASE WHEN n_words BETWEEN 50 AND 100000 THEN 0 ELSE 1 END AS f1,
+      |        CASE WHEN 3 * n_words <= sum_wc AND sum_wc <= 10 * n_words THEN 0 ELSE 1 END AS f2,
+      |        CASE WHEN 10 * n_sym <= n_words THEN 0 ELSE 1 END AS f3,
+      |        CASE WHEN 5 * n_alpha >= 4 * n_words THEN 0 ELSE 1 END AS f4,
+      |        CASE WHEN n_stop >= 2 THEN 0 ELSE 1 END AS f5
+      |      FROM s),
+      |m AS (SELECT *, f1 + 2*f2 + 4*f3 + 8*f4 + 16*f5 AS mask,
+      |             CASE WHEN f1 + f2 + f3 + f4 + f5 = 0 THEN 1 ELSE 0 END AS pass
+      |      FROM f)
+      |SELECT lang, source,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(pass) AS BIGINT) AS n_pass,
+      |       CAST(sum(f1) AS BIGINT) AS f_nwords,
+      |       CAST(sum(f2) AS BIGINT) AS f_meanlen,
+      |       CAST(sum(f3) AS BIGINT) AS f_symbol,
+      |       CAST(sum(f4) AS BIGINT) AS f_alpha,
+      |       CAST(sum(f5) AS BIGINT) AS f_stop,
+      |       CAST(sum(mask) AS BIGINT) AS mask_sum,
+      |       CAST(sum(pass * n_words) AS BIGINT) AS kept_tokens
+      |FROM m GROUP BY lang, source""".stripMargin
+
+  /** qx85 twin — the CDC chunker replayed char-for-char: the same
+    * guarded end-position filter (window W=8, residue 17 mod 64), the
+    * same [0]+ends+[n] pair walk, both Horner chunk hashes (31/131),
+    * then the identical two-level per-source accounting. */
+  val qx85: String =
+    s"""WITH cd AS (SELECT doc_id, source, string_split(text, '') AS cs FROM documents),
+       |b AS (SELECT doc_id, source, cs, CAST(len(cs) AS BIGINT) AS n,
+       |        CASE WHEN len(cs) >= 8 THEN
+       |          list_filter(range(8, len(cs) + 1),
+       |            i -> list_reduce([CAST(0 AS BIGINT)] ||
+       |                   list_transform(list_slice(cs, i - 7, i), c -> CAST(ascii(c) AS BIGINT)),
+       |                   (a, x) -> (a * 31 + x) % $P) % 64 = 17)
+       |        ELSE [] END AS ends
+       |      FROM cd),
+       |bp AS (SELECT doc_id, source, cs,
+       |         ([CAST(0 AS BIGINT)] || ends || [n]) AS bpos FROM b),
+       |pr AS (SELECT doc_id, source, cs, unnest(
+       |         list_filter(list_transform(range(2, len(bpos) + 1),
+       |           j -> {'start': bpos[j - 1] + 1, 'len': bpos[j] - bpos[j - 1]}),
+       |           c -> c.len > 0)) AS c
+       |       FROM bp),
+       |ck AS (SELECT source, c.len AS len,
+       |         list_reduce([CAST(0 AS BIGINT)] || list_transform(
+       |             list_slice(cs, c.start, c.start + c.len - 1), ch -> CAST(ascii(ch) AS BIGINT)),
+       |           (a, x) -> (a * 31 + x) % $P) AS ch1,
+       |         list_reduce([CAST(0 AS BIGINT)] || list_transform(
+       |             list_slice(cs, c.start, c.start + c.len - 1), ch -> CAST(ascii(ch) AS BIGINT)),
+       |           (a, x) -> (a * 131 + x) % $P) AS ch2
+       |       FROM pr),
+       |g AS (SELECT source, ch1, ch2, len, CAST(count(*) AS BIGINT) AS n_occ
+       |      FROM ck GROUP BY 1, 2, 3, 4)
+       |SELECT source,
+       |       CAST(sum(n_occ) AS BIGINT) AS n_chunks,
+       |       CAST(count(*) AS BIGINT) AS n_distinct,
+       |       CAST(sum(len * n_occ) AS BIGINT) AS sum_bytes,
+       |       CAST(sum(len * (n_occ - 1)) AS BIGINT) AS dup_bytes,
+       |       CAST(sum(((ch1 * 1009 + len) % $P) * n_occ) AS BIGINT) AS chunk_sig
+       |FROM g GROUP BY source""".stripMargin
+
+  /** qx86 twin — posting lists rebuilt by ordered list() aggregation,
+    * the same first-docid+1 / gap delta codes, the same Horner checksum
+    * and ⌈bits/7⌉ varint size (`//` for Spark's `div`). */
+  val qx86: String =
+    s"""WITH d AS (SELECT doc_id,
+       |             list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+       |           FROM documents),
+       |e AS (SELECT doc_id, unnest(ws) AS term FROM d),
+       |tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM e GROUP BY 1, 2),
+       |p AS (SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+       |             list(doc_id ORDER BY doc_id) AS ds
+       |      FROM tf GROUP BY term),
+       |g AS (SELECT term, df, cf, ds,
+       |        list_transform(range(1, len(ds) + 1),
+       |          j -> CASE WHEN j = 1 THEN ds[1] + 1 ELSE ds[j] - ds[j - 1] END) AS gaps
+       |      FROM p)
+       |SELECT term, df, cf, CAST(ds[1] AS BIGINT) AS first_doc,
+       |       CAST(list_reduce([CAST(0 AS BIGINT)] || gaps,
+       |              (a, g2) -> (a * 1009 + g2) % $P) AS BIGINT) AS gap_checksum,
+       |       CAST(list_reduce([CAST(0 AS BIGINT)] || gaps,
+       |              (a, g2) -> a + (length(bin(g2)) + 6) // 7) AS BIGINT) AS varint_bytes
+       |FROM g""".stripMargin
 }

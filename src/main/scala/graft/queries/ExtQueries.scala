@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{BloomFilter, Determinism}
-import graft.operators.{AhoCorasick, AudioFingerprint, BpeTrainer, ConnectedComponents, EmbeddingLsh, EmbeddingPca, EpochShuffle, HtmlCodec, IvfAnn, MultimodalCodec, PageRank, Partitioning, ProductQuantizer, RobotsTxt, SimHashLsh, WarcCodec, WavCodec, ZOrderLayout}
+import graft.operators.{AhoCorasick, AudioFingerprint, BpeTrainer, CdcChunker, ConnectedComponents, EmbeddingLsh, EmbeddingPca, EpochShuffle, GopherRules, HtmlCodec, InvertedIndex, IvfAnn, MultimodalCodec, PageRank, Partitioning, ProductQuantizer, RobotsTxt, SimHashLsh, WarcCodec, WavCodec, ZOrderLayout}
 import graft.sources.Tables
 
 /** The large-scale training-data-pipeline operator family (builder brief +
@@ -3125,4 +3125,64 @@ object ExtQueries {
       .select(col("doc_id"),
         EpochShuffle.shuffleKey("doc_id", 1).cast("long").as("k1"),
         EpochShuffle.shuffleKey("doc_id", 2).cast("long").as("k2"))
+
+  /** qx84 — the GOPHER rule screen ([[GopherRules]]): the published
+    * heuristic quality gate (Rae et al. 2021, App. A1.1) evaluated per
+    * document in pure-integer cross-multiplied form and aggregated per
+    * (lang, source) — per-rule kill counts, the pass count, the Σ of
+    * per-doc fail bitmasks (which pins the rule VECTOR distribution,
+    * not just marginals) and the surviving token budget. On this
+    * synthetic corpus rules 3/4 are structurally satisfied (no symbol
+    * runs, all-alpha vocabulary — the qx8 honesty note applies); rules
+    * 1/2/5 do live filtering. Scale shape: one scan, one 100-group
+    * map-side-combinable aggregate — the cheapest possible screen,
+    * which is the point of running heuristics before classifiers. */
+  def qx84(spark: SparkSession, dir: String): DataFrame =
+    GopherRules.withRuleColumns(Tables.documents(spark, dir))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("pass").as("n_pass"),
+        sum("f1").as("f_nwords"),
+        sum("f2").as("f_meanlen"),
+        sum("f3").as("f_symbol"),
+        sum("f4").as("f_alpha"),
+        sum("f5").as("f_stop"),
+        sum("mask").as("mask_sum"),
+        sum(col("pass") * col("n_words")).as("kept_tokens"))
+
+  /** qx85 — content-defined chunk dedup accounting ([[CdcChunker]]):
+    * every document splits at rolling-hash boundaries (LBFS/FastCDC
+    * family — see the operator scaladoc), and per SOURCE the chunk
+    * store reports volume, distinct-chunk count, the bytes a
+    * chunk-level dedup store would save (Σ len·(occ−1)), and an
+    * order-free Σ-sig over (hash, len) that pins every chunk hash. The
+    * within-source spelling is the SHARD-level dedup a 100 TB store
+    * runs before global reconciliation. Scale shape: scan-local
+    * chunking (no exchange until the identity groupBy), two
+    * partial-aggregated shuffles, 20 output rows. */
+  def qx85(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = CdcChunker.chunks(
+      Tables.documents(spark, dir).select(col("doc_id"), col("source"), col("text")))
+    chunks
+      .groupBy("source", "ch1", "ch2", "len")
+      .agg(count(lit(1)).as("n_occ"))
+      .groupBy("source")
+      .agg(sum("n_occ").as("n_chunks"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("len") * col("n_occ")).as("sum_bytes"),
+        sum(col("len") * (col("n_occ") - 1L)).as("dup_bytes"),
+        sum(((col("ch1") * 1009L + col("len")) % CdcChunker.P) * col("n_occ"))
+          .as("chunk_sig"))
+  }
+
+  /** qx86 — inverted-index build ([[InvertedIndex]]): per term, df/cf,
+    * the delta-gap posting checksum and the LEB128 varint byte size of
+    * the encoded list — the segment-build accounting behind qx54/qx79's
+    * scoring. The Horner gap checksum is ORDER-sensitive, so a wrong
+    * sort, a missed docid or an off-by-one delta each break the hash;
+    * varint sizing pins the bit-length arithmetic. 31 output rows (the
+    * corpus vocabulary). */
+  def qx86(spark: SparkSession, dir: String): DataFrame =
+    InvertedIndex.build(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
 }
