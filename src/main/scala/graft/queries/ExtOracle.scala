@@ -2302,6 +2302,65 @@ object ExtOracle {
        |       CAST(sum(((ch1 * 1009 + len) % $P) * n_occ) AS BIGINT) AS chunk_sig
        |FROM g GROUP BY source""".stripMargin
 
+  /** qx87 twin — the Hilbert walk replayed as 16 chained CTEs GENERATED
+    * by the same per-plane builder the Spark side stages
+    * ([[graft.operators.HilbertCurve.sqlStages]]; xor/div spellings
+    * aside, the expressions are byte-identical), over the DISTINCT
+    * (x, y) grid points, joined back for the bucket witnesses (the
+    * qx78 twin's shape). */
+  val qx87: String = {
+    val (ctes, last) = graft.operators.HilbertCurve.sqlStages(
+      graft.operators.HilbertCurve.Order, "q", Seq("x", "y"))
+    s"""WITH t AS (SELECT CAST(floor(l_extendedprice) AS BIGINT) % 65536 AS x,
+       |                  l_orderkey % 65536 AS y FROM lineitem),
+       |xy AS (SELECT DISTINCT x, y FROM t),
+       |q AS (SELECT x, y, x AS hx, y AS hy, CAST(0 AS BIGINT) AS hd FROM xy),
+       |$ctes,
+       |j AS (SELECT t.x, t.y, w.hd AS hv
+       |      FROM t JOIN $last w USING (x, y))
+       |SELECT hv >> 24 AS bucket, CAST(count(*) AS BIGINT) AS cnt,
+       |       CAST(sum(hv) AS BIGINT) AS sum_h,
+       |       CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
+       |       CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y
+       |FROM j GROUP BY 1""".stripMargin
+  }
+
+  /** qx88 twin — the UniMax waterfill replayed window-for-window: the
+    * same (cap, lang) sort, the same monotone capped-prefix pin, the
+    * same floor-share + remainder-to-first integer split. */
+  val qx88: String =
+    """WITH lt AS (SELECT lang,
+      |              CAST(sum(len(list_filter(string_split(text, ' '), w -> length(w) > 0))) AS BIGINT) AS avail
+      |            FROM documents GROUP BY lang),
+      |c AS (SELECT lang, avail, avail * 1 AS cap,
+      |             sum(avail) OVER () AS tot,
+      |             CAST(count(*) OVER () AS BIGINT) AS nlang,
+      |             CAST(row_number() OVER (ORDER BY avail * 1, lang) AS BIGINT) AS i,
+      |             COALESCE(sum(avail * 1) OVER (ORDER BY avail * 1, lang
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s_prev
+      |      FROM lt),
+      |f AS (SELECT *, tot * 4 // 5 AS budget,
+      |             CASE WHEN cap * (nlang - i + 1) <= tot * 4 // 5 - s_prev
+      |                  THEN 1 ELSE 0 END AS capped_raw
+      |      FROM c),
+      |g AS (SELECT *, CASE WHEN sum(1 - capped_raw) OVER (ORDER BY cap, lang
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 0
+      |             THEN 1 ELSE 0 END AS capped
+      |      FROM f),
+      |h AS (SELECT *, sum(capped) OVER () AS t,
+      |             COALESCE(sum(CASE WHEN capped = 1 THEN cap END) OVER (), 0) AS s_t
+      |      FROM g),
+      |k AS (SELECT *, nlang - t AS n_free,
+      |             CASE WHEN nlang - t > 0 THEN (budget - s_t) // (nlang - t) ELSE 0 END AS share,
+      |             CASE WHEN nlang - t > 0 THEN (budget - s_t) % (nlang - t) ELSE 0 END AS rem
+      |      FROM h)
+      |SELECT lang, avail, CAST(cap AS BIGINT) AS cap,
+      |       CAST(CASE WHEN capped = 1 THEN cap
+      |                 ELSE share + CASE WHEN i - t <= rem THEN 1 ELSE 0 END END AS BIGINT) AS alloc,
+      |       CAST((CASE WHEN capped = 1 THEN cap
+      |                  ELSE share + CASE WHEN i - t <= rem THEN 1 ELSE 0 END END) * 1000000 // avail AS BIGINT) AS epochs_micro
+      |FROM k""".stripMargin
+
   /** qx86 twin — posting lists rebuilt by ordered list() aggregation,
     * the same first-docid+1 / gap delta codes, the same Horner checksum
     * and ⌈bits/7⌉ varint size (`//` for Spark's `div`). */

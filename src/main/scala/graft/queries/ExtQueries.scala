@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{BloomFilter, Determinism}
-import graft.operators.{AhoCorasick, AudioFingerprint, BpeTrainer, CdcChunker, ConnectedComponents, EmbeddingLsh, EmbeddingPca, EpochShuffle, GopherRules, HtmlCodec, InvertedIndex, IvfAnn, MultimodalCodec, PageRank, Partitioning, ProductQuantizer, RobotsTxt, SimHashLsh, WarcCodec, WavCodec, ZOrderLayout}
+import graft.operators.{AhoCorasick, AudioFingerprint, BpeTrainer, CdcChunker, ConnectedComponents, EmbeddingLsh, EmbeddingPca, EpochShuffle, GopherRules, HilbertCurve, HtmlCodec, InvertedIndex, IvfAnn, MultimodalCodec, PageRank, Partitioning, ProductQuantizer, RobotsTxt, SimHashLsh, UniMax, WarcCodec, WavCodec, ZOrderLayout}
 import graft.sources.Tables
 
 /** The large-scale training-data-pipeline operator family (builder brief +
@@ -3185,4 +3185,43 @@ object ExtQueries {
   def qx86(spark: SparkSession, dir: String): DataFrame =
     InvertedIndex.build(
       Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+
+  /** qx87 — HILBERT layout gate ([[HilbertCurve]]), the locality-
+    * optimal companion of qx53/qx78's Morton weave: price×orderkey
+    * quantized to the 2¹⁶ grid, the 32-bit Hilbert index per row, and
+    * per 2²⁴-wide index bucket the same hyper-rectangle witnesses as
+    * qx78 (count, Σ index, min/max per dim) — the min/max file stats a
+    * curve-ordered layout exists to shrink. The per-bit rotation walk
+    * is staged as 16 simultaneous scan-local projections (one nested
+    * expression would duplicate exponentially — the shingleRows
+    * lesson); the oracle twin chains 16 GENERATED CTEs from the same
+    * stage builder. [[HilbertCurveSpec]] proves the curve property
+    * itself (adjacent-d ⇒ unit step) and measures the locality edge
+    * over Z-order on this very projection. */
+  def qx87(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.lineitem(spark, dir).select(
+      pmod(floor(col("l_extendedprice")).cast("long"), lit(65536L)).as("x"),
+      pmod(col("l_orderkey"), lit(65536L)).as("y"))
+    HilbertCurve.withHilbert(pts, "x", "y", "hv")
+      .groupBy(shiftright(col("hv"), 24).as("bucket"))
+      .agg(count(lit(1)).as("cnt"), sum("hv").as("sum_h"),
+        min("x").as("min_x"), max("x").as("max_x"),
+        min("y").as("min_y"), max("y").as("max_y"))
+  }
+
+  /** qx88 — UNIMAX language-budget allocation ([[UniMax]]): per-lang
+    * token counts (ONE map-side-combinable scan — the only
+    * corpus-scale work), then the paper's uniform-up-to-epoch-cap
+    * waterfill in closed sorted-window form at E = 1 epoch and an 80%
+    * token budget. On this corpus en holds ~37% of tokens, so the
+    * four low-resource languages cap at one epoch and en absorbs the
+    * leftover — both branches of the allocator are live, and the
+    * integer split (floor share + remainder to the first uncapped
+    * languages) makes Σ alloc = budget EXACT in both engines. */
+  def qx88(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("lang"), expr(s"size($WORDS)").cast("long").as("nt"))
+      .groupBy("lang").agg(sum("nt").as("avail"))
+    UniMax.allocate(toks, epochsCap = 1L, budgetNum = 4L, budgetDen = 5L)
+  }
 }
