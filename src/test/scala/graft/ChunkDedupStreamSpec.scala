@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.CdcChunker
+import graft.streaming.ChunkDedupStream
+import graft.streaming.ChunkDedupStream.ChunkObs
+
+/** Streaming chunk-store admission ([[ChunkDedupStream]]) — the online
+  * qx85: chunk verdicts folded per source equal the batch accounting
+  * exactly, across micro-batch splits and replay. */
+class ChunkDedupStreamSpec extends SparkTestBase {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streamed store fold equals batch qx85 across splits and replay") {
+    val batch = SparkEntry.queries("qx85_cdc_chunks")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+
+    val obs = CdcChunker.chunks(
+        spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("source"), col("text")))
+      .collect()
+      .map(r => ChunkObs(r.getAs[String]("source"), r.getAs[Long]("ch1"),
+        r.getAs[Long]("ch2"), r.getAs[Long]("len"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("start")))
+      .toSeq.sortBy(o => (o.doc_id, o.start))
+
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[ChunkObs]
+    val input = MemoryStream[ChunkObs]
+    val q = ChunkDedupStream.admit(input.toDS())
+      .writeStream.format("memory").queryName("chunk_stream")
+      .outputMode("update").option("checkpointLocation", tmpDir("ckpt_cd")).start()
+    try {
+      obs.grouped(obs.size / 5 + 1).foreach { w =>
+        input.addData(w); q.processAllAvailable()
+      }
+      input.addData(obs.take(200)); q.processAllAvailable() // replay
+    } finally q.stop()
+
+    val verdicts = spark.table("chunk_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getBoolean(5)))
+    // replay emitted nothing new: one verdict per (doc, start)
+    assert(verdicts.groupBy(v => (v._2, v._3)).forall(_._2.length == 1),
+      "replayed occurrences must not re-emit")
+    val got = verdicts.groupBy(_._1).map { case (src, vs) =>
+      src -> (vs.length.toLong, vs.count(_._6).toLong,
+        vs.map(_._4).sum, vs.filter(_._5).map(_._4).sum)
+    }
+    assert(got == batch,
+      s"online accounting diverged from batch qx85:\n got=$got\n want=$batch")
+  }
+
+  test("the standing store counts duplicate arrivals per identity, first wins") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[ChunkObs]
+    val a = ChunkObs("s", 7L, 9L, 64L, 1L, 1L)
+    val b = ChunkObs("s", 7L, 9L, 64L, 2L, 10L) // same identity, later doc
+    val c = ChunkObs("s", 8L, 9L, 64L, 2L, 80L) // different identity
+    val input = MemoryStream[ChunkObs]
+    val q = ChunkDedupStream.admit(input.toDS())
+      .writeStream.format("memory").queryName("chunk_stream2")
+      .outputMode("update").option("checkpointLocation", tmpDir("ckpt_cd2")).start()
+    try {
+      input.addData(Seq(a)); q.processAllAvailable()
+      input.addData(Seq(b, c)); q.processAllAvailable()
+      input.addData(Seq(a)); q.processAllAvailable() // sub-cursor re-delivery
+    } finally q.stop()
+    val rows = spark.table("chunk_stream2").collect()
+      .map(r => (r.getLong(1), r.getBoolean(4), r.getBoolean(5))).toSet
+    assert(rows == Set((1L, false, true), (2L, true, false), (2L, false, true)))
+  }
+}
