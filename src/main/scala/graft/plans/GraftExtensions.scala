@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomAgg, LongDotProduct, PqAdc, TopKBy, ZOrder2, ZOrderN}
+import graft.functions.{BloomAgg, Hilbert2, LongDotProduct, PqAdc, TopKBy, ZOrder2, ZOrderN}
 
 /** Engine extension point: registers the custom Catalyst expressions with
   * the session's FunctionRegistry, so SQL/expr() can call them by name.
@@ -48,6 +48,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length >= 2 && children.length <= 4,
           "zordern expects 2 to 4 arguments")
         ZOrderN(children)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("hilbert2"),
+      new ExpressionInfo(classOf[Hilbert2].getName, "hilbert2"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "hilbert2 expects exactly 2 arguments")
+        Hilbert2(children.head, children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("topk_by"),

@@ -3191,18 +3191,19 @@ object ExtQueries {
     * quantized to the 2¹⁶ grid, the 32-bit Hilbert index per row, and
     * per 2²⁴-wide index bucket the same hyper-rectangle witnesses as
     * qx78 (count, Σ index, min/max per dim) — the min/max file stats a
-    * curve-ordered layout exists to shrink. The per-bit rotation walk
-    * is staged as 16 simultaneous scan-local projections (one nested
-    * expression would duplicate exponentially — the shingleRows
-    * lesson); the oracle twin chains 16 GENERATED CTEs from the same
-    * stage builder. [[HilbertCurveSpec]] proves the curve property
-    * itself (adjacent-d ⇒ unit step) and measures the locality edge
-    * over Z-order on this very projection. */
+    * curve-ordered layout exists to shrink. The hot path is the
+    * codegen'd `hilbert2` kernel ([[graft.functions.Hilbert2]] —
+    * measured 4.2 s → zorder-class as 16 staged CASE projections vs
+    * one tight loop); the oracle twin chains 16 GENERATED CTEs from
+    * [[HilbertCurve]]'s per-stage builder, and the spec pins kernel ==
+    * staged plan == Scala reference. [[HilbertCurveSpec]] also proves
+    * the curve property itself (adjacent-d ⇒ unit step) and measures
+    * the locality edge over Z-order. */
   def qx87(spark: SparkSession, dir: String): DataFrame = {
     val pts = Tables.lineitem(spark, dir).select(
       pmod(floor(col("l_extendedprice")).cast("long"), lit(65536L)).as("x"),
       pmod(col("l_orderkey"), lit(65536L)).as("y"))
-    HilbertCurve.withHilbert(pts, "x", "y", "hv")
+    pts.withColumn("hv", expr("hilbert2(x, y)"))
       .groupBy(shiftright(col("hv"), 24).as("bucket"))
       .agg(count(lit(1)).as("cnt"), sum("hv").as("sum_h"),
         min("x").as("min_x"), max("x").as("max_x"),

@@ -28,16 +28,17 @@ class HilbertCurveSpec extends SparkTestBase {
     }
   }
 
-  test("the staged Spark walk equals the Scala reference at full order") {
+  test("staged walk == hilbert2 kernel == Scala reference at full order") {
     import spark.implicits._
     val probe = Seq((0L, 0L), (65535L, 65535L), (1L, 0L), (0L, 1L),
       (32768L, 17L), (12345L, 54321L), (65535L, 0L), (40000L, 40000L))
     val df = HilbertCurve.withHilbert(probe.toDF("x", "y"), "x", "y", "hv")
-    val got = df.select("x", "y", "hv").collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      .withColumn("hk", expr("hilbert2(x, y)"))
+    val got = df.select("x", "y", "hv", "hk").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
     probe.foreach { case (x, y) =>
-      assert(got((x, y)) == HilbertCurve.xy2d(HilbertCurve.Order, x, y),
-        s"($x,$y)")
+      val want = HilbertCurve.xy2d(HilbertCurve.Order, x, y)
+      assert(got((x, y)) == ((want, want)), s"($x,$y)")
     }
   }
 
