@@ -2325,11 +2325,11 @@ object ExtOracle {
        |FROM j GROUP BY 1""".stripMargin
   }
 
-  /** qx88 twin — the UniMax waterfill replayed window-for-window: the
-    * same (cap, lang) sort, the same monotone capped-prefix pin, the
-    * same floor-share + remainder-to-first integer split. */
-  val qx88: String =
-    """WITH lt AS (SELECT lang,
+  /** The qx88 allocation chain as a reusable CTE block (qx89 schedules
+    * on top of it): ends at `k`, whose alloc expression is repeated in
+    * both consumers below. */
+  private val UNIMAX_CHAIN: String =
+    """lt AS (SELECT lang,
       |              CAST(sum(len(list_filter(string_split(text, ' '), w -> length(w) > 0))) AS BIGINT) AS avail
       |            FROM documents GROUP BY lang),
       |c AS (SELECT lang, avail, avail * 1 AS cap,
@@ -2353,13 +2353,50 @@ object ExtOracle {
       |k AS (SELECT *, nlang - t AS n_free,
       |             CASE WHEN nlang - t > 0 THEN (budget - s_t) // (nlang - t) ELSE 0 END AS share,
       |             CASE WHEN nlang - t > 0 THEN (budget - s_t) % (nlang - t) ELSE 0 END AS rem
-      |      FROM h)
-      |SELECT lang, avail, CAST(cap AS BIGINT) AS cap,
-      |       CAST(CASE WHEN capped = 1 THEN cap
-      |                 ELSE share + CASE WHEN i - t <= rem THEN 1 ELSE 0 END END AS BIGINT) AS alloc,
-      |       CAST((CASE WHEN capped = 1 THEN cap
-      |                  ELSE share + CASE WHEN i - t <= rem THEN 1 ELSE 0 END END) * 1000000 // avail AS BIGINT) AS epochs_micro
-      |FROM k""".stripMargin
+      |      FROM h)""".stripMargin
+
+  /** qx88 twin — the UniMax waterfill replayed window-for-window: the
+    * same (cap, lang) sort, the same monotone capped-prefix pin, the
+    * same floor-share + remainder-to-first integer split. */
+  val qx88: String =
+    s"""WITH $UNIMAX_CHAIN
+       |SELECT lang, avail, CAST(cap AS BIGINT) AS cap,
+       |       CAST(CASE WHEN capped = 1 THEN cap
+       |                 ELSE share + CASE WHEN i - t <= rem THEN 1 ELSE 0 END END AS BIGINT) AS alloc,
+       |       CAST((CASE WHEN capped = 1 THEN cap
+       |                  ELSE share + CASE WHEN i - t <= rem THEN 1 ELSE 0 END END) * 1000000 // avail AS BIGINT) AS epochs_micro
+       |FROM k""".stripMargin
+
+  /** qx89 twin — the mixture schedule by its DEFINITION: the same
+    * unique stride deadlines, but positions from an ORDER BY d window
+    * rank (the formulation the engine's closed form must equal — a
+    * cross-validating oracle, not a replay), then the same per-language
+    * audit fold. */
+  val qx89: String =
+    s"""WITH $UNIMAX_CHAIN,
+       |al AS (SELECT lang,
+       |         CAST(CASE WHEN capped = 1 THEN cap
+       |              ELSE share + CASE WHEN i - t <= rem THEN 1 ELSE 0 END END AS BIGINT) AS alloc
+       |       FROM k),
+       |l2 AS (SELECT lang, alloc,
+       |         CAST(row_number() OVER (ORDER BY lang) AS BIGINT) - 1 AS idx,
+       |         CAST(count(*) OVER () AS BIGINT) AS ll,
+       |         CAST(sum(alloc) OVER () AS BIGINT) AS bb
+       |       FROM al WHERE alloc > 0),
+       |tok AS (SELECT lang, alloc, idx, ll, bb, CAST(j AS BIGINT) AS j
+       |        FROM l2, unnest(range(1, alloc + 1)) tj(j)),
+       |dd AS (SELECT lang, j, (j * bb // alloc) * ll + idx AS d FROM tok),
+       |ps AS (SELECT lang, j, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS pos FROM dd),
+       |gp AS (SELECT lang, j, pos,
+       |             pos - lag(pos) OVER (PARTITION BY lang ORDER BY j) AS gap
+       |      FROM ps)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_slots,
+       |       CAST(min(pos) AS BIGINT) AS first_pos,
+       |       CAST(max(pos) AS BIGINT) AS last_pos,
+       |       CAST(sum(pos) AS BIGINT) AS sum_pos,
+       |       CAST(max(gap) AS BIGINT) AS max_gap,
+       |       CAST(min(gap) AS BIGINT) AS min_gap
+       |FROM gp GROUP BY lang""".stripMargin
 
   /** qx86 twin — posting lists rebuilt by ordered list() aggregation,
     * the same first-docid+1 / gap delta codes, the same Horner checksum

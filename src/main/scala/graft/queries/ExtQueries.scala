@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{BloomFilter, Determinism}
-import graft.operators.{AhoCorasick, AudioFingerprint, BpeTrainer, CdcChunker, ConnectedComponents, EmbeddingLsh, EmbeddingPca, EpochShuffle, GopherRules, HilbertCurve, HtmlCodec, InvertedIndex, IvfAnn, MultimodalCodec, PageRank, Partitioning, ProductQuantizer, RobotsTxt, SimHashLsh, UniMax, WarcCodec, WavCodec, ZOrderLayout}
+import graft.operators.{AhoCorasick, AudioFingerprint, BpeTrainer, CdcChunker, ConnectedComponents, EmbeddingLsh, EmbeddingPca, EpochShuffle, GopherRules, HilbertCurve, HtmlCodec, InvertedIndex, IvfAnn, MixSchedule, MultimodalCodec, PageRank, Partitioning, ProductQuantizer, RobotsTxt, SimHashLsh, UniMax, WarcCodec, WavCodec, ZOrderLayout}
 import graft.sources.Tables
 
 /** The large-scale training-data-pipeline operator family (builder brief +
@@ -3225,4 +3225,19 @@ object ExtQueries {
       .groupBy("lang").agg(sum("nt").as("avail"))
     UniMax.allocate(toks, epochsCap = 1L, budgetNum = 4L, budgetDen = 5L)
   }
+
+  /** qx89 — mixture-schedule materialization ([[MixSchedule]]): qx88's
+    * allocations turned into the actual interleaved training order by
+    * stride scheduling, with position computed CLOSED-FORM against the
+    * broadcast language table — no global sort anywhere in the
+    * schedule (any worker materializes any slice independently, the
+    * qx83 property lifted from shuffling to mixing). The audit emits
+    * per language the slot count, extremes, Σ pos and min/max
+    * inter-token gap — the smoothness guarantee made measurable. The
+    * oracle is NOT a replay: it ranks the same deadlines with a window
+    * sort, so the gate cross-validates the closed form against the
+    * schedule's definition. */
+  def qx89(spark: SparkSession, dir: String): DataFrame =
+    MixSchedule.audit(MixSchedule.schedule(
+      qx88(spark, dir).select(col("lang"), col("alloc"))))
 }
