@@ -104,7 +104,10 @@ object CdcChunker {
       else df.select(col("doc_id").cast("long"), col(textCol), lit("").as("source"))
     in.as[(Long, String, String)].mapPartitions { it =>
       it.flatMap { case (id, text, src) =>
-        chunkText(text).iterator.map { case (s, l, h1, h2) =>
+        // Total over nullable text: a null document yields zero chunks
+        // instead of failing the whole partition task.
+        if (text == null) Iterator.empty
+        else chunkText(text).iterator.map { case (s, l, h1, h2) =>
           Chunk(id, src, s, l, h1, h2)
         }
       }

@@ -17,7 +17,10 @@ import org.apache.spark.sql.functions._
   * Rules (fail bit in parentheses):
   *   1 (1)  word count ∈ [50, 100000]
   *   2 (2)  mean word length ∈ [3, 10]
-  *   3 (4)  symbol-to-word ratio ('#' or '...') ≤ 1/10
+  *   3 (4)  symbol-to-word ratio ≤ 1/10, where symbols are counted as
+  *          OCCURRENCES of '#' plus non-overlapping occurrences of
+  *          '...' across the raw text (the paper's numerator; a word
+  *          with three hashes contributes three)
   *   4 (8)  ≥ 80% of words contain an alphabetic character
   *   5 (16) ≥ 2 stopwords (the corpus stop set {'the','a'}, per qx7)
   *
@@ -40,7 +43,12 @@ object GopherRules {
       .withColumn("n_alpha", expr(
         s"CAST(size(filter($WS, w -> length(translate(w, 'abcdefghijklmnopqrstuvwxyz', '')) < length(w))) AS BIGINT)"))
       .withColumn("n_sym", expr(
-        s"CAST(size(filter($WS, w -> contains(w, '#') OR contains(w, '...'))) AS BIGINT)"))
+        // Symbol OCCURRENCES (the paper's symbol-to-word ratio numerator),
+        // not symbol-bearing words: '#' count plus non-overlapping '...'
+        // count, via replace()-deletion (both engines replace left-to-right
+        // non-overlapping, so '....' counts one ellipsis in each).
+        "CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)" +
+          " + CAST((length(text) - length(replace(text, '...', ''))) div 3 AS BIGINT)"))
       .withColumn("f1", when(col("n_words").between(50L, 100000L), 0L).otherwise(1L))
       .withColumn("f2", when(lit(3L) * col("n_words") <= col("sum_wc") &&
         col("sum_wc") <= lit(10L) * col("n_words"), 0L).otherwise(1L))

@@ -52,7 +52,14 @@ object MixSchedule {
     val langArr = langs.groupBy()
       .agg(collect_list(struct(col("idx"), col("alloc"))).as("la"),
         max("nlang").as("ll"), max("btot").as("bb"))
-    val maxAlloc = langs.agg(max("alloc")).head.getLong(0) // langs-bounded driver read
+    // Langs-bounded driver read; max over zero rows is SQL NULL, so a
+    // degenerate alloc table (empty, or every alloc <= 0) yields the
+    // empty schedule rather than an NPE.
+    val maxRow = langs.agg(max("alloc")).head
+    if (maxRow.isNullAt(0))
+      return spark.range(0).select(lit("").as("lang"), col("id").as("j"),
+        col("id").as("d"), col("id").as("pos"))
+    val maxAlloc = maxRow.getLong(0)
     spark.range(1, maxAlloc + 1).toDF("j")
       .join(broadcast(langs.select("lang", "idx", "alloc")), col("j") <= col("alloc"))
       .join(broadcast(langArr))

@@ -2231,7 +2231,7 @@ object ExtOracle {
     * same integer cross-multiplied thresholds; translate()-deletion for
     * alpha detection matches Spark's exactly (no regex dialect). */
   val qx84: String =
-    """WITH d AS (SELECT lang, source,
+    """WITH d AS (SELECT lang, source, text,
       |             list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
       |           FROM documents),
       |s AS (SELECT lang, source,
@@ -2239,7 +2239,8 @@ object ExtOracle {
       |        CAST(list_sum([CAST(0 AS BIGINT)] || list_transform(ws, w -> CAST(length(w) AS BIGINT))) AS BIGINT) AS sum_wc,
       |        CAST(len(list_filter(ws, w -> w IN ('the', 'a'))) AS BIGINT) AS n_stop,
       |        CAST(len(list_filter(ws, w -> length(translate(w, 'abcdefghijklmnopqrstuvwxyz', '')) < length(w))) AS BIGINT) AS n_alpha,
-      |        CAST(len(list_filter(ws, w -> contains(w, '#') OR contains(w, '...'))) AS BIGINT) AS n_sym
+      |        CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+      |          + CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_sym
       |      FROM d),
       |f AS (SELECT lang, source, n_words,
       |        CASE WHEN n_words BETWEEN 50 AND 100000 THEN 0 ELSE 1 END AS f1,

@@ -3175,16 +3175,22 @@ object ExtQueries {
           .as("chunk_sig"))
   }
 
-  /** qx86 — inverted-index build ([[InvertedIndex]]): per term, df/cf,
-    * the delta-gap posting checksum and the LEB128 varint byte size of
-    * the encoded list — the segment-build accounting behind qx54/qx79's
-    * scoring. The Horner gap checksum is ORDER-sensitive, so a wrong
-    * sort, a missed docid or an off-by-one delta each break the hash;
-    * varint sizing pins the bit-length arithmetic. 31 output rows (the
-    * corpus vocabulary). */
+  /** qx86 — inverted-index build ([[InvertedIndex.buildSegmented]]):
+    * per term, df/cf, the delta-gap posting checksum and the LEB128
+    * varint byte size of the encoded list — the segment-build
+    * accounting behind qx54/qx79's scoring. Since round 10 this runs
+    * the SEGMENT-AND-MERGE plan (the Lucene shape): per-(term, 256-doc
+    * segment) encode, then a per-term fold over segment summaries, so
+    * no task ever materializes a df-length array — a stop-word costs
+    * ⌈n/256⌉ tiny structs, not n docids. The DuckDB twin still encodes
+    * ONE global list per term, so the hash match proves the boundary
+    * gaps and the Horner checksum composition are exact, not just
+    * plausible. segDocs=256 forces a multi-segment merge at every SF.
+    * 31 output rows (the corpus vocabulary). */
   def qx86(spark: SparkSession, dir: String): DataFrame =
-    InvertedIndex.build(
-      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+    InvertedIndex.buildSegmented(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      segDocs = 256L)
 
   /** qx87 — HILBERT layout gate ([[HilbertCurve]]), the locality-
     * optimal companion of qx53/qx78's Morton weave: price×orderkey

@@ -71,6 +71,23 @@ object ChunkDedupStream {
     }
   }
 
+  /** Audit metric (r9 ADVICE): total sub-cursor arrivals across the
+    * standing store, read back from a checkpoint via the statestore
+    * source (the F11 pattern). Under the documented doc-ordered intake
+    * a nonzero value is re-delivery only; GROWTH between audits with
+    * no replay in between flags an ordering violation whose accounting
+    * silently diverges from batch qx85 — run this after any unordered
+    * multi-source intake before trusting the fold. Distributed agg —
+    * no per-identity driver materialization. */
+  def subCursorAudit(spark: org.apache.spark.sql.SparkSession,
+                     checkpoint: String): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit, sum}
+    spark.read.format("statestore")
+      .option("path", checkpoint).option("stateVarName", "store").load()
+      .selectExpr("value.subCursor AS s")
+      .agg(coalesce(sum("s"), lit(0L))).head.getLong(0)
+  }
+
   /** One keyed-state shuffle on the chunk identity → per-occurrence
     * verdicts; the per-source accounting fold happens downstream. */
   def admit(chunks: Dataset[ChunkObs]): Dataset[ChunkVerdict] = {

@@ -33,9 +33,10 @@ class ChunkDedupStreamSpec extends SparkTestBase {
     implicit val sqlCtx = spark.sqlContext
     implicit val enc = Encoders.product[ChunkObs]
     val input = MemoryStream[ChunkObs]
+    val ckpt = tmpDir("ckpt_cd")
     val q = ChunkDedupStream.admit(input.toDS())
       .writeStream.format("memory").queryName("chunk_stream")
-      .outputMode("update").option("checkpointLocation", tmpDir("ckpt_cd")).start()
+      .outputMode("update").option("checkpointLocation", ckpt).start()
     try {
       obs.grouped(obs.size / 5 + 1).foreach { w =>
         input.addData(w); q.processAllAvailable()
@@ -55,6 +56,14 @@ class ChunkDedupStreamSpec extends SparkTestBase {
     }
     assert(got == batch,
       s"online accounting diverged from batch qx85:\n got=$got\n want=$batch")
+
+    // Observability (r9 ADVICE): every sub-cursor arrival — the 200
+    // replayed occurrences here, but an unordered-intake violation
+    // lands in the same counter — is COUNTED in state and readable
+    // back as an audit metric, so divergence from batch accounting is
+    // detectable rather than silent.
+    val sub = ChunkDedupStream.subCursorAudit(spark, ckpt)
+    assert(sub == 200L, s"expected 200 sub-cursor arrivals counted, got $sub")
   }
 
   test("the standing store counts duplicate arrivals per identity, first wins") {

@@ -32,6 +32,32 @@ class InvertedIndexSpec extends SparkTestBase {
     assert(two("x")._5 == 2L, "gap 128 needs two varint bytes")
   }
 
+  test("segment-and-merge equals the single-list encoding exactly") {
+    import spark.implicits._
+    // Doc ids chosen so segment boundaries (segDocs = 8) fall inside,
+    // between, and after posting runs: terms span 1..5 segments, one
+    // term lives entirely in a late segment, one has a segment-straddle
+    // gap of exactly 128 (the 2-varint-byte boundary crossing a merge
+    // boundary), and one appears once per segment (the stop-word shape).
+    val docs = (0L until 64L).map { d =>
+      val terms = Seq(
+        Some("stop"),                           // every doc: df = n
+        if (d % 7 == 0) Some("seven") else None,
+        if (d == 3) Some("straddle") else None,
+        if (d >= 48) Some("late") else None,
+        if (d < 8) Some("early early") else None).flatten
+      (d, terms.mkString(" "))
+    } :+ (131L, "straddle") :+ (200L, "sparse") :+ (72L, "sparse straddle2") :+ (200L, "straddle2")
+    val df = docs.toDF("doc_id", "text")
+    val single = InvertedIndex.build(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    for (segDocs <- Seq(1L, 8L, 64L, 1000000L)) {
+      val seg = InvertedIndex.buildSegmented(df, segDocs).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      assert(seg == single, s"segDocs=$segDocs diverged from the single-list build")
+    }
+  }
+
   test("gaps reconstruct the posting list (delta code is invertible)") {
     val docs = Seq(3L, 17L, 18L, 400L, 100000L)
     val idx = build(docs.map(d => (d, "t")): _*)
