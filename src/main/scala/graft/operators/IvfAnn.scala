@@ -207,6 +207,15 @@ object IvfAnn {
           (lit(2L) * expr("long_dot(slice(iv, 1 + 32 * lvl, 32), cv)") - col("cn2"))
             .as("dot")), k)
 
+  /** [[imiCellsL2]] as the [[QuantKernels.encode]] single-pass kernel —
+    * same argmax, same tie-break, no n·2K scored-row materialization.
+    * QuantKernelsSpec pins equality; the corpus-side assignment of the
+    * qx44/qx79b build runs this. */
+  def imiCellsL2Kernel(emb: DataFrame, books: DataFrame, k: Long): DataFrame =
+    QuantKernels.encode(emb.select("vec_id", "iv"), books, "lvl", 32)
+      .select(col("vec_id"),
+        (expr("element_at(codes, 1)") * k + expr("element_at(codes, 2)")).as("cell"))
+
   /** [[imiProbeCells]] under the L2 objective — the query-side twin of
     * [[imiCellsL2]]. */
   def imiProbeCellsL2(queries: DataFrame, books: DataFrame, k: Long,
@@ -230,15 +239,28 @@ object IvfAnn {
     * round-trip. Output schema matches [[imiCodebooks]] — (cid, lvl,
     * cv(32)) — so [[imiCells]]/[[imiProbeCells]] consume it unchanged. */
   def trainedImiCodebooks(emb: DataFrame, k: Long, iters: Int): DataFrame = {
-    // Both halves train in ONE joint Lloyd loop (the ProductQuantizer
-    // discipline): per iteration one broadcast crossJoin scores every
-    // (vector, lvl, cid), one aggregation argmins per (vector, lvl), one
-    // aggregation means the assigned half-values per (lvl, cid, dim),
-    // and ONE 2K-row collect rebuilds the codebooks — `iters` driver
-    // round-trips instead of 2·iters sequential per-level loops.
-    // Bit-identical to per-level trainedCentroids (same tie-breaks, same
-    // truncating mean, same empty-cluster fallback) — the oracle replays
-    // either spelling.
+    // Both halves train in ONE joint Lloyd loop; since round 10 each
+    // iteration is [[QuantKernels.lloydIter]]'s single mapPartitions
+    // pass (assign + partial sums in registers) instead of the
+    // 25.6M-scored-row broadcast crossJoin — measured the entire cost
+    // of the qx44 build at the 100× probe. Bit-identical to
+    // [[trainedImiCodebooksCrossJoin]] (QuantKernelsSpec pins it) and
+    // to per-level trainedCentroids (same tie-breaks, same truncating
+    // mean, same empty-cluster fallback) — the oracle replays either
+    // spelling.
+    val spark = emb.sparkSession
+    val seeds = imiCodebooks(spark, k)
+    (1 to iters).foldLeft(seeds) { (books, _) =>
+      val step = QuantKernels.lloydIter(emb.select("vec_id", "iv"), books, "lvl", 32)
+      spark.createDataFrame(java.util.Arrays.asList(step.collect(): _*), step.schema)
+    }
+  }
+
+  /** The declarative (broadcast-crossJoin) spelling of
+    * [[trainedImiCodebooks]], kept as the spec reference the kernel is
+    * pinned against. */
+  private[graft] def trainedImiCodebooksCrossJoin(emb: DataFrame, k: Long,
+                                                  iters: Int): DataFrame = {
     val spark = emb.sparkSession
     val seeds = imiCodebooks(spark, k)
     (1 to iters).foldLeft(seeds) { (books, _) =>

@@ -41,12 +41,30 @@ object ProductQuantizer {
     * sequential Spark jobs, which at bench sf was the entire cost of the
     * PQ family (qx42 5.7 s → the scan itself is milliseconds). */
   def booksN(spark: SparkSession, base: DataFrame, ksub: Long = Ksub): DataFrame = {
-    val seeds = spark.range(ksub * M).select(
+    // Since round 10 each Lloyd iteration is [[QuantKernels.lloydIter]]
+    // (one mapPartitions pass) instead of the n·M·Ksub broadcast
+    // crossJoin; bit-identical to [[booksNCrossJoin]]
+    // (QuantKernelsSpec) and to M independent trainedCentroids loops.
+    val trained = (1 to 2).foldLeft(pqSeeds(spark, ksub)) { (books, _) =>
+      val step = QuantKernels.lloydIter(base.select("vec_id", "iv"), books, "sub", Dsub)
+      spark.createDataFrame(java.util.Arrays.asList(step.collect(): _*), step.schema)
+    }
+    trained.withColumn("cn2", expr("long_dot(cv, cv)"))
+  }
+
+  private def pqSeeds(spark: SparkSession, ksub: Long): DataFrame =
+    spark.range(ksub * M).select(
       (col("id") % ksub).as("cid"), (col("id") / ksub).cast("int").as("sub"),
       expr(s"transform(sequence(0, ${Dsub - 1}), j -> " +
         s"((((id % $ksub) * 1000003 + ((id div $ksub) * $Dsub + j) * 97 + 37) % 2147483647) * " +
         s"(((id % $ksub) * 1000003 + ((id div $ksub) * $Dsub + j) * 97 + 37) % 2147483647)) " +
         "% 2147483647 % 2001 - 1000)").as("cv"))
+
+  /** The declarative spelling of [[booksN]], kept as the spec
+    * reference the kernel is pinned against. */
+  private[graft] def booksNCrossJoin(spark: SparkSession, base: DataFrame,
+                                     ksub: Long = Ksub): DataFrame = {
+    val seeds = pqSeeds(spark, ksub)
     val trained = (1 to 2).foldLeft(seeds) { (books, _) =>
       val withN = books.withColumn("cn2", expr("long_dot(cv, cv)"))
       val asg = base.select("vec_id", "iv").crossJoin(broadcast(withN))
@@ -74,7 +92,13 @@ object ProductQuantizer {
     * aggregation with M conditional argmins (the imiCells pattern widened
     * to M) → (vec_id, codes ARRAY(M)) — the 4-byte-per-vector compressed
     * corpus. */
-  def packed(base: DataFrame, booksN: DataFrame): DataFrame = {
+  def packed(base: DataFrame, booksN: DataFrame): DataFrame =
+    QuantKernels.encode(base.select("vec_id", "iv"),
+      booksN.select("cid", "sub", "cv"), "sub", Dsub)
+
+  /** The declarative spelling of [[packed]], kept as the spec
+    * reference the kernel is pinned against. */
+  private[graft] def packedCrossJoin(base: DataFrame, booksN: DataFrame): DataFrame = {
     val subScores = base.select("vec_id", "iv").crossJoin(broadcast(booksN))
       .select(col("vec_id"), col("sub"), col("cid"),
         (lit(2L) * expr(s"long_dot(slice(iv, 1 + $Dsub * sub, $Dsub), cv)")

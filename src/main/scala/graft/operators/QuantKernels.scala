@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Tight per-partition kernels for subspace quantization — the hot
+  * inner loops of the IMI/PQ family (assignment, encode, Lloyd
+  * training) as `mapPartitions` passes over the raw vectors with the
+  * codebook broadcast as plain arrays.
+  *
+  * Why not the declarative spelling: a broadcast crossJoin that scores
+  * every (vector, subspace, centroid) materializes n·ΣK rows through
+  * codegen + hash aggregation — at the 100× probe (200k vectors,
+  * 2×64-centroid IMI books) that is 25.6M scored rows per Lloyd pass
+  * and the entire cost of the qx44 build (70.8 s min-of-3, training-
+  * bound). The same arithmetic as a per-partition loop touches each
+  * vector once and keeps the argmax in registers — the AhoCorasick /
+  * CdcChunker lesson applied to vectors instead of characters. The
+  * declarative spellings stay in [[IvfAnn]] / [[ProductQuantizer]]
+  * (`*CrossJoin`) as the spec reference: [[graft.QuantKernelsSpec]]
+  * pins kernel == crossJoin bit-for-bit, and the DuckDB gate hashes
+  * the composition end to end.
+  *
+  * Semantics (identical to the declarative spelling, which the oracle
+  * replays): per subspace, assignment is argmax(2·x·c − ‖c‖²) — the
+  * L2 argmin with the per-vector constant dropped — with ties to the
+  * SMALLEST cid; Lloyd means are truncating integer `div` over the
+  * assigned members, computed by the SAME SQL expression on partial
+  * Long sums (addition is associative, so partials are exact); empty
+  * clusters keep their previous centroid.
+  *
+  * Scale: the codebook collect is the bounded K-row LocalRelation
+  * round-trip the declarative path already pays per iteration. Partial
+  * state per task is ΣK·(dsub+1) longs — 33 MB at the 65536-centroid
+  * IMI cap (documented; gate-scale books are KBs). Partials shuffled
+  * per iteration: #partitions · ΣK rows, never n.
+  */
+object QuantKernels {
+
+  /** Collected codebook: cents(sub)(cid) is the dsub-dim centroid over
+    * absolute input dims [sub·dsub, (sub+1)·dsub); cn2 its ‖c‖². */
+  final case class SubBooks(dsub: Int, cents: Array[Array[Array[Long]]],
+                            cn2: Array[Array[Long]]) extends Serializable
+
+  /** Collect a (cid, `subCol`, cv) codebook into dense arrays. cids
+    * must be 0..k−1 within each subspace (both book families are). */
+  def collectBooks(books: DataFrame, subCol: String, dsub: Int): SubBooks = {
+    val rows = books.select(col(subCol).cast("int").as("sub"),
+      col("cid").cast("long").as("cid"), col("cv")).collect()
+    val nSub = rows.iterator.map(_.getInt(0)).max + 1
+    val k = rows.length / nSub
+    val cents = Array.ofDim[Array[Long]](nSub, k)
+    rows.foreach { r =>
+      cents(r.getInt(0))(r.getLong(1).toInt) = r.getSeq[Long](2).toArray
+    }
+    val cn2 = cents.map(_.map { cv =>
+      var s = 0L; var j = 0
+      while (j < cv.length) { s += cv(j) * cv(j); j += 1 }
+      s
+    })
+    SubBooks(dsub, cents, cn2)
+  }
+
+  /** argmax(2·dot − cn2) over one subspace's centroids, ties to the
+    * smallest cid (ascending scan keeps the first maximum). */
+  private def bestCid(iv: Array[Long], b: SubBooks, sub: Int): Int = {
+    val cents = b.cents(sub); val cn2 = b.cn2(sub)
+    val d = b.dsub; val off = sub * d
+    var best = Long.MinValue; var bc = 0; var c = 0
+    while (c < cents.length) {
+      val cv = cents(c)
+      var dot = 0L; var j = 0
+      while (j < d) { dot += iv(off + j) * cv(j); j += 1 }
+      val sc = 2L * dot - cn2(c)
+      if (sc > best) { best = sc; bc = c }
+      c += 1
+    }
+    bc
+  }
+
+  /** (vec_id, codes ARRAY) — codes(sub) = assigned cid per subspace:
+    * the PQ encode / IMI assignment pass. One scan, no exchange. */
+  def encode(emb: DataFrame, books: DataFrame, subCol: String,
+             dsub: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(collectBooks(books, subCol, dsub))
+    emb.select(col("vec_id"), col("iv")).as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        val b = bc.value
+        val nSub = b.cents.length
+        it.map { case (id, iv) =>
+          val codes = new Array[Long](nSub)
+          var s = 0
+          while (s < nSub) { codes(s) = bestCid(iv, b, s).toLong; s += 1 }
+          (id, codes)
+        }
+      }.toDF("vec_id", "codes")
+  }
+
+  /** One Lloyd iteration over all subspaces in one pass: assign each
+    * vector per subspace, accumulate per-(sub, cid, dim) partial sums
+    * per task, then a ΣK-row aggregation computes the truncating-mean
+    * codebook (`s div n`, the declarative expression verbatim). Empty
+    * clusters keep their previous centroid. Returns (cid, subCol, cv)
+    * — the input schema, ready for the next iteration's collect. */
+  def lloydIter(emb: DataFrame, books: DataFrame, subCol: String,
+                dsub: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(collectBooks(books, subCol, dsub))
+    val partials = emb.select(col("vec_id"), col("iv")).as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        val b = bc.value
+        val nSub = b.cents.length; val k = b.cents(0).length; val d = b.dsub
+        val sums = Array.ofDim[Long](nSub, k, d)
+        val cnts = Array.ofDim[Long](nSub, k)
+        it.foreach { case (_, iv) =>
+          var sub = 0
+          while (sub < nSub) {
+            val c = bestCid(iv, b, sub)
+            cnts(sub)(c) += 1L
+            val off = sub * d; val s = sums(sub)(c)
+            var j = 0
+            while (j < d) { s(j) += iv(off + j); j += 1 }
+            sub += 1
+          }
+        }
+        (for {
+          sub <- (0 until nSub).iterator
+          c <- (0 until k).iterator if cnts(sub)(c) > 0L
+        } yield (sub, c.toLong, cnts(sub)(c), sums(sub)(c).toSeq)).iterator
+      }.toDF("sub", "cid", "cnt", "sums")
+    val means = partials.groupBy("sub", "cid")
+      .agg(sum("cnt").as("n"),
+        expr(s"aggregate(collect_list(sums), array_repeat(0L, $dsub), " +
+          "(a, x) -> zip_with(a, x, (p, q) -> p + q))").as("ts"))
+      .select(col("sub").as("kSub"), col("cid"),
+        expr("transform(ts, s -> s div n)").as("tcv"))
+    books.select(col("cid"), col(subCol), col("cv"))
+      .join(means.withColumnRenamed("kSub", subCol).select(
+        col(subCol).cast(books.schema(subCol).dataType).as(subCol),
+        col("cid"), col("tcv")), Seq(subCol, "cid"), "left")
+      .select(col("cid"), col(subCol), coalesce(col("tcv"), col("cv")).as("cv"))
+  }
+}

@@ -402,7 +402,13 @@ object ExtOracle {
     * codebooks trained ON the residuals (8-dim subspaces, same generic
     * Lloyd), per-(query, probed cell) ADC tables + ‖q_res‖², top-32 by
     * (adc ASC, vec_id ASC), exact-cosine top-5 refine. */
-  val qx44: String = {
+  val qx44: String = ivfadcSql("", 5)
+
+  /** The qx44 residual-IVFADC replay, parameterized for reuse by the
+    * qx79b hybrid twin: `qExtra` further restricts the query-id slice
+    * (appended to the `% 50 = 0` predicate) and `k` is the refined
+    * top-k depth. */
+  private def ivfadcSql(qExtra: String, k: Int): String = {
     // Generic subspace-Lloyd step over a (vec_id, d, val) dims table;
     // cluster identity = (sub = d // width, cid).
     def step(prefix: String, dims: String, width: Int,
@@ -454,7 +460,7 @@ object ExtOracle {
        |                 row_number() OVER (PARTITION BY a.vec_id, a.sub
        |                   ORDER BY (2*dot - cn2) DESC, a.cid ASC) AS rn
        |          FROM iadf a JOIN icnf c ON a.cid = c.cid AND a.sub = c.sub
-       |          WHERE a.vec_id % 50 = 0)
+       |          WHERE a.vec_id % 50 = 0$qExtra)
        |        WHERE rn <= 2),
        |qcells AS (SELECT p0.qid, p0.cid * k + p1.cid AS cell
        |           FROM qpr p0, qpr p1, kk
@@ -513,7 +519,7 @@ object ExtOracle {
        |SELECT qid, rk, vec_id, cosine
        |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rk
        |      FROM scored) t
-       |WHERE rk <= 5""".stripMargin
+       |WHERE rk <= $k""".stripMargin
   }
 
   val qx16: String =
@@ -2117,7 +2123,24 @@ object ExtOracle {
        |               CAST(row_number() OVER (PARTITION BY qid
        |                 ORDER BY cosine DESC, doc_id ASC) AS BIGINT) AS dense_rk
        |        FROM dsc QUALIFY dense_rk <= 20),
-       |w AS (SELECT doc_id,
+       |""".stripMargin + HYBRID_LEX_FUSION
+
+  /** qx79b twin — the dense leg is the FULL qx44 IVFADC replay (both
+    * trainings, residual ADC, exact refine) nested as a CTE, cut to
+    * top-20 on qx79's capped query slice; the lexical and fusion SQL
+    * is the SHARED suffix qx79 uses, so only the dense leg differs. */
+  val qx79b: String =
+    s"""WITH dt AS (
+       |${ivfadcSql(" AND a.vec_id < 5000", 20)}
+       |),
+       |drk AS (SELECT qid, vec_id AS doc_id, CAST(rk AS BIGINT) AS dense_rk FROM dt),
+       |""".stripMargin + HYBRID_LEX_FUSION
+
+  /** The hybrid twins' shared lexical-BM25 + RRF-fusion suffix: every
+    * CTE from the word explosion to the fused top-10, expecting a
+    * `drk(qid, doc_id, dense_rk)` CTE upstream. */
+  private lazy val HYBRID_LEX_FUSION: String =
+    s"""w AS (SELECT doc_id,
        |             unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS word
        |      FROM documents),
        |qt AS (SELECT DISTINCT doc_id AS qid, word FROM w

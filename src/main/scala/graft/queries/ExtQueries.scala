@@ -170,7 +170,7 @@ object ExtQueries {
       expr("transform(embedding, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))").as("iv"))
       .withColumn("n2", expr("long_dot(iv, iv)"))
 
-  private val COSINE =
+  private[graft] val COSINE =
     "CAST(dot AS DOUBLE) / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE)))"
 
   /** Distributed top-k via the [[graft.functions.TopKBy]] bounded-heap
@@ -182,7 +182,7 @@ object ExtQueries {
     * all but k; the 100× probe surfaced that exchange as the bottleneck.)
     * Output (qid, rk, vec_id, cosine) is row-identical: the aggregate's
     * (score DESC, id ASC) order is the window's ORDER BY. */
-  private def topK(scored: DataFrame, k: Int): DataFrame =
+  private[graft] def topK(scored: DataFrame, k: Int): DataFrame =
     scored
       .groupBy("qid").agg(expr(s"topk_by(cosine, vec_id, $k)").as("tk"))
       .select(col("qid"), posexplode(col("tk")).as(Seq("p", "t")))
@@ -371,7 +371,7 @@ object ExtQueries {
     * Lloyd training and the same (adc ASC, vec_id ASC) selection. */
   // PQ codec shared by qx42 (exhaustive ADC) and qx43 (IVF-PQ) — and the
   // RecallProbe fixture, which is why it lives in operators/.
-  private val PqC = 32
+  private[graft] val PqC = 32
   private def pqBooksN(spark: SparkSession, base: DataFrame): DataFrame =
     ProductQuantizer.booksN(spark, base)
   private def pqPacked(base: DataFrame, booksN: DataFrame): DataFrame =
@@ -381,14 +381,15 @@ object ExtQueries {
 
   /** ADC top-C cut + exact-cosine top-5 refine — the tail qx42 and qx43
     * share; `adc` rows are (qid, vec_id, adc). */
-  private def pqRefine(adc: DataFrame, base: DataFrame, q: DataFrame): DataFrame = {
+  private def pqRefine(adc: DataFrame, base: DataFrame, q: DataFrame,
+                       k: Int = 5): DataFrame = {
     val cand = adc
       .groupBy("qid").agg(expr(s"topk_by(CAST(-adc AS DOUBLE), vec_id, $PqC)").as("tk"))
       .select(col("qid"), explode(col("tk.id")).as("vec_id"))
     val scored = cand.join(base, "vec_id").join(broadcast(q), "qid")
       .withColumn("dot", expr("long_dot(iv, qiv)"))
       .withColumn("cosine", expr(COSINE))
-    topK(scored, 5)
+    topK(scored, k)
   }
 
   def qx42(spark: SparkSession, dir: String): DataFrame = {
@@ -487,26 +488,56 @@ object ExtQueries {
     * query stays un-rotated because no SQL oracle can replay an
     * eigendecomposition — the fixture is the measured proof. */
   def qx44(spark: SparkSession, dir: String): DataFrame = {
+    val (a, k) = ivfadcAssets(spark, dir)
+    val q = a.base.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("n2").as("qn2"))
+    ivfadcServe(q, a.books, a.pqBooks, a.codes, a.base, k, topk = 5)
+  }
+
+  /** The qx44 index's BUILD artifacts: trained IMI coarse books, the
+    * residual PQ books, the cell-keyed coded corpus, the exact base.
+    * Factored so the monolithic gates (qx44/qx79b) and the persisted
+    * [[graft.operators.HybridIndex]] build from ONE code path. */
+  private[graft] case class IvfadcAssets(books: DataFrame, pqBooks: DataFrame,
+                                         codes: DataFrame, base: DataFrame)
+
+  private[graft] def ivfadcAssets(spark: SparkSession, dir: String): (IvfadcAssets, Long) = {
     val base = intEmbeddings(spark, dir)
     val k = IvfAnn.imiCentroidsFor(Tables.embeddings(spark, dir).count())
     val tBooks = IvfAnn.trainedImiCodebooks(base, k, iters = 2)
-    val tCells = IvfAnn.imiCellsL2(base, tBooks, k)
-    val q = base.where(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("n2").as("qn2"))
-    val centersByLvl = (lvl: Int) => broadcast(tBooks.where(col("lvl") === lvl)
-      .select(col("cid").as(s"c$lvl"), col("cv").as(s"cv$lvl")))
-    def residualized(vecs: DataFrame, cellsOf: DataFrame): DataFrame =
-      vecs.join(cellsOf, "vec_id")
-        .withColumn("c0", expr(s"cell div $k"))
-        .withColumn("c1", expr(s"cell % $k"))
-        .join(centersByLvl(0), "c0").join(centersByLvl(1), "c1")
-        .withColumn("ivr", expr("zip_with(iv, concat(cv0, cv1), (x, c) -> x - c)"))
-    val resBase = residualized(base.select("vec_id", "iv"), tCells)
+    val tCells = IvfAnn.imiCellsL2Kernel(base, tBooks, k)
+    val resBase = residualizedWith(tBooks, k)(base.select("vec_id", "iv"), tCells)
       .select(col("vec_id"), col("cell"), col("ivr").as("iv"))
     val rBooks = ProductQuantizer.booksN(spark, resBase.select("vec_id", "iv"))
     val rCodes = ProductQuantizer.packed(resBase.select("vec_id", "iv"), rBooks)
       .join(resBase.select("vec_id", "cell"), "vec_id")
-    val qRes = residualized(
+    (IvfadcAssets(tBooks, rBooks, rCodes, base), k)
+  }
+
+  /** vecs(vec_id, iv) × their assigned/probed cells → ivr = iv − cell
+    * center (the residual the PQ codes live in). */
+  private def residualizedWith(tBooks: DataFrame, k: Long)
+                              (vecs: DataFrame, cellsOf: DataFrame): DataFrame = {
+    val centersByLvl = (lvl: Int) => broadcast(tBooks.where(col("lvl") === lvl)
+      .select(col("cid").as(s"c$lvl"), col("cv").as(s"cv$lvl")))
+    vecs.join(cellsOf, "vec_id")
+      .withColumn("c0", expr(s"cell div $k"))
+      .withColumn("c1", expr(s"cell % $k"))
+      .join(centersByLvl(0), "c0").join(centersByLvl(1), "c1")
+      .withColumn("ivr", expr("zip_with(iv, concat(cv0, cv1), (x, c) -> x - c)"))
+  }
+
+  /** SERVE the IVFADC index for a query set (qid, qiv, qn2): probe 2×2
+    * IMI cells, build per-(query, cell) residual ADC tables, score the
+    * cell-joined codes with the codegen'd `pq_adc`, exact-refine the
+    * top-[[PqC]] and emit top-`topk` — the query-time half of qx44,
+    * shared verbatim by qx79b and the persisted
+    * [[graft.operators.HybridIndex]] (so persisted-and-served output
+    * is bit-identical to the monolithic gate). */
+  private[graft] def ivfadcServe(q: DataFrame, tBooks: DataFrame, rBooks: DataFrame,
+                                 rCodes: DataFrame, base: DataFrame, k: Long,
+                                 topk: Int): DataFrame = {
+    val qRes = residualizedWith(tBooks, k)(
       q.select(col("qid").as("vec_id"), col("qiv").as("iv")),
       IvfAnn.imiProbeCellsL2(q, tBooks, k, 2).withColumnRenamed("qid", "vec_id"))
       .select(col("vec_id").as("qid"), col("cell"), col("ivr").as("qiv"),
@@ -519,7 +550,7 @@ object ExtQueries {
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         (expr("pq_adc(lutarr, codes)") + col("qrn2")).as("adc"))
-    pqRefine(adc, base, q)
+    pqRefine(adc, base, q, topk)
   }
 
   // ------------------------------------------------------- near-dup dedup
@@ -2044,7 +2075,7 @@ object ExtQueries {
     * log damping: a transcendental would hang cross-engine equality on
     * libm rounding, and the rational form preserves the df ordering the
     * gate needs (documented divergence from the textbook constant). */
-  private val BM25_MICRO =
+  private[graft] val BM25_MICRO =
     "CAST(floor(((CAST(n - df AS DOUBLE) + 5e-1) / (CAST(df AS DOUBLE) + 5e-1)) * " +
       "((CAST(tf AS DOUBLE) * 22e-1) / (CAST(tf AS DOUBLE) + 12e-1 * " +
       "(25e-2 + 75e-2 * (CAST(dl * n AS DOUBLE) / CAST(sumdl AS DOUBLE))))) * 1e6 + 5e-1) AS BIGINT)"
@@ -2969,8 +3000,13 @@ object ExtQueries {
     val dense = topK(denseScored, 20)
       .select(col("qid"), col("vec_id").as("doc_id"),
         col("rk").cast("long").as("dense_rk"))
+    rrfFuse(dense, bm25Top20(spark, dir))
+  }
 
-    // Lexical leg: BM25 with the query doc's distinct words as terms.
+  /** The hybrid queries' LEXICAL leg (factored from qx79 for qx79b):
+    * true per-query-document BM25 over the gate query set, cut to
+    * top-20 per query map-side. */
+  private def bm25Top20(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val words = docs.select(col("doc_id"), explode(expr(WORDS)).as("word"))
     val qterms = words.where(col("doc_id") % 50 === 0 && col("doc_id") < 5000)
@@ -2982,7 +3018,7 @@ object ExtQueries {
     val tf = words.join(broadcast(terms), "word")
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
-    val lex = tf.join(dl, "doc_id")
+    tf.join(dl, "doc_id")
       .join(broadcast(dfreq), "word")
       .crossJoin(broadcast(stats))
       .withColumn("s_micro", expr(BM25_MICRO))
@@ -2994,8 +3030,13 @@ object ExtQueries {
       .select(col("qid"), posexplode(col("tk")).as(Seq("p", "t")))
       .select(col("qid"), col("t.id").as("doc_id"),
         (col("p") + 1).cast("long").as("lex_rk"))
+  }
 
-    // Fusion: both rank lists are k·q rows — metadata-sized at any SF.
+  /** RRF fusion of a dense and a lexical rank list (factored from
+    * qx79, unchanged): both inputs are k·q rows — metadata-sized at
+    * any SF — so the full-outer merge and final top-10 never see the
+    * corpus. */
+  private[graft] def rrfFuse(dense: DataFrame, lex: DataFrame): DataFrame = {
     val fused = dense.join(lex, Seq("qid", "doc_id"), "full_outer")
       .na.fill(0L, Seq("dense_rk", "lex_rk"))
       .withColumn("rrf_micro",
@@ -3013,6 +3054,31 @@ object ExtQueries {
       .select(col("qid"), col("rk"), col("doc_id"),
         col("rrf_micro").cast("long").as("rrf_micro"),
         col("dense_rk"), col("lex_rk"))
+  }
+
+  /** qx79b — PRODUCTION hybrid retrieval: qx79 with its dense leg
+    * served by the qx44 residual-IVFADC index instead of the declared
+    * brute-force n·q scan (the round-9 verdict's scale-killer). The
+    * index probes 2×2 IMI cells per query, ADC-ranks only the probed
+    * cells' members, exact-cosine-refines the top-[[PqC]] and emits
+    * dense top-20; the lexical BM25 leg and the integer RRF fusion are
+    * byte-identical to qx79 (shared [[bm25Top20]]/[[rrfFuse]] code).
+    * The oracle replays the ENTIRE composition — both IVFADC trainings
+    * plus BM25 plus fusion — so the hash pins index-serving end to
+    * end. Scale shape: the corpus-sized work is now probe-bound
+    * (candidates ∝ cell occupancy, never n·q); measured recall of the
+    * fused list vs brute-force qx79 at equal budget is recorded by
+    * [[graft.RecallProbe]] (`hybrid` block). Query set = qx79's capped
+    * slice, so the two gates rank the same queries and diffing their
+    * outputs measures the index's effect directly. */
+  def qx79b(spark: SparkSession, dir: String): DataFrame = {
+    val (a, k) = ivfadcAssets(spark, dir)
+    val q = a.base.where(col("vec_id") % 50 === 0 && col("vec_id") < 5000)
+      .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("n2").as("qn2"))
+    val dense = ivfadcServe(q, a.books, a.pqBooks, a.codes, a.base, k, topk = 20)
+      .select(col("qid"), col("vec_id").as("doc_id"),
+        col("rk").cast("long").as("dense_rk"))
+    rrfFuse(dense, bm25Top20(spark, dir))
   }
 
   /** qx80 — BLOCKLIST scan gate: [[graft.operators.AhoCorasick]]'s

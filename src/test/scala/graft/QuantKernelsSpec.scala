@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{IvfAnn, ProductQuantizer}
+import graft.sources.Tables
+
+/** [[graft.operators.QuantKernels]]: the mapPartitions quantization
+  * kernels must be BIT-identical to the declarative crossJoin
+  * spellings they replace — same argmax objective, same smallest-cid
+  * tie-break, same truncating Lloyd mean, same empty-cluster
+  * fallback. The corpus is the real sf0.001 embeddings table, so the
+  * comparison covers genuine value distributions, not toy vectors. */
+class QuantKernelsSpec extends SparkTestBase {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def base: DataFrame = {
+    Tables.embeddings(spark, dir).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))").as("iv"))
+  }
+
+  private def booksKey(df: DataFrame, subCol: String): Map[(Int, Long), Seq[Long]] =
+    df.select(col(subCol).cast("int"), col("cid").cast("long"), col("cv")).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Long](2).toSeq).toMap
+
+  test("trained IMI codebooks: kernel Lloyd == crossJoin Lloyd, both iterations") {
+    val b = base
+    val k = IvfAnn.imiCentroidsFor(b.count())
+    val kern = booksKey(IvfAnn.trainedImiCodebooks(b, k, iters = 2), "lvl")
+    val ref = booksKey(IvfAnn.trainedImiCodebooksCrossJoin(b, k, iters = 2), "lvl")
+    assert(kern == ref, "kernel-trained IMI codebooks diverged from the crossJoin spelling")
+  }
+
+  test("IMI L2 cell assignment: kernel == crossJoin (argmax + tie-break)") {
+    val b = base
+    val k = IvfAnn.imiCentroidsFor(b.count())
+    val books = IvfAnn.trainedImiCodebooks(b, k, iters = 1)
+    val kern = IvfAnn.imiCellsL2Kernel(b, books, k).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = IvfAnn.imiCellsL2(b, books, k).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kern == ref, "kernel cell assignment diverged from the crossJoin spelling")
+  }
+
+  test("PQ training: kernel booksN == crossJoin booksN") {
+    val b = base
+    val kern = booksKey(ProductQuantizer.booksN(spark, b), "sub")
+    val ref = booksKey(ProductQuantizer.booksNCrossJoin(spark, b), "sub")
+    assert(kern == ref, "kernel-trained PQ codebooks diverged from the crossJoin spelling")
+  }
+
+  test("PQ encode: kernel packed == crossJoin packed") {
+    val b = base
+    val books = ProductQuantizer.booksN(spark, b)
+    val kern = ProductQuantizer.packed(b, books).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val ref = ProductQuantizer.packedCrossJoin(b, books).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(kern == ref, "kernel encode diverged from the crossJoin spelling")
+  }
+}
