@@ -2287,12 +2287,13 @@ object ExtOracle {
       |       CAST(sum(pass * n_words) AS BIGINT) AS kept_tokens
       |FROM m GROUP BY lang, source""".stripMargin
 
-  /** qx85 twin — the CDC chunker replayed char-for-char: the same
-    * guarded end-position filter (window W=8, residue 17 mod 64), the
-    * same [0]+ends+[n] pair walk, both Horner chunk hashes (31/131),
-    * then the identical two-level per-source accounting. */
-  val qx85: String =
-    s"""WITH cd AS (SELECT doc_id, source, string_split(text, '') AS cs FROM documents),
+  /** The CDC chunker replayed char-for-char (shared by the qx85 and
+    * qx90 twins): the same guarded end-position filter (window W=8,
+    * residue 17 mod 64), the same [0]+ends+[n] pair walk, both Horner
+    * chunk hashes (31/131). Ends at `ck(doc_id, source, start, len,
+    * ch1, ch2)` — one row per chunk occurrence. */
+  private lazy val CDC_CHUNKS: String =
+    s"""cd AS (SELECT doc_id, source, string_split(text, '') AS cs FROM documents),
        |b AS (SELECT doc_id, source, cs, CAST(len(cs) AS BIGINT) AS n,
        |        CASE WHEN len(cs) >= 8 THEN
        |          list_filter(range(8, len(cs) + 1),
@@ -2308,14 +2309,19 @@ object ExtOracle {
        |           j -> {'start': bpos[j - 1] + 1, 'len': bpos[j] - bpos[j - 1]}),
        |           c -> c.len > 0)) AS c
        |       FROM bp),
-       |ck AS (SELECT source, c.len AS len,
+       |ck AS (SELECT doc_id, source, CAST(c.start AS BIGINT) AS start, c.len AS len,
        |         list_reduce([CAST(0 AS BIGINT)] || list_transform(
        |             list_slice(cs, c.start, c.start + c.len - 1), ch -> CAST(ascii(ch) AS BIGINT)),
        |           (a, x) -> (a * 31 + x) % $P) AS ch1,
        |         list_reduce([CAST(0 AS BIGINT)] || list_transform(
        |             list_slice(cs, c.start, c.start + c.len - 1), ch -> CAST(ascii(ch) AS BIGINT)),
        |           (a, x) -> (a * 131 + x) % $P) AS ch2
-       |       FROM pr),
+       |       FROM pr)""".stripMargin
+
+  /** qx85 twin — [[CDC_CHUNKS]] + the identical two-level per-source
+    * accounting. */
+  val qx85: String =
+    s"""WITH $CDC_CHUNKS,
        |g AS (SELECT source, ch1, ch2, len, CAST(count(*) AS BIGINT) AS n_occ
        |      FROM ck GROUP BY 1, 2, 3, 4)
        |SELECT source,
@@ -2325,6 +2331,29 @@ object ExtOracle {
        |       CAST(sum(len * (n_occ - 1)) AS BIGINT) AS dup_bytes,
        |       CAST(sum(((ch1 * 1009 + len) % $P) * n_occ) AS BIGINT) AS chunk_sig
        |FROM g GROUP BY source""".stripMargin
+
+  /** qx90 twin — [[CDC_CHUNKS]] + the global keeper election (min
+    * struct over (first doc_id, first start, source) per identity) and
+    * the per-source reconciled accounting. */
+  val qx90: String =
+    s"""WITH $CDC_CHUNKS,
+       |ps AS (SELECT ch1, ch2, len, source, CAST(count(*) AS BIGINT) AS n_occ,
+       |              min({'fd': doc_id, 'fs': start}) AS fo
+       |       FROM ck GROUP BY 1, 2, 3, 4),
+       |kp AS (SELECT ch1, ch2, len,
+       |              min({'fd': fo.fd, 'fs': fo.fs, 'src': source}) AS k
+       |       FROM ps GROUP BY 1, 2, 3),
+       |j AS (SELECT ps.source, ps.len, ps.ch1, ps.n_occ,
+       |             CASE WHEN ps.source = kp.k.src THEN 1 ELSE 0 END AS owned
+       |      FROM ps JOIN kp ON ps.ch1 = kp.ch1 AND ps.ch2 = kp.ch2 AND ps.len = kp.len)
+       |SELECT source,
+       |       CAST(sum(n_occ) AS BIGINT) AS n_occ,
+       |       CAST(sum(owned) AS BIGINT) AS n_owned,
+       |       CAST(sum(len * owned) AS BIGINT) AS owned_bytes,
+       |       CAST(sum(len * (n_occ - owned)) AS BIGINT) AS dup_bytes,
+       |       CAST(sum(len * n_occ * (1 - owned)) AS BIGINT) AS cross_dup_bytes,
+       |       CAST(sum(((ch1 * 1009 + len) % $P) * owned) AS BIGINT) AS store_sig
+       |FROM j GROUP BY source""".stripMargin
 
   /** qx87 twin — the Hilbert walk replayed as 16 chained CTEs GENERATED
     * by the same per-plane builder the Spark side stages

@@ -3241,6 +3241,48 @@ object ExtQueries {
           .as("chunk_sig"))
   }
 
+  /** qx90 — GLOBAL chunk-store reconciliation (the round-9 verdict's
+    * declared "shard-level dedup before global reconciliation" step,
+    * shipped): qx85 deduplicates per (source, identity); here the
+    * per-source stores MERGE into one corpus-wide store and every
+    * chunk identity elects ONE global keeper — the occurrence first
+    * seen in (doc_id, start) document order, source as the unique-key
+    * tie-rider — so cross-source duplicate bytes are attributed to the
+    * source that pays for the chunk first. Per source: occurrence
+    * count, owned identities, owned (stored) bytes, TOTAL duplicate
+    * bytes saved (intra + cross), cross-source duplicate bytes (the
+    * reconciliation's own contribution over qx85), and the owned-store
+    * signature (pins WHICH identities each source owns, not just how
+    * many). Scale shape (the qx67 keeper discipline): both the
+    * per-(identity, source) fold and the keeper election are map-side
+    * combinable min(struct) aggregations on the chunk-identity
+    * exchange — no Window, no all-pairs, hot identities partial-
+    * aggregate before the shuffle. The online twin is
+    * [[graft.streaming.ChunkDedupStream.admitGlobal]] (spec-pinned
+    * batch-equal across splits and replay). */
+  def qx90(spark: SparkSession, dir: String): DataFrame = {
+    val occ = CdcChunker.chunks(
+      Tables.documents(spark, dir).select(col("doc_id"), col("source"), col("text")))
+    val perSrc = occ.groupBy("ch1", "ch2", "len", "source")
+      .agg(count(lit(1)).as("n_occ"),
+        min(struct(col("doc_id"), col("start"))).as("fo"))
+      .select(col("ch1"), col("ch2"), col("len"), col("source"), col("n_occ"),
+        col("fo.doc_id").as("fd"), col("fo.start").as("fs"))
+    val keeper = perSrc.groupBy("ch1", "ch2", "len")
+      .agg(min(struct(col("fd"), col("fs"), col("source"))).as("k"))
+      .select(col("ch1"), col("ch2"), col("len"), col("k.source").as("ksrc"))
+    perSrc.join(keeper, Seq("ch1", "ch2", "len"))
+      .withColumn("owned", (col("source") === col("ksrc")).cast("long"))
+      .groupBy("source")
+      .agg(sum("n_occ").as("n_occ"),
+        sum("owned").as("n_owned"),
+        sum(col("len") * col("owned")).as("owned_bytes"),
+        sum(col("len") * (col("n_occ") - col("owned"))).as("dup_bytes"),
+        sum(col("len") * col("n_occ") * (lit(1L) - col("owned"))).as("cross_dup_bytes"),
+        sum(((col("ch1") * 1009L + col("len")) % CdcChunker.P) * col("owned"))
+          .as("store_sig"))
+  }
+
   /** qx86 — inverted-index build ([[InvertedIndex.buildSegmented]]):
     * per term, df/cf, the delta-gap posting checksum and the LEB128
     * varint byte size of the encoded list — the segment-build

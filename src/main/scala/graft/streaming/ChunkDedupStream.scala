@@ -71,6 +71,63 @@ object ChunkDedupStream {
     }
   }
 
+  /** Verdict of the GLOBAL (reconciled) store — the online qx90: the
+    * key is the chunk identity ALONE, so the first sight across ALL
+    * sources owns the chunk and every later occurrence (any source) is
+    * a duplicate attributed against the recorded owner. */
+  case class GlobalVerdict(source: String, doc_id: Long, start: Long,
+                           len: Long, ch1: Long, first: Boolean, owner: String)
+
+  private case class GStore(occ: Long, curDoc: Long, curStart: Long,
+                            owner: String, subCursor: Long)
+
+  /** The [[StoreProcessor]] contract on the identity-only key: same
+    * monotone (doc_id, start) cursor, same skip-below-cursor
+    * re-delivery handling, same counted sub-cursor arrivals — plus the
+    * OWNER source recorded at first sight, so the downstream fold
+    * reproduces batch qx90's owned/cross-dup attribution exactly under
+    * doc-ordered intake ([[graft.ChunkDedupStreamSpec]] pins it across
+    * splits and replay). */
+  class GlobalStoreProcessor
+    extends StatefulProcessor[(Long, Long, Long), ChunkObs, GlobalVerdict] {
+    @transient private var st: ValueState[GStore] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[GStore]("gstore", Encoders.product[GStore],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: (Long, Long, Long),
+                                 rows: Iterator[ChunkObs],
+                                 tv: TimerValues): Iterator[GlobalVerdict] = {
+      var cur = if (st.exists) st.get() else GStore(0L, Long.MinValue, Long.MinValue, "", 0L)
+      val out = scala.collection.mutable.ArrayBuffer.empty[GlobalVerdict]
+      rows.toSeq.sortBy(r => (r.doc_id, r.start)).foreach { r =>
+        val above = r.doc_id > cur.curDoc ||
+          (r.doc_id == cur.curDoc && r.start > cur.curStart)
+        if (above) {
+          val first = cur.occ == 0L
+          val owner = if (first) r.source else cur.owner
+          cur = GStore(cur.occ + 1L, r.doc_id, r.start, owner, cur.subCursor)
+          out += GlobalVerdict(r.source, r.doc_id, r.start, r.len, r.ch1,
+            first = first, owner = owner)
+        } else cur = cur.copy(subCursor = cur.subCursor + 1L)
+      }
+      st.update(cur)
+      out.iterator
+    }
+  }
+
+  /** One keyed-state shuffle on the identity alone → per-occurrence
+    * GLOBAL verdicts; folding per source reproduces qx90's reconciled
+    * accounting (n_occ, n_owned, owned_bytes, dup_bytes,
+    * cross_dup_bytes, store_sig). */
+  def admitGlobal(chunks: Dataset[ChunkObs]): Dataset[GlobalVerdict] = {
+    implicit val outEnc = Encoders.product[GlobalVerdict]
+    chunks.groupByKey(c => (c.ch1, c.ch2, c.len))(
+        Encoders.product[(Long, Long, Long)])
+      .transformWithState(new GlobalStoreProcessor(), TimeMode.None(), OutputMode.Update())
+  }
+
   /** Audit metric (r9 ADVICE): total sub-cursor arrivals across the
     * standing store, read back from a checkpoint via the statestore
     * source (the F11 pattern). Under the documented doc-ordered intake

@@ -66,6 +66,58 @@ class ChunkDedupStreamSpec extends SparkTestBase {
     assert(sub == 200L, s"expected 200 sub-cursor arrivals counted, got $sub")
   }
 
+  test("global reconciled store fold equals batch qx90 across splits and replay") {
+    val batch = SparkEntry.queries("qx90_chunk_reconcile")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+
+    val obs = CdcChunker.chunks(
+        spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("source"), col("text")))
+      .collect()
+      .map(r => ChunkObs(r.getAs[String]("source"), r.getAs[Long]("ch1"),
+        r.getAs[Long]("ch2"), r.getAs[Long]("len"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("start")))
+      .toSeq.sortBy(o => (o.doc_id, o.start))
+
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[ChunkObs]
+    val input = MemoryStream[ChunkObs]
+    val q = ChunkDedupStream.admitGlobal(input.toDS())
+      .writeStream.format("memory").queryName("gchunk_stream")
+      .outputMode("update").option("checkpointLocation", tmpDir("ckpt_gcd")).start()
+    try {
+      obs.grouped(obs.size / 7 + 1).foreach { w =>
+        input.addData(w); q.processAllAvailable()
+      }
+      input.addData(obs.take(150)); q.processAllAvailable() // replay
+    } finally q.stop()
+
+    val P = CdcChunker.P
+    val vs = spark.table("gchunk_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5), r.getString(6)))
+    assert(vs.groupBy(v => (v._2, v._3)).forall(_._2.length == 1),
+      "replayed occurrences must not re-emit")
+    // A first-sight verdict's owner is itself; cross-dups name another
+    // source's store as the one holding the chunk.
+    assert(vs.filter(_._6).forall(v => v._7 == v._1), "first sight owns")
+    val got = vs.groupBy(_._1).map { case (src, xs) =>
+      src -> (xs.length.toLong,
+        xs.count(_._6).toLong,
+        xs.filter(_._6).map(_._4).sum,
+        xs.filterNot(_._6).map(_._4).sum,
+        xs.filter(v => !v._6 && v._7 != v._1).map(_._4).sum,
+        xs.filter(_._6).map(v => (v._5 * 1009L + v._4) % P).sum)
+    }
+    assert(got == batch,
+      s"online reconciled accounting diverged from batch qx90:\n got=$got\n want=$batch")
+    assert(vs.exists(v => !v._6 && v._7 != v._1),
+      "fixture must exercise a cross-source duplicate")
+  }
+
   test("the standing store counts duplicate arrivals per identity, first wins") {
     implicit val sqlCtx = spark.sqlContext
     implicit val enc = Encoders.product[ChunkObs]
