@@ -150,6 +150,54 @@ object CrawlDoor {
       .start()
   }
 
+  /** Reserved domain for watermark heartbeats: rows on it advance the
+    * pace stage's event clock (so pending politeness timers fire on a
+    * quiet frontier — the standard low-traffic-partition heartbeat)
+    * but are never committed to the paced handoff. */
+  val FlushDomain = "flush.internal"
+
+  /** Stage 2½ (round-9 verdict #4): the frontier handoff → per-domain
+    * POLITENESS pacing → handoff of RELEASED fetches. The door now
+    * CONSUMES the crawl-delay the robots stage parses: each admitted
+    * row becomes a [[PolitenessStream.FetchCandidate]] on the door's
+    * doc-ordered intake clock (ts = doc_id seconds — the same monotone
+    * order the frontier cursor contract already demands), the token
+    * bucket assigns slot = max(arrival, domain.nextFree), and a fetch
+    * reaches the paced handoff only when the event-time watermark
+    * passes its slot. Crawl-delay is robots-native SECONDS → ms here.
+    * Downstream ([[dedupStage]]) reads the paced root unchanged — the
+    * released rows carry the full staged schema plus scheduled_ms /
+    * released_ms, so the funnel is byte-identical, just paced
+    * (CrawlDoorSpec pins funnel equality AND per-domain cadence ≥
+    * crawl-delay across kill/restart). */
+  def paceStage(spark: SparkSession, frontierRoot: String, pacedRoot: String,
+                checkpoint: String): StreamingQuery = {
+    import spark.implicits._
+    val rows = spark.readStream.schema(stagedSchema).parquet(s"$frontierRoot/batch=*")
+    // +1 tick: a slot at event-time 0 would sit exactly on the initial
+    // watermark and its timer would never fire.
+    val cands = rows.select(
+        col("domain"), col("doc_id"),
+        ((col("doc_id") + 1L) * 1000L).as("ts_ms"),
+        (col("crawl_delay") * 1000L).as("delay_ms"))
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts", "0 seconds")
+      .as[PolitenessStream.FetchCandidate]
+    PolitenessStream.schedule(cands).toDF()
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val all = spark.read.schema(stagedSchema).parquet(s"$frontierRoot/batch=*")
+        val released = batch.where(col("domain") =!= FlushDomain)
+          .select(col("doc_id"), col("scheduled_ms"), col("released_ms"))
+          .join(all, "doc_id")
+        TxnFileSink.commit(released, pacedRoot, batchId)
+        ()
+      }
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+
   /** Stage 3: quality survivors claim their content fingerprint
     * first-wins; the manifest is one row per unique keeper. */
   def dedupStage(spark: SparkSession, frontierRoot: String, manifestRoot: String,

@@ -20,6 +20,7 @@ import graft.functions.BloomFilter
   */
 object DoorSoak {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("crawl")) { crawlMain(args.drop(1)); return }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val nWaves = args.lift(1).map(_.toInt).getOrElse(8)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -97,6 +98,91 @@ object DoorSoak {
     q1.stop(); q2.stop(); q3.stop()
     val staged = spark.read.schema(IngestDoor.stagedSchema).parquet(s"$base/staged/batch=*").count()
     println(s"[soak] done: $staged admitted docs through the door")
+    spark.stop()
+  }
+
+  /** `runMain graft.streaming.DoorSoak crawl [sfDir] [waves]` — the
+    * CRAWL door (r9 verdict #4: politeness ON) under RocksDB: WARC
+    * waves through unwrap → frontier → pace → dedup with a 1 s
+    * crawl-delay on every domain, per-stage state metrics per wave.
+    * The pace stage's token buckets + pending backlog are the state
+    * whose growth this soak watches; the final heartbeat drains every
+    * pending timer so released == admitted is asserted, not assumed. */
+  private def crawlMain(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val nWaves = args.lift(1).map(_.toInt).getOrElse(8)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-crawl-soak")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = Files.createTempDirectory("graft_crawl_soak").toString
+    val media = graft.queries.ExtQueries.qx77Media(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1))).toSeq.sortBy(_._1)
+    println(s"[soak] ${media.size} crawl records from $sfDir; door at $base")
+    val robots = (0 until 32).map(i => s"m$i.example" -> "User-agent: *\nCrawl-delay: 1\n").toMap
+
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = org.apache.spark.sql.Encoders
+      .tuple(org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.BINARY)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Byte])]
+    val q1 = CrawlDoor.unwrapStage(
+      input.toDF().toDF("doc_id", "warc"), robots, "graftbot",
+      s"$base/staged", s"$base/ck1")
+    val q2 = CrawlDoor.frontierStage(spark, s"$base/staged", s"$base/frontier", s"$base/ck2")
+    val qp = CrawlDoor.paceStage(spark, s"$base/frontier", s"$base/paced", s"$base/ckp")
+    val q3 = CrawlDoor.dedupStage(spark, s"$base/paced", s"$base/manifest", s"$base/ck3")
+
+    def stateLine(tag: String, wave: Int, q: StreamingQuery): Unit = {
+      val p = q.lastProgress
+      if (p == null) return
+      val commitMs = Option(p.durationMs.get("addBatch")).map(_.toLong).getOrElse(-1L)
+      p.stateOperators.foreach { so =>
+        val commitLatency = Option(so.customMetrics.get("rocksdbCommitLatencyMs"))
+          .map(_.toString).getOrElse("-1")
+        println(s"""{"stage":"$tag","wave":$wave,"op":"${so.operatorName}",""" +
+          s""""rows_in_state":${so.numRowsTotal},"state_bytes":${so.memoryUsedBytes},""" +
+          s""""rocksdb_commit_ms":$commitLatency,"batch_add_ms":$commitMs}""")
+      }
+    }
+
+    media.grouped(media.size / nWaves + 1).zipWithIndex.foreach { case (wave, i) =>
+      val t0 = System.nanoTime()
+      input.addData(wave)
+      q1.processAllAvailable(); q2.processAllAvailable()
+      qp.processAllAvailable(); q3.processAllAvailable()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"wave":${i + 1},"records":${wave.size},"wall_sec":$sec%.2f}""")
+      stateLine("frontier", i + 1, q2)
+      stateLine("pace", i + 1, qp)
+      stateLine("dedup", i + 1, q3)
+    }
+    // Heartbeats drain every pending politeness timer.
+    for (i <- 1 to 2) {
+      val r = org.apache.spark.sql.Row(
+        10000000L + i, 1L, s"http://${CrawlDoor.FlushDomain}/hb$i",
+        200L, "text/plain", 0L, null, "", 0L, 0L, 0L, 0L,
+        false, false, false, CrawlDoor.FlushDomain, "/", false, 0L)
+      spark.createDataFrame(java.util.Arrays.asList(r), CrawlDoor.stagedSchema)
+        .write.mode("overwrite").parquet(s"$base/frontier/batch=99999$i")
+      qp.processAllAvailable(); q3.processAllAvailable()
+    }
+    stateLine("pace", nWaves + 1, qp)
+    q1.stop(); q2.stop(); qp.stop(); q3.stop()
+    val admitted = spark.read.schema(CrawlDoor.stagedSchema)
+      .parquet(s"$base/frontier/batch=*")
+      .where(org.apache.spark.sql.functions.col("domain") =!= CrawlDoor.FlushDomain).count()
+    val released = spark.read.parquet(s"$base/paced/batch=*").count()
+    println(s"[soak] crawl door done: admitted=$admitted released=$released " +
+      s"(politeness drained=${admitted == released})")
     spark.stop()
   }
 }

@@ -122,6 +122,83 @@ class CrawlDoorSpec extends SparkTestBase {
       s"bus-fed funnel diverged: ${(0 until 6).map(got.getLong)} vs $expect")
   }
 
+  test("the paced door consumes crawl-delay: funnel exact and cadence >= delay across kill/restart") {
+    val base = tmpDir("crawl_door_pace")
+    // Allow everything, but throttle two real domains.
+    val robots = Map(
+      "m1.example" -> "User-agent: *\nCrawl-delay: 2\n",
+      "m2.example" -> "User-agent: *\nCrawl-delay: 3\n")
+    val batchRow = SparkEntry.queries("qx77_wet_funnel")(spark, dir).collect().head
+    val expect = (0 until 6).map(i => batchRow.getLong(i))
+
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[CrawlBytes]
+    val input = MemoryStream[CrawlBytes]
+    def start4(): Seq[StreamingQuery] = Seq(
+      CrawlDoor.unwrapStage(input.toDF(), robots, "graftbot", s"$base/staged", s"$base/ck1"),
+      CrawlDoor.frontierStage(spark, s"$base/staged", s"$base/frontier", s"$base/ck2"),
+      CrawlDoor.paceStage(spark, s"$base/frontier", s"$base/paced", s"$base/ckp"),
+      CrawlDoor.dedupStage(spark, s"$base/paced", s"$base/manifest", s"$base/ck3"))
+
+    // Watermark heartbeat: a far-future row on the reserved flush
+    // domain, written straight into the frontier handoff glob — it
+    // advances the pace stage's event clock and is never committed.
+    def writeFlush(i: Int): Unit = {
+      val r = org.apache.spark.sql.Row(
+        10000000L + i, 1L, s"http://${CrawlDoor.FlushDomain}/hb$i",
+        200L, "text/plain", 0L, null, "", 0L, 0L, 0L, 0L,
+        false, false, false, CrawlDoor.FlushDomain, "/", false, 0L)
+      spark.createDataFrame(java.util.Arrays.asList(r), CrawlDoor.stagedSchema)
+        .write.mode("overwrite").parquet(s"$base/frontier/batch=99999$i")
+    }
+
+    val bytes = media()
+    val (w1, w2) = bytes.splitAt(bytes.size / 2)
+    // Run 1: first wave, then kill ALL FOUR stages mid-pipeline.
+    val qs1 = start4()
+    input.addData(w1); drain(qs1); qs1.foreach(_.stop())
+    // Run 2: same checkpoints (politeness buckets + pending resume).
+    val qs2 = start4()
+    input.addData(w2); drain(qs2)
+    writeFlush(1); drain(qs2)
+    writeFlush(2); drain(qs2)
+    qs2.foreach(_.stop())
+
+    // Funnel equality: pacing reorders in time, never drops or adds.
+    val got = CrawlDoor.counts(spark, s"$base/staged", s"$base/manifest")
+      .collect().head
+    assert((0 until 6).map(got.getLong) == expect,
+      s"paced funnel diverged: ${(0 until 6).map(got.getLong)} vs $expect")
+
+    // The paced handoff: slots equal the batch token bucket over the
+    // frontier rows, releases never precede slots, and consecutive
+    // slots per throttled domain are spaced >= its crawl-delay.
+    import org.apache.spark.sql.functions.col
+    val frontier = spark.read.schema(CrawlDoor.stagedSchema)
+      .parquet(s"$base/frontier/batch=*")
+      .where(col("domain") =!= CrawlDoor.FlushDomain)
+      .select("domain", "doc_id", "crawl_delay").collect()
+      .map(r => graft.streaming.PolitenessStream.FetchCandidate(
+        r.getString(0), r.getLong(1), (r.getLong(1) + 1L) * 1000L, r.getLong(2) * 1000L))
+      .toSeq
+    val expectSlots = graft.streaming.PolitenessStream.batchSchedule(frontier)
+    val paced = spark.read.parquet(s"$base/paced/batch=*")
+      .select("domain", "doc_id", "scheduled_ms", "released_ms").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(paced.map(_._2).sorted.toSeq == frontier.map(_.doc_id).sorted,
+      "paced handoff must release every frontier row exactly once")
+    assert(paced.map(p => p._2 -> p._3).toMap == expectSlots,
+      "slots diverged from the batch token bucket")
+    assert(paced.forall(p => p._4 >= p._3), "a fetch released before its slot")
+    for ((d, delaySec) <- Seq("m1.example" -> 2L, "m2.example" -> 3L)) {
+      val slots = paced.filter(_._1 == d).map(_._3).sorted
+      assert(slots.length >= 2, s"fixture must pace >= 2 fetches on $d")
+      slots.zip(slots.tail).foreach { case (p, n) =>
+        assert(n - p >= delaySec * 1000L, s"$d violated crawl-delay: $p -> $n")
+      }
+    }
+  }
+
   test("the robots stage is load-bearing: disallowed domains never reach the frontier handoff") {
     val base = tmpDir("crawl_door_rb")
     // Disallow everything on m1.example and m2.example.
