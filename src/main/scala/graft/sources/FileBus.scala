@@ -61,7 +61,8 @@ class FileBus extends TableProvider {
       Option(opts.get("subscribe")).getOrElse(
         throw new IllegalArgumentException("FileBus requires option 'subscribe'")),
       Option(opts.get("startingOffsets")).getOrElse("earliest"),
-      Option(opts.get("startingTimestamp")).map(_.toLong))
+      Option(opts.get("startingTimestamp")).map(_.toLong),
+      Option(opts.get("maxOffsetsPerTrigger")).map(_.toLong))
   }
 }
 
@@ -239,7 +240,8 @@ object FileBus {
 }
 
 private class FileBusTable(root: String, topic: String, startingOffsets: String,
-                           startingTimestamp: Option[Long])
+                           startingTimestamp: Option[Long],
+                           maxOffsetsPerTrigger: Option[Long])
     extends Table with SupportsRead {
   override def name(): String = s"filebus($root, $topic)"
   override def schema(): StructType = FileBus.SCHEMA
@@ -250,7 +252,8 @@ private class FileBusTable(root: String, topic: String, startingOffsets: String,
       override def build(): Scan = this
       override def readSchema(): StructType = FileBus.SCHEMA
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new FileBusMicroBatchStream(root, topic, startingOffsets, startingTimestamp)
+        new FileBusMicroBatchStream(root, topic, startingOffsets, startingTimestamp,
+          maxOffsetsPerTrigger)
     }
 }
 
@@ -262,8 +265,10 @@ private case class BusOffset(topic: String, offs: Map[Int, Long]) extends Offset
 
 private class FileBusMicroBatchStream(root: String, topic: String,
                                       startingOffsets: String,
-                                      startingTimestamp: Option[Long])
-    extends MicroBatchStream {
+                                      startingTimestamp: Option[Long],
+                                      maxOffsetsPerTrigger: Option[Long] = None)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
   private def currentEnds(): Map[Int, Long] =
     FileBus.partitions(root, topic).map(p => p -> FileBus.endOffset(root, topic, p)).toMap
@@ -298,6 +303,48 @@ private class FileBusMicroBatchStream(root: String, topic: String,
   }
 
   override def latestOffset(): Offset = BusOffset(topic, currentEnds())
+
+  /** ADMISSION CONTROL — the `maxOffsetsPerTrigger` analog on the DSv2
+    * seam (정리/2주차.md's backpressure notes rendered in micro-batch
+    * terms: the engine bounds what each trigger ADMITS rather than
+    * slowing the producer). The budget splits across partitions
+    * proportionally to their lag (the Kafka source's rate-limit
+    * shape), floor-divided with the remainder dealt to the smallest
+    * partition ids — deterministic, so a replayed trigger plans the
+    * same range. No offset is ever skipped: each trigger's end is
+    * start + allotment per partition, and the next trigger resumes
+    * from the WAL'd end (FileBusSpec pins bounded batches, gapless
+    * coverage and exactly-once through a kill/restart). */
+  override def getDefaultReadLimit: org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    maxOffsetsPerTrigger
+      .map(org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows)
+      .getOrElse(org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val s = start.asInstanceOf[BusOffset].offs
+    val ends = currentEnds()
+    limit match {
+      case mr: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+        val lags = ends.map { case (p, e) => p -> math.max(0L, e - s.getOrElse(p, 0L)) }
+        val total = lags.values.sum
+        val cap = mr.maxRows()
+        if (total <= cap) BusOffset(topic, ends)
+        else {
+          val alloc = scala.collection.mutable.Map(
+            lags.view.mapValues(l => cap * l / total).toSeq: _*)
+          var left = cap - alloc.values.sum
+          for (p <- lags.keys.toSeq.sorted if left > 0) {
+            val extra = math.min(left, lags(p) - alloc(p))
+            alloc(p) += extra; left -= extra
+          }
+          BusOffset(topic, ends.map { case (p, e) =>
+            p -> math.min(e, s.getOrElse(p, 0L) + alloc.getOrElse(p, 0L))
+          })
+        }
+      case _ => BusOffset(topic, ends)
+    }
+  }
 
   override def deserializeOffset(json: String): Offset = {
     val m = FileBus.parseOffsetsJson(json)

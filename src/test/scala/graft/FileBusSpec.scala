@@ -52,6 +52,47 @@ class FileBusSpec extends SparkTestBase {
     assert(rows == expect, s"diff=${(rows -- expect) ++ (expect -- rows)}")
   }
 
+  test("maxOffsetsPerTrigger bounds each batch; coverage gapless and exactly-once across restart") {
+    val root = tmpDir("bus_adm"); val topic = "t"
+    FileBus.append(root, topic, 0, (0 until 40).map(i => Record(s"a$i", s"p0v$i", 100L + i)))
+    FileBus.append(root, topic, 1, (0 until 20).map(i => Record(s"b$i", s"p1v$i", 200L + i)))
+    val ck = tmpDir("bus_adm_ck")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[(Int, Long)])]
+    def run(): Unit = {
+      val q = spark.readStream.format("graft.sources.FileBus")
+        .option("path", root).option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .option("maxOffsetsPerTrigger", "10")
+        .load()
+        .writeStream.foreachBatch {
+          (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            val rows = b.select("partition", "offset").collect()
+              .map(r => (r.getInt(0), r.getLong(1))).toSeq
+            seen.synchronized { seen += id -> rows }
+            ()
+        }.option("checkpointLocation", ck).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    // a second producer epoch, then resume from the same checkpoint
+    FileBus.append(root, topic, 0, (40 until 55).map(i => Record(s"a$i", s"p0v$i", 140L + i)))
+    run()
+
+    val all = seen.flatMap(_._2)
+    assert(all.size == all.toSet.size, "an offset was read twice")
+    assert(all.toSet ==
+      ((0 until 55).map(i => (0, i.toLong)) ++ (0 until 20).map(i => (1, i.toLong))).toSet,
+      "an offset was skipped")
+    val sizes = seen.map(_._2.size)
+    assert(sizes.forall(_ <= 10), s"a batch exceeded the cap: $sizes")
+    assert(sizes.count(_ == 10) >= 5, s"the cap never bound: $sizes")
+    // Proportional-to-lag split while both partitions lag: 40:20 lag at
+    // cap 10 → floor 6/3, remainder to the smaller partition id → 7/3.
+    val b0 = seen.head._2
+    assert(b0.count(_._1 == 0) == 7 && b0.count(_._1 == 1) == 3,
+      s"first batch split ${b0.groupBy(_._1).view.mapValues(_.size).toMap}, want 0→7, 1→3")
+  }
+
   test("explicit per-partition start: the Kafka JSON form with -2/-1 sentinels") {
     val root = tmpDir("bus_x")
     seed(root, "t")
