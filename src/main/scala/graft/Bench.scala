@@ -74,8 +74,14 @@ object Bench {
     // count is recorded in the artifact. The remaining cross-round
     // spread (r6 6,037 / r8 3,989 / r8-solo 8,266 at IDENTICAL code
     // and 32 partitions) is machine state, bounded by the same A/B.
+    // Round-10 (r9 verdict #7): the documented 4k–13k ev/s machine-state
+    // spread makes ONE reading unreadable — run `SPARK_GRAFT_STREAM_N`
+    // reps (default 3) and carry the whole rep list in the artifact;
+    // headline ev_per_sec is the BEST rep (the throughput analog of the
+    // query min) with the median alongside.
     val streamParts = math.min(8, cpus.toInt)
-    val streaming: Either[String, (Double, Double)] =
+    val streamN = sys.env.getOrElse("SPARK_GRAFT_STREAM_N", "3").toInt
+    def streamRep(rep: Int): Either[String, (Double, Double)] =
       try {
         spark.conf.set("spark.sql.shuffle.partitions", streamParts.toString)
         implicit val sqlCtx = spark.sqlContext
@@ -86,7 +92,7 @@ object Bench {
           .groupBy(col("sensor_id"), window(col("ts"), "5 seconds"))
           .agg(avg("temp_c").as("avg_temp"))
         val ckpt = java.nio.file.Files.createTempDirectory("graft_bench_ckpt").toString
-        val q = agg.writeStream.format("memory").queryName("bench_throughput")
+        val q = agg.writeStream.format("memory").queryName(s"bench_throughput_$rep")
           .outputMode("update").option("checkpointLocation", ckpt).start()
         val nEvents = 40000
         val nChunks = 5
@@ -104,6 +110,11 @@ object Bench {
       } catch { case e: Throwable =>
         Left(Option(e.getMessage).getOrElse(e.getClass.getName).takeWhile(_ != '\n').take(200))
       } finally spark.conf.set("spark.sql.shuffle.partitions", cpus)
+    val streamRuns = (1 to streamN).map(streamRep)
+    val streamOk = streamRuns.collect { case Right(r) => r }
+    val streaming: Either[String, (Double, Double)] =
+      if (streamOk.nonEmpty) Right(streamOk.maxBy(_._1))
+      else streamRuns.head
 
     def jstr(s: String): String =
       "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString } + "\""
@@ -113,7 +124,11 @@ object Bench {
     val total = outcomes.values.collect { case Right((mn, _)) => mn }.sum
     val streamJson = streaming match {
       case Right((evs, lat)) =>
-        s"""{"ev_per_sec":${math.round(evs)},"batch_sec":$lat,"state_partitions":$streamParts}"""
+        val reps = streamOk.map(r => math.round(r._1)).mkString("[", ",", "]")
+        val sortedEv = streamOk.map(_._1).sorted
+        val median = math.round(sortedEv(sortedEv.size / 2))
+        s"""{"ev_per_sec":${math.round(evs)},"ev_per_sec_median":$median,""" +
+          s""""ev_per_sec_reps":$reps,"batch_sec":$lat,"state_partitions":$streamParts}"""
       case Left(m)           => s"""{"error":${jstr(m)}}"""
     }
     val skipped = skip.toSeq.sorted.map(jstr).mkString("[", ",", "]")

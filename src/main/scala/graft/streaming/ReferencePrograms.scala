@@ -38,13 +38,16 @@ object ReferencePrograms {
       .trigger(Trigger.ProcessingTime("1 second"))
       .start()
 
-  /** filter(temp >= 25) → map to id → flatMap split on "_" (T1/T3/T6). */
-  def basic(spark: SparkSession, seconds: Int): Unit = {
-    val readings = SensorSource.stream(spark)
-    run(console(readings.toDF()
+  /** filter(temp >= 25) → map to id → flatMap split on "_" (T1/T3/T6),
+    * sink-agnostic — the console main and the file-sink spec
+    * ([[graft.ReferenceProgramSinkSpec]]) drive the same plan. */
+  def basicPipeline(spark: SparkSession): org.apache.spark.sql.DataFrame =
+    SensorSource.stream(spark).toDF()
       .filter(col("value") >= 25)
-      .select(explode(split(col("sensor_id"), "_")).as("token")), "append"), seconds)
-  }
+      .select(explode(split(col("sensor_id"), "_")).as("token"))
+
+  def basic(spark: SparkSession, seconds: Int): Unit =
+    run(console(basicPipeline(spark), "append"), seconds)
 
   /** keyBy(id) → rolling reduce keeping the highest-temperature reading,
     * emitted per event (A1/A2). */
@@ -66,7 +69,10 @@ object ReferencePrograms {
   /** Two sources co-processed: sensor stream + 1 ev/s smoke-level control
     * stream (HIGH ≈ 21% of seconds, the reference's gaussian threshold);
     * alert when latest level is HIGH and temp > 100 (M2/S2). */
-  def multi(spark: SparkSession, seconds: Int): Unit = {
+  /** The `multi` co-process as a sink-agnostic Dataset; `threshold`
+    * parameterized so the spec can force alerts deterministically. */
+  def multiPipeline(spark: SparkSession,
+                    threshold: Double = 100.0): org.apache.spark.sql.DataFrame = {
     implicit val tEnc = Encoders.product[(Long, String)]
     val smoke = spark.readStream.format("rate").option("rowsPerSecond", 1L).load()
       .select(unix_micros(col("timestamp")).as("ts_us"),
@@ -76,9 +82,11 @@ object ReferencePrograms {
       .as[(Long, String)](tEnc)
     val data = SensorSource.stream(spark)
     val keys = (0 until 10).map(i => s"sensor_$i")
-    run(console(Pipelines.controlAlerts(data, smoke, keys, threshold = 100.0).toDF(), "update"),
-      seconds)
+    Pipelines.controlAlerts(data, smoke, keys, threshold).toDF()
   }
+
+  def multi(spark: SparkSession, seconds: Int): Unit =
+    run(console(multiPipeline(spark), "update"), seconds)
 
   def main(args: Array[String]): Unit = {
     val program = args.headOption.getOrElse("all")
