@@ -98,6 +98,98 @@ object QuantKernels {
       }.toDF("vec_id", "codes")
   }
 
+  /** Fused IMI assignment + residual: per vector, the per-level argmax
+    * cell AND ivr = iv − concat(center₀, center₁) in the SAME pass —
+    * replaces assign-then-join (two corpus-sized shuffle joins against
+    * the cell table plus two broadcast center joins) with one scan.
+    * Bit-identical to `residualizedWith ∘ imiCellsL2`
+    * (QuantKernelsSpec pins it); the qx44/qx79b build runs this. */
+  def encodeResidual(emb: DataFrame, books: DataFrame, k: Long,
+                     dsub: Int = 32): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(collectBooks(books, "lvl", dsub))
+    emb.select(col("vec_id"), col("iv")).as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        val b = bc.value
+        val nSub = b.cents.length; val d = b.dsub
+        it.map { case (id, iv) =>
+          var cell = 0L
+          val ivr = new Array[Long](iv.length)
+          var s = 0
+          while (s < nSub) {
+            val c = bestCid(iv, b, s)
+            cell = cell * k + c
+            val cv = b.cents(s)(c); val off = s * d
+            var j = 0
+            while (j < d) { ivr(off + j) = iv(off + j) - cv(j); j += 1 }
+            s += 1
+          }
+          (id, cell, ivr)
+        }
+      }.toDF("vec_id", "cell", "iv")
+  }
+
+  /** Exhaustive ADC scan with per-partition exact pruning — the qx42
+    * hot path as one mapPartitions pass: each task scores its slice of
+    * the coded corpus against EVERY query's broadcast LUT (8 lookups +
+    * adds per pair, the `pq_adc` arithmetic verbatim) but keeps only
+    * the per-partition best `c` per query under (adc ASC, vec_id ASC)
+    * — exactly [[graft.functions.TopKBy]]'s total order on
+    * (−adc, vec_id), so the downstream global `topk_by` over the
+    * pruned union returns the IDENTICAL top-c the unpruned n·q scan
+    * would (top-c of a union of per-partition top-c's is exact).
+    * What crosses the exchange: q·tasks·c rows instead of n·q — the
+    * map-side-combine discipline applied below the aggregate, where
+    * the crossJoin spelling materialized every pair through
+    * codegen+hash-agg (measured 240 s at the 100× probe's 800M
+    * pairs). Self-matches (vec_id == qid) are skipped inline. */
+  def adcTopC(packed: DataFrame, luts: DataFrame, c: Int): DataFrame = {
+    val spark = packed.sparkSession
+    import spark.implicits._
+    val lutRows = luts.select(col("qid").cast("long"), col("lutarr")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val bc = spark.sparkContext.broadcast(lutRows)
+    packed.select(col("vec_id"), col("codes")).as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        val qs = bc.value
+        val nq = qs.length
+        // Per query: a (adc, vec_id)-ascending sorted keep-array of
+        // size ≤ c — the TopKBuffer shape inverted for smallest-first.
+        val kA = Array.fill(nq)(new Array[Long](c))
+        val kI = Array.fill(nq)(new Array[Long](c))
+        val sz = new Array[Int](nq)
+        it.foreach { case (vid, codes) =>
+          val m = codes.length
+          var qi = 0
+          while (qi < nq) {
+            val (qid, lut) = qs(qi)
+            if (qid != vid) {
+              val ksub = lut.length / m
+              var adc = 0L; var s = 0
+              while (s < m) { adc += lut(s * ksub + codes(s).toInt); s += 1 }
+              val a = kA(qi); val ids = kI(qi); val n = sz(qi)
+              val worse = n == c &&
+                (adc > a(c - 1) || (adc == a(c - 1) && vid > ids(c - 1)))
+              if (!worse) {
+                var pos = if (n == c) c - 1 else { sz(qi) = n + 1; n }
+                while (pos > 0 &&
+                       (adc < a(pos - 1) || (adc == a(pos - 1) && vid < ids(pos - 1)))) {
+                  a(pos) = a(pos - 1); ids(pos) = ids(pos - 1); pos -= 1
+                }
+                a(pos) = adc; ids(pos) = vid
+              }
+            }
+            qi += 1
+          }
+        }
+        (for {
+          qi <- (0 until nq).iterator
+          i <- (0 until sz(qi)).iterator
+        } yield (qs(qi)._1, kI(qi)(i), kA(qi)(i))).iterator
+      }.toDF("qid", "vec_id", "adc")
+  }
+
   /** One Lloyd iteration over all subspaces in one pass: assign each
     * vector per subspace, accumulate per-(sub, cid, dim) partial sums
     * per task, then a ΣK-row aggregation computes the truncating-mean

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{BloomFilter, Determinism}
-import graft.operators.{AhoCorasick, AudioFingerprint, BpeTrainer, CdcChunker, ConnectedComponents, EmbeddingLsh, EmbeddingPca, EpochShuffle, GopherRules, HilbertCurve, HtmlCodec, InvertedIndex, IvfAnn, MixSchedule, MultimodalCodec, PageRank, Partitioning, ProductQuantizer, RobotsTxt, SimHashLsh, UniMax, WarcCodec, WavCodec, ZOrderLayout}
+import graft.operators.{AhoCorasick, AudioFingerprint, BpeTrainer, CdcChunker, ConnectedComponents, EmbeddingLsh, EmbeddingPca, EpochShuffle, GopherRules, HilbertCurve, HtmlCodec, InvertedIndex, IvfAnn, MixSchedule, MultimodalCodec, PageRank, Partitioning, ProductQuantizer, QuantKernels, RobotsTxt, SimHashLsh, UniMax, WarcCodec, WavCodec, ZOrderLayout}
 import graft.sources.Tables
 
 /** The large-scale training-data-pipeline operator family (builder brief +
@@ -399,12 +399,26 @@ object ExtQueries {
     val q = base.where(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("n2").as("qn2"))
     val luts = pqLuts(q, booksN)
-    // The compressed-domain scan: ADC = 8 lookups + adds per (vector,
-    // query) via the codegen'd pq_adc kernel (the declarative HOF chain
-    // measured ~3× SLOWER than qx2's full-precision long_dot scan at the
-    // 100× probe — interpreted lambdas per pair; see
-    // [[graft.functions.PqAdc]]); topk_by prunes to C per (query, map
-    // task) BEFORE any exchange.
+    // The compressed-domain scan, since r10 as the
+    // [[QuantKernels.adcTopC]] single-pass kernel: 8 lookups + adds per
+    // (vector, query) with per-partition EXACT pruning to C per query
+    // under topk_by's own (−adc, id) order — the crossJoin spelling
+    // materialized all n·q pairs through codegen+hash-agg and measured
+    // 240 s at the 100× probe's 800M pairs; the kernel's exchange is
+    // q·tasks·C rows. QuantKernelsSpec pins kernel == crossJoin
+    // end-to-end through the refine.
+    pqRefine(QuantKernels.adcTopC(packed, luts, PqC), base, q)
+  }
+
+  /** The crossJoin spelling of qx42's ADC scan, kept as the spec
+    * reference [[QuantKernels.adcTopC]] is pinned against. */
+  private[graft] def qx42CrossJoin(spark: SparkSession, dir: String): DataFrame = {
+    val base = intEmbeddings(spark, dir)
+    val booksN = pqBooksN(spark, base)
+    val packed = pqPacked(base, booksN)
+    val q = base.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("n2").as("qn2"))
+    val luts = pqLuts(q, booksN)
     val adc = packed.crossJoin(broadcast(luts))
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"), expr("pq_adc(lutarr, codes)").as("adc"))
@@ -505,9 +519,9 @@ object ExtQueries {
     val base = intEmbeddings(spark, dir)
     val k = IvfAnn.imiCentroidsFor(Tables.embeddings(spark, dir).count())
     val tBooks = IvfAnn.trainedImiCodebooks(base, k, iters = 2)
-    val tCells = IvfAnn.imiCellsL2Kernel(base, tBooks, k)
-    val resBase = residualizedWith(tBooks, k)(base.select("vec_id", "iv"), tCells)
-      .select(col("vec_id"), col("cell"), col("ivr").as("iv"))
+    // Fused assign+residual kernel: one corpus pass, no cell join
+    // (QuantKernelsSpec pins it against the join spelling).
+    val resBase = QuantKernels.encodeResidual(base.select("vec_id", "iv"), tBooks, k)
     val rBooks = ProductQuantizer.booksN(spark, resBase.select("vec_id", "iv"))
     val rCodes = ProductQuantizer.packed(resBase.select("vec_id", "iv"), rBooks)
       .join(resBase.select("vec_id", "cell"), "vec_id")

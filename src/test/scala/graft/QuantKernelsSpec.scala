@@ -43,11 +43,40 @@ class QuantKernelsSpec extends SparkTestBase {
     assert(kern == ref, "kernel cell assignment diverged from the crossJoin spelling")
   }
 
+  test("fused assign+residual == assignment-then-center-subtraction") {
+    import org.apache.spark.sql.functions.{broadcast, expr}
+    val b = base
+    val k = IvfAnn.imiCentroidsFor(b.count())
+    val books = IvfAnn.trainedImiCodebooks(b, k, iters = 1)
+    val fused = graft.operators.QuantKernels.encodeResidual(b, books, k).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Long](2).toSeq)).toMap
+    // the join spelling: kernel cells + per-level broadcast center joins
+    val cells = IvfAnn.imiCellsL2(b, books, k)
+    val byLvl = (lvl: Int) => broadcast(books.where(col("lvl") === lvl)
+      .select(col("cid").as(s"c$lvl"), col("cv").as(s"cv$lvl")))
+    val ref = b.join(cells, "vec_id")
+      .withColumn("c0", expr(s"cell div $k")).withColumn("c1", expr(s"cell % $k"))
+      .join(byLvl(0), "c0").join(byLvl(1), "c1")
+      .withColumn("ivr", expr("zip_with(iv, concat(cv0, cv1), (x, c) -> x - c)"))
+      .select("vec_id", "cell", "ivr").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Long](2).toSeq)).toMap
+    assert(fused == ref, "fused residual kernel diverged from the join spelling")
+  }
+
   test("PQ training: kernel booksN == crossJoin booksN") {
     val b = base
     val kern = booksKey(ProductQuantizer.booksN(spark, b), "sub")
     val ref = booksKey(ProductQuantizer.booksNCrossJoin(spark, b), "sub")
     assert(kern == ref, "kernel-trained PQ codebooks diverged from the crossJoin spelling")
+  }
+
+  test("ADC scan kernel equals the crossJoin spelling end-to-end (qx42)") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), math.round(r.getDouble(3) * 1e9)))
+      .toMap
+    val kern = rows(graft.queries.ExtQueries.qx42(spark, dir))
+    val ref = rows(graft.queries.ExtQueries.qx42CrossJoin(spark, dir))
+    assert(kern == ref, "per-partition ADC pruning changed the refined top-k")
   }
 
   test("PQ encode: kernel packed == crossJoin packed") {
