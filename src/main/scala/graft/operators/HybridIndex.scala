@@ -33,8 +33,14 @@ object HybridIndex {
 
   /** Train + encode + lexical stats → parquet assets under `outDir`.
     * Every derivation is the qx79b builder verbatim (shared code). */
-  def build(spark: SparkSession, dir: String, outDir: String): Unit = {
-    val (assets, k) = ExtQueries.ivfadcAssets(spark, dir)
+  def build(spark: SparkSession, dir: String, outDir: String): Unit =
+    build(spark, Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      Tables.embeddings(spark, dir), outDir)
+
+  /** DataFrame-input form (the spec's A/B-split harness uses it). */
+  def build(spark: SparkSession, docs: DataFrame, rawEmb: DataFrame,
+            outDir: String): Unit = {
+    val (assets, k) = ExtQueries.ivfadcAssetsFrom(spark, rawEmb)
     assets.books.write.mode("overwrite").parquet(s"$outDir/imi_books.parquet")
     assets.pqBooks.write.mode("overwrite").parquet(s"$outDir/pq_books.parquet")
     assets.codes.write.mode("overwrite").parquet(s"$outDir/codes.parquet")
@@ -42,7 +48,6 @@ object HybridIndex {
     spark.range(1).select(lit(k).as("k"))
       .write.mode("overwrite").parquet(s"$outDir/meta.parquet")
 
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val words = docs.select(col("doc_id"),
       explode(expr("filter(split(text, ' '), w -> length(w) > 0)")).as("word"))
     val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
@@ -56,6 +61,64 @@ object HybridIndex {
     docs.agg(count(lit(1)).as("n"))
       .crossJoin(words.agg(count(lit(1)).as("sumdl")))
       .write.mode("overwrite").parquet(s"$outDir/stats.parquet")
+  }
+
+  /** INCREMENTAL maintenance — admit a batch of NEW documents without
+    * retraining (the faiss `add` contract, and the batch rendering of
+    * [[graft.streaming.IndexStream]]'s per-posting append): new
+    * vectors encode against the FROZEN coarse + PQ codebooks (the
+    * fused assign+residual kernel, then PQ encode — two scans over
+    * the new batch only), their codes/base rows APPEND, new postings
+    * (dl-denormalized) append, and the vocabulary-bounded df / stats
+    * tables merge ADDITIVELY (new docs never retract old counts). A
+    * subsequent [[search]] serves the union corpus bit-identically to
+    * a frozen-codebook rebuild over it ([[graft.HybridIndexSpec]]).
+    * Codebook drift under a shifting corpus is the retrain trigger —
+    * measured by [[graft.RecallProbe]], not silently absorbed. */
+  def addBatch(spark: SparkSession, indexDir: String,
+               newDocs: DataFrame, newRawEmb: DataFrame): Unit = {
+    val books = spark.read.parquet(s"$indexDir/imi_books.parquet")
+    val pqBooks = spark.read.parquet(s"$indexDir/pq_books.parquet")
+    val k = spark.read.parquet(s"$indexDir/meta.parquet").head.getLong(0)
+    val newBase = ExtQueries.intEmbeddingsFrom(newRawEmb)
+    newBase.write.mode("append").parquet(s"$indexDir/base.parquet")
+    val res = QuantKernels.encodeResidual(newBase.select("vec_id", "iv"), books, k)
+    ProductQuantizer.packed(res.select("vec_id", "iv"), pqBooks)
+      .join(res.select("vec_id", "cell"), "vec_id")
+      .write.mode("append").parquet(s"$indexDir/codes.parquet")
+
+    val docs = newDocs.select(col("doc_id"), col("text"))
+    val words = docs.select(col("doc_id"),
+      explode(expr("filter(split(text, ' '), w -> length(w) > 0)")).as("word"))
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    tf.join(dl, "doc_id")
+      .write.mode("append").parquet(s"$indexDir/tf.parquet")
+    rewrite(spark.read.parquet(s"$indexDir/df.parquet")
+        .unionByName(tf.groupBy("word").agg(count(lit(1)).as("df")))
+        .groupBy("word").agg(sum("df").as("df")),
+      s"$indexDir/df.parquet")
+    val old = spark.read.parquet(s"$indexDir/stats.parquet").head
+    val add = docs.agg(count(lit(1)).as("n"))
+      .crossJoin(words.agg(count(lit(1)).as("sumdl"))).head
+    rewrite(spark.range(1)
+        .select(lit(old.getLong(0) + add.getLong(0)).as("n"),
+          lit(old.getLong(1) + add.getLong(1)).as("sumdl")),
+      s"$indexDir/stats.parquet")
+  }
+
+  /** Replace a small merged asset atomically-enough for a single
+    * writer: materialize to `.tmp`, then swap. */
+  private def rewrite(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    val tmp = path + ".tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    ()
   }
 
   /** Serve the hybrid query set from the persisted assets: dense leg =

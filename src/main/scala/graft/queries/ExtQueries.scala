@@ -164,11 +164,14 @@ object ExtQueries {
   /** Embeddings with exact integer views: iv = floor(x*1e6+0.5) per dim,
     * n2 = Σ iv² (exact in Long). Cosine later = dot/(√n2a·√n2b) — every
     * step IEEE-deterministic and identical in DuckDB. */
-  private def intEmbeddings(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir).select(
+  private[graft] def intEmbeddingsFrom(raw: DataFrame): DataFrame =
+    raw.select(
       col("vec_id"),
       expr("transform(embedding, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))").as("iv"))
       .withColumn("n2", expr("long_dot(iv, iv)"))
+
+  private def intEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    intEmbeddingsFrom(Tables.embeddings(spark, dir))
 
   private[graft] val COSINE =
     "CAST(dot AS DOUBLE) / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE)))"
@@ -515,9 +518,13 @@ object ExtQueries {
   private[graft] case class IvfadcAssets(books: DataFrame, pqBooks: DataFrame,
                                          codes: DataFrame, base: DataFrame)
 
-  private[graft] def ivfadcAssets(spark: SparkSession, dir: String): (IvfadcAssets, Long) = {
-    val base = intEmbeddings(spark, dir)
-    val k = IvfAnn.imiCentroidsFor(Tables.embeddings(spark, dir).count())
+  private[graft] def ivfadcAssets(spark: SparkSession, dir: String): (IvfadcAssets, Long) =
+    ivfadcAssetsFrom(spark, Tables.embeddings(spark, dir))
+
+  private[graft] def ivfadcAssetsFrom(spark: SparkSession,
+                                      rawEmb: DataFrame): (IvfadcAssets, Long) = {
+    val base = intEmbeddingsFrom(rawEmb)
+    val k = IvfAnn.imiCentroidsFor(rawEmb.count())
     val tBooks = IvfAnn.trainedImiCodebooks(base, k, iters = 2)
     // Fused assign+residual kernel: one corpus pass, no cell join
     // (QuantKernelsSpec pins it against the join spelling).
@@ -3020,7 +3027,7 @@ object ExtQueries {
   /** The hybrid queries' LEXICAL leg (factored from qx79 for qx79b):
     * true per-query-document BM25 over the gate query set, cut to
     * top-20 per query map-side. */
-  private def bm25Top20(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def bm25Top20(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val words = docs.select(col("doc_id"), explode(expr(WORDS)).as("word"))
     val qterms = words.where(col("doc_id") % 50 === 0 && col("doc_id") < 5000)

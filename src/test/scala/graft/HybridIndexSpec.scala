@@ -24,4 +24,48 @@ class HybridIndexSpec extends SparkTestBase {
         s"served=${served.size} gate=${gate.size}, " +
         s"diff=${(served.toSet -- gate.toSet).take(3)}")
   }
+
+  test("addBatch equals a frozen-codebook rebuild over the union corpus") {
+    import org.apache.spark.sql.functions.col
+    import graft.queries.ExtQueries
+    import graft.operators.{ProductQuantizer, QuantKernels}
+    import graft.sources.Tables
+    val out = tmpDir("hybrid_inc")
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val raw = Tables.embeddings(spark, dir)
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val cut = ids(ids.length * 3 / 5)
+    HybridIndex.build(spark, docs.where(col("doc_id") < cut),
+      raw.where(col("vec_id") < cut), out)
+    HybridIndex.addBatch(spark, out, docs.where(col("doc_id") >= cut),
+      raw.where(col("vec_id") >= cut))
+    val served = HybridIndex.search(spark, out).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+
+    // Reference: the SAME frozen books (trained on the A slice), the
+    // union corpus encoded against them, qx79b's serve + lexical legs.
+    val books = spark.read.parquet(s"$out/imi_books.parquet")
+    val pqBooks = spark.read.parquet(s"$out/pq_books.parquet")
+    val k = spark.read.parquet(s"$out/meta.parquet").head.getLong(0)
+    val baseAB = ExtQueries.intEmbeddingsFrom(raw)
+    val resAB = QuantKernels.encodeResidual(baseAB.select("vec_id", "iv"), books, k)
+    val codesAB = ProductQuantizer.packed(resAB.select("vec_id", "iv"), pqBooks)
+      .join(resAB.select("vec_id", "cell"), "vec_id")
+    val q = baseAB.where(col("vec_id") % 50 === 0 && col("vec_id") < 5000)
+      .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("n2").as("qn2"))
+    val dense = ExtQueries.ivfadcServe(q, books, pqBooks, codesAB, baseAB, k, 20)
+      .select(col("qid"), col("vec_id").as("doc_id"),
+        col("rk").cast("long").as("dense_rk"))
+    val expect = ExtQueries.rrfFuse(dense, ExtQueries.bm25Top20(spark, dir)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(served == expect,
+      s"incremental index diverged from the frozen-codebook rebuild: " +
+        s"diff=${(served.toSet -- expect.toSet).take(3)}")
+    // the increment genuinely contributed: some fused results come
+    // from the B slice
+    assert(served.values.exists(_._1 >= cut),
+      "fixture must surface B-slice docs in the fused top-10")
+  }
 }
