@@ -2332,6 +2332,44 @@ object ExtOracle {
        |       CAST(sum(((ch1 * 1009 + len) % $P) * n_occ) AS BIGINT) AS chunk_sig
        |FROM g GROUP BY source""".stripMargin
 
+  /** qx91 twin — the DSIR selection replayed: identical hashed uni+bi
+    * buckets, the same integer surprisal-difference weights (`//` for
+    * `div`), the same min-shifted priority, rank by (pri DESC, doc_id
+    * ASC). */
+  val qx91: String = {
+    val B = 8192
+    s"""WITH $DOCS,
+       |uni AS (SELECT doc_id, unnest(list_transform(h, x -> x % $B)) AS b FROM wh),
+       |bi AS (SELECT doc_id,
+       |         unnest(list_transform(range(1, len(h)), i -> ((h[i]*1009 + h[i+1]) % $P) % $B)) AS b
+       |       FROM wh WHERE len(h) >= 2),
+       |f AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+       |ft AS (SELECT f.* FROM f JOIN docs USING (doc_id) WHERE source = 'src0'),
+       |cr AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM f GROUP BY b),
+       |ct AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM ft GROUP BY b),
+       |tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM f) AS nr,
+       |               (SELECT CAST(count(*) AS BIGINT) FROM ft) AS nt),
+       |w AS (SELECT cr.b,
+       |             (10000 * (nr + $B)) // (cr + 1) -
+       |             (10000 * (nt + $B)) // (COALESCE(ct, 0) + 1) AS w
+       |      FROM cr LEFT JOIN ct USING (b), tot),
+       |sc AS (SELECT d.doc_id, d.source,
+       |              COALESCE(s.s, 0) AS s
+       |       FROM docs d LEFT JOIN (SELECT doc_id, CAST(sum(w) AS BIGINT) AS s
+       |                              FROM f JOIN w USING (b) GROUP BY doc_id) s
+       |         USING (doc_id)),
+       |dmin AS (SELECT min(s) AS m FROM sc),
+       |dpri AS (SELECT doc_id, source, s,
+       |             CAST(s - m + 1 AS DOUBLE) * 2147483647.0 /
+       |               (CAST((((doc_id * 1000003 + 12345) % 2147483647) *
+       |                      ((doc_id * 1000003 + 12345) % 2147483647)) % 2147483647 AS DOUBLE) + 5e-1) AS pri
+       |      FROM sc, dmin),
+       |drk AS (SELECT *, CAST(row_number() OVER
+       |        (ORDER BY pri DESC, doc_id ASC) AS BIGINT) AS rk FROM dpri)
+       |SELECT rk, doc_id, source, s AS dsir_score, pri
+       |FROM drk WHERE rk <= 64""".stripMargin
+  }
+
   /** qx90 twin — [[CDC_CHUNKS]] + the global keeper election (min
     * struct over (first doc_id, first start, source) per identity) and
     * the per-source reconciled accounting. */

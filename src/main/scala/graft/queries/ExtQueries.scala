@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{BloomFilter, Determinism}
-import graft.operators.{AhoCorasick, AudioFingerprint, BpeTrainer, CdcChunker, ConnectedComponents, EmbeddingLsh, EmbeddingPca, EpochShuffle, GopherRules, HilbertCurve, HtmlCodec, InvertedIndex, IvfAnn, MixSchedule, MultimodalCodec, PageRank, Partitioning, ProductQuantizer, QuantKernels, RobotsTxt, SimHashLsh, UniMax, WarcCodec, WavCodec, ZOrderLayout}
+import graft.operators.{AhoCorasick, AudioFingerprint, BpeTrainer, CdcChunker, ConnectedComponents, DsirSelect, EmbeddingLsh, EmbeddingPca, EpochShuffle, GopherRules, HilbertCurve, HtmlCodec, InvertedIndex, IvfAnn, MixSchedule, MultimodalCodec, PageRank, Partitioning, ProductQuantizer, QuantKernels, RobotsTxt, SimHashLsh, UniMax, WarcCodec, WavCodec, ZOrderLayout}
 import graft.sources.Tables
 
 /** The large-scale training-data-pipeline operator family (builder brief +
@@ -3281,6 +3281,79 @@ object ExtQueries {
     * aggregate before the shuffle. The online twin is
     * [[graft.streaming.ChunkDedupStream.admitGlobal]] (spec-pinned
     * batch-equal across splits and replay). */
+  /** qx91 — DSIR data selection (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): score
+    * every document by how much it looks like a TARGET slice under a
+    * hashed n-gram bag model, then take a deterministic importance
+    * resample — the published recipe for picking pretraining data that
+    * matches a trusted reference corpus, composed from the suite's own
+    * disciplines.
+    *
+    *  - Features: unigram + bigram word-hashes bucketed to B = 8192
+    *    (the DSIR hashed-feature trick; qx36's bigram spelling).
+    *  - Per-bucket weight = the LOG-RATIO ANALOG in pure integers:
+    *    w(b) = sur_raw(b) − sur_tgt(b), where sur_x(b) =
+    *    ⌊10⁴·(N_x + B) div (c_x(b)+1)⌋ is qx59/qx63's Laplace-smoothed
+    *    integer surprisal surrogate of −log p_x(b). Monotone per term,
+    *    no transcendental, no overflow at any probe scale (numerator ≤
+    *    10⁴·N); the floor-per-term divergence from the exact log is
+    *    documented, as in qx59.
+    *  - Per-doc score = Σ over the doc's feature OCCURRENCES of w(b) —
+    *    the additive surrogate of DSIR's log importance weight.
+    *    Docs with no features score 0 (left join), never drop.
+    *  - Resample: qx81's priority machinery over the min-shifted score
+    *    (w' = score − min + 1 keeps weights positive; selection ∝ a
+    *    positive monotone image of the log-ratio surrogate — the
+    *    deterministic stand-in for the paper's Gumbel resample,
+    *    divergence documented): pri = w'·P/(h+½), IEEE-identical in
+    *    both engines, top-64 by map-side-pruned `topk_by`.
+    *
+    * Scale shape: features explode scan-locally; bucket counts are
+    * B-bounded aggregations; the weight table (B rows) broadcasts; the
+    * global min is a 1-row aggregate; the top-k never windows corpus
+    * rows. Target slice = source 'src0' (the "looks like the reference
+    * corpus" stand-in, the qx63 pseudo-label discipline). */
+  def qx91(spark: SparkSession, dir: String): DataFrame = {
+    val B = 8192L
+    val P = 2147483647L
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    // Features via the [[DsirSelect.featureRows]] mapPartitions kernel
+    // (the declarative spellings — a lead() window first, then an
+    // array-HOF explode — re-evaluated the char-level hash work per
+    // pass and dominated the 100× probe at 72 s / 36 s); the target
+    // flag rides along so BOTH count columns come out of ONE
+    // aggregation. DsirSelectSpec pins kernel == declarative.
+    val feats = DsirSelect.featureRows(
+      Tables.documents(spark, dir).select(col("doc_id"), col("source"), col("text")),
+      targetSource = "src0")
+    val counts = feats.groupBy("b").agg(count(lit(1)).as("cr"),
+      sum("tgt").as("ct"))
+    val tot = counts.agg(sum("cr").as("nr"), sum("ct").as("nt"))
+    val w = counts.crossJoin(broadcast(tot))
+      .select(col("b"),
+        expr(s"(10000L * (nr + ${B}L)) div (cr + 1L) - " +
+             s"(10000L * (nt + ${B}L)) div (ct + 1L)").as("w"))
+    val scored = docs.join(
+        feats.join(broadcast(w), "b").groupBy("doc_id").agg(sum("w").as("s")),
+        Seq("doc_id"), "left")
+      .na.fill(0L, Seq("s"))
+    val shift = scored.agg(min("s").as("m"))
+    val pri = scored.crossJoin(broadcast(shift))
+      .withColumn("h", expr(s"(($SAMPLE_HASH) * ($SAMPLE_HASH)) % ${P}L"))
+      .withColumn("pri", expr(
+        s"CAST(s - m + 1L AS DOUBLE) * ${P}.0 / (CAST(h AS DOUBLE) + 5e-1)"))
+    val top = pri.groupBy()
+      .agg(expr("topk_by(pri, doc_id, 64)").as("tk"))
+      .select(posexplode(col("tk")).as(Seq("p", "t")))
+      .select((col("p") + 1).cast("long").as("rk"), col("t.id").as("doc_id"),
+        col("t.score").as("pri"))
+    // corpus scan × broadcast 64-row sample (the qx81 join shape)
+    pri.select("doc_id", "source", "s")
+      .join(broadcast(top), "doc_id")
+      .select(col("rk"), col("doc_id"), col("source"),
+        col("s").as("dsir_score"), col("pri"))
+  }
+
   def qx90(spark: SparkSession, dir: String): DataFrame = {
     val occ = CdcChunker.chunks(
       Tables.documents(spark, dir).select(col("doc_id"), col("source"), col("text")))
