@@ -1363,6 +1363,27 @@ object ExtOracle {
        |GROUP BY doc_id""".stripMargin
   }
 
+  /** qx92 twin — the same 8-step BPE replay as qx61, folded per
+    * LANGUAGE with the byte/word/token fertility ratios in integer
+    * micro-units. */
+  val qx92: String = {
+    val steps = 8
+    s"""WITH ${bpeChain(steps)},
+       |tok AS (SELECT word, len(list_filter(string_split(seq, '|'), x -> x <> '')) AS n_tok
+       |        FROM v$steps),
+       |pl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |              CAST(sum(n_chars) AS BIGINT) AS sum_bytes
+       |       FROM docs GROUP BY lang),
+       |tl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+       |              CAST(sum(n_tok) AS BIGINT) AS n_bpe
+       |       FROM docs, unnest(ws) t(w) JOIN tok ON w = tok.word
+       |       GROUP BY lang)
+       |SELECT lang, n_docs, sum_bytes, n_words, n_bpe,
+       |       CAST((1000000 * sum_bytes) // n_bpe AS BIGINT) AS bytes_per_tok_micro,
+       |       CAST((1000000 * n_bpe) // n_words AS BIGINT) AS toks_per_word_micro
+       |FROM pl JOIN tl USING (lang)""".stripMargin
+  }
+
   /** qx59 twin — the corpus bigram LM replayed relationally: identical
     * integer smoothing and the same ⌊10⁶·(c₁+V)/(c₁₂+1)⌋ surrogate, so
     * both engines sum identical BIGINTs. */

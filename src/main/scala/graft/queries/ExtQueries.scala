@@ -3354,6 +3354,39 @@ object ExtQueries {
         col("s").as("dsir_score"), col("pri"))
   }
 
+  /** qx92 — TOKENIZER FERTILITY audit: bytes-per-token and
+    * tokens-per-word per language under the corpus-trained BPE
+    * (qx60/qx61's tokenizer) — the table a tokenizer choice is
+    * validated against in the multilingual literature (fertility
+    * disparities are how a vocabulary silently taxes low-resource
+    * languages; UniMax/NLLB report exactly this audit). Integer-exact:
+    * bytes = n_chars (the corpus ASCII contract), fertility in
+    * micro-units via `div`. Scale shape: the BPE train is qx60's
+    * vocabulary-bounded chain (state cached — the qx61 lesson); the
+    * audit itself is one exploded scan joined to the broadcast token
+    * table plus one language-keyed map-side-combinable aggregate. */
+  def qx92(spark: SparkSession, dir: String): DataFrame = {
+    val wf = Tables.documents(spark, dir)
+      .select(explode(expr(WORDS)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val (_, state) = BpeTrainer.train(wf, steps = 8)
+    val tok = state.select(col("word"), BpeTrainer.tokenCount.as("n_tok"))
+    val perLang = Tables.documents(spark, dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("sum_bytes"))
+    val tokLang = Tables.documents(spark, dir)
+      .select(col("lang"), explode(expr(WORDS)).as("word"))
+      .join(broadcast(tok), "word")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"), sum("n_tok").as("n_bpe"))
+    perLang.join(tokLang, "lang")
+      .select(col("lang"), col("n_docs"), col("sum_bytes"),
+        col("n_words"), col("n_bpe"),
+        expr("(1000000L * sum_bytes) div n_bpe").as("bytes_per_tok_micro"),
+        expr("(1000000L * n_bpe) div n_words").as("toks_per_word_micro"))
+  }
+
   def qx90(spark: SparkSession, dir: String): DataFrame = {
     val occ = CdcChunker.chunks(
       Tables.documents(spark, dir).select(col("doc_id"), col("source"), col("text")))

@@ -45,6 +45,22 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), "carries must join by bucket equality")
   }
 
+  test("qx90: keeper election is aggregate-only — no Window, no cartesian") {
+    val p = sparkPlan("qx90_chunk_reconcile").toString
+    assert(!p.contains("Window"), "keeper election must be min(struct) aggregation")
+    assert(!p.contains("CartesianProduct"), "reconciliation must never go all-pairs")
+  }
+
+  test("qx91: the weight table broadcasts and no corpus Window exists") {
+    val p = sparkPlan("qx91_dsir_select").toString
+    assert(p.contains("BroadcastHashJoin"),
+      "the B-bounded weight table must broadcast into the scoring join")
+    assert(!p.contains("Window"),
+      "scoring and top-k must stay window-free (topk_by, not row_number)")
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
+      "only broadcast-small totals may cross-join")
+  }
+
   test("qx17: the boilerplate cap bounds BOTH self-join inputs") {
     // The frequency cap (keep: 2 <= cnt <= 64) must semi-join each side
     // of the window-hash self-join BEFORE the pair join executes —
@@ -155,15 +171,15 @@ class PlanShapeSpec extends SparkTestBase {
   }
 
   test("qx42: the ADC scan feeds the partial top-k with no exchange between") {
-    // The compressed-domain pass's whole point: ADC scores are computed
-    // inside the broadcast-join stage and topk_by's PARTIAL aggregate
-    // prunes to C per (query, map task) right there — the only exchange
-    // after the scan carries pruned top-k buffers, never the n·q scored
-    // rows. Pin: a partial topk_by ObjectHashAggregate sits directly on
-    // the BroadcastNestedLoopJoin (through projections), no Exchange.
+    // The compressed-domain pass's whole point: since r10 the scan IS
+    // the adcTopC kernel — ADC scores and the per-partition exact
+    // top-C prune happen inside one mapPartitions pass (LUTs ride a
+    // broadcast variable, not a join) — and pqRefine's partial topk_by
+    // sits DIRECTLY on the kernel output: nothing between the raw
+    // parquet scan and the partial top-k may exchange, so what crosses
+    // the wire is q·tasks·C pruned buffers, never n·q scored rows.
     import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
-    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
-    import org.apache.spark.sql.execution.{ProjectExec, FilterExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.catalyst.expressions.aggregate.Partial
     val plan = sparkPlan("qx42_pq_adc")
     val partials = plan.collect {
@@ -172,16 +188,10 @@ class PlanShapeSpec extends SparkTestBase {
           ae.aggregateFunction.isInstanceOf[graft.functions.TopKBy]) => a
     }
     assert(partials.nonEmpty, "no partial topk_by aggregate in the qx42 plan")
-    @scala.annotation.tailrec
-    def throughProjections(p: SparkPlan): SparkPlan = p match {
-      case pr: ProjectExec => throughProjections(pr.child)
-      case f: FilterExec   => throughProjections(f.child)
-      case other           => other
-    }
     assert(partials.exists(a =>
-      throughProjections(a.child).isInstanceOf[BroadcastNestedLoopJoinExec]),
-      "the ADC partial top-k must sit on the broadcast scan stage, " +
-        s"not behind an exchange: ${partials.map(a => throughProjections(a.child).getClass.getSimpleName)}")
+      a.child.collect { case e: ShuffleExchangeExec => e }.isEmpty),
+      "the ADC partial top-k must sit on the kernel scan stage with no " +
+        "exchange anywhere below it")
   }
 
   /** Round-6 verdict #7: qx43/qx44's composed search path must keep
