@@ -22,6 +22,31 @@ object DsirSelect {
   val B = 8192L
   val P = 2147483647L
 
+  /** One document's hashed feature-bucket multiset (uni + bi) — the
+    * scan-local unit both the batch kernel and the streaming twin
+    * ([[graft.streaming.DsirStream]]) hash with. */
+  def bucketsOf(text: String): Array[Long] = {
+    val words = if (text == null) Array.empty[String]
+                else text.split(' ').filter(_.nonEmpty)
+    val hs = new Array[Long](words.length)
+    var i = 0
+    while (i < words.length) {
+      val w = words(i)
+      var a = 0L; var j = 0
+      while (j < w.length) { a = (a * 31L + w.charAt(j).toInt) % 1000003L; j += 1 }
+      hs(i) = a; i += 1
+    }
+    val n = hs.length
+    val out = new Array[Long](n + math.max(0, n - 1))
+    var u = 0
+    while (u < n) { out(u) = hs(u) % B; u += 1 }
+    var g = 0
+    while (g < n - 1) {
+      out(n + g) = ((hs(g) * 1009L + hs(g + 1)) % P) % B; g += 1
+    }
+    out
+  }
+
   /** (doc_id, tgt, b) — one row per feature OCCURRENCE. */
   def featureRows(docs: DataFrame, targetSource: String): DataFrame = {
     val spark = docs.sparkSession
@@ -31,25 +56,7 @@ object DsirSelect {
       .mapPartitions { it =>
         it.flatMap { case (id, src, text) =>
           val tgt = if (src == targetSource) 1L else 0L
-          val words = if (text == null) Array.empty[String]
-                      else text.split(' ').filter(_.nonEmpty)
-          val hs = new Array[Long](words.length)
-          var i = 0
-          while (i < words.length) {
-            val w = words(i)
-            var a = 0L; var j = 0
-            while (j < w.length) { a = (a * 31L + w.charAt(j).toInt) % 1000003L; j += 1 }
-            hs(i) = a; i += 1
-          }
-          val n = hs.length
-          val out = new Array[(Long, Long, Long)](n + math.max(0, n - 1))
-          var u = 0
-          while (u < n) { out(u) = (id, tgt, hs(u) % B); u += 1 }
-          var g = 0
-          while (g < n - 1) {
-            out(n + g) = (id, tgt, ((hs(g) * 1009L + hs(g + 1)) % P) % B); g += 1
-          }
-          out.iterator
+          bucketsOf(text).iterator.map(b => (id, tgt, b))
         }
       }.toDF("doc_id", "tgt", "b")
   }
