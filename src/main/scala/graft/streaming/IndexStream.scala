@@ -38,7 +38,9 @@ object IndexStream {
   /** Scan-local tokenization of one document into its posting rows —
     * the stateless half (same token rule as the batch build). */
   def postings(doc_id: Long, text: String): Iterator[TermObs] =
-    text.split(' ').iterator.filter(_.nonEmpty)
+    // total over nullable text (the CdcChunker lesson)
+    (if (text == null) Iterator.empty[String]
+     else text.split(' ').iterator.filter(_.nonEmpty))
       .foldLeft(scala.collection.mutable.LinkedHashMap.empty[String, Long]) {
         (m, w) => m.updateWith(w) { c => Some(c.getOrElse(0L) + 1L) }; m
       }.iterator.map { case (t, n) => TermObs(t, doc_id, n) }

@@ -178,17 +178,34 @@ object StreamingMain {
     implicit val enc = org.apache.spark.sql.Encoders.tuple(
       org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.BINARY)
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Byte])]
+    // Since r10 the LIVE door is the PACED four-stage composition: a
+    // 1 s crawl-delay on every domain, so the console run exercises
+    // the politeness stage the way production would (the spec pins the
+    // funnel identical with or without pacing).
+    val robots = (0 until 32).map(i => s"m$i.example" -> "User-agent: *\nCrawl-delay: 1\n").toMap
     val q1 = CrawlDoor.unwrapStage(input.toDF().toDF("doc_id", "warc"),
-      robotsByDomain = Map.empty, ua = "graftbot",
+      robotsByDomain = robots, ua = "graftbot",
       s"$base/staged", s"$base/ck1")
     val q2 = CrawlDoor.frontierStage(spark, s"$base/staged", s"$base/frontier", s"$base/ck2")
-    val q3 = CrawlDoor.dedupStage(spark, s"$base/frontier", s"$base/manifest", s"$base/ck3")
+    val qp = CrawlDoor.paceStage(spark, s"$base/frontier", s"$base/paced", s"$base/ckp")
+    val q3 = CrawlDoor.dedupStage(spark, s"$base/paced", s"$base/manifest", s"$base/ck3")
     media.grouped(media.length / 4 + 1).foreach { wave =>
       input.addData(wave.toSeq)
-      q1.processAllAvailable(); q2.processAllAvailable(); q3.processAllAvailable()
+      q1.processAllAvailable(); q2.processAllAvailable()
+      qp.processAllAvailable(); q3.processAllAvailable()
       println(s"[crawl] wave: +${wave.length} fetches")
     }
-    q1.stop(); q2.stop(); q3.stop()
+    // Heartbeats drain the pending politeness timers before the census.
+    for (i <- 1 to 2) {
+      val r = org.apache.spark.sql.Row(
+        10000000L + i, 1L, s"http://${CrawlDoor.FlushDomain}/hb$i",
+        200L, "text/plain", 0L, null, "", 0L, 0L, 0L, 0L,
+        false, false, false, CrawlDoor.FlushDomain, "/", false, 0L)
+      spark.createDataFrame(java.util.Arrays.asList(r), CrawlDoor.stagedSchema)
+        .write.mode("overwrite").parquet(s"$base/frontier/batch=99999$i")
+      qp.processAllAvailable(); q3.processAllAvailable()
+    }
+    q1.stop(); q2.stop(); qp.stop(); q3.stop()
     val live = CrawlDoor.counts(spark, s"$base/staged", s"$base/manifest").collect().head
     val batch = graft.queries.ExtQueries.qx77(spark, sfDir).collect().head
     println(s"[crawl] live door: $live")
