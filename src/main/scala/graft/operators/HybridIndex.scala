@@ -31,6 +31,11 @@ import graft.sources.Tables
   * that shows serving is probe-bound while the build amortizes. */
 object HybridIndex {
 
+  /** Hive partition count for the coded corpus: cells hash into this
+    * many bucket dirs, so probe-bound serving prunes at the FILE
+    * INDEX. 64 keeps gate-scale files sane and cap-scale dirs bounded. */
+  val CellBuckets = 64
+
   /** Train + encode + lexical stats → parquet assets under `outDir`.
     * Every derivation is the qx79b builder verbatim (shared code). */
   def build(spark: SparkSession, dir: String, outDir: String): Unit =
@@ -43,7 +48,16 @@ object HybridIndex {
     val (assets, k) = ExtQueries.ivfadcAssetsFrom(spark, rawEmb)
     assets.books.write.mode("overwrite").parquet(s"$outDir/imi_books.parquet")
     assets.pqBooks.write.mode("overwrite").parquet(s"$outDir/pq_books.parquet")
-    assets.codes.write.mode("overwrite").parquet(s"$outDir/codes.parquet")
+    // Codes land HIVE-PARTITIONED by cell bucket (the CuratedWriter
+    // layout discipline): a serve touching c probed cells reads ≤ c
+    // bucket partitions off the file index instead of scanning every
+    // coded row — the scaladoc's "prune the scan to probed cells",
+    // shipped. One repartition on the bucket keeps files per bucket
+    // bounded (without it every task writes into every bucket dir).
+    assets.codes.withColumn("cell_bucket", pmod(col("cell"), lit(CellBuckets)))
+      .repartition(col("cell_bucket"))
+      .write.mode("overwrite").partitionBy("cell_bucket")
+      .parquet(s"$outDir/codes.parquet")
     assets.base.write.mode("overwrite").parquet(s"$outDir/base.parquet")
     spark.range(1).select(lit(k).as("k"))
       .write.mode("overwrite").parquet(s"$outDir/meta.parquet")
@@ -85,7 +99,10 @@ object HybridIndex {
     val res = QuantKernels.encodeResidual(newBase.select("vec_id", "iv"), books, k)
     ProductQuantizer.packed(res.select("vec_id", "iv"), pqBooks)
       .join(res.select("vec_id", "cell"), "vec_id")
-      .write.mode("append").parquet(s"$indexDir/codes.parquet")
+      .withColumn("cell_bucket", pmod(col("cell"), lit(CellBuckets)))
+      .repartition(col("cell_bucket"))
+      .write.mode("append").partitionBy("cell_bucket")
+      .parquet(s"$indexDir/codes.parquet")
 
     val docs = newDocs.select(col("doc_id"), col("text"))
     val words = docs.select(col("doc_id"),
@@ -132,11 +149,20 @@ object HybridIndex {
                col("vec_id") % 50 === 0 && col("vec_id") < 5000): DataFrame = {
     val books = spark.read.parquet(s"$indexDir/imi_books.parquet")
     val pqBooks = spark.read.parquet(s"$indexDir/pq_books.parquet")
-    val codes = spark.read.parquet(s"$indexDir/codes.parquet")
     val base = spark.read.parquet(s"$indexDir/base.parquet")
     val k = spark.read.parquet(s"$indexDir/meta.parquet").head.getLong(0)
     val q = base.where(qPred)
       .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("n2").as("qn2"))
+    // PROBE-BOUND SCAN: the query set's probed cells (a bounded q×4
+    // collect, the codebook-round-trip class) prune the hive-bucketed
+    // codes at the file index — the spec asserts the predicate lands
+    // in partitionFilters, not a post-scan filter.
+    val probedBuckets = graft.operators.IvfAnn
+      .imiProbeCellsL2(q, books, k, 2)
+      .select(col("cell")).distinct().collect()
+      .map(r => (r.getLong(0) % CellBuckets).toInt).distinct.toSeq
+    val codes = spark.read.parquet(s"$indexDir/codes.parquet")
+      .where(col("cell_bucket").isin(probedBuckets: _*))
     val dense = ExtQueries.ivfadcServe(q, books, pqBooks, codes, base, k, topk = 20)
       .select(col("qid"), col("vec_id").as("doc_id"),
         col("rk").cast("long").as("dense_rk"))

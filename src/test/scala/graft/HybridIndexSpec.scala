@@ -13,6 +13,15 @@ class HybridIndexSpec extends SparkTestBase {
   test("build + search from parquet assets == monolithic qx79b") {
     val out = tmpDir("hybrid_idx")
     HybridIndex.build(spark, dir, out)
+    // The probed-cell predicate must prune the hive-bucketed codes at
+    // the FILE INDEX (partitionFilters), never as a post-scan filter.
+    val codeScans = HybridIndex.search(spark, out)
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("codes.parquet")) => f
+      }
+    assert(codeScans.nonEmpty && codeScans.forall(_.partitionFilters.nonEmpty),
+      "the probed-cell bucket predicate must land in partitionFilters")
     val served = HybridIndex.search(spark, out).collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
         (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
