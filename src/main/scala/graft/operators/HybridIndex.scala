@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 import graft.queries.ExtQueries
 import graft.sources.Tables
@@ -13,22 +14,32 @@ import graft.sources.Tables
   * it. [[build]] writes every asset the qx79b composition derives —
   * the trained IMI coarse codebooks, the residual PQ codebooks, the
   * 4-byte-coded corpus keyed by cell, the exact vectors for refine,
-  * and the lexical statistics (full per-(doc, word) tf — the qx86
-  * inverted-index subject — document lengths, per-word df, corpus
-  * stats). [[search]] reproduces qx79b's fused output BIT-IDENTICALLY
-  * from those assets ([[graft.HybridIndexSpec]] pins it, transitively
-  * against the DuckDB oracle), without touching raw text or
-  * re-training anything.
+  * and the lexical statistics. [[search]] reproduces qx79b's fused
+  * output BIT-IDENTICALLY from those assets ([[graft.HybridIndexSpec]]
+  * pins it, transitively against the DuckDB oracle), without touching
+  * raw text or re-training anything.
+  *
+  * SEGMENT LAYOUT (round-10 review): every growing asset (base, codes,
+  * tf, and the per-batch df/stats parts) lives in `add=<key>` hive
+  * subdirs — `add=build` for the initial corpus, `add=<minDoc>_<maxDoc>`
+  * per [[addBatch]] — written with OVERWRITE on the batch's own subdir,
+  * so a retried or re-delivered batch replaces its own files and the
+  * index never double-counts (the TxnFileSink idempotence discipline
+  * applied to index maintenance; the spec re-runs addBatch and pins
+  * search unchanged). df and corpus stats are DERIVED at serve time by
+  * summing the vocabulary-bounded parts — state is a pure function of
+  * the committed segments, never an additive rewrite that a retry
+  * could apply twice.
   *
   * Scale shape of serve: per query, 4 probed cells → candidates ∝
-  * cell occupancy (never n·q); ADC is the codegen'd `pq_adc` over the
-  * coded slice; exact refine on top-32; the lexical leg joins the
-  * broadcast query-term lexicon against the cell-free tf table with
-  * map-side `topk_by`. Cell-keyed codes mean a real deployment prunes
-  * the scan to probed cells (partition/bucket by cell div B); here the
-  * equi-join on cell is the same bound. [[graft.HybridServeProbe]]
-  * records build-vs-serve seconds at the 100× corpus — the number
-  * that shows serving is probe-bound while the build amortizes. */
+  * cell occupancy (never n·q); the probed-cell set (ONE bounded q×4
+  * collect, shared between bucket pruning and the serve plan as a
+  * LocalRelation) prunes the hive-bucketed codes at the FILE INDEX;
+  * ADC is the codegen'd `pq_adc` over the coded slice; exact refine on
+  * top-32; the lexical leg joins the broadcast query-term lexicon
+  * against the tf table with map-side `topk_by`.
+  * [[graft.HybridServeProbe]] records build-vs-serve seconds at the
+  * 100× corpus — build amortizes, serving is probe-bound. */
 object HybridIndex {
 
   /** Hive partition count for the coded corpus: cells hash into this
@@ -48,20 +59,57 @@ object HybridIndex {
     val (assets, k) = ExtQueries.ivfadcAssetsFrom(spark, rawEmb)
     assets.books.write.mode("overwrite").parquet(s"$outDir/imi_books.parquet")
     assets.pqBooks.write.mode("overwrite").parquet(s"$outDir/pq_books.parquet")
-    // Codes land HIVE-PARTITIONED by cell bucket (the CuratedWriter
-    // layout discipline): a serve touching c probed cells reads ≤ c
-    // bucket partitions off the file index instead of scanning every
-    // coded row — the scaladoc's "prune the scan to probed cells",
-    // shipped. One repartition on the bucket keeps files per bucket
-    // bounded (without it every task writes into every bucket dir).
-    assets.codes.withColumn("cell_bucket", pmod(col("cell"), lit(CellBuckets)))
-      .repartition(col("cell_bucket"))
-      .write.mode("overwrite").partitionBy("cell_bucket")
-      .parquet(s"$outDir/codes.parquet")
-    assets.base.write.mode("overwrite").parquet(s"$outDir/base.parquet")
+    writeSegment(outDir, "build", assets.base, assets.codes, docs)
     spark.range(1).select(lit(k).as("k"))
       .write.mode("overwrite").parquet(s"$outDir/meta.parquet")
+  }
 
+  /** INCREMENTAL maintenance — admit a batch of NEW documents without
+    * retraining (the faiss `add` contract, and the batch rendering of
+    * [[graft.streaming.IndexStream]]'s per-posting append): new
+    * vectors encode against the FROZEN coarse + PQ codebooks (the
+    * fused assign+residual kernel, then PQ encode — two scans over the
+    * new batch only) and the batch lands as ONE overwrite-idempotent
+    * segment (`add=<minDoc>_<maxDoc>`): retrying a failed or
+    * re-delivered addBatch replaces the same subdirs, so the index
+    * never double-counts ([[graft.HybridIndexSpec]] re-runs it and
+    * pins search unchanged). Batches must carry NEW doc ids (the faiss
+    * contract); overlapping id RANGES collide on the segment key by
+    * design — colliding keys overwrite rather than duplicate.
+    * A subsequent [[search]] serves the union corpus bit-identically
+    * to a frozen-codebook rebuild over it. Codebook drift under a
+    * shifting corpus is the retrain trigger — measured by
+    * [[graft.RecallProbe]], not silently absorbed. */
+  def addBatch(spark: SparkSession, indexDir: String,
+               newDocs: DataFrame, newRawEmb: DataFrame): Unit = {
+    val books = spark.read.parquet(s"$indexDir/imi_books.parquet")
+    val pqBooks = spark.read.parquet(s"$indexDir/pq_books.parquet")
+    val k = spark.read.parquet(s"$indexDir/meta.parquet").head.getLong(0)
+    val range = newDocs.agg(min("doc_id"), max("doc_id")).head
+    if (range.isNullAt(0)) return // empty batch: nothing to admit
+    val segKey = s"${range.getLong(0)}_${range.getLong(1)}"
+    val newBase = ExtQueries.intEmbeddingsFrom(newRawEmb)
+    val res = QuantKernels.encodeResidual(newBase.select("vec_id", "iv"), books, k)
+    val newCodes = ProductQuantizer.packed(res.select("vec_id", "iv"), pqBooks)
+      .join(res.select("vec_id", "cell"), "vec_id")
+    writeSegment(indexDir, segKey, newBase, newCodes,
+      newDocs.select(col("doc_id"), col("text")))
+  }
+
+  /** One segment's worth of every growing asset, each written with
+    * OVERWRITE on its own `add=<key>` subdir (idempotent retry). */
+  private def writeSegment(indexDir: String, key: String, base: DataFrame,
+                           codes: DataFrame, docs: DataFrame): Unit = {
+    base.write.mode("overwrite").parquet(s"$indexDir/base.parquet/add=$key")
+    // Codes land HIVE-PARTITIONED by cell bucket inside the segment
+    // (the CuratedWriter layout discipline): a serve touching c probed
+    // cells reads ≤ c bucket partitions per segment off the file
+    // index. One repartition on the bucket keeps files per bucket
+    // bounded (without it every task writes into every bucket dir).
+    codes.withColumn("cell_bucket", pmod(col("cell"), lit(CellBuckets)))
+      .repartition(col("cell_bucket"))
+      .write.mode("overwrite").partitionBy("cell_bucket")
+      .parquet(s"$indexDir/codes.parquet/add=$key")
     val words = docs.select(col("doc_id"),
       explode(expr("filter(split(text, ' '), w -> length(w) > 0)")).as("word"))
     val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
@@ -69,81 +117,21 @@ object HybridIndex {
     // Postings ship denormalized with the doc length — the BM25 dl
     // join is paid once at build, not per serve.
     tf.join(dl, "doc_id")
-      .write.mode("overwrite").parquet(s"$outDir/tf.parquet")
+      .write.mode("overwrite").parquet(s"$indexDir/tf.parquet/add=$key")
     tf.groupBy("word").agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").parquet(s"$outDir/df.parquet")
+      .write.mode("overwrite").parquet(s"$indexDir/df_parts.parquet/add=$key")
     docs.agg(count(lit(1)).as("n"))
       .crossJoin(words.agg(count(lit(1)).as("sumdl")))
-      .write.mode("overwrite").parquet(s"$outDir/stats.parquet")
-  }
-
-  /** INCREMENTAL maintenance — admit a batch of NEW documents without
-    * retraining (the faiss `add` contract, and the batch rendering of
-    * [[graft.streaming.IndexStream]]'s per-posting append): new
-    * vectors encode against the FROZEN coarse + PQ codebooks (the
-    * fused assign+residual kernel, then PQ encode — two scans over
-    * the new batch only), their codes/base rows APPEND, new postings
-    * (dl-denormalized) append, and the vocabulary-bounded df / stats
-    * tables merge ADDITIVELY (new docs never retract old counts). A
-    * subsequent [[search]] serves the union corpus bit-identically to
-    * a frozen-codebook rebuild over it ([[graft.HybridIndexSpec]]).
-    * Codebook drift under a shifting corpus is the retrain trigger —
-    * measured by [[graft.RecallProbe]], not silently absorbed. */
-  def addBatch(spark: SparkSession, indexDir: String,
-               newDocs: DataFrame, newRawEmb: DataFrame): Unit = {
-    val books = spark.read.parquet(s"$indexDir/imi_books.parquet")
-    val pqBooks = spark.read.parquet(s"$indexDir/pq_books.parquet")
-    val k = spark.read.parquet(s"$indexDir/meta.parquet").head.getLong(0)
-    val newBase = ExtQueries.intEmbeddingsFrom(newRawEmb)
-    newBase.write.mode("append").parquet(s"$indexDir/base.parquet")
-    val res = QuantKernels.encodeResidual(newBase.select("vec_id", "iv"), books, k)
-    ProductQuantizer.packed(res.select("vec_id", "iv"), pqBooks)
-      .join(res.select("vec_id", "cell"), "vec_id")
-      .withColumn("cell_bucket", pmod(col("cell"), lit(CellBuckets)))
-      .repartition(col("cell_bucket"))
-      .write.mode("append").partitionBy("cell_bucket")
-      .parquet(s"$indexDir/codes.parquet")
-
-    val docs = newDocs.select(col("doc_id"), col("text"))
-    val words = docs.select(col("doc_id"),
-      explode(expr("filter(split(text, ' '), w -> length(w) > 0)")).as("word"))
-    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    tf.join(dl, "doc_id")
-      .write.mode("append").parquet(s"$indexDir/tf.parquet")
-    rewrite(spark.read.parquet(s"$indexDir/df.parquet")
-        .unionByName(tf.groupBy("word").agg(count(lit(1)).as("df")))
-        .groupBy("word").agg(sum("df").as("df")),
-      s"$indexDir/df.parquet")
-    val old = spark.read.parquet(s"$indexDir/stats.parquet").head
-    val add = docs.agg(count(lit(1)).as("n"))
-      .crossJoin(words.agg(count(lit(1)).as("sumdl"))).head
-    rewrite(spark.range(1)
-        .select(lit(old.getLong(0) + add.getLong(0)).as("n"),
-          lit(old.getLong(1) + add.getLong(1)).as("sumdl")),
-      s"$indexDir/stats.parquet")
-  }
-
-  /** Replace a small merged asset atomically-enough for a single
-    * writer: materialize to `.tmp`, then swap. */
-  private def rewrite(df: DataFrame, path: String): Unit = {
-    val spark = df.sparkSession
-    val tmp = path + ".tmp"
-    df.write.mode("overwrite").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
-    ()
+      .write.mode("overwrite").parquet(s"$indexDir/stats_parts.parquet/add=$key")
   }
 
   /** Serve the hybrid query set from the persisted assets: dense leg =
-    * IMI probe → residual LUTs → ADC over cell-joined codes → exact
-    * refine to top-20; lexical leg = BM25 from the persisted tf/dl/df
-    * tables; RRF fusion — every expression qx79b's monolithic form
-    * uses, so the output is bit-identical. `qPred` selects the query
-    * ids (the gate slice by default). */
+    * IMI probe → residual LUTs → ADC over the bucket-pruned cell-joined
+    * codes → exact refine to top-20; lexical leg = BM25 from the
+    * persisted tf segments with df/stats SUMMED from the per-segment
+    * parts (vocabulary-bounded); RRF fusion — every expression qx79b's
+    * monolithic form uses, so the output is bit-identical. `qPred`
+    * selects the query ids (the gate slice by default). */
   def search(spark: SparkSession, indexDir: String,
              qPred: org.apache.spark.sql.Column =
                col("vec_id") % 50 === 0 && col("vec_id") < 5000): DataFrame = {
@@ -153,23 +141,31 @@ object HybridIndex {
     val k = spark.read.parquet(s"$indexDir/meta.parquet").head.getLong(0)
     val q = base.where(qPred)
       .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("n2").as("qn2"))
-    // PROBE-BOUND SCAN: the query set's probed cells (a bounded q×4
-    // collect, the codebook-round-trip class) prune the hive-bucketed
-    // codes at the file index — the spec asserts the predicate lands
-    // in partitionFilters, not a post-scan filter.
-    val probedBuckets = graft.operators.IvfAnn
+    // ONE probe pass: the q×4 probed cells collect once (the bounded
+    // codebook-round-trip class) and come back as a LocalRelation that
+    // BOTH prunes the hive-bucketed codes at the file index AND feeds
+    // the serve plan — the review's double-probe fixed.
+    val qCellRows = graft.operators.IvfAnn
       .imiProbeCellsL2(q, books, k, 2)
-      .select(col("cell")).distinct().collect()
-      .map(r => (r.getLong(0) % CellBuckets).toInt).distinct.toSeq
+      .select(col("qid").cast("long"), col("cell").cast("long")).collect()
+    val probedBuckets = qCellRows.map(r => (r.getLong(1) % CellBuckets).toInt)
+      .distinct.toSeq
+    val qCells = spark.createDataFrame(
+      java.util.Arrays.asList(qCellRows: _*),
+      StructType(Seq(StructField("qid", LongType, nullable = false),
+        StructField("cell", LongType, nullable = false))))
     val codes = spark.read.parquet(s"$indexDir/codes.parquet")
       .where(col("cell_bucket").isin(probedBuckets: _*))
-    val dense = ExtQueries.ivfadcServe(q, books, pqBooks, codes, base, k, topk = 20)
+    val dense = ExtQueries.ivfadcServe(q, books, pqBooks, codes, base, k,
+        topk = 20, qCellsOpt = Some(qCells))
       .select(col("qid"), col("vec_id").as("doc_id"),
         col("rk").cast("long").as("dense_rk"))
 
     val tf = spark.read.parquet(s"$indexDir/tf.parquet")
-    val dfreq = spark.read.parquet(s"$indexDir/df.parquet")
-    val stats = spark.read.parquet(s"$indexDir/stats.parquet")
+    val dfreq = spark.read.parquet(s"$indexDir/df_parts.parquet")
+      .groupBy("word").agg(sum("df").as("df"))
+    val stats = spark.read.parquet(s"$indexDir/stats_parts.parquet")
+      .agg(sum("n").as("n"), sum("sumdl").as("sumdl"))
     // The query docs' distinct words ARE their tf rows' word set.
     val qids = q.select(col("qid"))
     val qterms = tf.join(qids, tf("doc_id") === qids("qid"))

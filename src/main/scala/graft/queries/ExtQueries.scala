@@ -557,10 +557,14 @@ object ExtQueries {
     * is bit-identical to the monolithic gate). */
   private[graft] def ivfadcServe(q: DataFrame, tBooks: DataFrame, rBooks: DataFrame,
                                  rCodes: DataFrame, base: DataFrame, k: Long,
-                                 topk: Int): DataFrame = {
+                                 topk: Int,
+                                 qCellsOpt: Option[DataFrame] = None): DataFrame = {
+    // A caller who already computed the probe set (HybridIndex, which
+    // also prunes code buckets with it) passes it in — one probe pass.
+    val qCells = qCellsOpt.getOrElse(IvfAnn.imiProbeCellsL2(q, tBooks, k, 2))
     val qRes = residualizedWith(tBooks, k)(
       q.select(col("qid").as("vec_id"), col("qiv").as("iv")),
-      IvfAnn.imiProbeCellsL2(q, tBooks, k, 2).withColumnRenamed("qid", "vec_id"))
+      qCells.withColumnRenamed("qid", "vec_id"))
       .select(col("vec_id").as("qid"), col("cell"), col("ivr").as("qiv"),
         expr("long_dot(ivr, ivr)").as("qrn2"))
     val rLuts = ProductQuantizer.lutsKeyed(qRes, rBooks, Seq("qid", "cell"))

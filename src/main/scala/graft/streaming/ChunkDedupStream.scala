@@ -137,10 +137,15 @@ object ChunkDedupStream {
     * multi-source intake before trusting the fold. Distributed agg —
     * no per-identity driver materialization. */
   def subCursorAudit(spark: org.apache.spark.sql.SparkSession,
-                     checkpoint: String): Long = {
+                     checkpoint: String,
+                     stateVarName: String = "store"): Long = {
+    // stateVarName selects the processor under audit: "store" for the
+    // per-source [[StoreProcessor]], "gstore" for the reconciled
+    // [[GlobalStoreProcessor]] (the r10 review's catch — the audit
+    // must reach BOTH cursor stores).
     import org.apache.spark.sql.functions.{coalesce, lit, sum}
     spark.read.format("statestore")
-      .option("path", checkpoint).option("stateVarName", "store").load()
+      .option("path", checkpoint).option("stateVarName", stateVarName).load()
       .selectExpr("value.subCursor AS s")
       .agg(coalesce(sum("s"), lit(0L))).head.getLong(0)
   }

@@ -156,6 +156,19 @@ object CrawlDoor {
     * but are never committed to the paced handoff. */
   val FlushDomain = "flush.internal"
 
+  /** Write one watermark heartbeat into the frontier handoff glob (a
+    * far-future [[FlushDomain]] row the pace stage times off and never
+    * commits). One definition for the spec, the soak and the live main
+    * — the staged schema has exactly one Row literal to maintain. */
+  def writeHeartbeat(spark: SparkSession, frontierRoot: String, i: Int): Unit = {
+    val r = org.apache.spark.sql.Row(
+      10000000L + i, 1L, s"http://$FlushDomain/hb$i",
+      200L, "text/plain", 0L, null, "", 0L, 0L, 0L, 0L,
+      false, false, false, FlushDomain, "/", false, 0L)
+    spark.createDataFrame(java.util.Arrays.asList(r), stagedSchema)
+      .write.mode("overwrite").parquet(s"$frontierRoot/batch=99999$i")
+  }
+
   /** Stage 2½ (round-9 verdict #4): the frontier handoff → per-domain
     * POLITENESS pacing → handoff of RELEASED fetches. The door now
     * CONSUMES the crawl-delay the robots stage parses: each admitted

@@ -167,12 +167,7 @@ object DoorSoak {
     }
     // Heartbeats drain every pending politeness timer.
     for (i <- 1 to 2) {
-      val r = org.apache.spark.sql.Row(
-        10000000L + i, 1L, s"http://${CrawlDoor.FlushDomain}/hb$i",
-        200L, "text/plain", 0L, null, "", 0L, 0L, 0L, 0L,
-        false, false, false, CrawlDoor.FlushDomain, "/", false, 0L)
-      spark.createDataFrame(java.util.Arrays.asList(r), CrawlDoor.stagedSchema)
-        .write.mode("overwrite").parquet(s"$base/frontier/batch=99999$i")
+      CrawlDoor.writeHeartbeat(spark, s"$base/frontier", i)
       qp.processAllAvailable(); q3.processAllAvailable()
     }
     stateLine("pace", nWaves + 1, qp)
@@ -183,6 +178,10 @@ object DoorSoak {
     val released = spark.read.parquet(s"$base/paced/batch=*").count()
     println(s"[soak] crawl door done: admitted=$admitted released=$released " +
       s"(politeness drained=${admitted == released})")
+    // ASSERTED, not just printed (the r10 review): an unattended soak
+    // run must fail loudly if the politeness drain regresses.
+    require(admitted == released,
+      s"politeness drain regression: admitted=$admitted released=$released")
     spark.stop()
   }
 }

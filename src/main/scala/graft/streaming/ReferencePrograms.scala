@@ -66,10 +66,10 @@ object ReferencePrograms {
     run(console(sums, "update"), seconds)
   }
 
-  /** Two sources co-processed: sensor stream + 1 ev/s smoke-level control
-    * stream (HIGH ≈ 21% of seconds, the reference's gaussian threshold);
-    * alert when latest level is HIGH and temp > 100 (M2/S2). */
-  /** The `multi` co-process as a sink-agnostic Dataset; `threshold`
+  /** Two sources co-processed (M2/S2): sensor stream + 1 ev/s
+    * smoke-level control stream (HIGH ≈ 21% of seconds, the
+    * reference's gaussian threshold); alert when latest level is HIGH
+    * and temp > `threshold` — sink-agnostic, with the threshold
     * parameterized so the spec can force alerts deterministically. */
   def multiPipeline(spark: SparkSession,
                     threshold: Double = 100.0): org.apache.spark.sql.DataFrame = {

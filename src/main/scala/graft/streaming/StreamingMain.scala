@@ -197,12 +197,7 @@ object StreamingMain {
     }
     // Heartbeats drain the pending politeness timers before the census.
     for (i <- 1 to 2) {
-      val r = org.apache.spark.sql.Row(
-        10000000L + i, 1L, s"http://${CrawlDoor.FlushDomain}/hb$i",
-        200L, "text/plain", 0L, null, "", 0L, 0L, 0L, 0L,
-        false, false, false, CrawlDoor.FlushDomain, "/", false, 0L)
-      spark.createDataFrame(java.util.Arrays.asList(r), CrawlDoor.stagedSchema)
-        .write.mode("overwrite").parquet(s"$base/frontier/batch=99999$i")
+      CrawlDoor.writeHeartbeat(spark, s"$base/frontier", i)
       qp.processAllAvailable(); q3.processAllAvailable()
     }
     q1.stop(); q2.stop(); qp.stop(); q3.stop()

@@ -143,14 +143,8 @@ class CrawlDoorSpec extends SparkTestBase {
     // Watermark heartbeat: a far-future row on the reserved flush
     // domain, written straight into the frontier handoff glob — it
     // advances the pace stage's event clock and is never committed.
-    def writeFlush(i: Int): Unit = {
-      val r = org.apache.spark.sql.Row(
-        10000000L + i, 1L, s"http://${CrawlDoor.FlushDomain}/hb$i",
-        200L, "text/plain", 0L, null, "", 0L, 0L, 0L, 0L,
-        false, false, false, CrawlDoor.FlushDomain, "/", false, 0L)
-      spark.createDataFrame(java.util.Arrays.asList(r), CrawlDoor.stagedSchema)
-        .write.mode("overwrite").parquet(s"$base/frontier/batch=99999$i")
-    }
+    def writeFlush(i: Int): Unit =
+      CrawlDoor.writeHeartbeat(spark, s"$base/frontier", i)
 
     val bytes = media()
     val (w1, w2) = bytes.splitAt(bytes.size / 2)

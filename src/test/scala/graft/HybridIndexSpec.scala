@@ -76,5 +76,15 @@ class HybridIndexSpec extends SparkTestBase {
     // from the B slice
     assert(served.values.exists(_._1 >= cut),
       "fixture must surface B-slice docs in the fused top-10")
+
+    // IDEMPOTENT RETRY (the r10 review's top finding): re-delivering
+    // the SAME batch overwrites its own segment instead of
+    // double-counting — search output must be byte-identical after.
+    HybridIndex.addBatch(spark, out, docs.where(col("doc_id") >= cut),
+      raw.where(col("vec_id") >= cut))
+    val again = HybridIndex.search(spark, out).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(again == expect, "a re-delivered addBatch changed the index")
   }
 }
