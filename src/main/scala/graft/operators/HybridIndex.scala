@@ -19,17 +19,24 @@ import graft.sources.Tables
   * pins it, transitively against the DuckDB oracle), without touching
   * raw text or re-training anything.
   *
-  * SEGMENT LAYOUT (round-10 review): every growing asset (base, codes,
-  * tf, and the per-batch df/stats parts) lives in `add=<key>` hive
-  * subdirs — `add=build` for the initial corpus, `add=<minDoc>_<maxDoc>`
-  * per [[addBatch]] — written with OVERWRITE on the batch's own subdir,
-  * so a retried or re-delivered batch replaces its own files and the
-  * index never double-counts (the TxnFileSink idempotence discipline
-  * applied to index maintenance; the spec re-runs addBatch and pins
-  * search unchanged). df and corpus stats are DERIVED at serve time by
-  * summing the vocabulary-bounded parts — state is a pure function of
-  * the committed segments, never an additive rewrite that a retry
-  * could apply twice.
+  * SEGMENT LAYOUT WITH A MANIFEST COMMIT (round-10): every growing
+  * asset (base, codes, tf, and the per-batch df/stats parts) lives in
+  * `add=<key>` hive subdirs — `add=build` for the initial corpus,
+  * `add=<minDoc>_<maxDoc>` per [[addBatch]], `add=compact_<hash>` per
+  * [[compact]] — each written with OVERWRITE on its own subdir, and
+  * the set of LIVE segments is committed in ONE swap-rewritten
+  * manifest: readers resolve the manifest and touch only its paths,
+  * so a segment becomes visible atomically at the manifest swap (the
+  * Delta/Iceberg commit shape in miniature, the TxnFileSink
+  * idempotence discipline applied to index maintenance). A retried or
+  * re-delivered batch overwrites its own subdir and re-commits the
+  * same manifest entry — never double-counts; a crash BEFORE the
+  * manifest swap leaves an invisible orphan dir that [[vacuum]]
+  * collects. [[compact]] folds all live segments into one (the Lucene
+  * merge) with the same commit discipline — the spec pins search
+  * unchanged across addBatch-retry, compact and vacuum. df and corpus
+  * stats are DERIVED at serve by summing the vocabulary-bounded
+  * parts — state is a pure function of the committed segments.
   *
   * Scale shape of serve: per query, 4 probed cells → candidates ∝
   * cell occupancy (never n·q); the probed-cell set (ONE bounded q×4
@@ -62,6 +69,7 @@ object HybridIndex {
     writeSegment(outDir, "build", assets.base, assets.codes, docs)
     spark.range(1).select(lit(k).as("k"))
       .write.mode("overwrite").parquet(s"$outDir/meta.parquet")
+    commitManifest(spark, outDir, Seq("build"))
   }
 
   /** INCREMENTAL maintenance — admit a batch of NEW documents without
@@ -94,7 +102,83 @@ object HybridIndex {
       .join(res.select("vec_id", "cell"), "vec_id")
     writeSegment(indexDir, segKey, newBase, newCodes,
       newDocs.select(col("doc_id"), col("text")))
+    // The batch becomes VISIBLE here: one manifest swap (the commit
+    // point); a crash before it leaves only an invisible orphan dir.
+    commitManifest(spark, indexDir,
+      (liveSegments(spark, indexDir) :+ segKey).distinct.sorted)
   }
+
+  /** Fold every live segment into ONE (the Lucene merge): read the
+    * committed segments, rewrite each asset as a single
+    * `add=compact_<hash>` segment (df/stats parts pre-folded), and
+    * swap the manifest to it. The key derives from the input segment
+    * set, so a retried compact overwrites its own dir; superseded
+    * segment dirs become invisible garbage for [[vacuum]]. */
+  def compact(spark: SparkSession, indexDir: String): Unit = {
+    val live = liveSegments(spark, indexDir)
+    if (live.size <= 1) return // already one segment
+    val key = "compact_" + math.abs(live.sorted.mkString("+").hashCode).toString
+    readAsset(spark, indexDir, "base.parquet", live).drop("add")
+      .write.mode("overwrite").parquet(s"$indexDir/base.parquet/add=$key")
+    readAsset(spark, indexDir, "codes.parquet", live).drop("add")
+      .repartition(col("cell_bucket"))
+      .write.mode("overwrite").partitionBy("cell_bucket")
+      .parquet(s"$indexDir/codes.parquet/add=$key")
+    readAsset(spark, indexDir, "tf.parquet", live).drop("add")
+      .write.mode("overwrite").parquet(s"$indexDir/tf.parquet/add=$key")
+    readAsset(spark, indexDir, "df_parts.parquet", live)
+      .groupBy("word").agg(sum("df").as("df"))
+      .write.mode("overwrite").parquet(s"$indexDir/df_parts.parquet/add=$key")
+    readAsset(spark, indexDir, "stats_parts.parquet", live)
+      .agg(sum("n").as("n"), sum("sumdl").as("sumdl"))
+      .write.mode("overwrite").parquet(s"$indexDir/stats_parts.parquet/add=$key")
+    commitManifest(spark, indexDir, Seq(key))
+  }
+
+  /** Delete segment dirs the manifest no longer references (orphans
+    * from pre-commit crashes, segments superseded by [[compact]]).
+    * Safe any time: readers only resolve manifest paths. */
+  def vacuum(spark: SparkSession, indexDir: String): Unit = {
+    val live = liveSegments(spark, indexDir).toSet
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+    Seq("base.parquet", "codes.parquet", "tf.parquet",
+        "df_parts.parquet", "stats_parts.parquet").foreach { asset =>
+      val root = new org.apache.hadoop.fs.Path(s"$indexDir/$asset")
+      if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("add=") && !live.contains(name.stripPrefix("add=")))
+          fs.delete(st.getPath, true)
+      }
+    }
+  }
+
+  /** The committed segment set (one swap-rewritten parquet). */
+  private def liveSegments(spark: SparkSession, indexDir: String): Seq[String] =
+    spark.read.parquet(s"$indexDir/manifest.parquet")
+      .collect().map(_.getString(0)).toSeq.sorted
+
+  private def commitManifest(spark: SparkSession, indexDir: String,
+                             segs: Seq[String]): Unit = {
+    import spark.implicits._
+    val path = s"$indexDir/manifest.parquet"
+    val tmp = path + ".tmp"
+    segs.toDF("seg").coalesce(1).write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    ()
+  }
+
+  /** Read one asset's LIVE segments only, manifest-resolved, with the
+    * hive partition columns (`add`, and `cell_bucket` for codes)
+    * intact via basePath. */
+  private def readAsset(spark: SparkSession, indexDir: String, asset: String,
+                        live: Seq[String]): DataFrame =
+    spark.read.option("basePath", s"$indexDir/$asset")
+      .parquet(live.map(k => s"$indexDir/$asset/add=$k"): _*)
 
   /** One segment's worth of every growing asset, each written with
     * OVERWRITE on its own `add=<key>` subdir (idempotent retry). */
@@ -135,9 +219,10 @@ object HybridIndex {
   def search(spark: SparkSession, indexDir: String,
              qPred: org.apache.spark.sql.Column =
                col("vec_id") % 50 === 0 && col("vec_id") < 5000): DataFrame = {
+    val live = liveSegments(spark, indexDir)
     val books = spark.read.parquet(s"$indexDir/imi_books.parquet")
     val pqBooks = spark.read.parquet(s"$indexDir/pq_books.parquet")
-    val base = spark.read.parquet(s"$indexDir/base.parquet")
+    val base = readAsset(spark, indexDir, "base.parquet", live)
     val k = spark.read.parquet(s"$indexDir/meta.parquet").head.getLong(0)
     val q = base.where(qPred)
       .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("n2").as("qn2"))
@@ -154,17 +239,17 @@ object HybridIndex {
       java.util.Arrays.asList(qCellRows: _*),
       StructType(Seq(StructField("qid", LongType, nullable = false),
         StructField("cell", LongType, nullable = false))))
-    val codes = spark.read.parquet(s"$indexDir/codes.parquet")
+    val codes = readAsset(spark, indexDir, "codes.parquet", live)
       .where(col("cell_bucket").isin(probedBuckets: _*))
     val dense = ExtQueries.ivfadcServe(q, books, pqBooks, codes, base, k,
         topk = 20, qCellsOpt = Some(qCells))
       .select(col("qid"), col("vec_id").as("doc_id"),
         col("rk").cast("long").as("dense_rk"))
 
-    val tf = spark.read.parquet(s"$indexDir/tf.parquet")
-    val dfreq = spark.read.parquet(s"$indexDir/df_parts.parquet")
+    val tf = readAsset(spark, indexDir, "tf.parquet", live)
+    val dfreq = readAsset(spark, indexDir, "df_parts.parquet", live)
       .groupBy("word").agg(sum("df").as("df"))
-    val stats = spark.read.parquet(s"$indexDir/stats_parts.parquet")
+    val stats = readAsset(spark, indexDir, "stats_parts.parquet", live)
       .agg(sum("n").as("n"), sum("sumdl").as("sumdl"))
     // The query docs' distinct words ARE their tf rows' word set.
     val qids = q.select(col("qid"))

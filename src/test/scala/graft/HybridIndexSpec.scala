@@ -86,5 +86,19 @@ class HybridIndexSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1)) ->
         (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
     assert(again == expect, "a re-delivered addBatch changed the index")
+
+    // COMPACT (the Lucene merge under the manifest commit) + VACUUM:
+    // search is unchanged, and each asset folds to ONE live segment
+    // with the superseded dirs collected.
+    HybridIndex.compact(spark, out)
+    HybridIndex.vacuum(spark, out)
+    val compacted = HybridIndex.search(spark, out).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(compacted == expect, "compaction changed the served output")
+    val segDirs = new java.io.File(s"$out/base.parquet").listFiles()
+      .filter(_.getName.startsWith("add=")).map(_.getName).toSeq
+    assert(segDirs.length == 1 && segDirs.head.startsWith("add=compact_"),
+      s"vacuum must leave exactly the compacted segment, got $segDirs")
   }
 }
