@@ -47,7 +47,8 @@ object DsirSelect {
     out
   }
 
-  /** (doc_id, tgt, b) — one row per feature OCCURRENCE. */
+  /** (doc_id, source, tgt, b) — one row per feature OCCURRENCE; qx91
+    * folds on tgt, qx93 on source. */
   def featureRows(docs: DataFrame, targetSource: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -56,9 +57,9 @@ object DsirSelect {
       .mapPartitions { it =>
         it.flatMap { case (id, src, text) =>
           val tgt = if (src == targetSource) 1L else 0L
-          bucketsOf(text).iterator.map(b => (id, tgt, b))
+          bucketsOf(text).iterator.map(b => (id, src, tgt, b))
         }
-      }.toDF("doc_id", "tgt", "b")
+      }.toDF("doc_id", "source", "tgt", "b")
   }
 
   /** The declarative (array-HOF) spelling, kept as the spec reference
@@ -68,7 +69,7 @@ object DsirSelect {
     docs.select(col("doc_id"), col("source"),
         expr("transform(filter(split(text, ' '), w -> length(w) > 0), " +
           "w -> aggregate(split(w, ''), 0L, (a, c) -> (a*31 + ascii(c)) % 1000003))").as("h"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("source"),
         when(col("source") === targetSource, 1L).otherwise(0L).as("tgt"),
         explode(expr(
           s"concat(transform(h, x -> x % ${B}L), " +

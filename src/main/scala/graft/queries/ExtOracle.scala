@@ -2391,6 +2391,37 @@ object ExtOracle {
        |FROM drk WHERE rk <= 64""".stripMargin
   }
 
+  /** qx93 twin — the drift monitor replayed: identical hashed uni+bi
+    * buckets (qx91's spelling), per-(source, bucket) counts, integer
+    * micro-unit histograms with `//` floors, L1 over the FULL corpus
+    * bucket set (missing source buckets contribute |0 − p_c|), argmax
+    * gap with ties to the smallest bucket. */
+  val qx93: String = {
+    val B = 8192
+    s"""WITH $DOCS,
+       |uni AS (SELECT doc_id, unnest(list_transform(h, x -> x % $B)) AS b FROM wh),
+       |bi AS (SELECT doc_id,
+       |         unnest(list_transform(range(1, len(h)), i -> ((h[i]*1009 + h[i+1]) % $P) % $B)) AS b
+       |       FROM wh WHERE len(h) >= 2),
+       |f AS (SELECT d.source, u.b
+       |      FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi) u
+       |      JOIN docs d USING (doc_id)),
+       |bs AS (SELECT source, b, CAST(count(*) AS BIGINT) AS cs FROM f GROUP BY 1, 2),
+       |st AS (SELECT source, CAST(sum(cs) AS BIGINT) AS ns FROM bs GROUP BY source),
+       |cp AS (SELECT b, CAST(sum(cs) AS BIGINT) AS cc FROM bs GROUP BY b),
+       |ct AS (SELECT CAST(sum(cc) AS BIGINT) AS nc FROM cp),
+       |g AS (SELECT st.source, st.ns, cp.b,
+       |             (1000000 * COALESCE(bs.cs, 0)) // st.ns AS ps,
+       |             (1000000 * cp.cc) // ct.nc AS pc
+       |      FROM st CROSS JOIN cp CROSS JOIN ct
+       |      LEFT JOIN bs ON bs.source = st.source AND bs.b = cp.b)
+       |SELECT source, CAST(max(ns) AS BIGINT) AS n_feats,
+       |       CAST(sum(abs(ps - pc)) AS BIGINT) AS l1_micro,
+       |       CAST(-(max({'a': abs(ps - pc), 'nb': -b, 'g': ps - pc}).nb) AS BIGINT) AS top_bucket,
+       |       CAST(max({'a': abs(ps - pc), 'nb': -b, 'g': ps - pc}).g AS BIGINT) AS top_gap_micro
+       |FROM g GROUP BY source""".stripMargin
+  }
+
   /** qx90 twin — [[CDC_CHUNKS]] + the global keeper election (min
     * struct over (first doc_id, first start, source) per identity) and
     * the per-source reconciled accounting. */

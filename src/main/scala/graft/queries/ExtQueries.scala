@@ -3391,6 +3391,54 @@ object ExtQueries {
         expr("(1000000L * n_bpe) div n_words").as("toks_per_word_micro"))
   }
 
+  /** qx93 — SOURCE DRIFT monitor: how far each source's hashed n-gram
+    * distribution sits from the corpus mixture — the alarm a standing
+    * ingestion pipeline reads to catch a feed gone off-profile (layout
+    * change, language shift, spam injection) before it pollutes the
+    * mix, and the monitoring companion of qx91's relevance model
+    * (same [[DsirSelect]] feature kernel, same B = 8192 buckets).
+    * Per source: feature count, the L1 distance Σ_b |p_src(b) −
+    * p_corpus(b)| in integer micro-units (p = 10⁶·c div n — floor
+    * rounding identical in both engines, so the statistic is
+    * hash-exact, the qx84 no-float discipline), and the single most
+    * divergent bucket with its signed gap (micro) — the "what changed"
+    * pointer next to the "how much" score. Scale shape: one kernel
+    * feature pass → one (source, bucket) aggregation (≤ sources×B
+    * rows) → bucket-level join against the B-row corpus histogram →
+    * per-source fold; nothing after the feature pass touches corpus-
+    * sized data. */
+  def qx93(spark: SparkSession, dir: String): DataFrame = {
+    val B = DsirSelect.B
+    val feats = DsirSelect.featureRows(
+      Tables.documents(spark, dir).select(col("doc_id"), col("source"), col("text")),
+      targetSource = "src0")
+    // ONE feature pass: the (source, bucket) table is ≤ sources×B rows
+    // BY CONSTRUCTION, so it takes the bounded LocalRelation round-trip
+    // (the codebook pattern) and every downstream reference — totals,
+    // corpus histogram, grid join — reuses it instead of re-running
+    // the kernel scan per lineage branch.
+    val bySrc0 = feats.groupBy("source", "b").agg(count(lit(1)).as("cs"))
+    val bySrc = spark.createDataFrame(
+      java.util.Arrays.asList(bySrc0.collect(): _*), bySrc0.schema)
+    val srcTot = bySrc.groupBy("source").agg(sum("cs").as("ns"))
+    val corp = bySrc.groupBy("b").agg(sum("cs").as("cc"))
+    val corpTot = corp.agg(sum("cc").as("nc"))
+    // Every (source, corpus-bucket) pair — sources × B rows, so a
+    // bucket the source never emits still contributes |0 − p_corpus|.
+    val grid = srcTot.crossJoin(broadcast(corp)).crossJoin(broadcast(corpTot))
+      .join(bySrc, Seq("source", "b"), "left").na.fill(0L, Seq("cs"))
+      .withColumn("ps", expr("(1000000L * cs) div ns"))
+      .withColumn("pc", expr("(1000000L * cc) div nc"))
+      .withColumn("gap", col("ps") - col("pc"))
+    grid.groupBy("source")
+      .agg(max("ns").as("n_feats"),
+        sum(abs(col("gap"))).as("l1_micro"),
+        max(struct(abs(col("gap")).as("a"), (-col("b")).as("nb"),
+          col("gap").as("g"))).as("top"))
+      .select(col("source"), col("n_feats"), col("l1_micro"),
+        (-col("top.nb")).as("top_bucket"), col("top.g").as("top_gap_micro"))
+  }
+
   def qx90(spark: SparkSession, dir: String): DataFrame = {
     val occ = CdcChunker.chunks(
       Tables.documents(spark, dir).select(col("doc_id"), col("source"), col("text")))
