@@ -19,24 +19,37 @@ import graft.sources.Tables
   * pins it, transitively against the DuckDB oracle), without touching
   * raw text or re-training anything.
   *
-  * SEGMENT LAYOUT WITH A MANIFEST COMMIT (round-10): every growing
-  * asset (base, codes, tf, and the per-batch df/stats parts) lives in
-  * `add=<key>` hive subdirs — `add=build` for the initial corpus,
-  * `add=<minDoc>_<maxDoc>` per [[addBatch]], `add=compact_<hash>` per
-  * [[compact]] — each written with OVERWRITE on its own subdir, and
-  * the set of LIVE segments is committed in ONE swap-rewritten
-  * manifest: readers resolve the manifest and touch only its paths,
-  * so a segment becomes visible atomically at the manifest swap (the
-  * Delta/Iceberg commit shape in miniature, the TxnFileSink
-  * idempotence discipline applied to index maintenance). A retried or
-  * re-delivered batch overwrites its own subdir and re-commits the
-  * same manifest entry — never double-counts; a crash BEFORE the
-  * manifest swap leaves an invisible orphan dir that [[vacuum]]
-  * collects. [[compact]] folds all live segments into one (the Lucene
-  * merge) with the same commit discipline — the spec pins search
-  * unchanged across addBatch-retry, compact and vacuum. df and corpus
-  * stats are DERIVED at serve by summing the vocabulary-bounded
-  * parts — state is a pure function of the committed segments.
+  * SEGMENT LAYOUT WITH A VERSIONED MANIFEST COMMIT (round-10, protocol
+  * hardened round-11): every growing asset (base, codes, tf, and the
+  * per-batch df/stats parts) lives in `add=<key>` hive subdirs —
+  * `add=build` for the initial corpus, `add=<minDoc>_<maxDoc>` per
+  * [[addBatch]], `add=compact_<digest>` per [[compact]] — each written
+  * with OVERWRITE on its own subdir, and the set of LIVE segments is
+  * committed as `manifest/v=<N>`, N strictly increasing: the writer
+  * stages the new manifest to a temp dir and RENAMES it into place
+  * (one atomic FS op, return value checked — a failed rename throws,
+  * it never half-commits), and readers resolve max-N, so there is NO
+  * instant at which the index has no manifest and a reader that
+  * resolved version N keeps a consistent view even while N+1 commits
+  * (the Delta/Iceberg `_delta_log` versioned-commit shape, replacing
+  * round-10's delete-then-rename swap whose gap a concurrent reader
+  * or a crash could hit). Superseded manifest versions are retained
+  * until [[vacuum]]'s grace period passes — time-travel for free,
+  * garbage forever bounded. A retried or re-delivered batch
+  * overwrites its own segment subdir and re-commits the same manifest
+  * entry — never double-counts; a crash BEFORE the manifest commit
+  * leaves an invisible orphan dir that [[vacuum]] collects once it is
+  * older than the grace period (so an IN-FLIGHT writer's
+  * not-yet-committed segment is never swept — the Delta `RETAIN`
+  * discipline; concurrent addBatch + vacuum is safe, concurrent
+  * WRITERS on the same index remain single-writer by contract, and a
+  * lost race on the `v=<N>` rename fails loudly rather than
+  * corrupting). [[compact]] folds all live segments into one (the
+  * Lucene merge) with the same commit discipline — the spec pins
+  * search unchanged across addBatch-retry, compact, vacuum, and an
+  * in-flight-orphan + old-reader interleaving. df and corpus stats
+  * are DERIVED at serve by summing the vocabulary-bounded parts —
+  * state is a pure function of the committed segments.
   *
   * Scale shape of serve: per query, 4 probed cells → candidates ∝
   * cell occupancy (never n·q); the probed-cell set (ONE bounded q×4
@@ -117,7 +130,15 @@ object HybridIndex {
   def compact(spark: SparkSession, indexDir: String): Unit = {
     val live = liveSegments(spark, indexDir)
     if (live.size <= 1) return // already one segment
-    val key = "compact_" + math.abs(live.sorted.mkString("+").hashCode).toString
+    // Key = truncated SHA-256 of the input segment set: a retried
+    // compact (same live set) overwrites its own dir, and unlike the
+    // 32-bit String.hashCode it replaces, distinct live sets cannot
+    // collide into reading and overwriting the same directory (nor can
+    // the digest go negative the way math.abs(Int.MinValue) does).
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val key = "compact_" + md.digest(live.sorted.mkString("+")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"${b & 0xff}%02x").mkString
     readAsset(spark, indexDir, "base.parquet", live).drop("add")
       .write.mode("overwrite").parquet(s"$indexDir/base.parquet/add=$key")
     readAsset(spark, indexDir, "codes.parquet", live).drop("add")
@@ -135,41 +156,96 @@ object HybridIndex {
     commitManifest(spark, indexDir, Seq(key))
   }
 
+  /** Default [[vacuum]] grace: an unreferenced dir younger than this is
+    * presumed to belong to an IN-FLIGHT addBatch/compact that has
+    * written its segment but not yet committed its manifest, and is
+    * left alone (the Delta `VACUUM ... RETAIN` discipline). 30 min
+    * bounds any sane maintenance batch; tests pass 0 to force
+    * collection of dirs they KNOW are dead. */
+  val DefaultVacuumGraceMs: Long = 30L * 60L * 1000L
+
   /** Delete segment dirs the manifest no longer references (orphans
-    * from pre-commit crashes, segments superseded by [[compact]]).
-    * Safe any time: readers only resolve manifest paths. */
-  def vacuum(spark: SparkSession, indexDir: String): Unit = {
+    * from pre-commit crashes, segments superseded by [[compact]]) and
+    * superseded manifest versions — but ONLY those whose modification
+    * time is at least `graceMs` old, so a concurrently in-flight
+    * addBatch/compact (segment written, manifest commit pending) is
+    * never swept out from under its own commit, and a reader that
+    * resolved an older manifest version within the grace window still
+    * finds every path it references. Safe to run any time under that
+    * single grace assumption; the current manifest version is never
+    * deleted regardless of age. */
+  def vacuum(spark: SparkSession, indexDir: String,
+             graceMs: Long = DefaultVacuumGraceMs): Unit = {
     val live = liveSegments(spark, indexDir).toSet
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+    val cutoff = System.currentTimeMillis() - graceMs
     Seq("base.parquet", "codes.parquet", "tf.parquet",
         "df_parts.parquet", "stats_parts.parquet").foreach { asset =>
       val root = new org.apache.hadoop.fs.Path(s"$indexDir/$asset")
       if (fs.exists(root)) fs.listStatus(root).foreach { st =>
         val name = st.getPath.getName
-        if (name.startsWith("add=") && !live.contains(name.stripPrefix("add=")))
+        if (name.startsWith("add=") && !live.contains(name.stripPrefix("add=")) &&
+            st.getModificationTime <= cutoff)
+          fs.delete(st.getPath, true)
+      }
+    }
+    val mRoot = new org.apache.hadoop.fs.Path(s"$indexDir/manifest")
+    if (fs.exists(mRoot)) {
+      val current = currentManifestVersion(fs, mRoot)
+      fs.listStatus(mRoot).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("v=") && name.stripPrefix("v=").toLong < current &&
+            st.getModificationTime <= cutoff)
           fs.delete(st.getPath, true)
       }
     }
   }
 
-  /** The committed segment set (one swap-rewritten parquet). */
-  private def liveSegments(spark: SparkSession, indexDir: String): Seq[String] =
-    spark.read.parquet(s"$indexDir/manifest.parquet")
-      .collect().map(_.getString(0)).toSeq.sorted
+  /** Highest committed `v=<N>` under `manifest/` (0 = none). Temp
+    * staging dirs (leading underscore) are invisible to readers. */
+  private def currentManifestVersion(fs: org.apache.hadoop.fs.FileSystem,
+                                     mRoot: org.apache.hadoop.fs.Path): Long =
+    if (!fs.exists(mRoot)) 0L
+    else fs.listStatus(mRoot).map(_.getPath.getName)
+      .collect { case n if n.startsWith("v=") => n.stripPrefix("v=").toLong }
+      .foldLeft(0L)(math.max)
 
+  /** The committed segment set: resolve the HIGHEST manifest version
+    * and read it. Old versions stay on disk until vacuumed, so this
+    * read races nothing — a commit in flight is invisible until its
+    * rename lands, and the version it supersedes remains readable. */
+  private def liveSegments(spark: SparkSession, indexDir: String): Seq[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+    val v = currentManifestVersion(fs, new org.apache.hadoop.fs.Path(s"$indexDir/manifest"))
+    require(v > 0L, s"no committed manifest under $indexDir/manifest")
+    spark.read.parquet(s"$indexDir/manifest/v=$v")
+      .collect().map(_.getString(0)).toSeq.sorted
+  }
+
+  /** Commit `segs` as manifest version current+1: stage the parquet to
+    * a temp dir, then ONE atomic rename into `v=<N>`. The rename's
+    * return value is checked — if another writer claimed N first (the
+    * single-writer contract was violated) or the FS refused, this
+    * THROWS with the index unchanged and fully recoverable, instead of
+    * round-10's silent manifest-less window. */
   private def commitManifest(spark: SparkSession, indexDir: String,
                              segs: Seq[String]): Unit = {
     import spark.implicits._
-    val path = s"$indexDir/manifest.parquet"
-    val tmp = path + ".tmp"
-    segs.toDF("seg").coalesce(1).write.mode("overwrite").parquet(tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
-    ()
+      new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+    val mRoot = new org.apache.hadoop.fs.Path(s"$indexDir/manifest")
+    val next = currentManifestVersion(fs, mRoot) + 1L
+    val tmp = s"$indexDir/manifest/_staging_v$next"
+    segs.toDF("seg").coalesce(1).write.mode("overwrite").parquet(tmp)
+    val dst = new org.apache.hadoop.fs.Path(s"$indexDir/manifest/v=$next")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)) {
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      throw new java.io.IOException(
+        s"manifest commit lost the rename race for v=$next under $indexDir " +
+          "(concurrent writer? single-writer maintenance contract violated)")
+    }
   }
 
   /** Read one asset's LIVE segments only, manifest-resolved, with the

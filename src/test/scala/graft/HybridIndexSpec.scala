@@ -89,9 +89,10 @@ class HybridIndexSpec extends SparkTestBase {
 
     // COMPACT (the Lucene merge under the manifest commit) + VACUUM:
     // search is unchanged, and each asset folds to ONE live segment
-    // with the superseded dirs collected.
+    // with the superseded dirs collected (grace 0: the test KNOWS the
+    // superseded dirs are dead; production uses the retention default).
     HybridIndex.compact(spark, out)
-    HybridIndex.vacuum(spark, out)
+    HybridIndex.vacuum(spark, out, graceMs = 0L)
     val compacted = HybridIndex.search(spark, out).collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
         (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
@@ -100,5 +101,63 @@ class HybridIndexSpec extends SparkTestBase {
       .filter(_.getName.startsWith("add=")).map(_.getName).toSeq
     assert(segDirs.length == 1 && segDirs.head.startsWith("add=compact_"),
       s"vacuum must leave exactly the compacted segment, got $segDirs")
+  }
+
+  /** The round-11 commit-protocol hardening (r10 advice #1–#3): the
+    * manifest is VERSIONED (`manifest/v=N`, readers resolve max N), so
+    * commits never open a manifest-less window; vacuum's grace period
+    * protects an in-flight writer's uncommitted segment; and the
+    * compact key is a content digest, not a 32-bit hashCode. */
+  test("versioned manifest: commits retain old versions; vacuum grace shields in-flight segments") {
+    import org.apache.spark.sql.functions.col
+    import graft.sources.Tables
+    val out = tmpDir("hybrid_proto")
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val raw = Tables.embeddings(spark, dir)
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val cut = ids(ids.length * 3 / 5)
+    HybridIndex.build(spark, docs.where(col("doc_id") < cut),
+      raw.where(col("vec_id") < cut), out)
+
+    def manifestVersions(): Seq[Long] =
+      new java.io.File(s"$out/manifest").listFiles()
+        .map(_.getName).filter(_.startsWith("v="))
+        .map(_.stripPrefix("v=").toLong).toSeq.sorted
+    assert(manifestVersions() == Seq(1L), "build commits manifest v=1")
+
+    // Simulate an IN-FLIGHT addBatch that has written its segment dirs
+    // but not yet committed: a fresh orphan add= dir. A default-grace
+    // vacuum must NOT sweep it (it is younger than the grace period) —
+    // the r10 advice's lost-segment race is exactly this window.
+    val orphan = new java.io.File(s"$out/base.parquet/add=99999_99999")
+    assert(orphan.mkdirs())
+    HybridIndex.vacuum(spark, out) // default grace
+    assert(orphan.exists(),
+      "vacuum swept a fresh uncommitted segment inside the grace period")
+
+    // A real commit on top: the OLD manifest version must remain
+    // readable (a reader that resolved v=1 mid-commit keeps its view;
+    // there is no delete-then-rename gap).
+    HybridIndex.addBatch(spark, out, docs.where(col("doc_id") >= cut),
+      raw.where(col("vec_id") >= cut))
+    assert(manifestVersions() == Seq(1L, 2L),
+      "addBatch must commit v=2 and retain v=1")
+    val v1 = spark.read.parquet(s"$out/manifest/v=1")
+      .collect().map(_.getString(0)).toSeq
+    assert(v1 == Seq("build"), s"superseded manifest v=1 must stay readable, got $v1")
+    val afterAdd = HybridIndex.search(spark, out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    // Grace-0 vacuum: the known-dead orphan AND the superseded
+    // manifest version go; the current version and live segments stay;
+    // the served output is byte-identical across the interleaving.
+    HybridIndex.vacuum(spark, out, graceMs = 0L)
+    assert(!orphan.exists(), "grace-0 vacuum must collect the dead orphan")
+    assert(manifestVersions() == Seq(2L),
+      "grace-0 vacuum must drop superseded manifest versions, keep current")
+    val afterVacuum = HybridIndex.search(spark, out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(afterVacuum.nonEmpty && afterVacuum == afterAdd,
+      "vacuum must not change the served output")
   }
 }
