@@ -100,15 +100,24 @@ object HybridIndex {
     * A subsequent [[search]] serves the union corpus bit-identically
     * to a frozen-codebook rebuild over it. Codebook drift under a
     * shifting corpus is the retrain trigger — measured by
-    * [[graft.RecallProbe]], not silently absorbed. */
+    * [[graft.RecallProbe]] and decided by [[RetrainTrigger]], not
+    * silently absorbed.
+    *
+    * `segKeyOpt` overrides the doc-range segment key — the streaming
+    * door ([[graft.streaming.IndexDoor]]) passes `b<batchId>` so a
+    * REPLAYED micro-batch (same batchId, same records off the
+    * replayable bus) overwrites its own segment and re-commits the
+    * same manifest entry: the K6/K7 batchId-WAL discipline applied to
+    * the manifest commit. */
   def addBatch(spark: SparkSession, indexDir: String,
-               newDocs: DataFrame, newRawEmb: DataFrame): Unit = {
+               newDocs: DataFrame, newRawEmb: DataFrame,
+               segKeyOpt: Option[String] = None): Unit = {
     val books = spark.read.parquet(s"$indexDir/imi_books.parquet")
     val pqBooks = spark.read.parquet(s"$indexDir/pq_books.parquet")
     val k = spark.read.parquet(s"$indexDir/meta.parquet").head.getLong(0)
     val range = newDocs.agg(min("doc_id"), max("doc_id")).head
     if (range.isNullAt(0)) return // empty batch: nothing to admit
-    val segKey = s"${range.getLong(0)}_${range.getLong(1)}"
+    val segKey = segKeyOpt.getOrElse(s"${range.getLong(0)}_${range.getLong(1)}")
     val newBase = ExtQueries.intEmbeddingsFrom(newRawEmb)
     val res = QuantKernels.encodeResidual(newBase.select("vec_id", "iv"), books, k)
     val newCodes = ProductQuantizer.packed(res.select("vec_id", "iv"), pqBooks)

@@ -21,6 +21,7 @@ import graft.functions.BloomFilter
 object DoorSoak {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("crawl")) { crawlMain(args.drop(1)); return }
+    if (args.headOption.contains("index")) { indexMain(args.drop(1)); return }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val nWaves = args.lift(1).map(_.toInt).getOrElse(8)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -98,6 +99,79 @@ object DoorSoak {
     q1.stop(); q2.stop(); q3.stop()
     val staged = spark.read.schema(IngestDoor.stagedSchema).parquet(s"$base/staged/batch=*").count()
     println(s"[soak] done: $staged admitted docs through the door")
+    spark.stop()
+  }
+
+  /** `runMain graft.streaming.DoorSoak index [sfDir] [waves]` — the
+    * INDEX door ([[IndexDoor]], r10 verdict #2) soaked at 10× the spec
+    * corpus: build the hybrid index on the first 60% of documents,
+    * stream the rest through the FileBus → addBatch door in `waves`
+    * producer epochs (admission-bounded triggers, one kill/restart
+    * midway), then compact + vacuum and SERVE. Records per wave the
+    * admission wall time and segment count, then the maintenance and
+    * serve times — the build-once/admit-forever posture measured under
+    * the same conditions the ingest/crawl soaks use. */
+  private def indexMain(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val nWaves = args.lift(1).map(_.toInt).getOrElse(8)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-index-soak")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions.col
+
+    val base = Files.createTempDirectory("graft_index_soak").toString
+    val idx = s"$base/index"; val bus = s"$base/bus"; val ck = s"$base/ck"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val raw = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // The cut splits the EMBEDDED doc set (at sf0.1 only a prefix of
+    // docs carries embeddings; a cut over all doc ids would leave the
+    // live half vector-less).
+    val ids = docs.join(raw.withColumnRenamed("vec_id", "doc_id"), "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val cut = ids(ids.length * 3 / 5)
+    var t0 = System.nanoTime()
+    graft.operators.HybridIndex.build(spark,
+      docs.where(col("doc_id") < cut), raw.where(col("vec_id") < cut), idx)
+    println(f"""{"stage":"build","docs":${ids.count(_ < cut)},"wall_sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+
+    val bRows = docs.where(col("doc_id") >= cut)
+      .join(raw.withColumnRenamed("vec_id", "doc_id"), "doc_id")
+      .select("doc_id", "text", "embedding").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getSeq[Float](2))).sortBy(_._1)
+    println(s"[soak] index door: ${bRows.length} live docs in $nWaves waves; at $base")
+    def door() = IndexDoor.run(spark, bus, "docs", idx, ck,
+      maxOffsetsPerTrigger = Some(math.max(64L, bRows.length.toLong / (2L * nWaves))),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+    var q = door()
+    bRows.grouped(bRows.length / nWaves + 1).zipWithIndex.foreach { case (wave, i) =>
+      t0 = System.nanoTime()
+      wave.groupBy(_._1 % 2).foreach { case (p, rs) =>
+        graft.sources.FileBus.append(bus, "docs", p.toInt,
+          rs.map { case (id, t, e) => IndexDoor.encodeDoc(id, t, e, id) }.toSeq)
+      }
+      q.processAllAvailable()
+      if (i == nWaves / 2) { q.stop(); q = door() } // kill/restart midway
+      val segs = new java.io.File(s"$idx/base.parquet").listFiles()
+        .count(_.getName.startsWith("add="))
+      println(f"""{"wave":${i + 1},"docs":${wave.size},"wall_sec":${(System.nanoTime() - t0) / 1e9}%.2f,"segments":$segs}""")
+    }
+    q.stop()
+    t0 = System.nanoTime()
+    graft.operators.HybridIndex.compact(spark, idx)
+    graft.operators.HybridIndex.vacuum(spark, idx, graceMs = 0L)
+    println(f"""{"stage":"compact+vacuum","wall_sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+    t0 = System.nanoTime()
+    val servedRows = graft.operators.HybridIndex.search(spark, idx).count()
+    println(f"""{"stage":"serve","rows":$servedRows,"wall_sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+    require(servedRows > 0L, "index soak served zero rows")
     spark.stop()
   }
 

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.HybridIndex
+import graft.sources.FileBus
+
+/** The LIVE admission leg of the hybrid index (round-10 verdict #2):
+  * a FileBus document+embedding stream flows through one foreachBatch
+  * door into [[HybridIndex.addBatch]], so the persisted build/serve
+  * index is maintained by the SAME bus the ingestion pipeline rides —
+  * IndexStream keeps the postings state online and this door keeps the
+  * dense + lexical segments on disk, closing the gap where both halves
+  * existed but nothing composed them.
+  *
+  * Exactly-once shape (the K8 consistency-matrix row, applied to index
+  * maintenance): FileBus is replayable from any WAL'd offset, and the
+  * door keys each admitted segment `b<batchId>` — a kill/restart
+  * replays the in-flight micro-batch with the SAME batchId over the
+  * SAME record range (the offset WAL pins it), so the replay
+  * overwrites its own `add=b<N>` segment dirs and re-commits an
+  * identical manifest entry instead of double-counting (the
+  * TxnFileSink/K6 batchId idempotence, moved onto the manifest commit
+  * point; [[graft.IndexDoorSpec]] kills the query mid-feed and pins
+  * the served output byte-identical to a one-shot batch admission of
+  * the same corpus). Empty triggers admit nothing and commit nothing.
+  *
+  * Wire format — one bus record per document:
+  * key = doc_id, value = `<f0>,<f1>,...\t<text>` with the embedding
+  * floats in `Float.toString` form (exact round-trip, so the admitted
+  * vectors are bit-identical to a parquet read) and the text free to
+  * contain anything but the record codec's own escapes. [[encodeDoc]]
+  * / the door's parse are the two ends of that contract.
+  *
+  * At 100 TB: each trigger touches only its admitted batch (encode =
+  * two scans of the batch against broadcast frozen codebooks) plus the
+  * vocabulary-bounded manifest commit; nothing rescans the standing
+  * index, and [[HybridIndex.compact]]/[[HybridIndex.vacuum]] run as
+  * separate maintenance under the same versioned-manifest protocol. */
+object IndexDoor {
+
+  /** One document as a bus record (the producer side of the wire
+    * contract). */
+  def encodeDoc(docId: Long, text: String, emb: Seq[Float], tsMs: Long): FileBus.Record =
+    FileBus.Record(docId.toString, emb.map(_.toString).mkString(",") + "\t" + text, tsMs)
+
+  /** Start the door: bus topic → [[HybridIndex.addBatch]] against
+    * `indexDir` (which must hold a committed [[HybridIndex.build]]).
+    * `maxOffsetsPerTrigger` bounds admission per trigger (the bus's
+    * own admission control), keeping each segment's encode work and
+    * file count trigger-sized. */
+  def run(spark: SparkSession, busRoot: String, topic: String, indexDir: String,
+          checkpoint: String, maxOffsetsPerTrigger: Option[Long] = None,
+          trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
+    val reader = spark.readStream.format("graft.sources.FileBus")
+      .option("path", busRoot).option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+    val src = maxOffsetsPerTrigger
+      .fold(reader)(m => reader.option("maxOffsetsPerTrigger", m.toString)).load()
+    src.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val parsed = batch.select(
+            col("key").cast("long").as("doc_id"),
+            split(col("value"), "\t", 2).as("kv"))
+          .select(col("doc_id"), col("kv").getItem(0).as("embcsv"),
+            col("kv").getItem(1).as("text"))
+        val docs = parsed.select(col("doc_id"), col("text"))
+        val rawEmb = parsed.select(col("doc_id").as("vec_id"),
+          expr("transform(split(embcsv, ','), x -> CAST(x AS FLOAT))").as("embedding"))
+        HybridIndex.addBatch(spark, indexDir, docs, rawEmb,
+          segKeyOpt = Some(s"b$batchId"))
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.functions.col
+
+import graft.operators.HybridIndex
+import graft.sources.{FileBus, Tables}
+import graft.streaming.IndexDoor
+
+/** [[IndexDoor]]: the live FileBus → [[HybridIndex.addBatch]] admission
+  * leg must be EXACTLY-ONCE and bit-equal to batch maintenance — the
+  * composed rendering of FileBusSpec's replay guarantees and
+  * HybridIndexSpec's idempotent-addBatch pin. The door streams a
+  * corpus split in waves with a kill/restart between them and bounded
+  * triggers inside them; the reference is a one-shot batch addBatch of
+  * the same slice (itself re-delivered once to pin the b<batchId>
+  * segment-key discipline). Equality is on the full served output. */
+class IndexDoorSpec extends SparkTestBase {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def copyTree(src: Path, dst: Path): Unit = {
+    Files.walk(src).forEach { p =>
+      val t = dst.resolve(src.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else Files.copy(p, t)
+    }
+  }
+
+  private def served(out: String): Map[(Long, Long), (Long, Long, Long, Long)] =
+    HybridIndex.search(spark, out).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+
+  test("streamed admission == one-shot batch admission, exactly-once across kill/restart") {
+    val refOut = tmpDir("idxdoor_ref")
+    val liveOut = tmpDir("idxdoor_live")
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val raw = Tables.embeddings(spark, dir)
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val cut = ids(ids.length * 3 / 5)
+    HybridIndex.build(spark, docs.where(col("doc_id") < cut),
+      raw.where(col("vec_id") < cut), refOut)
+    // The live index starts from the IDENTICAL built asset (file copy),
+    // so any divergence below is the door's, not training nondeterminism.
+    copyTree(Paths.get(refOut), Paths.get(liveOut))
+
+    // Reference: one-shot batch admission under a b<batchId>-style key,
+    // RE-DELIVERED once — the replayed-micro-batch idempotence the door
+    // relies on, pinned directly at the addBatch seam.
+    val bDocs = docs.where(col("doc_id") >= cut)
+    val bRaw = raw.where(col("vec_id") >= cut)
+    HybridIndex.addBatch(spark, refOut, bDocs, bRaw, segKeyOpt = Some("b42"))
+    val refServed = served(refOut)
+    HybridIndex.addBatch(spark, refOut, bDocs, bRaw, segKeyOpt = Some("b42"))
+    assert(served(refOut) == refServed,
+      "a re-delivered b<batchId> admission changed the index")
+
+    // Live: the B slice rides the bus as two waves with a KILL/RESTART
+    // between them; maxOffsetsPerTrigger forces multiple micro-batches
+    // (multiple b<N> segments) inside each wave.
+    val busRoot = tmpDir("idxdoor_bus"); val ck = tmpDir("idxdoor_ck")
+    val bRows = bDocs.join(raw.withColumnRenamed("vec_id", "doc_id"), "doc_id")
+      .select("doc_id", "text", "embedding").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getSeq[Float](2)))
+      .sortBy(_._1)
+    val (wave1, wave2) = bRows.splitAt(bRows.length / 2)
+    def feed(wave: Array[(Long, String, Seq[Float])]): Unit =
+      wave.groupBy(_._1 % 2).foreach { case (p, rs) =>
+        FileBus.append(busRoot, "docs", p.toInt,
+          rs.map { case (id, t, e) => IndexDoor.encodeDoc(id, t, e, id) }.toSeq)
+      }
+
+    feed(wave1)
+    val q1 = IndexDoor.run(spark, busRoot, "docs", liveOut, ck,
+      maxOffsetsPerTrigger = Some(64L),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+    try q1.processAllAvailable() finally q1.stop() // kill mid-admission
+    feed(wave2)
+    val q2 = IndexDoor.run(spark, busRoot, "docs", liveOut, ck,
+      maxOffsetsPerTrigger = Some(64L),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+    try q2.processAllAvailable() finally q2.stop()
+
+    // Admission genuinely happened in multiple committed micro-batches.
+    val mRoot = new java.io.File(s"$liveOut/manifest")
+    val maxV = mRoot.listFiles().map(_.getName).filter(_.startsWith("v="))
+      .map(_.stripPrefix("v=").toLong).max
+    val segs = spark.read.parquet(s"$liveOut/manifest/v=$maxV")
+      .collect().map(_.getString(0)).toSeq.sorted
+    assert(segs.count(_.startsWith("b")) >= 2,
+      s"expected multiple b<batchId> segments, got $segs")
+
+    // The composed guarantee: streamed-and-restarted == batch, byte-equal.
+    assert(served(liveOut) == refServed,
+      "door-admitted index diverged from the one-shot batch admission")
+  }
+}
