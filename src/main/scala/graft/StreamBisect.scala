@@ -16,9 +16,12 @@ import graft.streaming.Pipelines
   * queryPlanning / triggerExecution) — so "environment got slower"
   * vs "a fixed per-batch cost grew" is decidable from one run.
   *
-  * Usage: runMain graft.StreamBisect [reps] [partitionsCsv]
+  * Usage: runMain graft.StreamBisect [reps] [partitionsCsv] [keys] [events]
   * e.g. `runMain graft.StreamBisect 6 32,8,32,8,32,8` interleaves
-  * 32- and 8-partition reps A/B/A/B in one JVM.
+  * 32- and 8-partition reps A/B/A/B in one JVM; `... 6 8,32 10000`
+  * re-runs the same A/B at 10k distinct sensor keys (the round-10
+  * verdict's cardinality question: the min(8, cpus) sizing rule is
+  * measured at 40 keys — where is the crossover?).
   */
 object StreamBisect {
   def main(args: Array[String]): Unit = {
@@ -26,6 +29,8 @@ object StreamBisect {
     val parts: Seq[Int] =
       if (args.length > 1) args(1).split(",").map(_.trim.toInt).toSeq
       else Seq.fill(reps)(32)
+    val keys = if (args.length > 2) args(2).toInt else 40
+    val nEvents = if (args.length > 3) args(3).toInt else 40000
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -49,10 +54,9 @@ object StreamBisect {
       val ckpt = java.nio.file.Files.createTempDirectory(s"graft_bisect_$rep").toString
       val q = agg.writeStream.format("memory").queryName(s"bisect_$rep")
         .outputMode("update").option("checkpointLocation", ckpt).start()
-      val nEvents = 40000
       val nChunks = 5
       val events = (0 until nEvents).map { i =>
-        SensorEvent(s"sensor_${i % 40}", i.toLong, i.toLong * 2500, 65.0 + i % 10)
+        SensorEvent(s"sensor_${i % keys}", i.toLong, i.toLong * 2500, 65.0 + i % 10)
       }
       val t0 = System.nanoTime()
       try {
@@ -67,7 +71,7 @@ object StreamBisect {
         if (progs.isEmpty) -1
         else progs.flatMap(pr => Option(pr.durationMs.get(key)).map(_.toLong))
           .sum / math.max(progs.length, 1)
-      println(f"""{"rep":$rep,"partitions":$p,"ev_per_sec":${math.round(nEvents / wallSec)},""" +
+      println(f"""{"rep":$rep,"partitions":$p,"keys":$keys,"ev_per_sec":${math.round(nEvents / wallSec)},""" +
         f""""wall_sec":$wallSec%.2f,"batches":${progs.length},""" +
         f""""addBatch_ms":${mean("addBatch")},"walCommit_ms":${mean("walCommit")},""" +
         f""""commitOffsets_ms":${mean("commitOffsets")},""" +

@@ -294,27 +294,18 @@ object HybridIndex {
       .write.mode("overwrite").parquet(s"$indexDir/stats_parts.parquet/add=$key")
   }
 
-  /** Serve the hybrid query set from the persisted assets: dense leg =
-    * IMI probe → residual LUTs → ADC over the bucket-pruned cell-joined
-    * codes → exact refine to top-20; lexical leg = BM25 from the
-    * persisted tf segments with df/stats SUMMED from the per-segment
-    * parts (vocabulary-bounded); RRF fusion — every expression qx79b's
-    * monolithic form uses, so the output is bit-identical. `qPred`
-    * selects the query ids (the gate slice by default). */
-  def search(spark: SparkSession, indexDir: String,
-             qPred: org.apache.spark.sql.Column =
-               col("vec_id") % 50 === 0 && col("vec_id") < 5000): DataFrame = {
-    val live = liveSegments(spark, indexDir)
+  /** The dense (IVFADC-served) leg over the committed segments: query
+    * slice → ONE q×4 probe collect (prunes the hive-bucketed codes at
+    * the file index AND feeds the serve plan as a LocalRelation — the
+    * r10 review's double-probe fixed) → ADC over the pruned slice →
+    * exact refine to `topk`. Shared by [[search]] (topk=20) and
+    * [[denseRecallMicro]]'s health measurement. */
+  private def denseTop(spark: SparkSession, indexDir: String, live: Seq[String],
+                       q: DataFrame, topk: Int): DataFrame = {
     val books = spark.read.parquet(s"$indexDir/imi_books.parquet")
     val pqBooks = spark.read.parquet(s"$indexDir/pq_books.parquet")
     val base = readAsset(spark, indexDir, "base.parquet", live)
     val k = spark.read.parquet(s"$indexDir/meta.parquet").head.getLong(0)
-    val q = base.where(qPred)
-      .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("n2").as("qn2"))
-    // ONE probe pass: the q×4 probed cells collect once (the bounded
-    // codebook-round-trip class) and come back as a LocalRelation that
-    // BOTH prunes the hive-bucketed codes at the file index AND feeds
-    // the serve plan — the review's double-probe fixed.
     val qCellRows = graft.operators.IvfAnn
       .imiProbeCellsL2(q, books, k, 2)
       .select(col("qid").cast("long"), col("cell").cast("long")).collect()
@@ -326,11 +317,91 @@ object HybridIndex {
         StructField("cell", LongType, nullable = false))))
     val codes = readAsset(spark, indexDir, "codes.parquet", live)
       .where(col("cell_bucket").isin(probedBuckets: _*))
-    val dense = ExtQueries.ivfadcServe(q, books, pqBooks, codes, base, k,
-        topk = 20, qCellsOpt = Some(qCells))
+    ExtQueries.ivfadcServe(q, books, pqBooks, codes, base, k,
+        topk = topk, qCellsOpt = Some(qCells))
       .select(col("qid"), col("vec_id").as("doc_id"),
         col("rk").cast("long").as("dense_rk"))
+  }
 
+  /** Default query slice (the gate's): every 50th vector under 5000. */
+  val DefaultQPred: org.apache.spark.sql.Column =
+    col("vec_id") % 50 === 0 && col("vec_id") < 5000
+
+  /** Dense-leg HEALTH: recall@k of the indexed (frozen-codebook,
+    * ADC-pruned) top-k against the EXACT brute-force cosine top-k over
+    * the same committed base, in integer micro-units (10⁶·hits div
+    * (k·|q|)). This is the number [[RetrainTrigger]] holds against its
+    * floor: as admitted batches drift away from the build-time
+    * codebooks, quantization error grows and the served ranking falls
+    * away from the exact one. Cost: the probe-bound serve plus ONE
+    * brute pass |base|×|q| (the qx2 baseline shape — the measurement
+    * loop's declared price, run per maintenance decision, not per
+    * query). */
+  def denseRecallMicro(spark: SparkSession, indexDir: String,
+                       qPred: org.apache.spark.sql.Column = DefaultQPred,
+                       k: Int = 10): (Long, Long) = {
+    val live = liveSegments(spark, indexDir)
+    val base = readAsset(spark, indexDir, "base.parquet", live)
+    val q = base.where(qPred)
+      .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("n2").as("qn2"))
+    val indexed = denseTop(spark, indexDir, live, q, k)
+    val brute = base.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("dot", expr("long_dot(iv, qiv)"))
+      .withColumn("cosine", expr(ExtQueries.COSINE))
+      .groupBy("qid").agg(expr(s"topk_by(cosine, vec_id, $k)").as("tk"))
+      .select(col("qid"), explode(col("tk.id")).as("doc_id"))
+    val nq = q.count()
+    val hits = indexed.select("qid", "doc_id").join(brute, Seq("qid", "doc_id")).count()
+    (nq, if (nq == 0L) 0L else 1000000L * hits / (k.toLong * nq))
+  }
+
+  /** Serve the hybrid query set from the persisted assets: dense leg =
+    * [[denseTop]] to top-20; lexical leg = BM25 from the persisted tf
+    * segments with df/stats SUMMED from the per-segment parts
+    * (vocabulary-bounded); RRF fusion — every expression qx79b's
+    * monolithic form uses, so the output is bit-identical. `qPred`
+    * selects the query ids (the gate slice by default). */
+  /** QUANTIZER FIT: mean PQ reconstruction error per committed vector —
+    * re-derive each vector's residual against the frozen coarse books,
+    * decode its stored PQ code (explode + broadcast codebook join),
+    * and fold Σ‖res_sub − c_sub‖² per vector. This is the faiss-style
+    * quantization-error monitor and the drift coordinate RECALL CANNOT
+    * SEE: an isometric corpus shift (e.g. a global sign flip) preserves
+    * mutual geometry — and therefore recall — while reconstruction
+    * error against codebooks trained on the OLD distribution explodes.
+    * Returns (n, mean error in raw integer units). One pass over the
+    * committed base (restrict with `pred` to sample at cap scale). */
+  def quantErrMean(spark: SparkSession, indexDir: String,
+                   pred: org.apache.spark.sql.Column = lit(true)): (Long, Long) = {
+    val live = liveSegments(spark, indexDir)
+    val books = spark.read.parquet(s"$indexDir/imi_books.parquet")
+    val pqBooks = spark.read.parquet(s"$indexDir/pq_books.parquet")
+    val k = spark.read.parquet(s"$indexDir/meta.parquet").head.getLong(0)
+    val base = readAsset(spark, indexDir, "base.parquet", live).where(pred)
+    val res = QuantKernels.encodeResidual(base.select("vec_id", "iv"), books, k)
+    val codes = readAsset(spark, indexDir, "codes.parquet", live)
+    val d = ProductQuantizer.Dsub
+    val perVec = codes.join(res.select(col("vec_id"), col("iv").as("riv")), "vec_id")
+      .select(col("vec_id"), col("riv"), posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(pqBooks.select(col("sub"), col("cid").as("code"), col("cv"))),
+        Seq("sub", "code"))
+      .withColumn("e", expr(
+        s"aggregate(zip_with(slice(riv, 1 + $d * sub, $d), cv, (a, b) -> a - b), " +
+          "0L, (acc, x) -> acc + x * x)"))
+      .groupBy("vec_id").agg(sum("e").as("err"))
+    val tot = perVec.agg(count(lit(1)).as("n"), sum("err").as("s")).head
+    val n = tot.getLong(0)
+    (n, if (n == 0L) 0L else tot.getLong(1) / n)
+  }
+
+  def search(spark: SparkSession, indexDir: String,
+             qPred: org.apache.spark.sql.Column = DefaultQPred): DataFrame = {
+    val live = liveSegments(spark, indexDir)
+    val base = readAsset(spark, indexDir, "base.parquet", live)
+    val q = base.where(qPred)
+      .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("n2").as("qn2"))
+    val dense = denseTop(spark, indexDir, live, q, topk = 20)
     val tf = readAsset(spark, indexDir, "tf.parquet", live)
     val dfreq = readAsset(spark, indexDir, "df_parts.parquet", live)
       .groupBy("word").agg(sum("df").as("df"))

@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The RETRAIN DECISION loop (round-10 verdict #3): [[HybridIndex]]'s
+  * addBatch contract says codebook drift under a shifting corpus "is
+  * the retrain trigger — measured, not silently absorbed"; this is the
+  * measurement, composed from the two monitors the engine already
+  * ships and held against PINNED thresholds so the output is a
+  * decision row, not a dashboard number.
+  *
+  *  - **Feature drift** (the qx93 statistic retargeted): per source of
+  *    the admitted batches, the L1 distance between the batch's hashed
+  *    uni+bigram bucket histogram and the BUILD corpus's histogram
+  *    ([[DsirSelect]] features, B = 8192 buckets), in integer
+  *    micro-units with floor division on both engines — hash-exact, so
+  *    the composed decision is oracle-checkable (gate row qx94). The
+  *    basis is the UNION of reference and source buckets (a batch
+  *    introducing brand-new vocabulary pays for it even where the
+  *    reference has no mass).
+  *  - **Quantizer fit** ([[HybridIndex.quantErrMean]]): mean PQ
+  *    reconstruction error of the committed vectors against the frozen
+  *    codebooks — the faiss-style drift coordinate. Measured fact
+  *    (calibration runs, sf0.001): a +0.5 mean shift of the admitted
+  *    embeddings multiplies the error 10.4× while leaving dense recall
+  *    FLAT at ~0.35 — in the iid near-tie regime recall cannot see
+  *    distribution drift (a global sign flip is even an exact
+  *    distributional no-op for the symmetric fixture), which is why
+  *    this coordinate, not recall, carries the drift verdict.
+  *  - **Dense-leg recall** ([[HybridIndex.denseRecallMicro]]): the
+  *    indexed top-k against the exact brute-force top-k over the same
+  *    committed base — the SERVING-QUALITY monitor. Self-relative, not
+  *    an absolute floor (achievable recall is corpus geometry: ~0.35
+  *    on the iid gate embeddings, 0.9+ on clustered corpora), and it
+  *    fires on index damage the other coordinates can't see (e.g.
+  *    corrupted codebook assets zero the ADC ordering).
+  *
+  * Decision rules (pinned): a drift row retrains when `l1_micro >`
+  * [[L1ThresholdMicro]] (natural split noise measures ≤ ~730k micro at
+  * the small SFs, ≤ ~210k at sf0.1; an injected 30-token shift lands
+  * ≥ ~780k); the quant-err row retrains when the error exceeds
+  * [[QuantErrGrowthMicro]] × the build-time baseline (healthy
+  * admission measures 1.06×, the mean shift 10.4×); the recall row
+  * retrains below [[RecallKeepFractionMicro]] × baseline (healthy
+  * admission holds 0.75×, zeroed codebooks collapse to near-random).
+  * [[graft.RetrainTriggerSpec]] proves keep AND fire for all three.
+  *
+  * Scale shape: the drift leg is one feature kernel pass per side →
+  * (source, bucket) aggregation (≤ sources×B rows, the bounded
+  * LocalRelation class) → grid fold; the quant-err leg is one
+  * decode-and-diff pass over the committed base (samplable); the
+  * recall leg is probe-bound serve + ONE |base|×|probes| brute pass —
+  * the declared price of a maintenance decision, run per admission
+  * epoch, never per query. */
+object RetrainTrigger {
+
+  /** Drift alarm threshold, integer micro-units of L1 mass. */
+  val L1ThresholdMicro: Long = 750000L
+
+  /** Keep while current dense recall ≥ this fraction (micro-units,
+    * 0.50 — the catastrophic serving-decay floor) of the build-time
+    * baseline. */
+  val RecallKeepFractionMicro: Long = 500000L
+
+  /** Retrain when mean reconstruction error exceeds this multiple
+    * (micro-units, 2.0×) of the build-time baseline. */
+  val QuantErrGrowthMicro: Long = 2000000L
+
+  /** Measure the fresh index's dense recall AND quantizer fit and
+    * persist them as the health baseline (`health.parquet`) the
+    * decision loop compares against — call once after
+    * [[HybridIndex.build]] (kept OUT of build itself so the probes
+    * never ride the build-time benchmarks). Returns
+    * (baseline recall micro, baseline quant-err mean). */
+  def recordHealthBaseline(spark: SparkSession, indexDir: String,
+                           qPred: org.apache.spark.sql.Column = HybridIndex.DefaultQPred,
+                           k: Int = 10): (Long, Long) = {
+    import spark.implicits._
+    val (_, rec) = HybridIndex.denseRecallMicro(spark, indexDir, qPred, k)
+    val (_, qerr) = HybridIndex.quantErrMean(spark, indexDir)
+    Seq((rec, qerr, k.toLong))
+      .toDF("baseline_recall_micro", "baseline_quant_err", "k")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/health.parquet")
+    (rec, qerr)
+  }
+
+  /** Per-source drift of `cur` against the `ref` mixture:
+    * (source, n_feats, l1_micro). Both inputs need (doc_id, source,
+    * text); ref's sources are ignored (it is ONE reference mixture). */
+  def driftVsRef(ref: DataFrame, cur: DataFrame): DataFrame = {
+    val spark = ref.sparkSession
+    val rf = DsirSelect.featureRows(ref, targetSource = "")
+    val cf = DsirSelect.featureRows(cur, targetSource = "")
+    // Both histograms are ≤ sources×B rows BY CONSTRUCTION — the
+    // bounded LocalRelation round-trip (the qx93 pattern), so the
+    // grid below joins driver-sized tables, not corpus lineage.
+    val refHist0 = rf.groupBy("b").agg(count(lit(1)).as("cr"))
+    val refHist = spark.createDataFrame(
+      java.util.Arrays.asList(refHist0.collect(): _*), refHist0.schema)
+    val curHist0 = cf.groupBy("source", "b").agg(count(lit(1)).as("cs"))
+    val curHist = spark.createDataFrame(
+      java.util.Arrays.asList(curHist0.collect(): _*), curHist0.schema)
+    val refTot = refHist.agg(sum("cr").as("nr"))
+    val srcTot = curHist.groupBy("source").agg(sum("cs").as("ns"))
+    // Basis per source = ref buckets ∪ that source's buckets: a bucket
+    // only the batch emits still contributes |p_src − 0|, and one only
+    // the reference emits contributes |0 − p_ref|.
+    val basis = srcTot.select("source").crossJoin(broadcast(refHist.select("b")))
+      .union(curHist.select("source", "b")).distinct()
+    basis.join(srcTot, "source").crossJoin(broadcast(refTot))
+      .join(broadcast(refHist), Seq("b"), "left").na.fill(0L, Seq("cr"))
+      .join(curHist, Seq("source", "b"), "left").na.fill(0L, Seq("cs"))
+      .withColumn("ps", expr("(1000000L * cs) div ns"))
+      .withColumn("pr", expr("(1000000L * cr) div nr"))
+      .groupBy("source")
+      .agg(max("ns").as("n_feats"),
+        sum(abs(col("ps") - col("pr"))).as("l1_micro"))
+  }
+
+  /** The full decision table for one admission epoch: one row per
+    * admitted source (`metric` = drift_l1) plus two `__index` rows
+    * (`metric` = quant_err / dense_recall, values in their native
+    * units), each carrying its measured value and the pinned-rule
+    * verdict (the index verdicts compare against the
+    * [[recordHealthBaseline]] baselines persisted in the index).
+    * `ref`/`cur` are the build-time and admitted documents (doc_id,
+    * source, text); `indexDir` the committed [[HybridIndex]]. */
+  def decide(spark: SparkSession, indexDir: String,
+             ref: DataFrame, cur: DataFrame,
+             qPred: org.apache.spark.sql.Column = HybridIndex.DefaultQPred,
+             k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val drift = driftVsRef(ref, cur)
+      .select(col("source").as("scope"), lit("drift_l1").as("metric"),
+        col("l1_micro").as("value_micro"))
+    val h = spark.read.parquet(s"$indexDir/health.parquet").head
+    val (baseRec, baseErr) = (h.getLong(0), h.getLong(1))
+    val (_, recallMicro) = HybridIndex.denseRecallMicro(spark, indexDir, qPred, k)
+    val (_, errNow) = HybridIndex.quantErrMean(spark, indexDir)
+    val recKeep = recallMicro * 1000000L >= baseRec * RecallKeepFractionMicro
+    val errKeep = errNow * 1000000L <= baseErr * QuantErrGrowthMicro
+    val idxRows = Seq(
+        ("__index", "quant_err", errNow, if (errKeep) "keep" else "retrain"),
+        ("__index", "dense_recall", recallMicro, if (recKeep) "keep" else "retrain"))
+      .toDF("scope", "metric", "value_micro", "decision")
+    drift
+      .withColumn("decision",
+        when(col("value_micro") > L1ThresholdMicro, "retrain").otherwise("keep"))
+      .unionByName(idxRows)
+  }
+}

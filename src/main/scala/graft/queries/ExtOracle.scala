@@ -2422,6 +2422,68 @@ object ExtOracle {
        |FROM g GROUP BY source""".stripMargin
   }
 
+  /** qx94 twin — the retrain-trigger drift decision: the qx93 feature
+    * machinery re-aimed at a REFERENCE split (doc_id < 3n/5 = the
+    * build corpus, the rest = admitted batches per source), basis =
+    * reference ∪ source buckets (either side's exclusive mass counts),
+    * micro-unit floors on both engines, and the pinned CASE rule
+    * (l1_micro > 750000 ⇒ retrain) so the DECISION, not just the
+    * statistic, is hash-checked. */
+  val qx94: String = {
+    val B = 8192
+    s"""WITH $DOCS,
+       |uni AS (SELECT doc_id, unnest(list_transform(h, x -> x % $B)) AS b FROM wh),
+       |bi AS (SELECT doc_id,
+       |         unnest(list_transform(range(1, len(h)), i -> ((h[i]*1009 + h[i+1]) % $P) % $B)) AS b
+       |       FROM wh WHERE len(h) >= 2),
+       |f AS (SELECT u.doc_id, d.source, u.b
+       |      FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi) u
+       |      JOIN docs d USING (doc_id)),
+       |cut AS (SELECT (3 * count(*)) // 5 AS c FROM docs),
+       |rh AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM f, cut WHERE doc_id < c GROUP BY b),
+       |rt AS (SELECT CAST(sum(cr) AS BIGINT) AS nr FROM rh),
+       |ch AS (SELECT source, b, CAST(count(*) AS BIGINT) AS cs FROM f, cut WHERE doc_id >= c GROUP BY 1, 2),
+       |st AS (SELECT source, CAST(sum(cs) AS BIGINT) AS ns FROM ch GROUP BY 1),
+       |basis AS (SELECT DISTINCT source, b FROM
+       |          (SELECT st.source, rh.b FROM st CROSS JOIN rh
+       |           UNION ALL SELECT source, b FROM ch)),
+       |g AS (SELECT basis.source, st.ns, rt.nr,
+       |             COALESCE(ch.cs, 0) AS cs, COALESCE(rh.cr, 0) AS cr
+       |      FROM basis JOIN st USING (source) CROSS JOIN rt
+       |      LEFT JOIN rh ON rh.b = basis.b
+       |      LEFT JOIN ch ON ch.source = basis.source AND ch.b = basis.b),
+       |l AS (SELECT source, CAST(max(ns) AS BIGINT) AS n_feats,
+       |             CAST(sum(abs((1000000 * cs) // ns - (1000000 * cr) // nr)) AS BIGINT) AS l1_micro
+       |      FROM g GROUP BY source)
+       |SELECT source, n_feats, l1_micro,
+       |       CASE WHEN l1_micro > 750000 THEN 'retrain' ELSE 'keep' END AS decision
+       |FROM l""".stripMargin
+  }
+
+  /** qx95 twin — the skewed-domain policy join replayed as a PLAIN
+    * join + group-by (DuckDB needs no salt; the oracle checks the
+    * salted plan changed NOTHING semantically: same per-domain counts,
+    * same quota, same quota-weighted signature — every doc×quota
+    * pairing exactly once). */
+  val qx95: String =
+    """WITH d AS (SELECT doc_id,
+      |        CASE WHEN doc_id % 2 = 0 THEN 'megacorp.com'
+      |             ELSE 'site' || CAST(doc_id % 40 AS VARCHAR) || '.' ||
+      |                  (['com','org','net','io'])[CAST(doc_id % 4 AS INTEGER) + 1] END AS domain,
+      |        (doc_id * 1000003 + 12345) % 2147483647 AS h
+      |      FROM documents),
+      |q AS (SELECT domain,
+      |        2 + list_reduce([CAST(0 AS BIGINT)] ||
+      |              list_transform(string_split(domain, ''), c -> CAST(ascii(c) AS BIGINT)),
+      |              (a, b) -> (a*31 + b) % 1000003) % 7 AS quota
+      |      FROM (SELECT DISTINCT domain FROM d)),
+      |j AS (SELECT d.domain, d.h, q.quota FROM d JOIN q USING (domain))
+      |SELECT domain, CAST(count(*) AS BIGINT) AS n_domain,
+      |       CAST(max(quota) AS BIGINT) AS quota,
+      |       CAST(least(count(*), max(quota)) AS BIGINT) AS admitted,
+      |       CAST(sum((h * quota) % 2147483647) AS BIGINT) AS sig
+      |FROM j GROUP BY domain""".stripMargin
+
   /** qx90 twin — [[CDC_CHUNKS]] + the global keeper election (min
     * struct over (first doc_id, first start, source) per identity) and
     * the per-source reconciled accounting. */

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{BloomFilter, Determinism}
-import graft.operators.{AhoCorasick, AudioFingerprint, BpeTrainer, CdcChunker, ConnectedComponents, DsirSelect, EmbeddingLsh, EmbeddingPca, EpochShuffle, GopherRules, HilbertCurve, HtmlCodec, InvertedIndex, IvfAnn, MixSchedule, MultimodalCodec, PageRank, Partitioning, ProductQuantizer, QuantKernels, RobotsTxt, SimHashLsh, UniMax, WarcCodec, WavCodec, ZOrderLayout}
+import graft.operators.{AhoCorasick, AudioFingerprint, BpeTrainer, CdcChunker, ConnectedComponents, DsirSelect, EmbeddingLsh, EmbeddingPca, EpochShuffle, GopherRules, HilbertCurve, HtmlCodec, InvertedIndex, IvfAnn, MixSchedule, MultimodalCodec, PageRank, Partitioning, ProductQuantizer, QuantKernels, RetrainTrigger, RobotsTxt, SaltedJoin, SimHashLsh, UniMax, WarcCodec, WavCodec, ZOrderLayout}
 import graft.sources.Tables
 
 /** The large-scale training-data-pipeline operator family (builder brief +
@@ -3437,6 +3437,63 @@ object ExtQueries {
           col("gap").as("g"))).as("top"))
       .select(col("source"), col("n_feats"), col("l1_micro"),
         (-col("top.nb")).as("top_bucket"), col("top.g").as("top_gap_micro"))
+  }
+
+  /** qx94 — RETRAIN-TRIGGER drift decision ([[RetrainTrigger]]): split
+    * the corpus at doc_id = 3n/5 into the "build" reference (A) and
+    * the "admitted batches" (B), and emit per B-source the qx93-family
+    * L1 drift against A's mixture PLUS the pinned-rule verdict
+    * (`retrain` iff l1_micro > 750000) — the gate rendering of the
+    * maintenance loop [[RetrainTrigger.decide]] runs against the live
+    * index (whose dense-recall leg the spec pins; recall needs the
+    * trained index, which SQL cannot replay cheaply, so the gate row
+    * carries the drift leg and the spec carries both). Integer
+    * micro-units throughout, basis = ref ∪ source buckets. */
+  def qx94(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val cut = 3L * docs.count() / 5L
+    RetrainTrigger.driftVsRef(
+        docs.where(col("doc_id") < cut), docs.where(col("doc_id") >= cut))
+      .withColumn("decision",
+        when(col("l1_micro") > RetrainTrigger.L1ThresholdMicro, "retrain")
+          .otherwise("keep"))
+  }
+
+  /** qx95 — SKEWED-domain policy join under [[SaltedJoin]] (r10
+    * verdict #4: put the salting operator on a gate-visible skew
+    * path): half the corpus is planted into ONE domain
+    * (`megacorp.com`, the SEO-farm regime qx62's cap family exists
+    * for), the rest into the qx62 long tail; each doc joins a
+    * per-domain quota policy (Horner domain hash → quota 2–8) and the
+    * per-domain accounting (docs, quota, admitted = min(n, quota),
+    * quota-weighted hash signature) comes out of the join. The join
+    * runs through [[SaltedJoin.inner]] with 8 salts: the hot domain's
+    * rows spread over 8 (domain, salt) reducer groups instead of
+    * funnelling one task (the exchange shape PlanShapeSpec pins with
+    * broadcast disabled — at gate scale AQE broadcasts the tiny
+    * policy side, which is also the right call; the salt is for the
+    * 100 TB regime where the policy table outgrows broadcast), and
+    * the sig column makes the oracle verify every doc×quota pairing
+    * SURVIVED the salt-and-replicate round trip exactly once. */
+  def qx95(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+      .withColumn("domain",
+        when(pmod(col("doc_id"), lit(2L)) === 0L, lit("megacorp.com"))
+          .otherwise(concat(lit("site"), pmod(col("doc_id"), lit(40L)).cast("string"),
+            lit("."),
+            element_at(array(lit("com"), lit("org"), lit("net"), lit("io")),
+              (pmod(col("doc_id"), lit(4L)) + 1L).cast("int")))))
+      .withColumn("h", expr(SAMPLE_HASH))
+    val quotas = docs.select("domain").distinct()
+      .withColumn("quota", expr(
+        "2L + aggregate(split(domain, ''), 0L, (a, c) -> (a*31 + ascii(c)) % 1000003) % 7"))
+    SaltedJoin.inner(docs, quotas, "domain", salts = 8)
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_domain"),
+        max("quota").as("quota"),
+        least(count(lit(1)), max("quota")).as("admitted"),
+        sum(expr("(h * quota) % 2147483647")).as("sig"))
   }
 
   def qx90(spark: SparkSession, dir: String): DataFrame = {

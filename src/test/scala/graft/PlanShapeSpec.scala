@@ -45,6 +45,36 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), "carries must join by bucket equality")
   }
 
+  test("qx95: with broadcast off, the salted join exchanges on (domain, salt)") {
+    // At gate scale AQE rightly broadcasts the tiny policy table, so
+    // the salt is invisible in the default plan. The 100 TB claim is
+    // about the SHUFFLE regime — force it and pin that the join's
+    // exchange keys carry the salt column alongside the domain, i.e.
+    // the hot domain's rows really spread over `salts` reducer groups.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = SparkEntry.queries("qx95_salted_domain_join")(spark, dir)
+        .queryExecution.executedPlan
+      val saltedExchanges = plan.collect {
+        case e: ShuffleExchangeExec => e.outputPartitioning
+      }.collect {
+        case h: HashPartitioning
+          if h.expressions.exists(_.references.exists(_.name == "__salt")) &&
+             h.expressions.exists(_.references.exists(_.name == "domain")) => h
+      }
+      assert(saltedExchanges.size >= 2,
+        s"both join sides must exchange on (domain, __salt); got $saltedExchanges")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("qx90: keeper election is aggregate-only — no Window, no cartesian") {
     val p = sparkPlan("qx90_chunk_reconcile").toString
     assert(!p.contains("Window"), "keeper election must be min(struct) aggregation")
