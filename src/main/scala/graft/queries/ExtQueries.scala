@@ -3453,8 +3453,7 @@ object ExtQueries {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("text"))
     val cut = 3L * docs.count() / 5L
-    RetrainTrigger.driftVsRef(
-        docs.where(col("doc_id") < cut), docs.where(col("doc_id") >= cut))
+    RetrainTrigger.driftSplit(docs, col("doc_id") < cut)
       .withColumn("decision",
         when(col("l1_micro") > RetrainTrigger.L1ThresholdMicro, "retrain")
           .otherwise("keep"))

@@ -28,6 +28,13 @@ class RetrainTriggerSpec extends SparkTestBase {
 
     val natural = RetrainTrigger.driftVsRef(ref, cur).collect()
     assert(natural.nonEmpty)
+
+    // The one-pass split spelling is bit-identical to the two-pass one
+    // (qx94 runs it; the oracle transitively pins it too).
+    val split = RetrainTrigger.driftSplit(docs, col("doc_id") < cut).collect()
+    assert(split.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet ==
+      natural.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet,
+      "driftSplit must equal driftVsRef cell-for-cell")
     assert(natural.forall(_.getLong(2) <= RetrainTrigger.L1ThresholdMicro),
       s"natural split must sit under the pinned threshold, got " +
         s"${natural.map(r => r.getString(0) -> r.getLong(2)).toSeq.sortBy(-_._2).take(3)}")
