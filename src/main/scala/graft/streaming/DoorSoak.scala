@@ -141,6 +141,10 @@ object DoorSoak {
     graft.operators.HybridIndex.build(spark,
       docs.where(col("doc_id") < cut), raw.where(col("vec_id") < cut), idx)
     println(f"""{"stage":"build","docs":${ids.count(_ < cut)},"wall_sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+    t0 = System.nanoTime()
+    val (baseRec, baseErr) =
+      graft.operators.RetrainTrigger.recordHealthBaseline(spark, idx)
+    println(f"""{"stage":"health_baseline","recall_micro":$baseRec,"quant_err":$baseErr,"wall_sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
 
     val bRows = docs.where(col("doc_id") >= cut)
       .join(raw.withColumnRenamed("vec_id", "doc_id"), "doc_id")
@@ -168,6 +172,23 @@ object DoorSoak {
     graft.operators.HybridIndex.compact(spark, idx)
     graft.operators.HybridIndex.vacuum(spark, idx, graceMs = 0L)
     println(f"""{"stage":"compact+vacuum","wall_sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+    // The per-epoch maintenance decision over exactly what the door
+    // admitted — the RetrainTrigger loop run where it would run in
+    // production (and the soak's healthy feed must KEEP everywhere).
+    t0 = System.nanoTime()
+    val srcDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+      .join(raw.select(col("vec_id").as("doc_id")), "doc_id")
+    val decisions = graft.operators.RetrainTrigger.decide(spark, idx,
+      srcDocs.where(col("doc_id") < cut), srcDocs.where(col("doc_id") >= cut))
+      .collect()
+    val nRetrain = decisions.count(_.getString(3) == "retrain")
+    decisions.filter(r => r.getString(0) == "__index").foreach { r =>
+      println(s"""{"stage":"decide","metric":"${r.getString(1)}","value":${r.getLong(2)},"decision":"${r.getString(3)}"}""")
+    }
+    println(f"""{"stage":"decide","rows":${decisions.length},"retrain":$nRetrain,"wall_sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+    require(nRetrain == 0,
+      s"healthy soak feed fired the retrain trigger: ${decisions.filter(_.getString(3) == "retrain").toSeq.take(3)}")
     t0 = System.nanoTime()
     val servedRows = graft.operators.HybridIndex.search(spark, idx).count()
     println(f"""{"stage":"serve","rows":$servedRows,"wall_sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
