@@ -112,6 +112,17 @@ object HybridIndex {
   def addBatch(spark: SparkSession, indexDir: String,
                newDocs: DataFrame, newRawEmb: DataFrame,
                segKeyOpt: Option[String] = None): Unit = {
+    // A key that is live OR already FOLDED into a compact segment is a
+    // committed epoch: re-delivery is a no-op. Without the folded
+    // check, a crash between an in-batch compact and the offset commit
+    // would replay the batch and re-admit rows the compacted segment
+    // already contains — the double-count the b<batchId> discipline
+    // exists to prevent.
+    segKeyOpt.foreach { key =>
+      val live = liveSegments(spark, indexDir)
+      if (live.contains(key) || foldedKeys(spark, indexDir, live).contains(key))
+        return
+    }
     val books = spark.read.parquet(s"$indexDir/imi_books.parquet")
     val pqBooks = spark.read.parquet(s"$indexDir/pq_books.parquet")
     val k = spark.read.parquet(s"$indexDir/meta.parquet").head.getLong(0)
@@ -162,7 +173,28 @@ object HybridIndex {
     readAsset(spark, indexDir, "stats_parts.parquet", live)
       .agg(sum("n").as("n"), sum("sumdl").as("sumdl"))
       .write.mode("overwrite").parquet(s"$indexDir/stats_parts.parquet/add=$key")
+    // Record every NON-compact key this segment absorbs (transitively
+    // through prior compact segments' own folded lists): [[addBatch]]
+    // treats a folded key as a committed epoch, so a micro-batch
+    // replayed across an in-between compaction no-ops instead of
+    // re-admitting rows the fold already contains.
+    import spark.implicits._
+    val absorbed = (live.filterNot(_.startsWith("compact_")) ++
+      foldedKeys(spark, indexDir, live)).distinct.sorted
+    absorbed.toDF("key").coalesce(1).write.mode("overwrite")
+      .parquet(s"$indexDir/folded.parquet/add=$key")
     commitManifest(spark, indexDir, Seq(key))
+  }
+
+  /** The union of the live compact segments' absorbed-key lists. */
+  private def foldedKeys(spark: SparkSession, indexDir: String,
+                         live: Seq[String]): Set[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+    val parts = live.map(k => s"$indexDir/folded.parquet/add=$k")
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    if (parts.isEmpty) Set.empty
+    else spark.read.parquet(parts: _*).collect().map(_.getString(0)).toSet
   }
 
   /** Default [[vacuum]] grace: an unreferenced dir younger than this is
@@ -190,7 +222,7 @@ object HybridIndex {
       new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
     val cutoff = System.currentTimeMillis() - graceMs
     Seq("base.parquet", "codes.parquet", "tf.parquet",
-        "df_parts.parquet", "stats_parts.parquet").foreach { asset =>
+        "df_parts.parquet", "stats_parts.parquet", "folded.parquet").foreach { asset =>
       val root = new org.apache.hadoop.fs.Path(s"$indexDir/$asset")
       if (fs.exists(root)) fs.listStatus(root).foreach { st =>
         val name = st.getPath.getName

@@ -50,10 +50,18 @@ object IndexDoor {
     * `indexDir` (which must hold a committed [[HybridIndex.build]]).
     * `maxOffsetsPerTrigger` bounds admission per trigger (the bus's
     * own admission control), keeping each segment's encode work and
-    * file count trigger-sized. */
+    * file count trigger-sized. `compactEvery = Some(n)` folds the live
+    * segments after every n-th admitted batch (the standing door's
+    * segment count stays bounded instead of growing one per trigger —
+    * the Lucene merge policy in its simplest form) and vacuums under
+    * the default grace; both are retry-safe, so a crash between
+    * addBatch and compact replays into the identical end state (the
+    * replayed addBatch overwrites its segment, the replayed compact
+    * derives the same live-set key). */
   def run(spark: SparkSession, busRoot: String, topic: String, indexDir: String,
           checkpoint: String, maxOffsetsPerTrigger: Option[Long] = None,
-          trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
+          trigger: Trigger = Trigger.ProcessingTime("1 second"),
+          compactEvery: Option[Int] = None): StreamingQuery = {
     val reader = spark.readStream.format("graft.sources.FileBus")
       .option("path", busRoot).option("subscribe", topic)
       .option("startingOffsets", "earliest")
@@ -71,6 +79,12 @@ object IndexDoor {
           expr("transform(split(embcsv, ','), x -> CAST(x AS FLOAT))").as("embedding"))
         HybridIndex.addBatch(spark, indexDir, docs, rawEmb,
           segKeyOpt = Some(s"b$batchId"))
+        compactEvery.foreach { n =>
+          if ((batchId + 1) % n == 0) {
+            HybridIndex.compact(spark, indexDir)
+            HybridIndex.vacuum(spark, indexDir)
+          }
+        }
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)

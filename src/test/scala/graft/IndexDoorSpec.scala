@@ -39,11 +39,14 @@ class IndexDoorSpec extends SparkTestBase {
     val raw = Tables.embeddings(spark, dir)
     val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
     val cut = ids(ids.length * 3 / 5)
+    val liveOut2 = tmpDir("idxdoor_live2")
     HybridIndex.build(spark, docs.where(col("doc_id") < cut),
       raw.where(col("vec_id") < cut), refOut)
-    // The live index starts from the IDENTICAL built asset (file copy),
-    // so any divergence below is the door's, not training nondeterminism.
+    // The live indexes start from the IDENTICAL built asset (file
+    // copy), so any divergence below is the door's, not training
+    // nondeterminism.
     copyTree(Paths.get(refOut), Paths.get(liveOut))
+    copyTree(Paths.get(refOut), Paths.get(liveOut2))
 
     // Reference: one-shot batch admission under a b<batchId>-style key,
     // RE-DELIVERED once — the replayed-micro-batch idempotence the door
@@ -94,5 +97,35 @@ class IndexDoorSpec extends SparkTestBase {
     // The composed guarantee: streamed-and-restarted == batch, byte-equal.
     assert(served(liveOut) == refServed,
       "door-admitted index diverged from the one-shot batch admission")
+
+    // PERIODIC COMPACTION door over the same (now complete) bus: the
+    // standing door's segment count stays bounded — compact folds the
+    // live set after every 2nd batch — and the served output is still
+    // byte-equal to the one-shot admission.
+    val q3 = IndexDoor.run(spark, busRoot, "docs", liveOut2, tmpDir("idxdoor_ck2"),
+      maxOffsetsPerTrigger = Some(64L),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"),
+      compactEvery = Some(2))
+    try q3.processAllAvailable() finally q3.stop()
+    def liveSegs(out: String): Seq[String] = {
+      val mr = new java.io.File(s"$out/manifest")
+      val v = mr.listFiles().map(_.getName).filter(_.startsWith("v="))
+        .map(_.stripPrefix("v=").toLong).max
+      spark.read.parquet(s"$out/manifest/v=$v").collect().map(_.getString(0)).toSeq
+    }
+    assert(liveSegs(liveOut2).size <= 2,
+      s"compactEvery=2 must bound the live set, got ${liveSegs(liveOut2)}")
+    assert(served(liveOut2) == refServed,
+      "compacting door diverged from the one-shot batch admission")
+
+    // A batch REPLAYED ACROSS a compaction (crash between the in-batch
+    // compact and the offset commit) must no-op: its key is in the
+    // compact segment's folded list, so re-admission would double-count
+    // rows the fold already holds.
+    HybridIndex.addBatch(spark, liveOut2,
+      docs.where(col("doc_id") >= cut), raw.where(col("vec_id") >= cut),
+      segKeyOpt = Some("b0"))
+    assert(liveSegs(liveOut2).size <= 2 && served(liveOut2) == refServed,
+      "a folded batch key replayed after compaction must be a committed-epoch no-op")
   }
 }
