@@ -170,7 +170,11 @@ object RetrainTrigger {
     val (_, recallMicro) = HybridIndex.denseRecallMicro(spark, indexDir, qPred, k)
     val (_, errNow) = HybridIndex.quantErrMean(spark, indexDir)
     val recKeep = recallMicro * 1000000L >= baseRec * RecallKeepFractionMicro
-    val errKeep = errNow * 1000000L <= baseErr * QuantErrGrowthMicro
+    // Double-domain compare: error means can reach ~1e16 on
+    // high-magnitude corpora, where ×10⁶ would overflow Long; the
+    // index verdicts are spec-pinned, not hash-oracled, so the float
+    // ratio is safe here (and exact at any sane magnitude).
+    val errKeep = errNow.toDouble * 1000000.0 <= baseErr.toDouble * QuantErrGrowthMicro
     val idxRows = Seq(
         ("__index", "quant_err", errNow, if (errKeep) "keep" else "retrain"),
         ("__index", "dense_recall", recallMicro, if (recKeep) "keep" else "retrain"))
