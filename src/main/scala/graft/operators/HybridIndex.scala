@@ -186,6 +186,48 @@ object HybridIndex {
     commitManifest(spark, indexDir, Seq(key))
   }
 
+  /** RETRAIN — the ACTUATOR of [[RetrainTrigger.decide]]: when the
+    * decision says the frozen codebooks no longer fit the committed
+    * corpus, write a FRESH index at `newDir` — coarse + PQ codebooks
+    * re-trained on the committed base vectors (no float round-trip,
+    * no raw-text access), every vector re-encoded against them, and
+    * the lexical assets carried over FOLD-identically (postings/df/
+    * stats are codebook-independent, so they copy as one folded
+    * segment instead of re-deriving from text). The old index is left
+    * fully intact — serving flips directories blue/green and the old
+    * asset remains the rollback (and, under the versioned-manifest
+    * protocol, stays readable mid-flip). Returns the fresh health
+    * baseline so the next [[RetrainTrigger.decide]] epoch compares
+    * against the post-retrain fit ([[graft.RetrainTriggerSpec]] pins:
+    * retraining a drifted index restores the quant-err verdict to
+    * keep, cuts the error at least in half, and preserves the lexical
+    * statistics exactly). */
+  def retrain(spark: SparkSession, indexDir: String, newDir: String): (Long, Long) = {
+    val live = liveSegments(spark, indexDir)
+    val base = readAsset(spark, indexDir, "base.parquet", live)
+      .select("vec_id", "iv", "n2")
+    val (assets, k) = ExtQueries.ivfadcAssetsFromInt(spark, base)
+    assets.books.write.mode("overwrite").parquet(s"$newDir/imi_books.parquet")
+    assets.pqBooks.write.mode("overwrite").parquet(s"$newDir/pq_books.parquet")
+    spark.range(1).select(lit(k).as("k"))
+      .write.mode("overwrite").parquet(s"$newDir/meta.parquet")
+    assets.base.write.mode("overwrite").parquet(s"$newDir/base.parquet/add=build")
+    assets.codes.withColumn("cell_bucket", pmod(col("cell"), lit(CellBuckets)))
+      .repartition(col("cell_bucket"))
+      .write.mode("overwrite").partitionBy("cell_bucket")
+      .parquet(s"$newDir/codes.parquet/add=build")
+    readAsset(spark, indexDir, "tf.parquet", live).drop("add")
+      .write.mode("overwrite").parquet(s"$newDir/tf.parquet/add=build")
+    readAsset(spark, indexDir, "df_parts.parquet", live)
+      .groupBy("word").agg(sum("df").as("df"))
+      .write.mode("overwrite").parquet(s"$newDir/df_parts.parquet/add=build")
+    readAsset(spark, indexDir, "stats_parts.parquet", live)
+      .agg(sum("n").as("n"), sum("sumdl").as("sumdl"))
+      .write.mode("overwrite").parquet(s"$newDir/stats_parts.parquet/add=build")
+    commitManifest(spark, newDir, Seq("build"))
+    RetrainTrigger.recordHealthBaseline(spark, newDir)
+  }
+
   /** The union of the live compact segments' absorbed-key lists. */
   private def foldedKeys(spark: SparkSession, indexDir: String,
                          live: Seq[String]): Set[String] = {

@@ -522,9 +522,15 @@ object ExtQueries {
     ivfadcAssetsFrom(spark, Tables.embeddings(spark, dir))
 
   private[graft] def ivfadcAssetsFrom(spark: SparkSession,
-                                      rawEmb: DataFrame): (IvfadcAssets, Long) = {
-    val base = intEmbeddingsFrom(rawEmb)
-    val k = IvfAnn.imiCentroidsFor(rawEmb.count())
+                                      rawEmb: DataFrame): (IvfadcAssets, Long) =
+    ivfadcAssetsFromInt(spark, intEmbeddingsFrom(rawEmb))
+
+  /** [[ivfadcAssetsFrom]] over an ALREADY-integerized base (vec_id, iv,
+    * n2) — [[graft.operators.HybridIndex.retrain]] re-trains from the
+    * committed base vectors without a float round-trip. */
+  private[graft] def ivfadcAssetsFromInt(spark: SparkSession,
+                                         base: DataFrame): (IvfadcAssets, Long) = {
+    val k = IvfAnn.imiCentroidsFor(base.count())
     val tBooks = IvfAnn.trainedImiCodebooks(base, k, iters = 2)
     // Fused assign+residual kernel: one corpus pass, no cell join
     // (QuantKernelsSpec pins it against the join spelling).

@@ -103,6 +103,27 @@ class RetrainTriggerSpec extends SparkTestBase {
     assert(byMetric("dense_recall").head.getString(3) == "keep",
       "measured fact: recall stays flat under pure data drift (the reason quant_err exists)")
 
+    // RETRAIN — the actuator: fresh codebooks trained on the committed
+    // (shifted) base restore the quantizer fit, the lexical statistics
+    // carry over exactly, and the next decide epoch's index rows keep.
+    val retrained = tmpDir("retrain_new")
+    val (newRec, newErr) = HybridIndex.retrain(spark, driftedIdx, retrained)
+    assert(newRec > 0L)
+    val (_, oldErr) = HybridIndex.quantErrMean(spark, driftedIdx)
+    assert(newErr * 2 < oldErr,
+      s"retraining must at least halve the reconstruction error, got $newErr vs $oldErr")
+    def lexStats(idx: String): (Long, Long) = {
+      val r = spark.read.parquet(s"$idx/stats_parts.parquet")
+        .agg(sum("n"), sum("sumdl")).head
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(lexStats(retrained) == lexStats(driftedIdx),
+      "retrain must carry the lexical statistics over fold-identically")
+    val post = RetrainTrigger.decide(spark, retrained, ref,
+      cur.withColumn("text", concat(col("text"), lit(driftPhrase)))).collect()
+    assert(post.filter(_.getString(0) == "__index").forall(_.getString(3) == "keep"),
+      s"post-retrain index health must keep, got ${post.filter(_.getString(0) == "__index").toSeq}")
+
     // SERVING corruption: zero the PQ codebooks (the ops failure the
     // recall monitor exists for) — ADC ordering collapses to the
     // vec_id tie-break and recall falls below half baseline.
