@@ -153,7 +153,8 @@ object DoorSoak {
     println(s"[soak] index door: ${bRows.length} live docs in $nWaves waves; at $base")
     def door() = IndexDoor.run(spark, bus, "docs", idx, ck,
       maxOffsetsPerTrigger = Some(math.max(64L, bRows.length.toLong / (2L * nWaves))),
-      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"),
+      compactEvery = Some(4)) // the standing-door merge policy, soaked
     var q = door()
     bRows.grouped(bRows.length / nWaves + 1).zipWithIndex.foreach { case (wave, i) =>
       t0 = System.nanoTime()
@@ -163,9 +164,13 @@ object DoorSoak {
       }
       q.processAllAvailable()
       if (i == nWaves / 2) { q.stop(); q = door() } // kill/restart midway
-      val segs = new java.io.File(s"$idx/base.parquet").listFiles()
-        .count(_.getName.startsWith("add="))
-      println(f"""{"wave":${i + 1},"docs":${wave.size},"wall_sec":${(System.nanoTime() - t0) / 1e9}%.2f,"segments":$segs}""")
+      // LIVE segments (manifest max-version) — the set the merge policy
+      // bounds; on-disk add= dirs linger under vacuum's grace period.
+      val mf = new java.io.File(s"$idx/manifest")
+      val maxV = mf.listFiles().map(_.getName).filter(_.startsWith("v="))
+        .map(_.stripPrefix("v=").toLong).max
+      val live = spark.read.parquet(s"$idx/manifest/v=$maxV").count()
+      println(f"""{"wave":${i + 1},"docs":${wave.size},"wall_sec":${(System.nanoTime() - t0) / 1e9}%.2f,"live_segments":$live}""")
     }
     q.stop()
     t0 = System.nanoTime()
