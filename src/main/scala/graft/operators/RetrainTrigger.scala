@@ -85,6 +85,66 @@ object RetrainTrigger {
     (rec, qerr)
   }
 
+  /** Persist the BUILD corpus's drift-reference histogram (b, cr) into
+    * the index — the companion of [[recordHealthBaseline]], written
+    * once after build so the STANDING monitor ([[decideOnline]]) can
+    * compare admitted batches against the build mixture without ever
+    * re-scanning the build corpus. B-bounded (≤ 8192 rows). */
+  def recordDriftReference(spark: SparkSession, indexDir: String,
+                           ref: DataFrame): Unit =
+    DsirSelect.featureRows(ref, targetSource = "")
+      .groupBy("b").agg(count(lit(1)).as("cr"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$indexDir/drift_ref.parquet")
+
+  /** The STANDING decision: the drift leg reads the per-source
+    * histograms an online monitor already maintains
+    * ([[graft.streaming.DriftStream.modelFromCheckpoint]]'s shape:
+    * source → bucket → count) instead of re-scanning the admitted
+    * corpus — the admitted batches were featurized once, as they
+    * arrived — and compares them against the [[recordDriftReference]]
+    * histogram persisted in the index; the index-health legs are
+    * [[decide]]'s, verbatim. [[graft.RetrainTriggerSpec]] pins
+    * decideOnline == decide row-for-row when the model holds exactly
+    * the admitted documents. */
+  def decideOnline(spark: SparkSession, indexDir: String,
+                   model: Map[String, Map[Long, Long]],
+                   qPred: org.apache.spark.sql.Column = HybridIndex.DefaultQPred,
+                   k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val refHist = spark.read.parquet(s"$indexDir/drift_ref.parquet")
+    val curHist = model.toSeq
+      .flatMap { case (src, h) => h.toSeq.map { case (b, c) => (src, b, c) } }
+      .toDF("source", "b", "cs")
+    driftFromHists(refHist, curHist)
+      .select(col("source").as("scope"), lit("drift_l1").as("metric"),
+        col("l1_micro").as("value_micro"))
+      .withColumn("decision",
+        when(col("value_micro") > L1ThresholdMicro, "retrain").otherwise("keep"))
+      .unionByName(indexHealthRows(spark, indexDir, qPred, k))
+  }
+
+  /** The two `__index` verdict rows shared by [[decide]] and
+    * [[decideOnline]]. */
+  private def indexHealthRows(spark: SparkSession, indexDir: String,
+                              qPred: org.apache.spark.sql.Column,
+                              k: Int): DataFrame = {
+    import spark.implicits._
+    val h = spark.read.parquet(s"$indexDir/health.parquet").head
+    val (baseRec, baseErr) = (h.getLong(0), h.getLong(1))
+    val (_, recallMicro) = HybridIndex.denseRecallMicro(spark, indexDir, qPred, k)
+    val (_, errNow) = HybridIndex.quantErrMean(spark, indexDir)
+    val recKeep = recallMicro * 1000000L >= baseRec * RecallKeepFractionMicro
+    // Double-domain compare: error means can reach ~1e16 on
+    // high-magnitude corpora, where ×10⁶ would overflow Long; the
+    // index verdicts are spec-pinned, not hash-oracled, so the float
+    // ratio is safe here (and exact at any sane magnitude).
+    val errKeep = errNow.toDouble * 1000000.0 <= baseErr.toDouble * QuantErrGrowthMicro
+    Seq(("__index", "quant_err", errNow, if (errKeep) "keep" else "retrain"),
+        ("__index", "dense_recall", recallMicro, if (recKeep) "keep" else "retrain"))
+      .toDF("scope", "metric", "value_micro", "decision")
+  }
+
   /** Per-source drift of `cur` against the `ref` mixture:
     * (source, n_feats, l1_micro). Both inputs need (doc_id, source,
     * text); ref's sources are ignored (it is ONE reference mixture).
@@ -160,28 +220,11 @@ object RetrainTrigger {
   def decide(spark: SparkSession, indexDir: String,
              ref: DataFrame, cur: DataFrame,
              qPred: org.apache.spark.sql.Column = HybridIndex.DefaultQPred,
-             k: Int = 10): DataFrame = {
-    import spark.implicits._
-    val drift = driftVsRef(ref, cur)
+             k: Int = 10): DataFrame =
+    driftVsRef(ref, cur)
       .select(col("source").as("scope"), lit("drift_l1").as("metric"),
         col("l1_micro").as("value_micro"))
-    val h = spark.read.parquet(s"$indexDir/health.parquet").head
-    val (baseRec, baseErr) = (h.getLong(0), h.getLong(1))
-    val (_, recallMicro) = HybridIndex.denseRecallMicro(spark, indexDir, qPred, k)
-    val (_, errNow) = HybridIndex.quantErrMean(spark, indexDir)
-    val recKeep = recallMicro * 1000000L >= baseRec * RecallKeepFractionMicro
-    // Double-domain compare: error means can reach ~1e16 on
-    // high-magnitude corpora, where ×10⁶ would overflow Long; the
-    // index verdicts are spec-pinned, not hash-oracled, so the float
-    // ratio is safe here (and exact at any sane magnitude).
-    val errKeep = errNow.toDouble * 1000000.0 <= baseErr.toDouble * QuantErrGrowthMicro
-    val idxRows = Seq(
-        ("__index", "quant_err", errNow, if (errKeep) "keep" else "retrain"),
-        ("__index", "dense_recall", recallMicro, if (recKeep) "keep" else "retrain"))
-      .toDF("scope", "metric", "value_micro", "decision")
-    drift
       .withColumn("decision",
         when(col("value_micro") > L1ThresholdMicro, "retrain").otherwise("keep"))
-      .unionByName(idxRows)
-  }
+      .unionByName(indexHealthRows(spark, indexDir, qPred, k))
 }

@@ -136,4 +136,54 @@ class RetrainTriggerSpec extends SparkTestBase {
     assert(corruptRec * 1000000L < rec1 * RetrainTrigger.RecallKeepFractionMicro,
       s"zeroed codebooks must collapse recall below half baseline, got $corruptRec vs $rec1")
   }
+
+  test("standing decision: decideOnline from the DriftStream model == decide from the corpus") {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.DriftStream
+    import graft.streaming.DriftStream.SrcShardFeats
+    val idx = tmpDir("retrain_online")
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val docsS = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val raw = Tables.embeddings(spark, dir)
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val cut = ids(ids.length * 3 / 5)
+    val ref = docsS.where(col("doc_id") < cut)
+    val cur = docsS.where(col("doc_id") >= cut)
+    HybridIndex.build(spark, docs.where(col("doc_id") < cut),
+      raw.where(col("vec_id") < cut), idx)
+    RetrainTrigger.recordHealthBaseline(spark, idx)
+    RetrainTrigger.recordDriftReference(spark, idx, ref)
+    HybridIndex.addBatch(spark, idx, docs.where(col("doc_id") >= cut),
+      raw.where(col("vec_id") >= cut))
+
+    // The admitted docs flow through the ONLINE monitor (with a replay
+    // split mid-feed); the standing state IS the drift leg's input.
+    val curRows = cur.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+      .flatMap { case (id, src, text) => DriftStream.shardRows(src, id, text) }.toSeq
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc = Encoders.product[SrcShardFeats]
+    val input = MemoryStream[SrcShardFeats]
+    val ckpt = tmpDir("retrain_online_ck")
+    val q = DriftStream.histograms(input.toDS())
+      .writeStream.format("memory").queryName("retrain_drift")
+      .outputMode("update").option("checkpointLocation", ckpt).start()
+    try {
+      curRows.grouped(curRows.size / 3 + 1).foreach { w =>
+        input.addData(w); q.processAllAvailable()
+      }
+      input.addData(curRows.take(40)); q.processAllAvailable() // replay
+    } finally q.stop()
+
+    def table(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getString(3))).toMap
+    val online = table(RetrainTrigger.decideOnline(spark, idx,
+      DriftStream.modelFromCheckpoint(spark, ckpt)))
+    val batch = table(RetrainTrigger.decide(spark, idx, ref, cur))
+    assert(online == batch,
+      s"standing decision diverged from the corpus-scan decision: " +
+        s"diff=${(online.toSet -- batch.toSet).take(3)}")
+  }
 }
