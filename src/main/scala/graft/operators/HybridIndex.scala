@@ -200,8 +200,15 @@ object HybridIndex {
     * baseline so the next [[RetrainTrigger.decide]] epoch compares
     * against the post-retrain fit ([[graft.RetrainTriggerSpec]] pins:
     * retraining a drifted index restores the quant-err verdict to
-    * keep, cuts the error at least in half, and preserves the lexical
-    * statistics exactly). */
+    * keep, cuts the error at least in half, preserves the lexical
+    * statistics exactly, and — on a healthy corpus — serves
+    * BYTE-identically to a fresh monolithic build over the same
+    * corpus). The drift REFERENCE is deliberately not carried: it
+    * describes the old build mixture, and re-deriving it needs raw
+    * text this method intentionally never touches — a caller keeping
+    * the standing monitor re-records it with
+    * [[RetrainTrigger.recordDriftReference]] over the retrain-time
+    * corpus. */
   def retrain(spark: SparkSession, indexDir: String, newDir: String): (Long, Long) = {
     val live = liveSegments(spark, indexDir)
     val base = readAsset(spark, indexDir, "base.parquet", live)

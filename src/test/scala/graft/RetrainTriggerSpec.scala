@@ -185,5 +185,22 @@ class RetrainTriggerSpec extends SparkTestBase {
     assert(online == batch,
       s"standing decision diverged from the corpus-scan decision: " +
         s"diff=${(online.toSet -- batch.toSet).take(3)}")
+
+    // RETRAIN == FRESH BUILD, end to end: retraining the healthy index
+    // (books re-trained on the committed A∪B base, lexical folded
+    // over) must serve BYTE-identically to a monolithic build over the
+    // same corpus — two different code paths (fold-carry vs re-derive
+    // from raw text/floats) forced to the same answer.
+    val retrained = tmpDir("retrain_vs_build_r")
+    val fresh = tmpDir("retrain_vs_build_f")
+    HybridIndex.retrain(spark, idx, retrained)
+    HybridIndex.build(spark, docs, raw, fresh)
+    def servedT(out: String) = HybridIndex.search(spark, out).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val sr = servedT(retrained); val sf = servedT(fresh)
+    assert(sr.nonEmpty && sr == sf,
+      s"retrained index diverged from a fresh build over the same corpus: " +
+        s"diff=${(sr.toSet -- sf.toSet).take(3)}")
   }
 }
