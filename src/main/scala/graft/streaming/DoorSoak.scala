@@ -146,10 +146,12 @@ object DoorSoak {
       graft.operators.RetrainTrigger.recordHealthBaseline(spark, idx)
     println(f"""{"stage":"health_baseline","recall_micro":$baseRec,"quant_err":$baseErr,"wall_sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
 
-    val bRows = docs.where(col("doc_id") >= cut)
+    val bRows = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where(col("doc_id") >= cut)
       .join(raw.withColumnRenamed("vec_id", "doc_id"), "doc_id")
-      .select("doc_id", "text", "embedding").collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getSeq[Float](2))).sortBy(_._1)
+      .select("doc_id", "source", "text", "embedding").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getSeq[Float](3)))
+      .sortBy(_._1)
     println(s"[soak] index door: ${bRows.length} live docs in $nWaves waves; at $base")
     def door() = IndexDoor.run(spark, bus, "docs", idx, ck,
       maxOffsetsPerTrigger = Some(math.max(64L, bRows.length.toLong / (2L * nWaves))),
@@ -160,7 +162,7 @@ object DoorSoak {
       t0 = System.nanoTime()
       wave.groupBy(_._1 % 2).foreach { case (p, rs) =>
         graft.sources.FileBus.append(bus, "docs", p.toInt,
-          rs.map { case (id, t, e) => IndexDoor.encodeDoc(id, t, e, id) }.toSeq)
+          rs.map { case (id, src, t, e) => IndexDoor.encodeDoc(id, src, t, e, id) }.toSeq)
       }
       q.processAllAvailable()
       if (i == nWaves / 2) { q.stop(); q = door() } // kill/restart midway

@@ -28,11 +28,17 @@ import graft.sources.FileBus
   * the same corpus). Empty triggers admit nothing and commit nothing.
   *
   * Wire format — one bus record per document:
-  * key = doc_id, value = `<f0>,<f1>,...\t<text>` with the embedding
-  * floats in `Float.toString` form (exact round-trip, so the admitted
-  * vectors are bit-identical to a parquet read) and the text free to
-  * contain anything but the record codec's own escapes. [[encodeDoc]]
-  * / the door's parse are the two ends of that contract.
+  * key = doc_id, value = `<source>\t<f0>,<f1>,...\t<text>` with the
+  * embedding floats in `Float.toString` form (exact round-trip, so
+  * the admitted vectors are bit-identical to a parquet read), the
+  * source name tab-free by contract, and the text free to contain
+  * anything but the record codec's own escapes. [[encodeDoc]] / the
+  * consumers' parses are the ends of that contract. The SAME feed
+  * serves TWO independently-checkpointed consumers (the Kafka
+  * consumer-group shape on the FileBus seam): [[run]] admits into the
+  * index, [[monitor]] maintains the [[DriftStream]] histograms —
+  * the standing state [[graft.operators.RetrainTrigger.decideOnline]]
+  * reads, so the whole measure→decide loop rides one bus.
   *
   * At 100 TB: each trigger touches only its admitted batch (encode =
   * two scans of the batch against broadcast frozen codebooks) plus the
@@ -42,9 +48,11 @@ import graft.sources.FileBus
 object IndexDoor {
 
   /** One document as a bus record (the producer side of the wire
-    * contract). */
-  def encodeDoc(docId: Long, text: String, emb: Seq[Float], tsMs: Long): FileBus.Record =
-    FileBus.Record(docId.toString, emb.map(_.toString).mkString(",") + "\t" + text, tsMs)
+    * contract). `source` must not contain a tab. */
+  def encodeDoc(docId: Long, source: String, text: String, emb: Seq[Float],
+                tsMs: Long): FileBus.Record =
+    FileBus.Record(docId.toString,
+      source + "\t" + emb.map(_.toString).mkString(",") + "\t" + text, tsMs)
 
   /** Start the door: bus topic → [[HybridIndex.addBatch]] against
     * `indexDir` (which must hold a committed [[HybridIndex.build]]).
@@ -71,9 +79,9 @@ object IndexDoor {
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         val parsed = batch.select(
             col("key").cast("long").as("doc_id"),
-            split(col("value"), "\t", 2).as("kv"))
-          .select(col("doc_id"), col("kv").getItem(0).as("embcsv"),
-            col("kv").getItem(1).as("text"))
+            split(col("value"), "\t", 3).as("kv"))
+          .select(col("doc_id"), col("kv").getItem(1).as("embcsv"),
+            col("kv").getItem(2).as("text"))
         val docs = parsed.select(col("doc_id"), col("text"))
         val rawEmb = parsed.select(col("doc_id").as("vec_id"),
           expr("transform(split(embcsv, ','), x -> CAST(x AS FLOAT))").as("embedding"))
@@ -86,6 +94,36 @@ object IndexDoor {
           }
         }
       }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
+
+  /** The SECOND consumer on the same topic: maintain the standing
+    * [[DriftStream]] per-(source, shard) histograms from the identical
+    * wire records, under its own checkpoint (its own WAL'd offsets —
+    * the two consumers advance independently, exactly like two Kafka
+    * consumer groups). The histograms live in state; the sink is noop.
+    * [[graft.operators.RetrainTrigger.decideOnline]] reads the model
+    * back with [[DriftStream.modelFromCheckpoint]]. */
+  def monitor(spark: SparkSession, busRoot: String, topic: String,
+              checkpoint: String, maxOffsetsPerTrigger: Option[Long] = None,
+              trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
+    import spark.implicits._
+    val reader = spark.readStream.format("graft.sources.FileBus")
+      .option("path", busRoot).option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+    val src = maxOffsetsPerTrigger
+      .fold(reader)(m => reader.option("maxOffsetsPerTrigger", m.toString)).load()
+    val feats = src.select(
+        col("key").cast("long").as("doc_id"),
+        split(col("value"), "\t", 3).as("kv"))
+      .select(col("doc_id"), col("kv").getItem(0).as("source"),
+        col("kv").getItem(2).as("text"))
+      .as[(Long, String, String)]
+      .flatMap { case (id, source, text) => DriftStream.shardRows(source, id, text) }
+    DriftStream.histograms(feats)
+      .writeStream.format("noop").outputMode("update")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .start()

@@ -63,15 +63,16 @@ class IndexDoorSpec extends SparkTestBase {
     // between them; maxOffsetsPerTrigger forces multiple micro-batches
     // (multiple b<N> segments) inside each wave.
     val busRoot = tmpDir("idxdoor_bus"); val ck = tmpDir("idxdoor_ck")
-    val bRows = bDocs.join(raw.withColumnRenamed("vec_id", "doc_id"), "doc_id")
-      .select("doc_id", "text", "embedding").collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getSeq[Float](2)))
+    val bRows = Tables.documents(spark, dir).where(col("doc_id") >= cut)
+      .join(raw.withColumnRenamed("vec_id", "doc_id"), "doc_id")
+      .select("doc_id", "source", "text", "embedding").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getSeq[Float](3)))
       .sortBy(_._1)
     val (wave1, wave2) = bRows.splitAt(bRows.length / 2)
-    def feed(wave: Array[(Long, String, Seq[Float])]): Unit =
+    def feed(wave: Array[(Long, String, String, Seq[Float])]): Unit =
       wave.groupBy(_._1 % 2).foreach { case (p, rs) =>
         FileBus.append(busRoot, "docs", p.toInt,
-          rs.map { case (id, t, e) => IndexDoor.encodeDoc(id, t, e, id) }.toSeq)
+          rs.map { case (id, src, t, e) => IndexDoor.encodeDoc(id, src, t, e, id) }.toSeq)
       }
 
     feed(wave1)
@@ -127,5 +128,30 @@ class IndexDoorSpec extends SparkTestBase {
       segKeyOpt = Some("b0"))
     assert(liveSegs(liveOut2).size <= 2 && served(liveOut2) == refServed,
       "a folded batch key replayed after compaction must be a committed-epoch no-op")
+
+    // SECOND CONSUMER, SAME BUS (the Kafka consumer-group shape): the
+    // drift monitor rides the identical wire records under its OWN
+    // checkpoint, and its standing per-source histograms equal the
+    // batch feature counts of everything the producers published —
+    // [[RetrainTrigger.decideOnline]]'s drift leg reads exactly this
+    // state (decideOnline == decide is RetrainTriggerSpec's pin).
+    val mck = tmpDir("idxdoor_mck")
+    val qm = IndexDoor.monitor(spark, busRoot, "docs", mck,
+      maxOffsetsPerTrigger = Some(64L),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+    try qm.processAllAvailable() finally qm.stop()
+    val model = graft.streaming.DriftStream.modelFromCheckpoint(spark, mck)
+    val batchCounts = graft.operators.DsirSelect.featureRows(
+        Tables.documents(spark, dir).where(col("doc_id") >= cut)
+          .select(col("doc_id"), col("source"), col("text")), "")
+      .groupBy("source", "b")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("cs"))
+      .collect().groupBy(_.getString(0))
+      .map { case (s, rs) => s -> rs.map(r => r.getLong(1) -> r.getLong(2)).toMap }
+    assert(model == batchCounts,
+      s"bus-fed monitor histograms diverged from batch feature counts for " +
+        s"${model.keySet.union(batchCounts.keySet).filter(s =>
+          model.getOrElse(s, Map.empty) != batchCounts.getOrElse(s, Map.empty)).take(3)}")
   }
 }
