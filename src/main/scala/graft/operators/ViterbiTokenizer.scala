@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** VITERBI subword segmentation — the OTHER standard tokenizer-apply
+  * algorithm next to qx61's greedy BPE merges: segment each word into
+  * the maximum-score sequence of vocabulary pieces by dynamic
+  * programming (the SentencePiece/unigram-LM decode step, Kudo 2018),
+  * with the whole system rendered integer-exact so a DuckDB twin can
+  * replay the DP stage for stage.
+  *
+  *  - **Vocabulary**: every length-2..4 substring occurring in ≥ 3
+  *    distinct corpus words (a frequency-thresholded substring lexicon
+  *    — the shape a unigram-LM vocab seed takes before EM prunes it),
+  *    plus every single character implicitly (so segmentation is
+  *    total).
+  *  - **Score**: score(p) = 100·len(p)² + horner(p) mod 50 — superlinear
+  *    in length (Viterbi genuinely prefers longer pieces over chains
+  *    of short ones, unlike a linear score under which all
+  *    segmentations tie) with a hash term that separates same-length
+  *    pieces; horner is the corpus-wide (a·31 + char) mod 1000003 word
+  *    hash.
+  *  - **DP with a PINNED tie-break**: best[i] over piece lengths
+  *    L = 1..4 maximizes the PACKED value (best[i−L] + score)·8 + L —
+  *    one integer max, so "higher total, then longer last piece" is a
+  *    single total order both engines share (the topk_by packing
+  *    lesson). Backtracking walks the stored packed choices; the
+  *    segmentation signature is the right-to-left Horner fold
+  *    cs ← (cs·1009 + horner(piece)) mod P over the walk, so a wrong
+  *    piece boundary anywhere breaks the hash.
+  *
+  * Scale shape: the DP runs once per DISTINCT word (lexicon-bounded,
+  * driver-free — a mapPartitions kernel over the word table with the
+  * piece vocab broadcast); the corpus-sized work is qx61's shape — one
+  * explode + broadcast join + per-doc aggregate. */
+object ViterbiTokenizer {
+
+  val MaxPiece = 4
+  val P = 1000003L
+  val CsP = 2147483647L
+
+  private[graft] def horner(s: String): Long = {
+    var a = 0L; var j = 0
+    while (j < s.length) { a = (a * 31L + s.charAt(j).toInt) % P; j += 1 }
+    a
+  }
+
+  private[graft] def score(piece: String): Long =
+    100L * piece.length * piece.length + horner(piece) % 50L
+
+  /** (n_pieces, total_score, right-to-left Horner signature) for one
+    * word under the piece vocabulary (single chars always allowed) —
+    * derived from [[piecesOf]]'s walk so there is exactly ONE DP. */
+  private[graft] def segment(word: String, vocab: Set[String]): (Long, Long, Long) = {
+    val ps = piecesOf(word, vocab)
+    val total = ps.iterator.map(score).sum
+    val cs = ps.reverse.foldLeft(0L)((a, p) => (a * 1009L + horner(p)) % CsP)
+    (ps.length.toLong, total, cs)
+  }
+
+  /** The chosen piece sequence (left-to-right): DP over the packed
+    * (total·8 + L) order, then the backtrack walk. */
+  private[graft] def piecesOf(word: String, vocab: Set[String]): List[String] = {
+    val n = word.length
+    val best = new Array[Long](n + 1)
+    var i = 1
+    while (i <= n) {
+      var pk = Long.MinValue
+      var l = 1
+      while (l <= math.min(MaxPiece, i)) {
+        val piece = word.substring(i - l, i)
+        if (l == 1 || vocab(piece)) {
+          val cand = ((best(i - l) >> 3) + score(piece)) * 8L + l
+          if (cand > pk) pk = cand
+        }
+        l += 1
+      }
+      best(i) = pk
+      i += 1
+    }
+    var pos = n; var acc = List.empty[String]
+    while (pos > 0) {
+      val l = (best(pos) & 7L).toInt
+      acc = word.substring(pos - l, pos) :: acc
+      pos -= l
+    }
+    acc
+  }
+
+  /** The substring lexicon: length-2..4 substrings present in ≥
+    * `minWords` distinct words. `words` = one column `word`
+    * (distinct). */
+  def pieceVocab(words: DataFrame, minWords: Long = 3L): DataFrame =
+    words.select(col("word"),
+        explode(expr(s"""flatten(transform(sequence(2, $MaxPiece), l ->
+            CASE WHEN length(word) >= l
+                 THEN transform(sequence(1, length(word) - l + 1),
+                                i -> substring(word, i, l))
+                 ELSE array() END))""")).as("piece"))
+      .distinct()
+      .groupBy("piece").agg(count(lit(1)).as("nw"))
+      .where(col("nw") >= minWords)
+      .select("piece")
+
+  /** Per-word DP results (word, n_pieces, vit_score, vit_sig) — the
+    * kernel pass over the distinct-word table with the vocab
+    * broadcast. */
+  def segments(words: DataFrame, vocab: DataFrame): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(
+      vocab.collect().map(_.getString(0)).toSet)
+    words.select("word").as[String].mapPartitions { it =>
+      val v = bc.value
+      it.map { w =>
+        val (np, sc, cs) = segment(w, v)
+        (w, np, sc, cs)
+      }
+    }.toDF("word", "n_pieces", "vit_score", "vit_sig")
+  }
+}

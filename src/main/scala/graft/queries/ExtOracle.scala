@@ -2484,6 +2484,69 @@ object ExtOracle {
       |       CAST(sum((h * quota) % 2147483647) AS BIGINT) AS sig
       |FROM j GROUP BY domain""".stripMargin
 
+  /** qx96 twin — the Viterbi segmentation replayed stage for stage:
+    * the substring lexicon, 8 DP stages (packed max — (total·8 + L),
+    * the identical tie-break integer the kernel maximizes), an 8-step
+    * backtrack accumulating the piece count and the right-to-left
+    * Horner signature, then qx61's apply join per doc. All generated
+    * CTEs (the bpeChain/Hilbert builder discipline); max word length
+    * in the fixtures is 8 and the stages guard on length so shorter
+    * words pass through untouched. */
+  val qx96: String = {
+    val maxLen = 8; val maxPiece = 4
+    def h(e: String): String =
+      s"list_reduce([CAST(0 AS BIGINT)] || list_transform(string_split($e, ''), " +
+        s"c -> CAST(ascii(c) AS BIGINT)), (a, b) -> (a*31 + b) % 1000003)"
+    val sb = new StringBuilder
+    sb ++= s"WITH $DOCS,\n"
+    sb ++= "words AS (SELECT DISTINCT w AS word FROM docs, unnest(ws) t(w)),\n"
+    sb ++= s"""vp AS (SELECT piece FROM (
+              |  SELECT DISTINCT word, substr(word, i, l) AS piece
+              |  FROM words, unnest(range(2, ${maxPiece + 1})) tl(l),
+              |       unnest(range(1, length(word) - l + 2)) tp(i))
+              |  GROUP BY piece HAVING count(*) >= 3),
+              |s0 AS (SELECT word FROM words)""".stripMargin
+    for (i <- 1 to maxLen) {
+      val cands = (1 to math.min(maxPiece, i)).map { l =>
+        val prev = if (i - l == 0) "CAST(0 AS BIGINT)" else s"pk${i - l} // 8"
+        val piece = s"substr(word, $i - $l + 1, $l)"
+        val inVocab = if (l == 1) "TRUE" else s"$piece IN (SELECT piece FROM vp)"
+        s"""CASE WHEN length(word) >= $i AND $inVocab
+           |  THEN ($prev + 100*$l*$l + ${h(piece)} % 50) * 8 + $l END""".stripMargin
+      }.mkString(",\n  ")
+      sb ++= s""",
+                |s$i AS (SELECT *, greatest(
+                |  $cands) AS pk$i FROM s${i - 1})""".stripMargin
+    }
+    val pkAt = (v: String) =>
+      s"CASE $v ${(1 to maxLen).map(i => s"WHEN $i THEN pk$i").mkString(" ")} END"
+    sb ++= s""",
+              |t0 AS (SELECT *, length(word) AS pos0,
+              |       CAST(0 AS BIGINT) AS np0, CAST(0 AS BIGINT) AS cs0 FROM s$maxLen)""".stripMargin
+    for (k <- 1 to maxLen) {
+      sb ++= s""",
+                |u$k AS (SELECT *, CASE WHEN pos${k - 1} > 0
+                |  THEN CAST(${pkAt(s"pos${k - 1}")} % 8 AS INTEGER) END AS l$k FROM t${k - 1}),
+                |t$k AS (SELECT *,
+                |  CASE WHEN pos${k - 1} > 0 THEN pos${k - 1} - l$k ELSE pos${k - 1} END AS pos$k,
+                |  CASE WHEN pos${k - 1} > 0 THEN np${k - 1} + 1 ELSE np${k - 1} END AS np$k,
+                |  CASE WHEN pos${k - 1} > 0
+                |    THEN (cs${k - 1} * 1009 + ${h(s"substr(word, pos${k - 1} - l$k + 1, l$k)")}) % 2147483647
+                |    ELSE cs${k - 1} END AS cs$k FROM u$k)""".stripMargin
+    }
+    sb ++= s""",
+              |seg AS (SELECT word, np$maxLen AS n_pieces,
+              |        ${pkAt("length(word)")} // 8 AS vit_score,
+              |        cs$maxLen AS vit_sig FROM t$maxLen)
+              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+              |       CAST(sum(n_pieces) AS BIGINT) AS n_vit_tokens,
+              |       CAST(sum(vit_score) AS BIGINT) AS vit_score,
+              |       CAST(sum(vit_sig) AS BIGINT) AS vit_sig
+              |FROM docs, unnest(ws) t(w) JOIN seg ON w = seg.word
+              |GROUP BY doc_id""".stripMargin
+    sb.result()
+  }
+
   /** qx90 twin — [[CDC_CHUNKS]] + the global keeper election (min
     * struct over (first doc_id, first start, source) per identity) and
     * the per-source reconciled accounting. */

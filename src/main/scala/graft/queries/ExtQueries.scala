@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{BloomFilter, Determinism}
-import graft.operators.{AhoCorasick, AudioFingerprint, BpeTrainer, CdcChunker, ConnectedComponents, DsirSelect, EmbeddingLsh, EmbeddingPca, EpochShuffle, GopherRules, HilbertCurve, HtmlCodec, InvertedIndex, IvfAnn, MixSchedule, MultimodalCodec, PageRank, Partitioning, ProductQuantizer, QuantKernels, RetrainTrigger, RobotsTxt, SaltedJoin, SimHashLsh, UniMax, WarcCodec, WavCodec, ZOrderLayout}
+import graft.operators.{AhoCorasick, AudioFingerprint, BpeTrainer, CdcChunker, ConnectedComponents, DsirSelect, EmbeddingLsh, EmbeddingPca, EpochShuffle, GopherRules, HilbertCurve, HtmlCodec, InvertedIndex, IvfAnn, MixSchedule, MultimodalCodec, PageRank, Partitioning, ProductQuantizer, QuantKernels, RetrainTrigger, RobotsTxt, SaltedJoin, SimHashLsh, UniMax, ViterbiTokenizer, WarcCodec, WavCodec, ZOrderLayout}
 import graft.sources.Tables
 
 /** The large-scale training-data-pipeline operator family (builder brief +
@@ -3499,6 +3499,35 @@ object ExtQueries {
         max("quota").as("quota"),
         least(count(lit(1)), max("quota")).as("admitted"),
         sum(expr("(h * quota) % 2147483647")).as("sig"))
+  }
+
+  /** qx96 — VITERBI subword segmentation ([[ViterbiTokenizer]]): the
+    * SentencePiece-style decode next to qx61's greedy BPE apply —
+    * per word, the maximum-score piece sequence by DP over a
+    * frequency-thresholded substring lexicon (len 2–4, ≥ 3 distinct
+    * words), score 100·len² + horner mod 50, tie-break packed into
+    * the max itself ((total·8 + L) — higher total, then longer last
+    * piece, ONE total order both engines share); per doc the word
+    * count, Viterbi token count, score sum and the summed
+    * right-to-left segmentation signatures (a wrong boundary in any
+    * word's DP breaks the hash). The oracle replays the lexicon, all
+    * 8 DP stages and the 8-step backtrack as generated CTEs.
+    * Scale shape: lexicon + DP are DISTINCT-WORD-bounded (kernel pass,
+    * vocab broadcast); the corpus-sized part is qx61's explode +
+    * broadcast join + per-doc aggregate. */
+  def qx96(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(explode(expr(WORDS)).as("word")).distinct()
+    val seg = ViterbiTokenizer.segments(words,
+      ViterbiTokenizer.pieceVocab(words))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(expr(WORDS)).as("word"))
+      .join(broadcast(seg), "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_pieces").as("n_vit_tokens"),
+        sum("vit_score").as("vit_score"),
+        sum("vit_sig").as("vit_sig"))
   }
 
   def qx90(spark: SparkSession, dir: String): DataFrame = {
