@@ -231,8 +231,35 @@ object HybridIndex {
     readAsset(spark, indexDir, "stats_parts.parquet", live)
       .agg(sum("n").as("n"), sum("sumdl").as("sumdl"))
       .write.mode("overwrite").parquet(s"$newDir/stats_parts.parquet/add=build")
+    // Carry the COMMITTED-EPOCH LEDGER across the blue/green flip: every
+    // segment key the old index had admitted (live or already folded by a
+    // compact) is recorded as folded into the fresh build, so a
+    // micro-batch REPLAYED ACROSS THE FLIP — the door killed after its
+    // addBatch landed in the old index but before its offset committed;
+    // the retrain snapshot already contains those rows — no-ops in the
+    // new directory ([[addBatch]]'s folded-key check) instead of
+    // double-admitting. [[graft.IndexDoorSpec]] re-delivers a pre-flip
+    // b<batchId> against the retrained index and pins search unchanged.
+    import spark.implicits._
+    val absorbed = (live.filterNot(_.startsWith("compact_")) ++
+      foldedKeys(spark, indexDir, live)).distinct.sorted
+    absorbed.toDF("key").coalesce(1).write.mode("overwrite")
+      .parquet(s"$newDir/folded.parquet/add=build")
     commitManifest(spark, newDir, Seq("build"))
-    RetrainTrigger.recordHealthBaseline(spark, newDir)
+    // The fresh baseline measures under the SAME pinned sample rate the
+    // old index's decision loop ran on (or full-scan when the old index
+    // predates the rate / never recorded health).
+    val oldHealth = new org.apache.hadoop.fs.Path(s"$indexDir/health.parquet")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+    val sampleEvery =
+      if (fs.exists(oldHealth)) {
+        val hdf = spark.read.parquet(s"$indexDir/health.parquet")
+        if (hdf.columns.contains("sample_every"))
+          hdf.head.getAs[Long]("sample_every")
+        else 1L
+      } else 1L
+    RetrainTrigger.recordHealthBaseline(spark, newDir, sampleEvery = sampleEvery)
   }
 
   /** The union of the live compact segments' absorbed-key lists. */
@@ -254,42 +281,89 @@ object HybridIndex {
     * collection of dirs they KNOW are dead. */
   val DefaultVacuumGraceMs: Long = 30L * 60L * 1000L
 
-  /** Delete segment dirs the manifest no longer references (orphans
-    * from pre-commit crashes, segments superseded by [[compact]]) and
-    * superseded manifest versions — but ONLY those whose modification
-    * time is at least `graceMs` old, so a concurrently in-flight
-    * addBatch/compact (segment written, manifest commit pending) is
-    * never swept out from under its own commit, and a reader that
-    * resolved an older manifest version within the grace window still
-    * finds every path it references. Safe to run any time under that
-    * single grace assumption; the current manifest version is never
-    * deleted regardless of age. */
+  /** Delete segment dirs no retained manifest references (orphans from
+    * pre-commit crashes, segments superseded by [[compact]]), crashed
+    * commit staging dirs, and superseded manifest versions.
+    *
+    * RETENTION IS KEYED TO SUPERSEDE TIME, NOT CREATION TIME (the
+    * round-11 review's finding, and the Delta rule — tombstone time,
+    * not add time): each manifest version records its own commit
+    * wall-clock ([[commitManifest]]), a version counts as superseded
+    * at the instant the NEXT version committed, and a superseded
+    * version — with every segment it references — stays protected
+    * until `graceMs` has passed since that recorded instant. So a
+    * compact or manifest bump never exposes the segments it just
+    * retired to immediate deletion: a reader that resolved the
+    * pre-compact manifest within the grace window still finds every
+    * path it references, no matter how old the dirs themselves are
+    * (manifest history decides, never filesystem mtime — which object
+    * stores skew). NEVER-committed dirs (crash orphans, in-flight
+    * writers) appear in no manifest, so their stage time — mtime, the
+    * only record an uncommitted writer leaves, and for an orphan the
+    * semantically right clock — gates their collection, as does a
+    * crashed commit's `_staging_*` dir. The current manifest version
+    * is never deleted regardless of age. */
   def vacuum(spark: SparkSession, indexDir: String,
              graceMs: Long = DefaultVacuumGraceMs): Unit = {
-    val live = liveSegments(spark, indexDir).toSet
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
     val cutoff = System.currentTimeMillis() - graceMs
+    val mRoot = new org.apache.hadoop.fs.Path(s"$indexDir/manifest")
+    val versions = committedVersions(fs, mRoot)
+    require(versions.nonEmpty, s"no committed manifest under $indexDir/manifest")
+    val infos = versions.map(v => v -> manifestAt(spark, fs, indexDir, v)).toMap
+    // Protected = current version + every version whose SUPERSEDE time
+    // (the next version's recorded commit time) is within the grace.
+    val protectedVs = versions.zipWithIndex.collect {
+      case (v, i) if i == versions.length - 1 || infos(versions(i + 1))._2 > cutoff => v
+    }.toSet
+    val protectedSegs = protectedVs.flatMap(v => infos(v)._1)
     Seq("base.parquet", "codes.parquet", "tf.parquet",
         "df_parts.parquet", "stats_parts.parquet", "folded.parquet").foreach { asset =>
       val root = new org.apache.hadoop.fs.Path(s"$indexDir/$asset")
       if (fs.exists(root)) fs.listStatus(root).foreach { st =>
         val name = st.getPath.getName
-        if (name.startsWith("add=") && !live.contains(name.stripPrefix("add=")) &&
+        if (name.startsWith("add=") && !protectedSegs.contains(name.stripPrefix("add=")) &&
             st.getModificationTime <= cutoff)
           fs.delete(st.getPath, true)
       }
     }
-    val mRoot = new org.apache.hadoop.fs.Path(s"$indexDir/manifest")
-    if (fs.exists(mRoot)) {
-      val current = currentManifestVersion(fs, mRoot)
-      fs.listStatus(mRoot).foreach { st =>
-        val name = st.getPath.getName
-        if (name.startsWith("v=") && name.stripPrefix("v=").toLong < current &&
-            st.getModificationTime <= cutoff)
-          fs.delete(st.getPath, true)
-      }
+    fs.listStatus(mRoot).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("v=") &&
+          !protectedVs.contains(name.stripPrefix("v=").toLong))
+        fs.delete(st.getPath, true)
+      // A crash between staging and rename leaves `_staging_v<N>` dirs no
+      // manifest will ever reference (round-11 review #3): stage-time
+      // grace collects them so repeated crashes cannot accumulate
+      // unbounded commit garbage.
+      else if (name.startsWith("_staging_") && st.getModificationTime <= cutoff)
+        fs.delete(st.getPath, true)
     }
+  }
+
+  /** All committed `v=<N>` under `manifest/`, ascending. */
+  private def committedVersions(fs: org.apache.hadoop.fs.FileSystem,
+                                mRoot: org.apache.hadoop.fs.Path): Seq[Long] =
+    if (!fs.exists(mRoot)) Seq.empty
+    else fs.listStatus(mRoot).map(_.getPath.getName).toSeq
+      .collect { case n if n.startsWith("v=") => n.stripPrefix("v=").toLong }
+      .sorted
+
+  /** One manifest version's (segments, recorded commit wall-clock).
+    * Pre-round-12 manifests carry no `committed_ms` column — fall back
+    * to the version dir's mtime for those (strictly better than the
+    * old behavior, never worse). */
+  private def manifestAt(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+                         indexDir: String, v: Long): (Seq[String], Long) = {
+    val df = spark.read.parquet(s"$indexDir/manifest/v=$v")
+    val segs = df.select("seg").collect().map(_.getString(0)).toSeq
+    val ms =
+      if (df.columns.contains("committed_ms"))
+        df.select("committed_ms").head.getLong(0)
+      else fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(s"$indexDir/manifest/v=$v")).getModificationTime
+    (segs, ms)
   }
 
   /** Highest committed `v=<N>` under `manifest/` (0 = none). Temp
@@ -311,31 +385,67 @@ object HybridIndex {
     val v = currentManifestVersion(fs, new org.apache.hadoop.fs.Path(s"$indexDir/manifest"))
     require(v > 0L, s"no committed manifest under $indexDir/manifest")
     spark.read.parquet(s"$indexDir/manifest/v=$v")
-      .collect().map(_.getString(0)).toSeq.sorted
+      .select("seg").collect().map(_.getString(0)).toSeq.sorted
   }
 
   /** Commit `segs` as manifest version current+1: stage the parquet to
-    * a temp dir, then ONE atomic rename into `v=<N>`. The rename's
-    * return value is checked — if another writer claimed N first (the
-    * single-writer contract was violated) or the FS refused, this
-    * THROWS with the index unchanged and fully recoverable, instead of
-    * round-10's silent manifest-less window. */
+    * a temp dir, then ONE atomic rename into `v=<N>`, with the commit
+    * wall-clock recorded IN the manifest (`committed_ms` — the
+    * supersede clock [[vacuum]]'s retention runs on, so deletion
+    * safety never trusts filesystem mtime against a skewed driver
+    * clock). A lost race on N fails loudly with the index unchanged
+    * and fully recoverable, and the check does not lean on the
+    * rename's return value alone (round-11 review #2): on
+    * RawLocalFileSystem and several object-store connectors a rename
+    * ONTO an existing directory "succeeds" by moving the source
+    * INSIDE the destination — so existence of `v=<N>` is treated as
+    * the lost race up front, and after the rename the staged data
+    * file must sit DIRECTLY at the `v=<N>` root or the commit throws
+    * rather than leaving a nested, unreadable manifest. */
   private def commitManifest(spark: SparkSession, indexDir: String,
                              segs: Seq[String]): Unit = {
-    import spark.implicits._
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
     val mRoot = new org.apache.hadoop.fs.Path(s"$indexDir/manifest")
-    val next = currentManifestVersion(fs, mRoot) + 1L
+    commitManifestAt(spark, indexDir, segs,
+      currentManifestVersion(fs, mRoot) + 1L)
+  }
+
+  /** [[commitManifest]] with the version pinned — package-visible so
+    * the spec can reproduce the exact race window (another writer's
+    * `v=<N>` landing between this writer's version resolution and its
+    * rename), which no interleaving a test controls can hit through
+    * the public entry points. */
+  private[graft] def commitManifestAt(spark: SparkSession, indexDir: String,
+                                      segs: Seq[String], next: Long): Unit = {
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
     val tmp = s"$indexDir/manifest/_staging_v$next"
-    segs.toDF("seg").coalesce(1).write.mode("overwrite").parquet(tmp)
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    val nowMs = System.currentTimeMillis()
+    segs.map((_, nowMs)).toDF("seg", "committed_ms")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val stagedFile = fs.listStatus(tmpPath).map(_.getPath.getName)
+      .find(n => n.startsWith("part-") && n.endsWith(".parquet"))
+      .getOrElse {
+        fs.delete(tmpPath, true)
+        throw new java.io.IOException(s"staged manifest at $tmp has no parquet part file")
+      }
     val dst = new org.apache.hadoop.fs.Path(s"$indexDir/manifest/v=$next")
-    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)) {
-      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    def lostRace(): Nothing = {
+      fs.delete(tmpPath, true)
       throw new java.io.IOException(
         s"manifest commit lost the rename race for v=$next under $indexDir " +
           "(concurrent writer? single-writer maintenance contract violated)")
     }
+    if (fs.exists(dst)) lostRace()
+    if (!fs.rename(tmpPath, dst)) lostRace()
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dst, stagedFile)))
+      throw new java.io.IOException(
+        s"manifest commit rename did not land the staged files at v=$next root " +
+          s"under $indexDir (rename-onto-existing moved the staging dir inside " +
+          "the destination — concurrent writer?)")
   }
 
   /** Read one asset's LIVE segments only, manifest-resolved, with the
@@ -382,10 +492,11 @@ object HybridIndex {
     * exact refine to `topk`. Shared by [[search]] (topk=20) and
     * [[denseRecallMicro]]'s health measurement. */
   private def denseTop(spark: SparkSession, indexDir: String, live: Seq[String],
-                       q: DataFrame, topk: Int): DataFrame = {
+                       q: DataFrame, topk: Int,
+                       basePred: org.apache.spark.sql.Column = lit(true)): DataFrame = {
     val books = spark.read.parquet(s"$indexDir/imi_books.parquet")
     val pqBooks = spark.read.parquet(s"$indexDir/pq_books.parquet")
-    val base = readAsset(spark, indexDir, "base.parquet", live)
+    val base = readAsset(spark, indexDir, "base.parquet", live).where(basePred)
     val k = spark.read.parquet(s"$indexDir/meta.parquet").head.getLong(0)
     val qCellRows = graft.operators.IvfAnn
       .imiProbeCellsL2(q, books, k, 2)
@@ -397,7 +508,7 @@ object HybridIndex {
       StructType(Seq(StructField("qid", LongType, nullable = false),
         StructField("cell", LongType, nullable = false))))
     val codes = readAsset(spark, indexDir, "codes.parquet", live)
-      .where(col("cell_bucket").isin(probedBuckets: _*))
+      .where(col("cell_bucket").isin(probedBuckets: _*)).where(basePred)
     ExtQueries.ivfadcServe(q, books, pqBooks, codes, base, k,
         topk = topk, qCellsOpt = Some(qCells))
       .select(col("qid"), col("vec_id").as("doc_id"),
@@ -408,6 +519,17 @@ object HybridIndex {
   val DefaultQPred: org.apache.spark.sql.Column =
     col("vec_id") % 50 === 0 && col("vec_id") < 5000
 
+  /** The PINNED deterministic health-sample rule (round-11 verdict #3):
+    * `vec_id % sampleEvery == 0` — replayable by anyone holding the
+    * rate (no RNG state, no sampling seed to persist beyond the one
+    * integer), stable across epochs (the SAME sub-corpus is measured
+    * every decision, so epoch-over-epoch movement is drift, never
+    * sample churn), and id-hash-free so it composes with the oracle
+    * discipline. `sampleEvery = 1` is the full scan. */
+  def healthSamplePred(sampleEvery: Long): org.apache.spark.sql.Column =
+    if (sampleEvery <= 1L) lit(true)
+    else pmod(col("vec_id"), lit(sampleEvery)) === 0L
+
   /** Dense-leg HEALTH: recall@k of the indexed (frozen-codebook,
     * ADC-pruned) top-k against the EXACT brute-force cosine top-k over
     * the same committed base, in integer micro-units (10⁶·hits div
@@ -415,17 +537,25 @@ object HybridIndex {
     * floor: as admitted batches drift away from the build-time
     * codebooks, quantization error grows and the served ranking falls
     * away from the exact one. Cost: the probe-bound serve plus ONE
-    * brute pass |base|×|q| (the qx2 baseline shape — the measurement
-    * loop's declared price, run per maintenance decision, not per
-    * query). */
+    * brute pass |base|×|q| — per maintenance decision, not per query,
+    * and SAMPLABLE: `sampleEvery > 1` restricts BOTH legs (base, codes
+    * and the query slice they feed) to the [[healthSamplePred]]
+    * sub-corpus, so the measure stays self-consistent (indexed-vs-exact
+    * over the SAME vectors) while the brute pass shrinks by
+    * sampleEvery² — at corpus scale the difference between a cheap
+    * epoch decision and a nightly job. The verdict is baseline-RELATIVE
+    * ([[RetrainTrigger]]), so the baseline must be recorded at the same
+    * rate — [[RetrainTrigger.recordHealthBaseline]] persists the rate
+    * in `health.parquet` and the decision epochs replay it. */
   def denseRecallMicro(spark: SparkSession, indexDir: String,
                        qPred: org.apache.spark.sql.Column = DefaultQPred,
-                       k: Int = 10): (Long, Long) = {
+                       k: Int = 10, sampleEvery: Long = 1L): (Long, Long) = {
     val live = liveSegments(spark, indexDir)
-    val base = readAsset(spark, indexDir, "base.parquet", live)
+    val samplePred = healthSamplePred(sampleEvery)
+    val base = readAsset(spark, indexDir, "base.parquet", live).where(samplePred)
     val q = base.where(qPred)
       .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("n2").as("qn2"))
-    val indexed = denseTop(spark, indexDir, live, q, k)
+    val indexed = denseTop(spark, indexDir, live, q, k, basePred = samplePred)
     val brute = base.crossJoin(broadcast(q))
       .where(col("vec_id") =!= col("qid"))
       .withColumn("dot", expr("long_dot(iv, qiv)"))
@@ -452,7 +582,11 @@ object HybridIndex {
     * mutual geometry — and therefore recall — while reconstruction
     * error against codebooks trained on the OLD distribution explodes.
     * Returns (n, mean error in raw integer units). One pass over the
-    * committed base (restrict with `pred` to sample at cap scale). */
+    * committed base; restrict with `pred` — canonically
+    * [[healthSamplePred]], the pinned deterministic rule the decision
+    * loop persists alongside its baseline — to sample at cap scale
+    * (the filter reaches the base AND codes parquet scans, so a
+    * sampled epoch reads 1/sampleEvery of the decode work). */
   def quantErrMean(spark: SparkSession, indexDir: String,
                    pred: org.apache.spark.sql.Column = lit(true)): (Long, Long) = {
     val live = liveSegments(spark, indexDir)
@@ -461,7 +595,7 @@ object HybridIndex {
     val k = spark.read.parquet(s"$indexDir/meta.parquet").head.getLong(0)
     val base = readAsset(spark, indexDir, "base.parquet", live).where(pred)
     val res = QuantKernels.encodeResidual(base.select("vec_id", "iv"), books, k)
-    val codes = readAsset(spark, indexDir, "codes.parquet", live)
+    val codes = readAsset(spark, indexDir, "codes.parquet", live).where(pred)
     val d = ProductQuantizer.Dsub
     val perVec = codes.join(res.select(col("vec_id"), col("iv").as("riv")), "vec_id")
       .select(col("vec_id"), col("riv"), posexplode(col("codes")).as(Seq("sub", "code")))

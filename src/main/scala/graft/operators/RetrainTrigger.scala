@@ -72,15 +72,27 @@ object RetrainTrigger {
     * decision loop compares against — call once after
     * [[HybridIndex.build]] (kept OUT of build itself so the probes
     * never ride the build-time benchmarks). Returns
-    * (baseline recall micro, baseline quant-err mean). */
+    * (baseline recall micro, baseline quant-err mean).
+    *
+    * `sampleEvery > 1` measures BOTH legs over the pinned
+    * [[HybridIndex.healthSamplePred]] sub-corpus (round-11 verdict #3
+    * — the full-scan epoch cost was the loop's one linear-in-corpus
+    * term), and the rate is persisted IN the baseline so every
+    * subsequent [[decide]]/[[decideOnline]] epoch replays the
+    * identical rule — baseline and epoch can never silently measure
+    * different sub-corpora ([[graft.RetrainTriggerSpec]] pins the
+    * sampled verdicts == the full-scan verdicts on both the healthy
+    * and the drifted fixtures). Pick the rate so |base|/sampleEvery
+    * stays a stable measurement population (~10⁵ at corpus scale). */
   def recordHealthBaseline(spark: SparkSession, indexDir: String,
                            qPred: org.apache.spark.sql.Column = HybridIndex.DefaultQPred,
-                           k: Int = 10): (Long, Long) = {
+                           k: Int = 10, sampleEvery: Long = 1L): (Long, Long) = {
     import spark.implicits._
-    val (_, rec) = HybridIndex.denseRecallMicro(spark, indexDir, qPred, k)
-    val (_, qerr) = HybridIndex.quantErrMean(spark, indexDir)
-    Seq((rec, qerr, k.toLong))
-      .toDF("baseline_recall_micro", "baseline_quant_err", "k")
+    val (_, rec) = HybridIndex.denseRecallMicro(spark, indexDir, qPred, k, sampleEvery)
+    val (_, qerr) = HybridIndex.quantErrMean(spark, indexDir,
+      HybridIndex.healthSamplePred(sampleEvery))
+    Seq((rec, qerr, k.toLong, sampleEvery))
+      .toDF("baseline_recall_micro", "baseline_quant_err", "k", "sample_every")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/health.parquet")
     (rec, qerr)
   }
@@ -125,15 +137,24 @@ object RetrainTrigger {
   }
 
   /** The two `__index` verdict rows shared by [[decide]] and
-    * [[decideOnline]]. */
+    * [[decideOnline]]. The health-sample rate rides in the persisted
+    * baseline ([[recordHealthBaseline]]): the epoch measurement
+    * replays the rule the baseline was recorded under, by
+    * construction. */
   private def indexHealthRows(spark: SparkSession, indexDir: String,
                               qPred: org.apache.spark.sql.Column,
                               k: Int): DataFrame = {
     import spark.implicits._
-    val h = spark.read.parquet(s"$indexDir/health.parquet").head
+    val hdf = spark.read.parquet(s"$indexDir/health.parquet")
+    val h = hdf.head
     val (baseRec, baseErr) = (h.getLong(0), h.getLong(1))
-    val (_, recallMicro) = HybridIndex.denseRecallMicro(spark, indexDir, qPred, k)
-    val (_, errNow) = HybridIndex.quantErrMean(spark, indexDir)
+    // Pre-round-12 baselines carry no rate column: they were full scans.
+    val sampleEvery =
+      if (hdf.columns.contains("sample_every")) h.getAs[Long]("sample_every") else 1L
+    val (_, recallMicro) =
+      HybridIndex.denseRecallMicro(spark, indexDir, qPred, k, sampleEvery)
+    val (_, errNow) = HybridIndex.quantErrMean(spark, indexDir,
+      HybridIndex.healthSamplePred(sampleEvery))
     val recKeep = recallMicro * 1000000L >= baseRec * RecallKeepFractionMicro
     // Double-domain compare: error means can reach ~1e16 on
     // high-magnitude corpora, where ×10⁶ would overflow Long; the

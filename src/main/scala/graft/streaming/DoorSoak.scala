@@ -102,18 +102,23 @@ object DoorSoak {
     spark.stop()
   }
 
-  /** `runMain graft.streaming.DoorSoak index [sfDir] [waves]` — the
-    * INDEX door ([[IndexDoor]], r10 verdict #2) soaked at 10× the spec
-    * corpus: build the hybrid index on the first 60% of documents,
+  /** `runMain graft.streaming.DoorSoak index [sfDir] [waves] [sampleEvery]`
+    * — the INDEX door ([[IndexDoor]], r10 verdict #2) soaked at 10× the
+    * spec corpus: build the hybrid index on the first 60% of documents,
     * stream the rest through the FileBus → addBatch door in `waves`
     * producer epochs (admission-bounded triggers, one kill/restart
     * midway), then compact + vacuum and SERVE. Records per wave the
     * admission wall time and segment count, then the maintenance and
     * serve times — the build-once/admit-forever posture measured under
-    * the same conditions the ingest/crawl soaks use. */
+    * the same conditions the ingest/crawl soaks use. `sampleEvery`
+    * (default 1 = full scan) records the health baseline under the
+    * pinned vec_id sample rule, so the decide stage's quant-err and
+    * recall legs measure the sampled sub-corpus — the r11 verdict-#3
+    * epoch-cost knob, measured here at the 100×-class corpus. */
   private def indexMain(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val nWaves = args.lift(1).map(_.toInt).getOrElse(8)
+    val sampleEvery = args.lift(2).map(_.toLong).getOrElse(1L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -143,8 +148,9 @@ object DoorSoak {
     println(f"""{"stage":"build","docs":${ids.count(_ < cut)},"wall_sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
     t0 = System.nanoTime()
     val (baseRec, baseErr) =
-      graft.operators.RetrainTrigger.recordHealthBaseline(spark, idx)
-    println(f"""{"stage":"health_baseline","recall_micro":$baseRec,"quant_err":$baseErr,"wall_sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+      graft.operators.RetrainTrigger.recordHealthBaseline(spark, idx,
+        sampleEvery = sampleEvery)
+    println(f"""{"stage":"health_baseline","recall_micro":$baseRec,"quant_err":$baseErr,"sample_every":$sampleEvery,"wall_sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
 
     val bRows = spark.read.parquet(s"$sfDir/documents.parquet")
       .where(col("doc_id") >= cut)

@@ -160,4 +160,107 @@ class HybridIndexSpec extends SparkTestBase {
     assert(afterVacuum.nonEmpty && afterVacuum == afterAdd,
       "vacuum must not change the served output")
   }
+
+  /** Round-12 protocol hardening (r11 advice #1–#3): vacuum retention
+    * is keyed to each manifest version's RECORDED supersede time (the
+    * next version's committed_ms), never to filesystem mtime — a
+    * clock-skew/compact-exposure simulation proves a just-superseded
+    * segment with an arbitrarily OLD mtime survives the default grace;
+    * crashed commits' `_staging_*` dirs are collected by stage-time
+    * grace; and a rename onto a pre-existing `v=N` is detected as a
+    * lost race up front (RawLocalFileSystem "succeeds" such renames by
+    * nesting the source inside the destination). */
+  test("supersede-time retention, staging garbage, and the v=N squatter race") {
+    import org.apache.spark.sql.functions.col
+    import graft.sources.Tables
+    val out = tmpDir("hybrid_skew")
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val raw = Tables.embeddings(spark, dir)
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val (cut1, cut2) = (ids(ids.length * 3 / 5), ids(ids.length * 4 / 5))
+    HybridIndex.build(spark, docs.where(col("doc_id") < cut1),
+      raw.where(col("vec_id") < cut1), out)
+    HybridIndex.addBatch(spark, out,
+      docs.where(col("doc_id") >= cut1 && col("doc_id") < cut2),
+      raw.where(col("vec_id") >= cut1 && col("vec_id") < cut2))
+    HybridIndex.compact(spark, out) // v=3 supersedes build + batch segs NOW
+
+    // CLOCK SKEW / compact exposure: age EVERY add= dir and manifest
+    // version's mtime to the epoch. The old mtime-keyed rule would
+    // sweep all superseded paths despite the supersede having happened
+    // milliseconds ago; supersede-time retention must keep every one.
+    def allDirs(): Seq[java.io.File] =
+      (Seq("base.parquet", "codes.parquet", "tf.parquet", "df_parts.parquet",
+        "stats_parts.parquet", "folded.parquet").flatMap { a =>
+        Option(new java.io.File(s"$out/$a").listFiles()).toSeq.flatten
+          .filter(_.getName.startsWith("add="))
+      }) ++ Option(new java.io.File(s"$out/manifest").listFiles()).toSeq.flatten
+        .filter(_.getName.startsWith("v="))
+    val aged = allDirs()
+    aged.foreach(f => assert(f.setLastModified(1000L)))
+    HybridIndex.vacuum(spark, out) // default grace
+    assert(aged.forall(_.exists()),
+      "a just-superseded path was deleted on dir mtime despite the " +
+        "supersede time being within the grace window")
+    // A reader pinned at the pre-compact manifest still reads its view.
+    val v2 = spark.read.parquet(s"$out/manifest/v=2")
+      .select("seg").collect().map(_.getString(0)).toSeq.sorted
+    assert(v2.size == 2 && v2.contains("build"),
+      s"pre-compact manifest v=2 must stay readable in-grace, got $v2")
+
+    // Crashed-commit staging garbage (stage-time grace): an old
+    // `_staging_*` dir is collected, a fresh one (a possibly in-flight
+    // commit) is kept.
+    val deadStage = new java.io.File(s"$out/manifest/_staging_v99")
+    val liveStage = new java.io.File(s"$out/manifest/_staging_v100")
+    assert(deadStage.mkdirs() && liveStage.mkdirs())
+    assert(deadStage.setLastModified(1000L))
+    HybridIndex.vacuum(spark, out) // default grace
+    assert(!deadStage.exists(), "aged crash-orphaned staging dir must be collected")
+    assert(liveStage.exists(), "fresh staging dir must survive the grace")
+    liveStage.delete()
+
+    // v=N SQUATTER: another writer's v=4 lands between this writer's
+    // version resolution and its rename (reproduced via the
+    // version-pinned commit — the public entry points re-resolve the
+    // version too early to interleave). The commit must fail loudly
+    // with the index unchanged, NOT nest the staging dir inside the
+    // squatter and report success (what a raw rename does on
+    // RawLocalFileSystem).
+    val squatter = new java.io.File(s"$out/manifest/v=4")
+    assert(squatter.mkdirs())
+    val compactSeg = spark.read.parquet(s"$out/manifest/v=3").select("seg")
+      .collect().map(_.getString(0)).toSeq
+    val ex = intercept[java.io.IOException](
+      HybridIndex.commitManifestAt(spark, out, compactSeg :+ "race_seg", 4L))
+    assert(ex.getMessage.contains("lost the rename race"), ex.getMessage)
+    assert(squatter.listFiles() == null || squatter.listFiles().isEmpty,
+      "the failed commit must not have nested anything inside the squatter")
+    assert(!new java.io.File(s"$out/manifest/_staging_v4").exists(),
+      "the failed commit must clean up its staging dir")
+    assert(compactSeg.size == 1 && compactSeg.head.startsWith("compact_"),
+      "a lost race must leave the committed state untouched")
+
+    // Recovery: clear the squatter and deliver a real batch — the
+    // commit lands as v=4.
+    assert(squatter.delete())
+    HybridIndex.addBatch(spark, out,
+      docs.where(col("doc_id") >= cut2), raw.where(col("vec_id") >= cut2))
+    val liveNow = spark.read.parquet(s"$out/manifest/v=4").select("seg")
+      .collect().map(_.getString(0)).toSeq.sorted
+    assert(liveNow.size == 2 && liveNow.exists(_.startsWith("compact_")),
+      s"re-delivered batch must commit v=4 over the compacted base, got $liveNow")
+
+    // Grace 0: the superseded (and aged) history goes, the live set stays.
+    HybridIndex.vacuum(spark, out, graceMs = 0L)
+    val versions = new java.io.File(s"$out/manifest").listFiles()
+      .map(_.getName).filter(_.startsWith("v=")).toSeq
+    assert(versions == Seq("v=4"), s"grace-0 vacuum must keep only current, got $versions")
+    val baseSegs = new java.io.File(s"$out/base.parquet").listFiles()
+      .map(_.getName).filter(_.startsWith("add=")).toSeq.sorted
+    assert(baseSegs == liveNow.map("add=" + _).sorted,
+      s"grace-0 vacuum must keep exactly the live segments, got $baseSegs")
+    assert(HybridIndex.search(spark, out).collect().nonEmpty,
+      "the index must serve after the full interleaving")
+  }
 }

@@ -137,6 +137,82 @@ class RetrainTriggerSpec extends SparkTestBase {
       s"zeroed codebooks must collapse recall below half baseline, got $corruptRec vs $rec1")
   }
 
+  test("sampled health legs: the pinned vec_id sample reproduces the full-scan verdicts on healthy AND drifted fixtures") {
+    // Round-11 verdict #3: the quant-err and recall legs were the
+    // decision loop's one linear-in-corpus term. The sample rule is
+    // vec_id % 4 == 0 (deterministic, persisted IN the baseline so
+    // every epoch replays it); this spec pins that the sampled
+    // verdicts equal the full-scan verdicts on both calibration
+    // fixtures while measuring a strictly smaller population.
+    import java.nio.file.{Files, Paths, Path => JPath}
+    def copyTree(src: JPath, dst: JPath): Unit =
+      Files.walk(src).forEach { p =>
+        val t = dst.resolve(src.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else Files.copy(p, t)
+      }
+    val fullH = tmpDir("samp_full_h"); val sampH = tmpDir("samp_samp_h")
+    val fullD = tmpDir("samp_full_d"); val sampD = tmpDir("samp_samp_d")
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val docsS = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val raw = Tables.embeddings(spark, dir)
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val cut = ids(ids.length * 3 / 5)
+    HybridIndex.build(spark, docs.where(col("doc_id") < cut),
+      raw.where(col("vec_id") < cut), fullH)
+    Seq(sampH, fullD, sampD).foreach(d => copyTree(Paths.get(fullH), Paths.get(d)))
+    RetrainTrigger.recordHealthBaseline(spark, fullH)
+    RetrainTrigger.recordHealthBaseline(spark, fullD)
+    RetrainTrigger.recordHealthBaseline(spark, sampH, sampleEvery = 4L)
+    RetrainTrigger.recordHealthBaseline(spark, sampD, sampleEvery = 4L)
+
+    // The sampled legs measure the pinned sub-corpus, not the full base.
+    val (nFull, _) = HybridIndex.quantErrMean(spark, fullH)
+    val (nSamp, _) = HybridIndex.quantErrMean(spark, sampH,
+      HybridIndex.healthSamplePred(4L))
+    assert(nSamp * 3 <= nFull && nSamp > 0,
+      s"sampled quant-err must decode ~1/4 of the base, got $nSamp of $nFull")
+
+    val bDocs = docs.where(col("doc_id") >= cut)
+    val bRawHealthy = raw.where(col("vec_id") >= cut)
+    val bRawShifted = bRawHealthy
+      .withColumn("embedding", expr("transform(embedding, x -> x + CAST(0.5 AS FLOAT))"))
+    HybridIndex.addBatch(spark, fullH, bDocs, bRawHealthy)
+    HybridIndex.addBatch(spark, sampH, bDocs, bRawHealthy)
+    HybridIndex.addBatch(spark, fullD, bDocs, bRawShifted)
+    HybridIndex.addBatch(spark, sampD, bDocs, bRawShifted)
+
+    val ref = docsS.where(col("doc_id") < cut)
+    val cur = docsS.where(col("doc_id") >= cut)
+    val curDrift = cur.withColumn("text", concat(col("text"), lit(driftPhrase)))
+    def indexVerdicts(idx: String, curDf: org.apache.spark.sql.DataFrame) =
+      RetrainTrigger.decide(spark, idx, ref, curDf).collect()
+        .filter(_.getString(0) == "__index")
+        .map(r => r.getString(1) -> r.getString(3)).toMap
+    val fullHealthy = indexVerdicts(fullH, cur)
+    val sampHealthy = indexVerdicts(sampH, cur)
+    assert(fullHealthy.values.forall(_ == "keep") && sampHealthy == fullHealthy,
+      s"sampled healthy verdicts must match full-scan: $sampHealthy vs $fullHealthy")
+    val fullDrift = indexVerdicts(fullD, curDrift)
+    val sampDrift = indexVerdicts(sampD, curDrift)
+    assert(fullDrift("quant_err") == "retrain" && fullDrift("dense_recall") == "keep",
+      s"drifted fixture must fire quant_err and hold recall, got $fullDrift")
+    assert(sampDrift == fullDrift,
+      s"sampled drifted verdicts must match full-scan: $sampDrift vs $fullDrift")
+
+    // retrain carries the sample rate into the fresh baseline, so the
+    // post-retrain decision loop keeps measuring under the same rule.
+    val retrained = tmpDir("samp_retrained")
+    HybridIndex.retrain(spark, sampD, retrained)
+    val h = spark.read.parquet(s"$retrained/health.parquet").head
+    assert(h.getAs[Long]("sample_every") == 4L,
+      "retrain must carry the pinned sample rate into the fresh baseline")
+    val postVerdicts = indexVerdicts(retrained, curDrift)
+    assert(postVerdicts.values.forall(_ == "keep"),
+      s"post-retrain sampled health must keep, got $postVerdicts")
+  }
+
   test("standing decision: decideOnline from the DriftStream model == decide from the corpus") {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
