@@ -154,4 +154,147 @@ class IndexDoorSpec extends SparkTestBase {
         s"${model.keySet.union(batchCounts.keySet).filter(s =>
           model.getOrElse(s, Map.empty) != batchCounts.getOrElse(s, Map.empty)).take(3)}")
   }
+
+  /** The LIVE maintenance loop closed end to end (round-11 verdict #2):
+    * a standing door admits a DRIFTED feed, the standing monitor's
+    * checkpoint state fires [[graft.operators.RetrainTrigger.decideOnline]],
+    * [[HybridIndex.retrain]] blue/green-rebuilds into a new directory
+    * MID-STREAM (the flip is a kill/restart of the door onto the new
+    * index — that IS the blue/green op; the bus offsets carry in the
+    * door's own checkpoint), the drift reference is re-recorded over
+    * the retrain-time corpus, admission continues into the new index,
+    * and the final served output is BYTE-identical to a fresh
+    * monolithic build over the pre-flip corpus plus a frozen-codebook
+    * admission of the post-flip slice. Plus the flip's crash seam: a
+    * pre-flip b<batchId> re-delivered AGAINST THE RETRAINED index
+    * (door killed after addBatch, before its offset commit) must
+    * no-op — retrain carries the old index's committed-epoch ledger. */
+  test("retrain flip mid-stream: decideOnline fires, door continues onto the retrained index exactly-once") {
+    import org.apache.spark.sql.functions._
+    val dirA = tmpDir("flip_a"); val dirB = tmpDir("flip_b")
+    val twin = tmpDir("flip_twin")
+    val busRoot = tmpDir("flip_bus"); val ck = tmpDir("flip_ck")
+    val mck = tmpDir("flip_mck")
+    val driftPhrase =
+      (0 until 50).map(i => s"zdrift${i % 7}x${i % 5}").mkString(" ", " ", "")
+
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val raw = Tables.embeddings(spark, dir)
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val cut = ids(ids.length * 3 / 5)
+    val refDocs = docs.where(col("doc_id") < cut)
+    HybridIndex.build(spark, refDocs.select(col("doc_id"), col("text")),
+      raw.where(col("vec_id") < cut), dirA)
+    graft.operators.RetrainTrigger.recordHealthBaseline(spark, dirA)
+    graft.operators.RetrainTrigger.recordDriftReference(spark, dirA, refDocs)
+
+    // The admitted feed GENUINELY drifts in both coordinates: +0.5 mean
+    // shift away from the frozen codebooks (the quant-err coordinate)
+    // and a vocabulary shift in the text (the drift_l1 coordinate) —
+    // the RetrainTriggerSpec calibration fixtures, pushed through the
+    // live wire.
+    val bRows = docs.where(col("doc_id") >= cut)
+      .withColumn("text", concat(col("text"), lit(driftPhrase)))
+      .join(raw.withColumnRenamed("vec_id", "doc_id"), "doc_id")
+      .withColumn("embedding",
+        expr("transform(embedding, x -> x + CAST(0.5 AS FLOAT))"))
+      .select("doc_id", "source", "text", "embedding").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getSeq[Float](3)))
+      .sortBy(_._1)
+    val (wave1, wave2) = bRows.splitAt(bRows.length / 2)
+    def feed(wave: Array[(Long, String, String, Seq[Float])]): Unit =
+      wave.groupBy(_._1 % 2).foreach { case (p, rs) =>
+        FileBus.append(busRoot, "docs", p.toInt,
+          rs.map { case (id, src, t, e) => IndexDoor.encodeDoc(id, src, t, e, id) }.toSeq)
+      }
+
+    // EPOCH 1: door + monitor consume the first drifted wave into dirA.
+    feed(wave1)
+    val q1 = IndexDoor.run(spark, busRoot, "docs", dirA, ck,
+      maxOffsetsPerTrigger = Some(64L),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+    try q1.processAllAvailable() finally q1.stop()
+    val qm1 = IndexDoor.monitor(spark, busRoot, "docs", mck,
+      maxOffsetsPerTrigger = Some(64L),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+    try qm1.processAllAvailable() finally qm1.stop()
+
+    // The STANDING decision fires: drift rows trip on the vocabulary
+    // shift, quant_err trips on the mean shift (recall stays blind to
+    // pure data drift — the calibration fact).
+    val decision = graft.operators.RetrainTrigger.decideOnline(spark, dirA,
+      graft.streaming.DriftStream.modelFromCheckpoint(spark, mck)).collect()
+    val byMetric = decision.groupBy(_.getString(1))
+    assert(byMetric("drift_l1").forall(_.getString(3) == "retrain"),
+      s"drifted feed must fire every drift row, got ${byMetric("drift_l1").toSeq.take(3)}")
+    assert(byMetric("quant_err").head.getString(3) == "retrain",
+      s"mean-shifted admission must fire quant_err, got ${byMetric("quant_err").head}")
+
+    // ACTUATOR + FLIP: blue/green retrain into dirB, re-record the
+    // drift reference over the retrain-time corpus (build slice + the
+    // drifted admissions — the new "normal"), restart the door onto
+    // dirB under the SAME checkpoint; the second wave admits into the
+    // retrained index against its fresh codebooks.
+    HybridIndex.retrain(spark, dirA, dirB)
+    import spark.implicits._
+    val wave1Docs = wave1.map(r => (r._1, r._2, r._3)).toSeq
+      .toDF("doc_id", "source", "text")
+    graft.operators.RetrainTrigger.recordDriftReference(spark, dirB,
+      refDocs.unionByName(wave1Docs))
+    feed(wave2)
+    val q2 = IndexDoor.run(spark, busRoot, "docs", dirB, ck,
+      maxOffsetsPerTrigger = Some(64L),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+    try q2.processAllAvailable() finally q2.stop()
+    val flipped = served(dirB)
+
+    // THE CRASH SEAM: a pre-flip b<batchId> re-delivered against the
+    // retrained index (addBatch landed in dirA, offset never committed,
+    // replay routed to dirB) must be a committed-epoch no-op — dirA's
+    // b-keys rode into dirB's folded ledger.
+    val preFlipKey = spark.read.parquet(
+        s"$dirA/manifest").select("seg").collect().map(_.getString(0))
+      .filter(_.startsWith("b")).sorted.head
+    val w1Ids = wave1.map(_._1).toSet
+    HybridIndex.addBatch(spark, dirB,
+      wave1Docs.select(col("doc_id"), col("text"))
+        .where(col("doc_id").isin(w1Ids.take(20).toSeq: _*)),
+      raw.where(col("vec_id").isin(w1Ids.take(20).toSeq: _*)),
+      segKeyOpt = Some(preFlipKey))
+    assert(served(dirB) == flipped,
+      s"pre-flip batch $preFlipKey replayed against the retrained index must no-op")
+
+    // BYTE-IDENTICAL to the offline twin: fresh monolithic build over
+    // the pre-flip corpus (A + drifted wave 1 — exactly the committed
+    // base retrain re-trained on), then a frozen-codebook admission of
+    // wave 2. Two different code paths (blue/green fold-carry vs
+    // re-derive from raw text/floats) forced to the same answer, LIVE.
+    def rowsDf(rows: Array[(Long, String, String, Seq[Float])]) = {
+      val d = rows.map(r => (r._1, r._3)).toSeq.toDF("doc_id", "text")
+      val e = rows.map(r => (r._1, r._4)).toSeq.toDF("vec_id", "embedding")
+      (d, e.withColumn("embedding", col("embedding").cast("array<float>")))
+    }
+    val (w1d, w1e) = rowsDf(wave1)
+    val (w2d, w2e) = rowsDf(wave2)
+    HybridIndex.build(spark,
+      refDocs.select(col("doc_id"), col("text")).unionByName(w1d),
+      raw.select(col("vec_id"), col("embedding"))
+        .where(col("vec_id") < cut).unionByName(w1e), twin)
+    HybridIndex.addBatch(spark, twin, w2d, w2e)
+    assert(flipped.nonEmpty && flipped == served(twin),
+      s"post-flip serve diverged from the fresh-build twin: " +
+        s"diff=${(flipped.toSet -- served(twin).toSet).take(3)}")
+
+    // The loop CLOSES: with the reference re-recorded and the codebooks
+    // retrained, the standing health verdicts return to keep.
+    val qm2 = IndexDoor.monitor(spark, busRoot, "docs", mck,
+      maxOffsetsPerTrigger = Some(64L),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+    try qm2.processAllAvailable() finally qm2.stop()
+    val post = graft.operators.RetrainTrigger.decideOnline(spark, dirB,
+      graft.streaming.DriftStream.modelFromCheckpoint(spark, mck)).collect()
+    assert(post.filter(_.getString(0) == "__index").forall(_.getString(3) == "keep"),
+      s"post-retrain index health must keep, got ${post.filter(_.getString(0) == "__index").toSeq}")
+  }
 }
