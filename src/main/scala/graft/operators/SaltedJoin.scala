@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Skew-mitigated equi-join: salt the skewed (left) side's key into
@@ -19,12 +19,29 @@ object SaltedJoin {
 
   /** Inner-join `left` and `right` on `key`, spreading each left key over
     * `salts` partitions. Right side must be the smaller one (it is
-    * replicated `salts`×). Result columns = left ++ right-minus-key. */
-  def inner(left: DataFrame, right: DataFrame, key: String, salts: Int): DataFrame = {
-    // Salt derived from a stable row hash, NOT rand(): deterministic under
-    // retries/replays, which a fault-tolerant 100 TB run requires.
-    val salted = left.withColumn("__salt",
-      pmod(hash(left.columns.map(col): _*), lit(salts)))
+    * replicated `salts`×). Result columns = left ++ right-minus-key.
+    *
+    * SALT SOURCE (round-11 review #1): the salt must be deterministic
+    * under retries/replays (a fault-tolerant 100 TB run re-computes lost
+    * partitions, so `rand()` would re-deal rows across salts mid-job) —
+    * it is therefore derived by HASHING ROW CONTENT, and the relief it
+    * buys is exactly the row diversity the hash sees. Pass `saltSource` =
+    * a row-unique column (a doc_id, an event_id — qx95 passes doc_id) to
+    * make the spread unconditional; when omitted, the salt hashes ALL
+    * left columns, which spreads a hot key iff its rows differ somewhere
+    * — rows of a hot key that are IDENTICAL in every column hash to one
+    * salt and still funnel into a single reducer group (the documented
+    * contract, demonstrated in [[graft.ScaleTechniqueSpec]]; full-row
+    * duplicates carry no information to route on, so callers who keep
+    * such duplicates AND need them spread must first mint a distinct
+    * column, e.g. `monotonically_increasing_id`, and name it here). */
+  def inner(left: DataFrame, right: DataFrame, key: String, salts: Int,
+            saltSource: Option[String] = None): DataFrame = {
+    val saltExpr = saltSource match {
+      case Some(c) => pmod(hash(left(c)), lit(salts))
+      case None    => pmod(hash(left.columns.map(col): _*), lit(salts))
+    }
+    val salted = left.withColumn("__salt", saltExpr)
     val replicated = right
       .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
     salted.join(replicated,

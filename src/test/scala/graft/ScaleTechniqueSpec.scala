@@ -28,6 +28,36 @@ class ScaleTechniqueSpec extends SparkTestBase {
     assert(spread > 1)
   }
 
+  test("salt source contract: full-row duplicates funnel, a row-unique salt source spreads them") {
+    import spark.implicits._
+    // A hot key whose rows are IDENTICAL in every column: the default
+    // (all-columns-hash) salt has nothing to route on — every duplicate
+    // lands in ONE salt group (the r11 review's funnel, now the
+    // documented contract) — while naming a row-unique salt source
+    // makes the spread unconditional. Both spellings stay correct
+    // (same multiset as the plain join, duplicates preserved).
+    val dup = spark.range(0, 8000).select(lit(1L).as("k"), lit("same").as("payload"))
+      .withColumn("rid", monotonically_increasing_id())
+    val right = Seq((1L, 7L)).toDF("k", "quota")
+    val plainCount = dup.join(right, "k").count()
+
+    val funneled = SaltedJoin.inner(dup.drop("rid"), right, "k", salts = 8)
+    assert(funneled.count() == plainCount, "correctness holds even when funneled")
+    val dupSalts = dup.drop("rid")
+      .withColumn("__salt", pmod(hash(col("k"), col("payload")), lit(8)))
+      .select("__salt").distinct().count()
+    assert(dupSalts == 1L,
+      "full-row duplicates must demonstrate the documented single-salt funnel")
+
+    val spreadRes = SaltedJoin.inner(dup, right, "k", salts = 8,
+      saltSource = Some("rid"))
+    assert(spreadRes.count() == plainCount)
+    val ridSalts = dup.withColumn("__salt", pmod(hash(col("rid")), lit(8)))
+      .select("__salt").distinct().count()
+    assert(ridSalts == 8L,
+      s"a row-unique salt source must spread the hot key over all salts, got $ridSalts")
+  }
+
   test("testdata event times are non-negative (div-vs-floor window invariant)") {
     // q04/q06/q12/q15 bucket event time with integer `div`, which truncates
     // toward zero; window() floors. The two agree iff ts_ms >= 0 — pin the
