@@ -2429,35 +2429,72 @@ object ExtOracle {
     * micro-unit floors on both engines, and the pinned CASE rule
     * (l1_micro > 750000 ⇒ retrain) so the DECISION, not just the
     * statistic, is hash-checked. */
-  val qx94: String = {
+  /** The hashed uni+bigram feature table + corpus cut shared by the
+    * drift-decision twins (qx94, qx97). */
+  private val DRIFT_FEATS = {
     val B = 8192
-    s"""WITH $DOCS,
-       |uni AS (SELECT doc_id, unnest(list_transform(h, x -> x % $B)) AS b FROM wh),
+    s"""uni AS (SELECT doc_id, unnest(list_transform(h, x -> x % $B)) AS b FROM wh),
        |bi AS (SELECT doc_id,
        |         unnest(list_transform(range(1, len(h)), i -> ((h[i]*1009 + h[i+1]) % $P) % $B)) AS b
        |       FROM wh WHERE len(h) >= 2),
        |f AS (SELECT u.doc_id, d.source, u.b
        |      FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi) u
        |      JOIN docs d USING (doc_id)),
-       |cut AS (SELECT (3 * count(*)) // 5 AS c FROM docs),
-       |rh AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM f, cut WHERE doc_id < c GROUP BY b),
-       |rt AS (SELECT CAST(sum(cr) AS BIGINT) AS nr FROM rh),
-       |ch AS (SELECT source, b, CAST(count(*) AS BIGINT) AS cs FROM f, cut WHERE doc_id >= c GROUP BY 1, 2),
-       |st AS (SELECT source, CAST(sum(cs) AS BIGINT) AS ns FROM ch GROUP BY 1),
-       |basis AS (SELECT DISTINCT source, b FROM
-       |          (SELECT st.source, rh.b FROM st CROSS JOIN rh
-       |           UNION ALL SELECT source, b FROM ch)),
-       |g AS (SELECT basis.source, st.ns, rt.nr,
-       |             COALESCE(ch.cs, 0) AS cs, COALESCE(rh.cr, 0) AS cr
-       |      FROM basis JOIN st USING (source) CROSS JOIN rt
-       |      LEFT JOIN rh ON rh.b = basis.b
-       |      LEFT JOIN ch ON ch.source = basis.source AND ch.b = basis.b),
-       |l AS (SELECT source, CAST(max(ns) AS BIGINT) AS n_feats,
+       |cut AS (SELECT (3 * count(*)) // 5 AS c FROM docs)""".stripMargin
+  }
+
+  /** One qx94-shaped drift-L1 chain over the feature table `f` — CTE
+    * names suffixed `sfx`, rows restricted by `extra` (an AND-able
+    * predicate on doc_id; empty = full scan). Emits `l$sfx`(source,
+    * n_feats, l1_micro). */
+  private def driftL1Chain(sfx: String, extra: String): String =
+    s"""rh$sfx AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM f, cut WHERE doc_id < c $extra GROUP BY b),
+       |rt$sfx AS (SELECT CAST(sum(cr) AS BIGINT) AS nr FROM rh$sfx),
+       |ch$sfx AS (SELECT source, b, CAST(count(*) AS BIGINT) AS cs FROM f, cut WHERE doc_id >= c $extra GROUP BY 1, 2),
+       |st$sfx AS (SELECT source, CAST(sum(cs) AS BIGINT) AS ns FROM ch$sfx GROUP BY 1),
+       |basis$sfx AS (SELECT DISTINCT source, b FROM
+       |          (SELECT st$sfx.source, rh$sfx.b FROM st$sfx CROSS JOIN rh$sfx
+       |           UNION ALL SELECT source, b FROM ch$sfx)),
+       |g$sfx AS (SELECT basis$sfx.source, st$sfx.ns, rt$sfx.nr,
+       |             COALESCE(ch$sfx.cs, 0) AS cs, COALESCE(rh$sfx.cr, 0) AS cr
+       |      FROM basis$sfx JOIN st$sfx USING (source) CROSS JOIN rt$sfx
+       |      LEFT JOIN rh$sfx ON rh$sfx.b = basis$sfx.b
+       |      LEFT JOIN ch$sfx ON ch$sfx.source = basis$sfx.source AND ch$sfx.b = basis$sfx.b),
+       |l$sfx AS (SELECT source, CAST(max(ns) AS BIGINT) AS n_feats,
        |             CAST(sum(abs((1000000 * cs) // ns - (1000000 * cr) // nr)) AS BIGINT) AS l1_micro
-       |      FROM g GROUP BY source)
+       |      FROM g$sfx GROUP BY source)""".stripMargin
+
+  val qx94: String =
+    s"""WITH $DOCS,
+       |$DRIFT_FEATS,
+       |${driftL1Chain("", "")}
        |SELECT source, n_feats, l1_micro,
        |       CASE WHEN l1_micro > 750000 THEN 'retrain' ELSE 'keep' END AS decision
        |FROM l""".stripMargin
+
+  /** qx97 twin — the SAMPLED drift decision next to the full one: the
+    * identical L1 chain replayed twice, once over every doc and once
+    * over the pinned deterministic sample (doc_id % 2 = 0, the
+    * HybridIndex.healthSamplePred rule applied to the one leg SQL can
+    * replay), LEFT-joined so a source with no sampled docs degrades to
+    * an explicit 'nosample' verdict instead of vanishing. The hash
+    * pins both statistics, both decisions AND the agreement column —
+    * the round-12 sampling economics made oracle-visible. */
+  val qx97: String = {
+    val decF = "CASE WHEN lf.l1_micro > 750000 THEN 'retrain' ELSE 'keep' END"
+    val decS = "CASE WHEN ls.l1_micro > 750000 THEN 'retrain' ELSE 'keep' END"
+    s"""WITH $DOCS,
+       |$DRIFT_FEATS,
+       |${driftL1Chain("f", "")},
+       |${driftL1Chain("s", "AND doc_id % 2 = 0")}
+       |SELECT lf.source, lf.n_feats AS n_full, lf.l1_micro AS l1_full,
+       |       $decF AS dec_full,
+       |       COALESCE(ls.n_feats, -1) AS n_samp,
+       |       COALESCE(ls.l1_micro, -1) AS l1_samp,
+       |       CASE WHEN ls.source IS NULL THEN 'nosample' ELSE $decS END AS dec_samp,
+       |       CASE WHEN ls.source IS NULL THEN 'nosample'
+       |            WHEN $decS = $decF THEN 'agree' ELSE 'diverge' END AS verdict
+       |FROM lf LEFT JOIN ls ON lf.source = ls.source""".stripMargin
   }
 
   /** qx95 twin — the skewed-domain policy join replayed as a PLAIN
@@ -2485,15 +2522,21 @@ object ExtOracle {
       |FROM j GROUP BY domain""".stripMargin
 
   /** qx96 twin — the Viterbi segmentation replayed stage for stage:
-    * the substring lexicon, 8 DP stages (packed max — (total·8 + L),
-    * the identical tie-break integer the kernel maximizes), an 8-step
-    * backtrack accumulating the piece count and the right-to-left
-    * Horner signature, then qx61's apply join per doc. All generated
-    * CTEs (the bpeChain/Hilbert builder discipline); max word length
-    * in the fixtures is 8 and the stages guard on length so shorter
-    * words pass through untouched. */
+    * the substring lexicon, `maxLen` DP stages (packed max —
+    * (total·8 + L), the identical tie-break integer the kernel
+    * maximizes), a `maxLen`-step backtrack accumulating the piece
+    * count and the right-to-left Horner signature, then qx61's apply
+    * join per doc. All generated CTEs (the bpeChain/Hilbert builder
+    * discipline); the stages guard on length so shorter words pass
+    * through untouched. maxLen = 12 covers the generated corpora
+    * (observed max word length 8) with margin, and the `seg` CTE
+    * GUARDS the bound with DuckDB `error()` (round-11 advice #4): a
+    * regenerated corpus carrying a longer word fails the oracle run
+    * with an explicit "word exceeds maxLen" message instead of
+    * silently NULLing vit_score and reading as a Spark-side
+    * regression. */
   val qx96: String = {
-    val maxLen = 8; val maxPiece = 4
+    val maxLen = 12; val maxPiece = 4
     def h(e: String): String =
       s"list_reduce([CAST(0 AS BIGINT)] || list_transform(string_split($e, ''), " +
         s"c -> CAST(ascii(c) AS BIGINT)), (a, b) -> (a*31 + b) % 1000003)"
@@ -2535,7 +2578,10 @@ object ExtOracle {
                 |    ELSE cs${k - 1} END AS cs$k FROM u$k)""".stripMargin
     }
     sb ++= s""",
-              |seg AS (SELECT word, np$maxLen AS n_pieces,
+              |seg AS (SELECT word,
+              |        CASE WHEN length(word) > $maxLen
+              |             THEN error('qx96 oracle: word "' || word || '" exceeds maxLen=$maxLen — regenerate the oracle stages with a larger bound')
+              |             ELSE np$maxLen END AS n_pieces,
               |        ${pkAt("length(word)")} // 8 AS vit_score,
               |        cs$maxLen AS vit_sig FROM t$maxLen)
               |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,

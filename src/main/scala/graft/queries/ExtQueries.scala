@@ -3493,12 +3493,56 @@ object ExtQueries {
     val quotas = docs.select("domain").distinct()
       .withColumn("quota", expr(
         "2L + aggregate(split(domain, ''), 0L, (a, c) -> (a*31 + ascii(c)) % 1000003) % 7"))
-    SaltedJoin.inner(docs, quotas, "domain", salts = 8)
+    SaltedJoin.inner(docs, quotas, "domain", salts = 8,
+        saltSource = Some("doc_id")) // row-unique ⇒ the spread is unconditional
       .groupBy("domain")
       .agg(count(lit(1)).as("n_domain"),
         max("quota").as("quota"),
         least(count(lit(1)), max("quota")).as("admitted"),
         sum(expr("(h * quota) % 2147483647")).as("sig"))
+  }
+
+  /** qx97 — SAMPLED drift decision ([[RetrainTrigger]] under the
+    * round-12 pinned sample rule): the qx94 per-source L1 drift
+    * statistic measured twice from ONE corpus — over every document,
+    * and over the deterministic doc_id % 2 sample (the
+    * [[graft.operators.HybridIndex.healthSamplePred]] discipline
+    * applied to the one decision leg SQL can replay) — with both
+    * decisions and their agreement in the output, so the economics
+    * claim ("a sampled epoch reaches the same verdict at a fraction of
+    * the scan") is ORACLE-PINNED, not just spec-asserted. A source
+    * with no sampled docs degrades to an explicit `nosample` verdict
+    * (left join + sentinels) rather than vanishing. Scale shape: two
+    * [[RetrainTrigger.driftSplit]] passes (each one feature-kernel
+    * scan folding to a ≤ sources×B LocalRelation; the sampled pass
+    * scans half the corpus — at a production rate, 1/sampleEvery),
+    * joined on the driver-bounded source table. */
+  def qx97(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val cut = 3L * docs.count() / 5L
+    val refPred = col("doc_id") < cut
+    val thresh = RetrainTrigger.L1ThresholdMicro
+    val full = RetrainTrigger.driftSplit(docs, refPred)
+      .select(col("source"), col("n_feats").as("n_full"),
+        col("l1_micro").as("l1_full"))
+    val samp = RetrainTrigger
+      .driftSplit(docs.where(pmod(col("doc_id"), lit(2L)) === 0L), refPred)
+      .select(col("source"), col("n_feats").as("n_samp"),
+        col("l1_micro").as("l1_samp"))
+    full.join(samp, Seq("source"), "left")
+      .withColumn("dec_full",
+        when(col("l1_full") > thresh, "retrain").otherwise("keep"))
+      .withColumn("dec_samp",
+        when(col("l1_samp").isNull, "nosample")
+          .when(col("l1_samp") > thresh, "retrain").otherwise("keep"))
+      .withColumn("verdict",
+        when(col("dec_samp") === "nosample", "nosample")
+          .when(col("dec_samp") === col("dec_full"), "agree")
+          .otherwise("diverge"))
+      .na.fill(-1L, Seq("n_samp", "l1_samp"))
+      .select("source", "n_full", "l1_full", "dec_full",
+        "n_samp", "l1_samp", "dec_samp", "verdict")
   }
 
   /** qx96 — VITERBI subword segmentation ([[ViterbiTokenizer]]): the
