@@ -57,6 +57,32 @@ object Bench {
       name -> res
     }
 
+    // Round-11 verdict #6: qx79b is build-bound by declaration, so its one
+    // min-sec number conflates train+encode with probe-bound serving, and
+    // every corpus-regeneration drift has needed a manual min-of-5
+    // adjudication. Record the production split alongside the gate number:
+    // build = HybridIndex.build (ivfadcAssetsFrom train+encode plus asset
+    // persist + lexical stats), serve = HybridIndex.search over the
+    // persisted assets (spec-pinned bit-identical to the monolithic gate)
+    // — the next drift is then attributable to build or serve from the
+    // artifact alone. Build runs once (it IS the amortized leg); serve
+    // takes the min of `reps`.
+    val qx79bSplit: Option[(Double, Double)] =
+      if (only.forall(_.contains("qx79b_hybrid_ivfadc")) && !skip("qx79b_hybrid_ivfadc"))
+        try {
+          val idxDir = java.nio.file.Files.createTempDirectory("graft_bench_idx").toString
+          val t0 = System.nanoTime()
+          graft.operators.HybridIndex.build(spark, sfDir, idxDir)
+          val t1 = System.nanoTime()
+          val serveMin = (1 to reps).map { _ =>
+            val s0 = System.nanoTime()
+            graft.operators.HybridIndex.search(spark, idxDir).count()
+            (System.nanoTime() - s0) / 1e9
+          }.min
+          Some(((t1 - t0) / 1e9, serveMin))
+        } catch { case _: Throwable => None }
+      else None
+
     // Streaming throughput (round-3 verdict task #5): drive the reference
     // windowed-avg pipeline (source → event-time window avg → sink)
     // through MemoryStream and record events/sec + mean micro-batch
@@ -132,7 +158,11 @@ object Bench {
       case Left(m)           => s"""{"error":${jstr(m)}}"""
     }
     val skipped = skip.toSeq.sorted.map(jstr).mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","n":$reps,"stat":"min","queries":$qs,"queries_max":$qsMax,"errors":$errs,"skipped":$skipped,"streaming":$streamJson,"sf":"$sfDir"}"""
+    val splitJson = qx79bSplit match {
+      case Some((b, s)) => s"""{"build_sec":$b,"serve_sec":$s}"""
+      case None         => "null"
+    }
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","n":$reps,"stat":"min","queries":$qs,"queries_max":$qsMax,"errors":$errs,"skipped":$skipped,"qx79b_split":$splitJson,"streaming":$streamJson,"sf":"$sfDir"}"""
     println(line)
     // Round-5 verdict #2: BENCH_r05's stdout tail capture truncated
     // mid-JSON, losing the total and half the per-query mins. Write the
