@@ -205,6 +205,36 @@ object RetrainTrigger {
       hist.where(col("source") =!= "__ref"))
   }
 
+  /** One-pass FULL + SAMPLED drift (the qx97 shape): ONE feature-kernel
+    * scan with the ref flag riding the source column ([[driftSplit]]'s
+    * trick) and the pinned sample flag folded into the same
+    * aggregation, so BOTH (full, sampled) drift tables derive from one
+    * ≤ sources×B histogram — measuring the sampling agreement costs
+    * one corpus scan, not two. Zero-count rows are dropped before the
+    * grid fold, which makes each leg bit-identical to running
+    * [[driftSplit]] on the corresponding corpus slice
+    * ([[graft.RetrainTriggerSpec]] pins it): a source with no sampled
+    * docs is ABSENT from the sampled table, exactly as a two-pass
+    * sampled scan would leave it. */
+  def driftSplitSampled(docs: DataFrame, refPred: org.apache.spark.sql.Column,
+                        sampPred: org.apache.spark.sql.Column): (DataFrame, DataFrame) = {
+    val feats = DsirSelect.featureRows(
+      docs.withColumn("source",
+        when(refPred, lit("__ref")).otherwise(col("source"))),
+      targetSource = "")
+    val hist = localized(
+      feats.groupBy("source", "b").agg(
+        count(lit(1)).as("cs"),
+        sum(when(sampPred, 1L).otherwise(0L)).as("css")))
+    def leg(cnt: String): DataFrame =
+      driftFromHists(
+        hist.where(col("source") === "__ref" && col(cnt) > 0)
+          .select(col("b"), col(cnt).as("cr")),
+        hist.where(col("source") =!= "__ref" && col(cnt) > 0)
+          .select(col("source"), col("b"), col(cnt).as("cs")))
+    (leg("cs"), leg("css"))
+  }
+
   /** Bounded-histogram round trip (the qx93 LocalRelation pattern). */
   private def localized(df: DataFrame): DataFrame =
     df.sparkSession.createDataFrame(

@@ -3512,24 +3512,23 @@ object ExtQueries {
     * claim ("a sampled epoch reaches the same verdict at a fraction of
     * the scan") is ORACLE-PINNED, not just spec-asserted. A source
     * with no sampled docs degrades to an explicit `nosample` verdict
-    * (left join + sentinels) rather than vanishing. Scale shape: two
-    * [[RetrainTrigger.driftSplit]] passes (each one feature-kernel
-    * scan folding to a ≤ sources×B LocalRelation; the sampled pass
-    * scans half the corpus — at a production rate, 1/sampleEvery),
-    * joined on the driver-bounded source table. */
+    * (left join + sentinels) rather than vanishing. Scale shape: ONE
+    * feature-kernel pass ([[RetrainTrigger.driftSplitSampled]] — the
+    * sample flag folds into the same ≤ sources×B histogram the full
+    * measurement uses, so the agreement costs one corpus scan, not
+    * two), then a driver-bounded join of the two derived tables. */
   def qx97(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("text"))
     val cut = 3L * docs.count() / 5L
     val refPred = col("doc_id") < cut
     val thresh = RetrainTrigger.L1ThresholdMicro
-    val full = RetrainTrigger.driftSplit(docs, refPred)
-      .select(col("source"), col("n_feats").as("n_full"),
-        col("l1_micro").as("l1_full"))
-    val samp = RetrainTrigger
-      .driftSplit(docs.where(pmod(col("doc_id"), lit(2L)) === 0L), refPred)
-      .select(col("source"), col("n_feats").as("n_samp"),
-        col("l1_micro").as("l1_samp"))
+    val (fullT, sampT) = RetrainTrigger.driftSplitSampled(docs, refPred,
+      pmod(col("doc_id"), lit(2L)) === 0L)
+    val full = fullT.select(col("source"), col("n_feats").as("n_full"),
+      col("l1_micro").as("l1_full"))
+    val samp = sampT.select(col("source"), col("n_feats").as("n_samp"),
+      col("l1_micro").as("l1_samp"))
     full.join(samp, Seq("source"), "left")
       .withColumn("dec_full",
         when(col("l1_full") > thresh, "retrain").otherwise("keep"))

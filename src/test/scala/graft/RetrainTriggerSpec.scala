@@ -44,6 +44,18 @@ class RetrainTriggerSpec extends SparkTestBase {
     assert(alarm.forall(_.getLong(2) > RetrainTrigger.L1ThresholdMicro),
       s"injected 50-token shift must trip every source, got " +
         s"${alarm.map(r => r.getString(0) -> r.getLong(2)).toSeq.sortBy(_._2).take(3)}")
+
+    // One-pass full+sampled (the qx97 kernel): each leg bit-identical
+    // to a two-pass driftSplit over the corresponding corpus slice.
+    val sampPred = pmod(col("doc_id"), lit(2L)) === 0L
+    val (fullT, sampT) = RetrainTrigger.driftSplitSampled(docs, col("doc_id") < cut, sampPred)
+    def cells(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(cells(fullT) == natural.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet,
+      "driftSplitSampled's full leg must equal driftSplit")
+    assert(cells(sampT) ==
+      cells(RetrainTrigger.driftSplit(docs.where(sampPred), col("doc_id") < cut)),
+      "driftSplitSampled's sampled leg must equal a two-pass sampled driftSplit")
   }
 
   test("index-health legs + composed decision: healthy keeps; mean-shift fires quant_err; corrupt codebooks fire recall") {
