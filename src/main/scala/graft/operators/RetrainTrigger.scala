@@ -241,23 +241,37 @@ object RetrainTrigger {
       java.util.Arrays.asList(df.collect(): _*), df.schema)
 
   /** The shared grid fold: (b, cr) reference histogram × (source, b,
-    * cs) per-source histograms → (source, n_feats, l1_micro). */
+    * cs) per-source histograms → (source, n_feats, l1_micro). Basis
+    * per source = ref buckets ∪ that source's buckets: a bucket only
+    * the batch emits still contributes |p_src − 0|, and one only the
+    * reference emits contributes |0 − p_ref|.
+    *
+    * Folded DRIVER-SIDE in plain Scala (round-12): both inputs are
+    * ≤ sources×B bounded by construction (the LocalRelation class —
+    * every caller holds that contract), and spelling the fold as Spark
+    * joins paid three join + two aggregation job launches per leg over
+    * local data; the 100× probe put qx94 at 5–6 s of which the single
+    * corpus scan was a fraction. The arithmetic is bit-identical: floor
+    * division on nonnegative counts (`1000000·c div n`), exact Long
+    * sums — the gate hashes (qx93/94/97) pin it transitively. */
   private def driftFromHists(refHist: DataFrame, curHist: DataFrame): DataFrame = {
-    val refTot = refHist.agg(sum("cr").as("nr"))
-    val srcTot = curHist.groupBy("source").agg(sum("cs").as("ns"))
-    // Basis per source = ref buckets ∪ that source's buckets: a bucket
-    // only the batch emits still contributes |p_src − 0|, and one only
-    // the reference emits contributes |0 − p_ref|.
-    val basis = srcTot.select("source").crossJoin(broadcast(refHist.select("b")))
-      .union(curHist.select("source", "b")).distinct()
-    basis.join(srcTot, "source").crossJoin(broadcast(refTot))
-      .join(broadcast(refHist), Seq("b"), "left").na.fill(0L, Seq("cr"))
-      .join(curHist, Seq("source", "b"), "left").na.fill(0L, Seq("cs"))
-      .withColumn("ps", expr("(1000000L * cs) div ns"))
-      .withColumn("pr", expr("(1000000L * cr) div nr"))
-      .groupBy("source")
-      .agg(max("ns").as("n_feats"),
-        sum(abs(col("ps") - col("pr"))).as("l1_micro"))
+    val spark = refHist.sparkSession
+    import spark.implicits._
+    val ref: Map[Long, Long] = refHist.collect()
+      .map(r => r.getAs[Long]("b") -> r.getAs[Long]("cr")).toMap
+    val nr = ref.valuesIterator.sum
+    val bySrc = curHist.collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("b"), r.getAs[Long]("cs")))
+      .groupBy(_._1)
+    bySrc.toSeq.map { case (src, rs) =>
+      val cs: Map[Long, Long] = rs.map(r => r._2 -> r._3).toMap
+      val ns = cs.valuesIterator.sum
+      val l1 = (ref.keySet ++ cs.keySet).iterator.map { b =>
+        math.abs(1000000L * cs.getOrElse(b, 0L) / ns -
+          1000000L * ref.getOrElse(b, 0L) / nr)
+      }.sum
+      (src, ns, l1)
+    }.toDF("source", "n_feats", "l1_micro")
   }
 
   /** The full decision table for one admission epoch: one row per
