@@ -611,8 +611,40 @@ object HybridIndex {
   }
 
   def search(spark: SparkSession, indexDir: String,
-             qPred: org.apache.spark.sql.Column = DefaultQPred): DataFrame = {
-    val live = liveSegments(spark, indexDir)
+             qPred: org.apache.spark.sql.Column = DefaultQPred): DataFrame =
+    searchSegments(spark, indexDir, liveSegments(spark, indexDir), qPred)
+
+  /** Committed manifest versions, ascending — the index's time-travel
+    * axis. Superseded versions stay listed (and readable) until
+    * [[vacuum]] retires them past the grace period. */
+  def versions(spark: SparkSession, indexDir: String): Seq[Long] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+    committedVersions(fs, new org.apache.hadoop.fs.Path(s"$indexDir/manifest"))
+  }
+
+  /** [[search]] pinned to manifest version `version` — Delta-style
+    * time travel over the versioned-manifest protocol: the snapshot a
+    * reader resolved stays byte-stable across later commits, compacts
+    * and admissions, because a manifest version's segment set is
+    * immutable and its referenced paths survive until vacuum's
+    * supersede-time grace expires. Readable horizon = [[versions]]
+    * minus whatever [[vacuum]] has retired; asking for a retired or
+    * never-committed version fails loudly here rather than
+    * half-reading a swept segment set. */
+  def searchAsOf(spark: SparkSession, indexDir: String, version: Long,
+                 qPred: org.apache.spark.sql.Column = DefaultQPred): DataFrame = {
+    val vs = versions(spark, indexDir)
+    require(vs.contains(version),
+      s"manifest v=$version not readable under $indexDir (committed: ${vs.mkString(",")})")
+    val segs = spark.read.parquet(s"$indexDir/manifest/v=$version")
+      .select("seg").collect().map(_.getString(0)).toSeq.sorted
+    searchSegments(spark, indexDir, segs, qPred)
+  }
+
+  private def searchSegments(spark: SparkSession, indexDir: String,
+                             live: Seq[String],
+                             qPred: org.apache.spark.sql.Column): DataFrame = {
     val base = readAsset(spark, indexDir, "base.parquet", live)
     val q = base.where(qPred)
       .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("n2").as("qn2"))

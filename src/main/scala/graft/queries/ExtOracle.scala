@@ -2734,4 +2734,82 @@ object ExtOracle {
        |       CAST(list_reduce([CAST(0 AS BIGINT)] || gaps,
        |              (a, g2) -> a + (length(bin(g2)) + 6) // 7) AS BIGINT) AS varint_bytes
        |FROM g""".stripMargin
+
+  /** qx98 twin — MMR greedy rerank replayed step for step (the qx96
+    * generated-CTE discipline): the qx2 scored pool cut to top-m, the
+    * m² per-query pairwise cosines from the same exact-integer vectors,
+    * step 1 = plain top-1 at λ·rel, then each greedy step t as a CTE
+    * triple (remaining ∖ selected, max-sim penalty against the
+    * selected set, argmax of (0.7·rel) − (0.3·pen) under the shared
+    * (mmr DESC, vec_id ASC) order). λ literals are written `0.7e0` /
+    * `0.3e0` so DuckDB parses DOUBLE, not DECIMAL — the identical IEEE
+    * multiply Spark's `lit(0.7)` performs. */
+  val qx98: String = {
+    val m = graft.queries.ExtQueries.MmrM
+    val k = graft.queries.ExtQueries.MmrK
+    val sb = new StringBuilder
+    sb ++= s"""WITH $EMB,
+              |scored AS (
+              |  SELECT q.qid, n.vec_id,
+              |         CAST(CAST(list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * qv[i])) AS BIGINT) AS DOUBLE)
+              |           / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE))) AS cosine
+              |  FROM n CROSS JOIN q WHERE n.vec_id <> q.qid),
+              |cand AS (SELECT qid, vec_id, cosine
+              |         FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rk
+              |               FROM scored) t
+              |         WHERE rk <= $m),
+              |pairs AS (
+              |  SELECT c1.qid, c1.vec_id AS va, c2.vec_id AS vb,
+              |         CAST(CAST(list_sum(list_transform(range(1, len(na.v) + 1), i -> na.v[i] * nb.v[i])) AS BIGINT) AS DOUBLE)
+              |           / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS sim
+              |  FROM cand c1 JOIN cand c2 ON c1.qid = c2.qid AND c1.vec_id <> c2.vec_id
+              |  JOIN n na ON na.vec_id = c1.vec_id JOIN n nb ON nb.vec_id = c2.vec_id),
+              |sel1 AS (SELECT qid, 1 AS step, vec_id, 0.7e0 * cosine AS mmr
+              |         FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rk
+              |               FROM cand) t
+              |         WHERE rk = 1)""".stripMargin
+    for (t <- 2 to k) {
+      val selPrev = s"sel${t - 1}"
+      sb ++= s""",
+                |pen$t AS (SELECT r.qid, r.vec_id, r.cosine, max(p.sim) AS pen
+                |        FROM cand r
+                |        JOIN pairs p ON p.qid = r.qid AND p.va = r.vec_id
+                |        JOIN $selPrev s ON s.qid = p.qid AND s.vec_id = p.vb
+                |        WHERE NOT EXISTS (SELECT 1 FROM $selPrev z
+                |                          WHERE z.qid = r.qid AND z.vec_id = r.vec_id)
+                |        GROUP BY r.qid, r.vec_id, r.cosine),
+                |pick$t AS (SELECT qid, $t AS step, vec_id, mmr
+                |         FROM (SELECT qid, vec_id,
+                |                      (0.7e0 * cosine) - (0.3e0 * pen) AS mmr
+                |               FROM pen$t) u
+                |         QUALIFY row_number() OVER (PARTITION BY qid ORDER BY mmr DESC, vec_id ASC) = 1),
+                |sel$t AS (SELECT * FROM $selPrev UNION ALL SELECT * FROM pick$t)""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT qid, step, vec_id, mmr FROM sel$k""".stripMargin
+    sb.result()
+  }
+
+  /** qx99 twin — the OPQ snake layout replayed in closed form: per-dim
+    * exact iv3-energies over the corpus, the (energy DESC, d ASC) rank,
+    * the boustrophedon group/slot arithmetic, and both layouts'
+    * per-group energy windows (explicit BIGINT casts — DuckDB sums
+    * BIGINT into HUGEINT). */
+  val qx99: String =
+    """WITH iv3 AS (SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS v
+      |       FROM embeddings),
+      |en AS (SELECT CAST(i - 1 AS INTEGER) AS d, CAST(sum(v[i] * v[i]) AS BIGINT) AS energy
+      |       FROM iv3, generate_series(1, 64) t(i) GROUP BY i),
+      |rkd AS (SELECT d, energy,
+      |          CAST(row_number() OVER (ORDER BY energy DESC, d ASC) - 1 AS INTEGER) AS rk
+      |        FROM en),
+      |sg AS (SELECT *, CAST(CASE WHEN (rk // 8) % 2 = 0 THEN rk % 8 ELSE 7 - rk % 8 END AS INTEGER) AS grp
+      |       FROM rkd),
+      |ps AS (SELECT *, CAST(row_number() OVER (PARTITION BY grp ORDER BY rk) - 1 AS INTEGER) AS pos
+      |       FROM sg)
+      |SELECT d, energy, rk, grp, pos, CAST(d // 8 AS INTEGER) AS gnat,
+      |       CAST(sum(energy) OVER (PARTITION BY grp) AS BIGINT) AS grp_energy,
+      |       CAST(sum(energy) OVER (PARTITION BY d // 8) AS BIGINT) AS nat_energy
+      |FROM ps""".stripMargin
 }

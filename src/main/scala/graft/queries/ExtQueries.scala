@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{BloomFilter, Determinism}
-import graft.operators.{AhoCorasick, AudioFingerprint, BpeTrainer, CdcChunker, ConnectedComponents, DsirSelect, EmbeddingLsh, EmbeddingPca, EpochShuffle, GopherRules, HilbertCurve, HtmlCodec, InvertedIndex, IvfAnn, MixSchedule, MultimodalCodec, PageRank, Partitioning, ProductQuantizer, QuantKernels, RetrainTrigger, RobotsTxt, SaltedJoin, SimHashLsh, UniMax, ViterbiTokenizer, WarcCodec, WavCodec, ZOrderLayout}
+import graft.operators.{AhoCorasick, AudioFingerprint, BpeTrainer, CdcChunker, ConnectedComponents, DsirSelect, EmbeddingLsh, EmbeddingPca, EpochShuffle, GopherRules, HilbertCurve, HtmlCodec, InvertedIndex, IvfAnn, MixSchedule, MmrRerank, MultimodalCodec, OpqLayout, PageRank, Partitioning, ProductQuantizer, QuantKernels, RetrainTrigger, RobotsTxt, SaltedJoin, SimHashLsh, UniMax, ViterbiTokenizer, WarcCodec, WavCodec, ZOrderLayout}
 import graft.sources.Tables
 
 /** The large-scale training-data-pipeline operator family (builder brief +
@@ -3667,4 +3667,69 @@ object ExtQueries {
   def qx89(spark: SparkSession, dir: String): DataFrame =
     MixSchedule.audit(MixSchedule.schedule(
       qx88(spark, dir).select(col("lang"), col("alloc"))))
+
+  /** qx98 — MMR-diversified reranking (Carbonell & Goldstein, SIGIR
+    * 1998; the standard diversity epilogue in RAG / training-example
+    * selection): each query's brute top-[[MmrM]] cosine pool is
+    * greedily re-ranked to [[MmrK]] picks by [[MmrRerank]] — maximal
+    * marginal relevance mmr = λ·rel − (1−λ)·max_{s∈S} sim(·, s) with
+    * λ = 0.7 (empty S ⇒ penalty 0, so step 1 is the plain top-1),
+    * tie-break vec_id ASC packed into the struct max.
+    *
+    * Scale shape: retrieval is the already-optimized qx2 path (one
+    * base scan, broadcast queries, map-side [[graft.functions.TopKBy]]
+    * pruning before the exchange); everything after is a PER-QUERY
+    * EPILOGUE over the bounded pool — pairwise sims are m² = 64 rows
+    * per query fetched by two narrow id-joins (no array ever rides
+    * the candidate shuffle), and each greedy step is an anti-join +
+    * bounded max over ≤ m rows per query, so the whole rerank is
+    * O(queries · m²) at ANY corpus size. Determinism: rel and sim are
+    * the exact-integer cosines (same IEEE ops both engines), the λ
+    * arithmetic is (0.7·rel) − (0.3·pen) in the identical
+    * parenthesization, and every argmax carries the shared
+    * (score DESC, vec_id ASC) order. */
+  private[graft] val MmrM = 8
+  private[graft] val MmrK = 4
+  def qx98(spark: SparkSession, dir: String): DataFrame = {
+    val base = intEmbeddings(spark, dir)
+    val q = base.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("n2").as("qn2"))
+    val scored = base.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("dot", expr("long_dot(iv, qiv)"))
+      .withColumn("cosine", expr(COSINE))
+    val cand = topK(scored, MmrM)
+    // Pairwise sims inside each pool: ids pair first, the two vectors
+    // join back per side for survivors only (the qx3/qx12 discipline).
+    val va = base.select(col("vec_id").as("va"), col("iv").as("aiv"), col("n2").as("an2"))
+    val vb = base.select(col("vec_id").as("vb"), col("iv").as("biv"), col("n2").as("bn2"))
+    val pairs = cand.select(col("qid"), col("vec_id").as("va"))
+      .join(cand.select(col("qid"), col("vec_id").as("vb")), Seq("qid"))
+      .where(col("va") =!= col("vb"))
+      .join(va, "va").join(vb, "vb")
+      .withColumn("sim", expr(
+        "CAST(long_dot(aiv, biv) AS DOUBLE) / (sqrt(CAST(an2 AS DOUBLE)) * sqrt(CAST(bn2 AS DOUBLE)))"))
+      .select("qid", "va", "vb", "sim")
+    MmrRerank.rerank(cand, pairs, MmrK, lambda = 0.7)
+  }
+
+  /** qx99 — OPQ subspace-layout balancing ([[OpqLayout]]): per-dim
+    * exact-integer corpus energies (ONE map-side-combinable scan — the
+    * only corpus-scale work), the energy ranking, the snake deal into
+    * the M = 8 PQ subspaces, and the per-subspace energy totals for
+    * both the snake and the natural contiguous layout — the balance
+    * improvement made oracle-visible as 64 hash-pinned integers. The
+    * downstream effect (permuted PQ reconstruction error ≤ natural on
+    * an anisotropic corpus) is spec-pinned in OpqLayoutSpec, since
+    * replaying codebook training twice is qx42's oracle's job, not
+    * this row's. */
+  def qx99(spark: SparkSession, dir: String): DataFrame = {
+    val lay = OpqLayout.snakeLayout(
+      OpqLayout.dimEnergies(Tables.embeddings(spark, dir)))
+    lay
+      .withColumn("gnat", expr("CAST(d div 8 AS INT)"))
+      .withColumn("grp_energy", sum("energy").over(Window.partitionBy("grp")))
+      .withColumn("nat_energy", sum("energy").over(Window.partitionBy("gnat")))
+      .select("d", "energy", "rk", "grp", "pos", "gnat", "grp_energy", "nat_energy")
+  }
 }

@@ -263,4 +263,43 @@ class HybridIndexSpec extends SparkTestBase {
     assert(HybridIndex.search(spark, out).collect().nonEmpty,
       "the index must serve after the full interleaving")
   }
+
+  test("time travel: searchAsOf pins a version snapshot across later commits") {
+    import org.apache.spark.sql.functions.col
+    import graft.sources.Tables
+    val out = tmpDir("hybrid_asof")
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val raw = Tables.embeddings(spark, dir)
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val cut = ids(ids.length * 3 / 5)
+    HybridIndex.build(spark, docs.where(col("doc_id") < cut),
+      raw.where(col("vec_id") < cut), out)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val snapshotV1 = canon(HybridIndex.search(spark, out))
+    assert(snapshotV1.nonEmpty, "the v=1 snapshot must serve rows")
+    assert(HybridIndex.versions(spark, out) == Seq(1L))
+
+    // A later admission bumps the manifest — the v=1 reader's world
+    // must not move.
+    HybridIndex.addBatch(spark, out, docs.where(col("doc_id") >= cut),
+      raw.where(col("vec_id") >= cut))
+    assert(HybridIndex.versions(spark, out) == Seq(1L, 2L))
+    assert(canon(HybridIndex.searchAsOf(spark, out, 1L)) == snapshotV1,
+      "searchAsOf(1) must reproduce the pre-admission snapshot byte-for-byte")
+    assert(canon(HybridIndex.searchAsOf(spark, out, 2L)) ==
+      canon(HybridIndex.search(spark, out)),
+      "searchAsOf(current) must equal the live search")
+    // Never-committed and vacuum-retired versions fail loudly.
+    intercept[IllegalArgumentException] {
+      HybridIndex.searchAsOf(spark, out, 3L)
+    }
+    HybridIndex.vacuum(spark, out, graceMs = 0L)
+    intercept[IllegalArgumentException] {
+      HybridIndex.searchAsOf(spark, out, 1L)
+    }
+    assert(canon(HybridIndex.searchAsOf(spark, out, 2L)) ==
+      canon(HybridIndex.search(spark, out)),
+      "the current version must survive the vacuum that retired v=1")
+  }
 }
