@@ -642,6 +642,41 @@ object HybridIndex {
     searchSegments(spark, indexDir, segs, qPred)
   }
 
+  /** The maximum integer-RRF score [[graft.queries.ExtQueries.rrfFuse]]
+    * can emit (rank 1 on both legs) — the constant normalizer that maps
+    * served relevance into (0, 1] for [[searchDiverse]]'s λ-mix. */
+  private val RrfMaxMicro = 2.0 * (1000000L / 61L)
+
+  /** [[search]] with [[MmrRerank]] as the serving epilogue: the fused
+    * top-10 pool per query is greedily diversified to `k` picks —
+    * relevance is the served RRF score normalized by [[RrfMaxMicro]],
+    * redundancy the exact cosine between pool members' base vectors
+    * (fetched from the index's own committed base, so the epilogue adds
+    * two narrow id-joins over ≤10 rows per query and never rescans the
+    * corpus). Returns (qid, step, doc_id, mmr) in pick order; step 1 is
+    * always the served rank 1 (empty selected set ⇒ no penalty). */
+  def searchDiverse(spark: SparkSession, indexDir: String, k: Int = 5,
+                    lambda: Double = 0.7,
+                    qPred: org.apache.spark.sql.Column = DefaultQPred): DataFrame = {
+    val live = liveSegments(spark, indexDir)
+    val served = searchSegments(spark, indexDir, live, qPred)
+    val pool = served.select(col("qid"), col("rk").cast("int").as("rk"),
+      col("doc_id").as("vec_id"),
+      (col("rrf_micro").cast("double") / lit(RrfMaxMicro)).as("cosine"))
+    val base = readAsset(spark, indexDir, "base.parquet", live)
+    val va = base.select(col("vec_id").as("va"), col("iv").as("aiv"), col("n2").as("an2"))
+    val vb = base.select(col("vec_id").as("vb"), col("iv").as("biv"), col("n2").as("bn2"))
+    val pairs = pool.select(col("qid"), col("vec_id").as("va"))
+      .join(pool.select(col("qid"), col("vec_id").as("vb")), Seq("qid"))
+      .where(col("va") =!= col("vb"))
+      .join(va, "va").join(vb, "vb")
+      .withColumn("sim", expr(
+        "CAST(long_dot(aiv, biv) AS DOUBLE) / (sqrt(CAST(an2 AS DOUBLE)) * sqrt(CAST(bn2 AS DOUBLE)))"))
+      .select("qid", "va", "vb", "sim")
+    MmrRerank.rerank(pool, pairs, k, lambda)
+      .withColumnRenamed("vec_id", "doc_id")
+  }
+
   private def searchSegments(spark: SparkSession, indexDir: String,
                              live: Seq[String],
                              qPred: org.apache.spark.sql.Column): DataFrame = {

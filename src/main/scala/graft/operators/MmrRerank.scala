@@ -31,7 +31,17 @@ object MmrRerank {
     *              both orientations present.
     * @return (qid, step, vec_id, mmr), step 1..k in pick order; step 1
     *         is the plain top-1 (empty selected set ⇒ penalty 0). */
-  def rerank(cand: DataFrame, pairs: DataFrame, k: Int, lambda: Double): DataFrame = {
+  def rerank(cand0: DataFrame, pairs0: DataFrame, k: Int, lambda: Double): DataFrame = {
+    // Cut lineage on both inputs (the PageRank/CC discipline): the
+    // greedy references the pool k−1 times and the pairwise sims at
+    // every step — without the checkpoint Spark re-derives whatever
+    // produced them (for qx98 the full brute retrieval scan) once per
+    // reference, turning an O(q·m²) epilogue into k× the retrieval
+    // cost. Both are per-query bounded (m and m² rows), so the
+    // materialization is small at any corpus size and stays on
+    // executors — no driver collect.
+    val cand = cand0.localCheckpoint()
+    val pairs = pairs0.localCheckpoint()
     val lam = lit(lambda)
     val om = lit(1.0 - lambda)
     val rel = cand.select(col("qid"), col("vec_id"), col("cosine").as("rel"))

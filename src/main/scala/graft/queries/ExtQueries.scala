@@ -3698,7 +3698,10 @@ object ExtQueries {
       .where(col("vec_id") =!= col("qid"))
       .withColumn("dot", expr("long_dot(iv, qiv)"))
       .withColumn("cosine", expr(COSINE))
-    val cand = topK(scored, MmrM)
+    // The pool is checkpointed HERE, before pairs derives from it —
+    // every downstream reference (the pairs self-join and each greedy
+    // step) would otherwise re-run the retrieval scan above.
+    val cand = topK(scored, MmrM).localCheckpoint()
     // Pairwise sims inside each pool: ids pair first, the two vectors
     // join back per side for survivors only (the qx3/qx12 discipline).
     val va = base.select(col("vec_id").as("va"), col("iv").as("aiv"), col("n2").as("an2"))

@@ -302,4 +302,41 @@ class HybridIndexSpec extends SparkTestBase {
       canon(HybridIndex.search(spark, out)),
       "the current version must survive the vacuum that retired v=1")
   }
+
+  test("searchDiverse: λ=1 reproduces served order; λ<1 stays in-pool with step 1 = rank 1") {
+    val out = tmpDir("hybrid_mmr")
+    HybridIndex.build(spark, dir, out)
+    val served = HybridIndex.search(spark, out).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap // (qid, rk) -> doc
+    val pool = served.groupBy(_._1._1).map { case (q, m) => q -> m.values.toSet }
+
+    // λ = 1 kills the redundancy term: the greedy must walk the served
+    // ranking exactly (same (score DESC, id ASC) order on both sides).
+    val lam1 = HybridIndex.searchDiverse(spark, out, k = 5, lambda = 1.0).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(lam1.nonEmpty)
+    lam1.foreach { case ((q, step), doc) =>
+      assert(doc == served((q, step.toLong)),
+        s"λ=1 step $step of qid $q diverged from served rank $step")
+    }
+
+    // λ = 0.7: every pick comes from the served pool, k distinct picks
+    // per query, and step 1 is always the served top-1.
+    val div = HybridIndex.searchDiverse(spark, out, k = 5, lambda = 0.7).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byQ = div.groupBy(_._1)
+    assert(byQ.keySet == pool.keySet, "diversified serve must cover every query")
+    byQ.foreach { case (q, rows) =>
+      val docs = rows.sortBy(_._2).map(_._3)
+      assert(docs.length == 5 && docs.distinct.length == 5,
+        s"qid $q must get 5 distinct picks")
+      assert(docs.toSet.subsetOf(pool(q)), s"qid $q picked outside its served pool")
+      assert(docs.head == served((q, 1L)), s"qid $q step 1 must be served rank 1")
+    }
+    val reordered = byQ.count { case (q, rows) =>
+      val docs = rows.sortBy(_._2).map(_._3).toSeq
+      docs != (1L to 5L).map(rk => served((q, rk)))
+    }
+    info(s"λ=0.7 reordered ${reordered}/${byQ.size} queries vs the served ranking")
+  }
 }
