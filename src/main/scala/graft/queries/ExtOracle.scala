@@ -2812,4 +2812,58 @@ object ExtOracle {
       |       CAST(sum(energy) OVER (PARTITION BY grp) AS BIGINT) AS grp_energy,
       |       CAST(sum(energy) OVER (PARTITION BY d // 8) AS BIGINT) AS nat_energy
       |FROM ps""".stripMargin
+
+  /** qx100 twin — facility-location coreset selection replayed end to
+    * end: KMEANS_ASSIGN's trained centroids and assignment, the
+    * assigned-score cap to C per cell, the pairwise micro-sims
+    * (self = 10⁹ exactly; the cosine spelling is qx2's, the micro
+    * rounding floor(((1+cos)/2)·10⁹ + ½) in the engine's exact
+    * parenthesization), then R greedy steps as generated CTE quadruples
+    * (gains from the current coverage, argmax pick under
+    * (gain DESC, i ASC), selected-union, coverage update). All gain
+    * arithmetic in BIGINT so cross-row sums are order-free. */
+  val qx100: String = {
+    val c = graft.queries.ExtQueries.CoresetC
+    val r = graft.queries.ExtQueries.CoresetR
+    val sb = new StringBuilder
+    sb ++= s"""WITH $KMEANS_ASSIGN,
+              |scv AS (SELECT a.vec_id, a.cid, 2*f.dot - cf.cn2 AS sc
+              |        FROM assign a
+              |        JOIN adf f ON f.vec_id = a.vec_id AND f.cid = a.cid
+              |        JOIN cnf cf ON cf.cid = a.cid),
+              |cap AS (SELECT cid, vec_id FROM (
+              |          SELECT cid, vec_id,
+              |                 row_number() OVER (PARTITION BY cid ORDER BY sc DESC, vec_id ASC) AS rn
+              |          FROM scv) t WHERE rn <= $c),
+              |cvv AS (SELECT cap.cid, n.vec_id, n.v, n.n2 FROM cap JOIN n USING (vec_id)),
+              |pr AS (SELECT a.cid, a.vec_id AS i, b.vec_id AS j,
+              |         CASE WHEN a.vec_id = b.vec_id THEN CAST(1000000000 AS BIGINT)
+              |              ELSE CAST(floor((1e0 + (
+              |                CAST(CAST(list_sum(list_transform(range(1, len(a.v) + 1), x -> a.v[x] * b.v[x])) AS BIGINT) AS DOUBLE)
+              |                  / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+              |              )) / 2e0 * 1000000000e0 + 0.5e0) AS BIGINT) END AS simw
+              |       FROM cvv a JOIN cvv b ON a.cid = b.cid),
+              |cov0 AS (SELECT cid, vec_id AS j, CAST(0 AS BIGINT) AS cov FROM cap)""".stripMargin
+    for (t <- 1 to r) {
+      val notSel =
+        if (t == 1) ""
+        else s"""
+                |        WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} z
+                |                          WHERE z.cid = pr.cid AND z.vec_id = pr.i)""".stripMargin
+      sb ++= s""",
+                |g$t AS (SELECT pr.cid, pr.i, CAST(sum(greatest(simw - cov, 0)) AS BIGINT) AS gain
+                |        FROM pr JOIN cov${t - 1} c ON pr.cid = c.cid AND pr.j = c.j$notSel
+                |        GROUP BY pr.cid, pr.i),
+                |p$t AS (SELECT cid, $t AS step, i AS vec_id, gain FROM g$t
+                |        QUALIFY row_number() OVER (PARTITION BY cid ORDER BY gain DESC, i ASC) = 1),
+                |sel$t AS (${if (t == 1) s"SELECT * FROM p1"
+                            else s"SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM p$t"}),
+                |cov$t AS (SELECT c.cid, c.j, greatest(c.cov, pr.simw) AS cov
+                |          FROM cov${t - 1} c JOIN p$t ON c.cid = p$t.cid
+                |          JOIN pr ON pr.cid = c.cid AND pr.i = p$t.vec_id AND pr.j = c.j)""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT cid, step, vec_id, gain FROM sel$r""".stripMargin
+    sb.result()
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{BloomFilter, Determinism}
-import graft.operators.{AhoCorasick, AudioFingerprint, BpeTrainer, CdcChunker, ConnectedComponents, DsirSelect, EmbeddingLsh, EmbeddingPca, EpochShuffle, GopherRules, HilbertCurve, HtmlCodec, InvertedIndex, IvfAnn, MixSchedule, MmrRerank, MultimodalCodec, OpqLayout, PageRank, Partitioning, ProductQuantizer, QuantKernels, RetrainTrigger, RobotsTxt, SaltedJoin, SimHashLsh, UniMax, ViterbiTokenizer, WarcCodec, WavCodec, ZOrderLayout}
+import graft.operators.{AhoCorasick, AudioFingerprint, BpeTrainer, CdcChunker, ConnectedComponents, CoresetSelect, DsirSelect, EmbeddingLsh, EmbeddingPca, EpochShuffle, GopherRules, HilbertCurve, HtmlCodec, InvertedIndex, IvfAnn, MixSchedule, MmrRerank, MultimodalCodec, OpqLayout, PageRank, Partitioning, ProductQuantizer, QuantKernels, RetrainTrigger, RobotsTxt, SaltedJoin, SimHashLsh, UniMax, ViterbiTokenizer, WarcCodec, WavCodec, ZOrderLayout}
 import graft.sources.Tables
 
 /** The large-scale training-data-pipeline operator family (builder brief +
@@ -3734,5 +3734,64 @@ object ExtQueries {
       .withColumn("grp_energy", sum("energy").over(Window.partitionBy("grp")))
       .withColumn("nat_energy", sum("energy").over(Window.partitionBy("gnat")))
       .select("d", "energy", "rk", "grp", "pos", "gnat", "grp_energy", "nat_energy")
+  }
+
+  /** qx100 — facility-location coreset selection ([[CoresetSelect]]):
+    * per k-means cell (qx16's trained centroids and L2 assignment), cap
+    * to the [[CoresetC]] centroid-closest candidates, then greedily pick
+    * [[CoresetR]] representatives maximizing Σ_j max_{s∈S} sim(j, s) —
+    * the data-pruning selector that keeps the most mutually-covering
+    * exemplars per semantic cell, the selection complement to qx50's
+    * SemDeDup (which DROPS near-dups; this KEEPS the best coverage).
+    *
+    * Scale shape: assignment is one broadcast-codebook scan (narrow
+    * triples, vectors never shuffle), the cap is the map-side-bounded
+    * topk_by aggregate, and the greedy is O(cells · C²) integer rows
+    * per step over localCheckpoint'd inputs — the corpus-sized work is
+    * one scan regardless of R. Determinism: sims ride as exact
+    * micro-Longs (cross-row Σ is order-free — a double sum could never
+    * hash-match), self-sim exactly 10⁹, ties (gain DESC, vec_id ASC).
+    * The oracle replays the full composition: KMEANS_ASSIGN, the sc-cap,
+    * the pairwise micro-sims and all three greedy steps as generated
+    * CTEs. */
+  private[graft] val CoresetC = 6
+  private[graft] val CoresetR = 3
+  def qx100(spark: SparkSession, dir: String): DataFrame = {
+    val base = intEmbeddings(spark, dir)
+    val k = IvfAnn.kmeansCentroidsFor(Tables.embeddings(spark, dir).count())
+    val cents = IvfAnn.trainedCentroids(base, IvfAnn.centroids(spark, k), iters = 2)
+      .withColumn("cn2", expr("long_dot(cv, cv)"))
+    val asg = base.select("vec_id", "iv").crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        (lit(2L) * expr("long_dot(iv, cv)") - col("cn2")).as("sc"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("sc"), (-col("cid")).as("negcid"))).as("b"))
+      .select(col("vec_id"), (-col("b.negcid")).as("cid"), col("b.sc").as("sc"))
+    // Per-cell cap: centroid-closest C by the SAME L2 surrogate the
+    // assignment ranked with (sc ≤ ~5e13: exact in DOUBLE, so topk_by's
+    // order is the integer order). Checkpoint before fan-out — pairs and
+    // every greedy step re-reference this, and its lineage holds the
+    // corpus scan.
+    val cand = asg.groupBy("cid")
+      .agg(expr(s"topk_by(CAST(sc AS DOUBLE), vec_id, $CoresetC)").as("tk"))
+      .select(col("cid"), explode(col("tk")).as("t"))
+      .select(col("cid"), col("t.id").as("vec_id"))
+      .join(base, "vec_id")
+      .select("cid", "vec_id", "iv", "n2")
+      .localCheckpoint()
+    val a = cand.select(col("cid"), col("vec_id").as("i"),
+      col("iv").as("aiv"), col("n2").as("an2"))
+    val b = cand.select(col("cid"), col("vec_id").as("j"),
+      col("iv").as("biv"), col("n2").as("bn2"))
+    val pairs = a.join(b, Seq("cid"))
+      .where(col("i") =!= col("j"))
+      .withColumn("cosine", expr(
+        "CAST(long_dot(aiv, biv) AS DOUBLE) / (sqrt(CAST(an2 AS DOUBLE)) * sqrt(CAST(bn2 AS DOUBLE)))"))
+      .withColumn("simw", expr(
+        "CAST(floor((1.0D + cosine) / 2.0D * 1000000000.0D + 0.5D) AS BIGINT)"))
+      .select("cid", "i", "j", "simw")
+      .unionByName(cand.select(col("cid"), col("vec_id").as("i"),
+        col("vec_id").as("j"), lit(1000000000L).as("simw")))
+    CoresetSelect.greedy(cand.select("cid", "vec_id"), pairs, CoresetR)
   }
 }
