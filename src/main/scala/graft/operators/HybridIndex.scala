@@ -73,10 +73,32 @@ object HybridIndex {
     build(spark, Tables.documents(spark, dir).select(col("doc_id"), col("text")),
       Tables.embeddings(spark, dir), outDir)
 
-  /** DataFrame-input form (the spec's A/B-split harness uses it). */
+  /** DataFrame-input form (the spec's A/B-split harness uses it).
+    *
+    * `opq = true` derives the [[OpqLayout]] snake permutation from the
+    * build corpus and stores EVERYTHING VECTOR-SHAPED in the permuted
+    * space: base vectors, codebooks, codes. Serving needs no inverse —
+    * queries are drawn from the stored base and dot products are
+    * permutation-invariant, so the exact-refine leg, quantErrMean and
+    * the recall monitors all operate unchanged; only the PQ subspace
+    * SPLIT moves, which is the point (balanced codebooks on
+    * anisotropic spaces — the ≥2× recon-error win OpqLayoutSpec pins).
+    * The 64-integer layout persists as `layout.parquet` (pos → original
+    * dim) so [[addBatch]] admits new vectors under the frozen layout
+    * (the frozen-codebook discipline extended one asset left) and
+    * [[retrain]] carries it — layout drift, like codebook drift, is a
+    * rebuild decision, not something admission silently absorbs. */
   def build(spark: SparkSession, docs: DataFrame, rawEmb: DataFrame,
-            outDir: String): Unit = {
-    val (assets, k) = ExtQueries.ivfadcAssetsFrom(spark, rawEmb)
+            outDir: String, opq: Boolean = false): Unit = {
+    val emb =
+      if (!opq) rawEmb
+      else {
+        val perm = OpqLayout.collectPerm(
+          OpqLayout.snakeLayout(OpqLayout.dimEnergies(rawEmb)))
+        writeLayout(spark, outDir, perm)
+        OpqLayout.permuteCol(rawEmb, "embedding", perm)
+      }
+    val (assets, k) = ExtQueries.ivfadcAssetsFrom(spark, emb)
     assets.books.write.mode("overwrite").parquet(s"$outDir/imi_books.parquet")
     assets.pqBooks.write.mode("overwrite").parquet(s"$outDir/pq_books.parquet")
     writeSegment(outDir, "build", assets.base, assets.codes, docs)
@@ -129,7 +151,11 @@ object HybridIndex {
     val range = newDocs.agg(min("doc_id"), max("doc_id")).head
     if (range.isNullAt(0)) return // empty batch: nothing to admit
     val segKey = segKeyOpt.getOrElse(s"${range.getLong(0)}_${range.getLong(1)}")
-    val newBase = ExtQueries.intEmbeddingsFrom(newRawEmb)
+    // An OPQ-built index admits under its FROZEN layout — new vectors
+    // permute into the stored space before encoding, exactly as the
+    // build corpus did (floor(x·10⁶+½) commutes with the permutation).
+    val newBase = layoutPerm(spark, indexDir)
+      .foldLeft(ExtQueries.intEmbeddingsFrom(newRawEmb))(OpqLayout.permute)
     val res = QuantKernels.encodeResidual(newBase.select("vec_id", "iv"), books, k)
     val newCodes = ProductQuantizer.packed(res.select("vec_id", "iv"), pqBooks)
       .join(res.select("vec_id", "cell"), "vec_id")
@@ -245,6 +271,11 @@ object HybridIndex {
       foldedKeys(spark, indexDir, live)).distinct.sorted
     absorbed.toDF("key").coalesce(1).write.mode("overwrite")
       .parquet(s"$newDir/folded.parquet/add=build")
+    // An OPQ layout travels with the index: the committed base this
+    // retrain trained from is ALREADY in the permuted space, so the new
+    // codebooks are layout-consistent by construction — the layout
+    // asset just has to follow so future admissions keep permuting.
+    layoutPerm(spark, indexDir).foreach(writeLayout(spark, newDir, _))
     commitManifest(spark, newDir, Seq("build"))
     // The fresh baseline measures under the SAME pinned sample rate the
     // old index's decision loop ran on (or full-scan when the old index
@@ -339,6 +370,29 @@ object HybridIndex {
       // unbounded commit garbage.
       else if (name.startsWith("_staging_") && st.getModificationTime <= cutoff)
         fs.delete(st.getPath, true)
+    }
+  }
+
+  /** Persist the OPQ layout (pos → original dim) as an index asset. */
+  private def writeLayout(spark: SparkSession, indexDir: String,
+                          perm: Array[Int]): Unit = {
+    import spark.implicits._
+    perm.zipWithIndex.map { case (d, pos) => (pos, d) }.toSeq
+      .toDF("pos", "d").coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/layout.parquet")
+  }
+
+  /** The stored OPQ permutation, if this index was built with one. */
+  private[graft] def layoutPerm(spark: SparkSession,
+                                indexDir: String): Option[Array[Int]] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/layout.parquet"))) None
+    else {
+      val rows = spark.read.parquet(s"$indexDir/layout.parquet").collect()
+      val perm = new Array[Int](rows.length)
+      rows.foreach(r => perm(r.getInt(0)) = r.getInt(1))
+      Some(perm)
     }
   }
 

@@ -82,6 +82,12 @@ object OpqLayout {
     * the permuted vector — downstream PQ code runs unchanged on the
     * balanced layout. Pure projection, no exchange. */
   def permute(base: DataFrame, perm: Array[Int]): DataFrame =
-    base.withColumn("iv",
-      expr(s"array(${perm.map(i => s"iv[$i]").mkString(", ")})"))
+    permuteCol(base, "iv", perm)
+
+  /** [[permute]] for any array column (the float `embedding` at build
+    * time, the integer `iv` at admission — floor(x·10⁶+½) is per-dim,
+    * so permuting before or after quantization lands identically). */
+  def permuteCol(df: DataFrame, colName: String, perm: Array[Int]): DataFrame =
+    df.withColumn(colName,
+      expr(s"array(${perm.map(i => s"$colName[$i]").mkString(", ")})"))
 }

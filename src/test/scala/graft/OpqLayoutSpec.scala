@@ -72,6 +72,66 @@ class OpqLayoutSpec extends SparkTestBase {
       .agg(sum("e")).head.getLong(0)
   }
 
+  test("OPQ index option: frozen layout across admission and retrain, lower quant error") {
+    import graft.operators.HybridIndex
+    val n = 240L
+    val cut = 180L
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      expr("concat('w', CAST(id % 7 AS STRING), ' w', CAST(id % 11 AS STRING), " +
+        "' w', CAST(id % 13 AS STRING), ' w', CAST(id % 17 AS STRING))").as("text"))
+    val raw = spark.range(n).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 63), d -> CAST((CASE WHEN d < 8 " +
+        "THEN pmod(xxhash64(id * 64 + d), 2001) - 1000 " +
+        "ELSE pmod(xxhash64(id * 64 + d), 21) - 10 END) / 2000.0 AS FLOAT))").as("embedding"))
+    val outN = tmpDir("idx_nat")
+    val outO = tmpDir("idx_opq")
+    HybridIndex.build(spark, docs.where(col("doc_id") < cut),
+      raw.where(col("vec_id") < cut), outN)
+    HybridIndex.build(spark, docs.where(col("doc_id") < cut),
+      raw.where(col("vec_id") < cut), outO, opq = true)
+    val perm = HybridIndex.layoutPerm(spark, outO).get
+    assert(perm.sorted.toSeq == (0 until 64), "stored layout must be a permutation")
+    assert(HybridIndex.layoutPerm(spark, outN).isEmpty,
+      "a default build must carry no layout")
+
+    // Admission under the FROZEN layout (same slice into both indexes).
+    HybridIndex.addBatch(spark, outN, docs.where(col("doc_id") >= cut),
+      raw.where(col("vec_id") >= cut))
+    HybridIndex.addBatch(spark, outO, docs.where(col("doc_id") >= cut),
+      raw.where(col("vec_id") >= cut))
+    // An ADMITTED row's stored vector equals the permuted original —
+    // the admission leg permutes, not just the build leg.
+    val admittedId = cut // first admitted vec
+    val storedIv = spark.read.parquet(s"$outO/base.parquet")
+      .where(col("vec_id") === admittedId)
+      .head.getAs[scala.collection.Seq[Long]]("iv").toSeq
+    val origIv = graft.queries.ExtQueries.intEmbeddingsFrom(raw)
+      .where(col("vec_id") === admittedId)
+      .head.getAs[scala.collection.Seq[Long]]("iv").toSeq
+    assert(storedIv == perm.toSeq.map(origIv),
+      "admitted vectors must land in the stored layout's space")
+
+    // The headline: on the anisotropic corpus the OPQ index's measured
+    // PQ quantization error beats the natural split's — the qx99 recon
+    // win rendered at the INDEX level over the full committed base.
+    val (cn, errN) = HybridIndex.quantErrMean(spark, outN)
+    val (co, errO) = HybridIndex.quantErrMean(spark, outO)
+    assert(cn == n && co == n, "both indexes must measure the full union corpus")
+    info(s"index quant err natural $errN vs OPQ $errO")
+    assert(errO < errN, s"OPQ index quant err $errO must beat natural $errN")
+
+    // Serving covers the same queries, and retrain carries the layout
+    // so post-flip admissions keep permuting.
+    val qO = HybridIndex.search(spark, outO).select("qid").distinct().count()
+    val qN = HybridIndex.search(spark, outN).select("qid").distinct().count()
+    assert(qO == qN && qO > 0)
+    val outO2 = tmpDir("idx_opq2")
+    HybridIndex.retrain(spark, outO, outO2)
+    assert(HybridIndex.layoutPerm(spark, outO2).get.toSeq == perm.toSeq,
+      "retrain must carry the layout into the new directory")
+    assert(HybridIndex.search(spark, outO2).collect().nonEmpty)
+  }
+
   test("permuted PQ reconstructs anisotropic vectors better than natural") {
     val base = anisotropic(200)
     val perm = OpqLayout.collectPerm(OpqLayout.snakeLayout(energiesOf(base)))

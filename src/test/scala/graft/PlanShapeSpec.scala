@@ -474,4 +474,22 @@ class PlanShapeSpec extends SparkTestBase {
       assert(exchanges.size == 1, s"qx78 should shuffle once, saw ${exchanges.size}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
+
+  test("qx98/qx100: the greedy epilogues run entirely off checkpointed inputs") {
+    // The round-12 lineage lesson, pinned: after the localCheckpoint of
+    // the bounded pool/pairs, the FINAL plan must contain NO file scan —
+    // no greedy step can ever re-run the corpus-sized retrieval or
+    // assignment scan that produced its inputs (the 100× probe caught
+    // exactly that at 160 s before the cut).
+    assert(scans("qx98_mmr_rerank").isEmpty,
+      "qx98's greedy must reference only checkpointed data, not rescans")
+    assert(scans("qx100_coreset_select").isEmpty,
+      "qx100's greedy must reference only checkpointed data, not rescans")
+  }
+
+  test("qx99: the energy scan is pruned to the embedding column") {
+    val read = scans("qx99_opq_layout").map(_.requiredSchema.fieldNames.toSet)
+    assert(read.nonEmpty && read.forall(_ == Set("embedding")),
+      s"the energy pass must read only the vectors, saw $read")
+  }
 }
