@@ -41,9 +41,20 @@ object HybridServeProbe {
       rows = HybridIndex.search(spark, out).count()
       (System.nanoTime() - t1) / 1e9
     }
+
+    // The diversified-serve epilogue's marginal cost at the same scale
+    // (round 12): MMR over the fused top-10 pool per query.
+    var divRows = 0L
+    val diverseSecs = (1 to reps).map { _ =>
+      val t2 = System.nanoTime()
+      divRows = HybridIndex.searchDiverse(spark, out).count()
+      (System.nanoTime() - t2) / 1e9
+    }
     println(s"""{"build_sec":${"%.2f".format(buildSec)},""" +
       s""""serve_sec":[${serveSecs.map(s => "%.2f".format(s)).mkString(",")}],""" +
-      s""""rows":$rows,"sf":"$dir"}""")
+      s""""rows":$rows,""" +
+      s""""diverse_sec":[${diverseSecs.map(s => "%.2f".format(s)).mkString(",")}],""" +
+      s""""diverse_rows":$divRows,"sf":"$dir"}""")
     spark.stop()
   }
 }

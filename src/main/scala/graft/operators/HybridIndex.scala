@@ -714,9 +714,14 @@ object HybridIndex {
                     qPred: org.apache.spark.sql.Column = DefaultQPred): DataFrame = {
     val live = liveSegments(spark, indexDir)
     val served = searchSegments(spark, indexDir, live, qPred)
+    // Checkpoint the pool BEFORE the pairs fan-out — its lineage IS the
+    // full serve, and the pairs self-join plus every greedy step would
+    // re-run it otherwise (the qx98 lesson one level up; the 100× probe
+    // read 29 s vs 13 s serve before this cut).
     val pool = served.select(col("qid"), col("rk").cast("int").as("rk"),
       col("doc_id").as("vec_id"),
       (col("rrf_micro").cast("double") / lit(RrfMaxMicro)).as("cosine"))
+      .localCheckpoint()
     val base = readAsset(spark, indexDir, "base.parquet", live)
     val va = base.select(col("vec_id").as("va"), col("iv").as("aiv"), col("n2").as("an2"))
     val vb = base.select(col("vec_id").as("vb"), col("iv").as("biv"), col("n2").as("bn2"))
