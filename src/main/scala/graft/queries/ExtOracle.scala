@@ -2744,16 +2744,40 @@ object ExtOracle {
     * (mmr DESC, vec_id ASC) order). λ literals are written `0.7e0` /
     * `0.3e0` so DuckDB parses DOUBLE, not DECIMAL — the identical IEEE
     * multiply Spark's `lit(0.7)` performs. */
-  val qx98: String = {
+  val qx98: String = mmrOracle(
+    s"""WITH $EMB,
+       |scored AS (
+       |  SELECT q.qid, n.vec_id,
+       |         CAST(CAST(list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * qv[i])) AS BIGINT) AS DOUBLE)
+       |           / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE))) AS cosine
+       |  FROM n CROSS JOIN q WHERE n.vec_id <> q.qid)""".stripMargin)
+
+  /** qx98b twin — the same greedy over the LSH-bucketed pool: qx3's
+    * candidate CTEs feed the shared MMR builder, so the indexed
+    * retrieval AND the rerank are hash-pinned in one statement. */
+  val qx98b: String = mmrOracle(
+    s"""WITH $EMB,
+       |$LSH,
+       |qsig AS (SELECT vec_id AS qid, band, sig FROM sig WHERE vec_id % 50 = 0),
+       |lcand AS (SELECT DISTINCT s.vec_id, qs.qid
+       |          FROM sig s JOIN qsig qs ON s.band = qs.band AND s.sig = qs.sig
+       |          WHERE s.vec_id <> qs.qid),
+       |scored AS (
+       |  SELECT lcand.qid, lcand.vec_id,
+       |         CAST(CAST(list_sum(list_transform(range(1, len(nn.v) + 1), i -> nn.v[i] * q.qv[i])) AS BIGINT) AS DOUBLE)
+       |           / (sqrt(CAST(nn.n2 AS DOUBLE)) * sqrt(CAST(q.qn2 AS DOUBLE))) AS cosine
+       |  FROM lcand JOIN n nn ON nn.vec_id = lcand.vec_id
+       |             JOIN q ON q.qid = lcand.qid)""".stripMargin)
+
+  /** The shared MMR-steps builder: `prefix` supplies CTEs ending in
+    * `scored(qid, vec_id, cosine)`; this appends the top-m pool cut,
+    * the m² pairwise cosines, and the greedy step CTEs. */
+  private def mmrOracle(prefix: String): String = {
     val m = graft.queries.ExtQueries.MmrM
     val k = graft.queries.ExtQueries.MmrK
     val sb = new StringBuilder
-    sb ++= s"""WITH $EMB,
-              |scored AS (
-              |  SELECT q.qid, n.vec_id,
-              |         CAST(CAST(list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * qv[i])) AS BIGINT) AS DOUBLE)
-              |           / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE))) AS cosine
-              |  FROM n CROSS JOIN q WHERE n.vec_id <> q.qid),
+    sb ++= prefix
+    sb ++= s""",
               |cand AS (SELECT qid, vec_id, cosine
               |         FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rk
               |               FROM scored) t

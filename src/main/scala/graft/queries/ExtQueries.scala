@@ -3698,12 +3698,44 @@ object ExtQueries {
       .where(col("vec_id") =!= col("qid"))
       .withColumn("dot", expr("long_dot(iv, qiv)"))
       .withColumn("cosine", expr(COSINE))
-    // The pool is checkpointed HERE, before pairs derives from it —
-    // every downstream reference (the pairs self-join and each greedy
-    // step) would otherwise re-run the retrieval scan above.
-    val cand = topK(scored, MmrM).localCheckpoint()
-    // Pairwise sims inside each pool: ids pair first, the two vectors
-    // join back per side for survivors only (the qx3/qx12 discipline).
+    mmrEpilogue(base, topK(scored, MmrM))
+  }
+
+  /** qx98b — qx98's MMR with its pool from the LSH-BUCKETED retrieval
+    * instead of the brute scan: qx3's candidate generation (band
+    * equi-join, id-only distinct, vectors re-joined for survivors),
+    * exact cosine on candidates, top-[[MmrM]] pool, then the identical
+    * greedy. The qx79 → qx79b move applied to the rerank family — the
+    * brute row stays as the measurable baseline, this row is the
+    * production shape (candidates ∝ bucket occupancy, never n·q), and
+    * the oracle replays LSH + pool + every greedy step so the indexed
+    * pool is hash-pinned end to end too. */
+  def qx98b(spark: SparkSession, dir: String): DataFrame = {
+    val base = intEmbeddings(spark, dir)
+    val sigs = lshSigs(spark, dir)
+    val qsigs = sigs.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("band").as("qband"), col("sig").as("qsig"))
+    val cand = sigs.join(broadcast(qsigs),
+        col("band") === col("qband") && col("sig") === col("qsig") &&
+          col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id").distinct()
+    val q = base.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("n2").as("qn2"))
+    val scored = cand
+      .join(base, "vec_id")
+      .join(broadcast(q), "qid")
+      .withColumn("dot", expr("long_dot(iv, qiv)"))
+      .withColumn("cosine", expr(COSINE))
+    mmrEpilogue(base, topK(scored, MmrM))
+  }
+
+  /** The shared MMR tail behind qx98/qx98b: checkpoint the pool (its
+    * lineage is the retrieval — the pairs self-join and each greedy
+    * step would re-run it otherwise), build the m² per-query pairwise
+    * sims by two narrow id-joins (the qx3/qx12 discipline: no array
+    * ever rides the candidate shuffle), greedy-rerank. */
+  private def mmrEpilogue(base: DataFrame, pool: DataFrame): DataFrame = {
+    val cand = pool.localCheckpoint()
     val va = base.select(col("vec_id").as("va"), col("iv").as("aiv"), col("n2").as("an2"))
     val vb = base.select(col("vec_id").as("vb"), col("iv").as("biv"), col("n2").as("bn2"))
     val pairs = cand.select(col("qid"), col("vec_id").as("va"))

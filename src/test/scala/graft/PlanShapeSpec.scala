@@ -483,6 +483,8 @@ class PlanShapeSpec extends SparkTestBase {
     // exactly that at 160 s before the cut).
     assert(scans("qx98_mmr_rerank").isEmpty,
       "qx98's greedy must reference only checkpointed data, not rescans")
+    assert(scans("qx98b_mmr_indexed").isEmpty,
+      "qx98b's greedy must reference only checkpointed data, not rescans")
     assert(scans("qx100_coreset_select").isEmpty,
       "qx100's greedy must reference only checkpointed data, not rescans")
   }
