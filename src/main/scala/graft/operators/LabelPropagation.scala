@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Synchronous label propagation (Raghavan et al. 2007, "Near linear
+  * time algorithm to detect community structures in large-scale
+  * networks") — community detection over a neighbor graph, the
+  * clustering complement to [[ConnectedComponents]]: CC answers "what is
+  * transitively reachable" (any bridge merges two groups), LPA answers
+  * "where do the DENSE neighborhoods lie" (a single bridge edge loses
+  * the vote against either side's internal degree). A corpus build uses
+  * it to cut the ANN/near-dup candidate graph into topical groups for
+  * cluster-aware mixing and per-community caps.
+  *
+  * Determinism (vanilla LPA is famously order-dependent; this variant
+  * removes every source of nondeterminism so a SQL oracle can replay it):
+  *   - SYNCHRONOUS rounds: every node votes on the PREVIOUS round's
+  *     labels (no in-round propagation order to depend on).
+  *   - SELF-INCLUSION: a node's own current label joins its neighbors'
+  *     votes — damping that breaks the two-colored oscillation
+  *     synchronous LPA exhibits on bipartite-ish subgraphs.
+  *   - Ties: (count DESC, label ASC) — exact integer comparison.
+  *   - FIXED round count, not convergence detection (no job-count
+  *     nondeterminism; labels monotonically coarsen and T rounds bound
+  *     the label diameter at T hops).
+  *
+  * Plan shape per round: votes = edges ⋈ labels (hash join on the edge
+  * dst), one groupBy (node, label) count with map-side partial
+  * aggregation, one argmax groupBy(node) via max(struct) — all linear in
+  * |E|, never materializing anything per-community. The graph is cached
+  * once; each round ends in `localCheckpoint` (the [[PageRank]] lineage
+  * discipline — the tally reads the previous labels twice: neighbor
+  * votes + self votes). At 100 TB the candidate graph is the bucketed
+  * LSH join's output (~linear in corpus) and each round is two
+  * edge-sized shuffles, the qx20/qx71 class.
+  */
+object LabelPropagation {
+
+  /** @param nodes one column `u` (distinct node ids, non-negative)
+    * @param edges columns `u`, `v` — undirected edge set, each pair once
+    *              in either orientation (both orientations are derived
+    *              internally); self-loops ignored
+    * @param iters synchronous rounds (fixed, ≥ 1)
+    * @return columns `u`, `label` — the community id a node converged
+    *         to (labels are node ids; a community's id is whichever of
+    *         its members' ids won the votes) */
+  def run(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "need at least one round")
+    val nodesC = nodes.select(col("u")).cache()
+    val und = edges.select(col("u"), col("v"))
+      .where(col("u") =!= col("v"))
+      .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      .cache()
+    var labels = nodesC.select(col("u"), col("u").as("label"))
+    for (_ <- 1 to iters) {
+      // each edge (u,v) delivers v's current label to u; plus u's own
+      val votes = und
+        .join(labels.withColumnRenamed("u", "v"), "v")
+        .select(col("u"), col("label"))
+        .unionByName(labels)
+      labels = votes
+        .groupBy("u", "label").agg(count(lit(1)).as("c"))
+        .groupBy("u")
+        .agg(max(struct(col("c"), (-col("label")).as("neg"))).as("b"))
+        .select(col("u"), (-col("b.neg")).as("label"))
+        .localCheckpoint()
+    }
+    nodesC.unpersist(false); und.unpersist(false)
+    labels
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomAgg, Hilbert2, LongDotProduct, PqAdc, TopKBy, ZOrder2, ZOrderN}
+import graft.functions.{BloomAgg, Hilbert2, LongDotProduct, MaxSim, PqAdc, TopKBy, ZOrder2, ZOrderN}
 
 /** Engine extension point: registers the custom Catalyst expressions with
   * the session's FunctionRegistry, so SQL/expr() can call them by name.
@@ -55,6 +55,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "hilbert2 expects exactly 2 arguments")
         Hilbert2(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("max_sim"),
+      new ExpressionInfo(classOf[MaxSim].getName, "max_sim"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "max_sim expects exactly 3 arguments")
+        MaxSim(children.head, children(1), children(2))
       }))
     ext.injectFunction((
       FunctionIdentifier("topk_by"),

@@ -2890,4 +2890,142 @@ object ExtOracle {
               |SELECT cid, step, vec_id, gain FROM sel$r""".stripMargin
     sb.result()
   }
+
+  /** qx101/qx101b twins — the MaxSim kernel replayed relationally: both
+    * 64-long vectors split into 4 contiguous 16-dim sub-vectors with
+    * exact Long sub-norms; per (query-token, doc-token) the SAME
+    * one-division cosine shape as the Spark kernel; the token max is a
+    * plain aggregate (comparison-exact) and the outer sum repeats the
+    * kernel's ascending-i order with explicit parens ((m0+m1)+m2)+m3. */
+  private val MAXSIM_TAIL =
+    """subn AS (SELECT vec_id, i, list_slice(v, i*16 + 1, i*16 + 16) AS s,
+      |           CAST(list_sum(list_transform(list_slice(v, i*16 + 1, i*16 + 16),
+      |                                        x -> x*x)) AS BIGINT) AS sn2
+      |         FROM n, range(0, 4) t(i)),
+      |qsub AS (SELECT vec_id AS qid, i AS qi, s AS qs, sn2 AS qsn2
+      |         FROM subn WHERE vec_id % 50 = 0),
+      |cos AS (SELECT cd.qid, cd.vec_id, qs.qi, d.i AS dj,
+      |          CASE WHEN qs.qsn2 = 0 OR d.sn2 = 0 THEN 0.0
+      |               ELSE CAST(CAST(list_sum(list_transform(range(1, 17),
+      |                        k -> qs.qs[k] * d.s[k])) AS BIGINT) AS DOUBLE)
+      |                    / (sqrt(CAST(qs.qsn2 AS DOUBLE)) * sqrt(CAST(d.sn2 AS DOUBLE))) END AS cv
+      |        FROM cand cd
+      |        JOIN subn d ON d.vec_id = cd.vec_id
+      |        JOIN qsub qs ON qs.qid = cd.qid),
+      |mxt AS (SELECT qid, vec_id, qi, max(cv) AS m FROM cos GROUP BY qid, vec_id, qi),
+      |scm AS (SELECT qid, vec_id,
+      |          ((max(CASE WHEN qi = 0 THEN m END) + max(CASE WHEN qi = 1 THEN m END))
+      |            + max(CASE WHEN qi = 2 THEN m END)) + max(CASE WHEN qi = 3 THEN m END) AS maxsim
+      |        FROM mxt GROUP BY qid, vec_id)
+      |SELECT qid, rk, vec_id, maxsim
+      |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY maxsim DESC, vec_id ASC) AS rk
+      |      FROM scm) t
+      |WHERE rk <= 5""".stripMargin
+
+  val qx101: String =
+    s"""WITH $EMB,
+       |cand AS (SELECT n.vec_id, q.qid FROM n CROSS JOIN q WHERE n.vec_id <> q.qid),
+       |$MAXSIM_TAIL""".stripMargin
+
+  val qx101b: String =
+    s"""WITH $EMB,
+       |$LSH,
+       |qsig AS (SELECT vec_id AS qid, band, sig FROM sig WHERE vec_id % 50 = 0),
+       |cand AS (SELECT DISTINCT s.vec_id, qs.qid
+       |         FROM sig s JOIN qsig qs ON s.band = qs.band AND s.sig = qs.sig
+       |         WHERE s.vec_id <> qs.qid),
+       |$MAXSIM_TAIL""".stripMargin
+
+  /** qx103 twin — all five full-batch GD rounds replayed as generated
+    * CTEs: the same milli features and Gopher label as the Spark side,
+    * the same exact-Long margin / rational fast-sigmoid / milli residual
+    * shapes, weights threaded round-to-round as one-row CTEs, and the
+    * integer floor-division update spelled (g − pmod(g, 2n)) / 2n. */
+  val qx103: String = {
+    val dims = 5
+    def zExpr(wa: String) =
+      s"CAST(${(0 until dims).map(j => s"$wa.w$j * f.x$j").mkString(" + ")} AS DOUBLE) / 1000000000.0"
+    val sb = new StringBuilder
+    sb ++= s"""WITH d AS (SELECT doc_id, source, text,
+              |             list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+              |           FROM documents),
+              |s AS (SELECT doc_id, source,
+              |        CAST(len(ws) AS BIGINT) AS n_words,
+              |        CAST(list_sum([CAST(0 AS BIGINT)] || list_transform(ws, w -> CAST(length(w) AS BIGINT))) AS BIGINT) AS sum_wc,
+              |        CAST(len(list_filter(ws, w -> w IN ('the', 'a'))) AS BIGINT) AS n_stop,
+              |        CAST(len(list_filter(ws, w -> length(translate(w, 'abcdefghijklmnopqrstuvwxyz', '')) < length(w))) AS BIGINT) AS n_alpha,
+              |        CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+              |          + CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_sym,
+              |        CAST(len(list_distinct(ws)) AS BIGINT) AS ndist
+              |      FROM d),
+              |feat AS (SELECT doc_id, source,
+              |           CASE WHEN n_words BETWEEN 50 AND 100000
+              |                 AND 3 * n_words <= sum_wc AND sum_wc <= 10 * n_words
+              |                 AND 10 * n_sym <= n_words
+              |                 AND 5 * n_alpha >= 4 * n_words
+              |                 AND n_stop >= 2 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y,
+              |           CAST(1000 AS BIGINT) AS x0,
+              |           least(n_words, 400) * 5 AS x1,
+              |           (sum_wc * 125) // n_words AS x2,
+              |           (n_stop * 1000) // n_words AS x3,
+              |           (ndist * 1000) // n_words AS x4
+              |         FROM s WHERE n_words > 0),
+              |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM feat),
+              |w0 AS (SELECT ${(0 until dims).map(j => s"CAST(0 AS BIGINT) AS w$j").mkString(", ")})""".stripMargin
+    for (t <- 1 to 5) {
+      val fd = (0 until dims).map { j =>
+        val g = s"g.g$j"
+        s"w.w$j - ($g - (($g % (2 * c.n)) + (2 * c.n)) % (2 * c.n)) // (2 * c.n) AS w$j"
+      }.mkString(", ")
+      sb ++= s""",
+                |r$t AS (SELECT f.*, CAST(floor(((0.5 + z / (2.0 * (1.0 + abs(z)))) - CAST(f.y AS DOUBLE)) * 1000.0 + 0.5) AS BIGINT) AS rq
+                |        FROM (SELECT f.*, ${zExpr("w")} AS z FROM feat f CROSS JOIN w${t - 1} w) f),
+                |g$t AS (SELECT ${(0 until dims).map(j => s"CAST(sum(rq * x$j) AS BIGINT) AS g$j").mkString(", ")} FROM r$t),
+                |w$t AS (SELECT $fd FROM w${t - 1} w CROSS JOIN g$t g CROSS JOIN cnt c)""".stripMargin
+    }
+    sb ++= s"""
+              |, sc AS (SELECT f.source, f.y,
+              |           CAST(floor((0.5 + z / (2.0 * (1.0 + abs(z)))) * 1000.0 + 0.5) AS BIGINT) AS score_milli
+              |         FROM (SELECT f.*, ${zExpr("w")} AS z FROM feat f CROSS JOIN w5 w) f),
+              |agg AS (SELECT source AS grp,
+              |          CAST(count(*) AS BIGINT) AS n_docs,
+              |          CAST(sum(CASE WHEN score_milli >= 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+              |          CAST(sum(CASE WHEN (CASE WHEN score_milli >= 500 THEN 1 ELSE 0 END) = y THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+              |          CAST(sum(score_milli) AS BIGINT) AS v
+              |        FROM sc GROUP BY source)
+              |SELECT grp, n_docs, n_keep, n_agree, v FROM agg""".stripMargin
+    for (j <- 0 until dims) {
+      sb ++= s"""
+                |UNION ALL SELECT 'w$j', CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), w$j FROM w5""".stripMargin
+    }
+    sb.result()
+  }
+
+  /** qx102 twin — all four synchronous LPA rounds replayed as generated
+    * CTEs over the identical LSH candidate graph: per round, neighbor
+    * votes (both edge orientations) plus the self vote, mode label with
+    * (count DESC, label ASC) ties via QUALIFY row_number. */
+  val qx102: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH $EMB,
+              |$LSH,
+              |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+              |         FROM sig x JOIN sig y ON x.band = y.band AND x.sig = y.sig
+              |         WHERE x.vec_id < y.vec_id),
+              |e AS (SELECT a AS u, b AS v FROM cand UNION ALL SELECT b, a FROM cand),
+              |l0 AS (SELECT vec_id AS u, vec_id AS label FROM embeddings)""".stripMargin
+    for (t <- 1 to 4) {
+      sb ++= s""",
+                |vt$t AS (SELECT e.u, l.label FROM e JOIN l${t - 1} l ON e.v = l.u
+                |         UNION ALL SELECT u, label FROM l${t - 1}),
+                |tt$t AS (SELECT u, label, count(*) AS c FROM vt$t GROUP BY u, label),
+                |l$t AS (SELECT u, label FROM tt$t
+                |        QUALIFY row_number() OVER (PARTITION BY u ORDER BY c DESC, label ASC) = 1)""".stripMargin
+    }
+    sb ++= s"""
+              |, cs AS (SELECT label, count(*) AS csize FROM l4 GROUP BY label)
+              |SELECT l4.u AS vec_id, l4.label AS community, cs.csize
+              |FROM l4 JOIN cs ON l4.label = cs.label""".stripMargin
+    sb.result()
+  }
 }

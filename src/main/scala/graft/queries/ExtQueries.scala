@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{BloomFilter, Determinism}
-import graft.operators.{AhoCorasick, AudioFingerprint, BpeTrainer, CdcChunker, ConnectedComponents, CoresetSelect, DsirSelect, EmbeddingLsh, EmbeddingPca, EpochShuffle, GopherRules, HilbertCurve, HtmlCodec, InvertedIndex, IvfAnn, MixSchedule, MmrRerank, MultimodalCodec, OpqLayout, PageRank, Partitioning, ProductQuantizer, QuantKernels, RetrainTrigger, RobotsTxt, SaltedJoin, SimHashLsh, UniMax, ViterbiTokenizer, WarcCodec, WavCodec, ZOrderLayout}
+import graft.operators.{AhoCorasick, AudioFingerprint, BpeTrainer, CdcChunker, ConnectedComponents, CoresetSelect, DsirSelect, EmbeddingLsh, EmbeddingPca, EpochShuffle, GopherRules, HilbertCurve, HtmlCodec, InvertedIndex, IvfAnn, LabelPropagation, LogisticGD, MixSchedule, MmrRerank, MultimodalCodec, OpqLayout, PageRank, Partitioning, ProductQuantizer, QuantKernels, RetrainTrigger, RobotsTxt, SaltedJoin, SimHashLsh, UniMax, ViterbiTokenizer, WarcCodec, WavCodec, ZOrderLayout}
 import graft.sources.Tables
 
 /** The large-scale training-data-pipeline operator family (builder brief +
@@ -3825,5 +3825,134 @@ object ExtQueries {
       .unionByName(cand.select(col("cid"), col("vec_id").as("i"),
         col("vec_id").as("j"), lit(1000000000L).as("simw")))
     CoresetSelect.greedy(cand.select("cid", "vec_id"), pairs, CoresetR)
+  }
+
+  /** qx101 — LATE-INTERACTION retrieval (ColBERT MaxSim, Khattab &
+    * Zaharia SIGIR 2020): each 64-dim vector is read as 4 contiguous
+    * 16-dim "token" sub-vectors (the stand-in this corpus affords for
+    * per-token embeddings — the plumbing, scoring kernel and plan shape
+    * are exactly the multi-vector ones), and a pair's score is
+    * Σ_i max_j cos(q_i, d_j) — finer-grained than single-vector cosine
+    * because each query token independently picks its best document
+    * token. Scored by the fused [[graft.functions.MaxSim]] codegen
+    * kernel: zero per-pair allocations vs the 2·t² slices the
+    * declarative spelling would copy (MaxSimSpec pins bit-equality).
+    *
+    * This is the brute correctness baseline, the qx2 shape: query side
+    * broadcast, the base table streamed through executors unshuffled —
+    * one corpus scan, map-side-bounded topk_by, no n·q exchange. The
+    * production path is qx101b (candidates from the LSH index, MaxSim
+    * as the rerank epilogue — the qx79/qx79b split). */
+  def qx101(spark: SparkSession, dir: String): DataFrame = {
+    val base = intEmbeddings(spark, dir)
+    val q = base.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("iv").as("qiv"))
+    val scored = base.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("maxsim", expr("max_sim(qiv, iv, 4)"))
+    scored.groupBy("qid").agg(expr("topk_by(maxsim, vec_id, 5)").as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("p", "t")))
+      .select(col("qid"), (col("p") + 1).as("rk"),
+        col("t.id").as("vec_id"), col("t.score").as("maxsim"))
+  }
+
+  /** qx102 — COMMUNITY DETECTION by synchronous label propagation
+    * ([[LabelPropagation]], Raghavan et al. 2007) over the embedding
+    * LSH candidate graph (qx12's banded collisions — the semantic
+    * neighbor graph the dedup pass already mines): four deterministic
+    * rounds of mode-label voting with self-inclusion and (count DESC,
+    * label ASC) ties, then each node tagged with its community and the
+    * community's size. The clustering complement to qx20's connected
+    * components — a bridge edge merges CC clusters but LOSES the LPA
+    * vote against either side's internal density, which is what
+    * cluster-aware mixing and per-community caps actually want.
+    *
+    * Scale shape: candidate edges are the bucketed (band, sig)
+    * equi-join (~linear in corpus, never all-pairs); each round is two
+    * edge-sized shuffles with map-side partial counts; lineage cut per
+    * round. The oracle replays all four rounds as generated CTEs. */
+  def qx102(spark: SparkSession, dir: String): DataFrame = {
+    val nodes = Tables.embeddings(spark, dir).select(col("vec_id").as("u"))
+    val edges = EmbeddingLsh.candidatePairs(lshSigs(spark, dir))
+      .select(col("vec_a").as("u"), col("vec_b").as("v"))
+    val labels = LabelPropagation.run(nodes, edges, iters = 4)
+    val cs = labels.groupBy("label").agg(count(lit(1)).as("csize"))
+    labels.join(cs, "label")
+      .select(col("u").as("vec_id"), col("label").as("community"), col("csize"))
+  }
+
+  /** qx103 — CLASSIFIER DISTILLATION by in-plan logistic GD
+    * ([[LogisticGD]]): qx84's Gopher rule composite plays the expensive
+    * labeler; five full-batch GD rounds distill it into a 5-weight
+    * linear scorer over cheap per-doc stats (bias, capped word count,
+    * mean word length, stopword ratio, distinct-word ratio — all
+    * milli-scaled Longs), which is then served back over the corpus:
+    * per-source doc/keep/label-agreement counts plus the learned
+    * micro-weights, every bit oracle-replayed (the rational fast-sigmoid
+    * link and milli-quantized residuals exist exactly so the five
+    * gradient sums are order-free exact Longs — see the operator
+    * scaladoc). CCNet/fastText's curation pattern: label once with the
+    * slow rules, serve the distilled scorer at ingest.
+    *
+    * Scale shape: each round is one scan of the cached milli-feature
+    * table (5 Longs/row) ending in a 5-long tree-aggregate; weights
+    * ride back as plan literals. Nothing driver-side grows with the
+    * corpus, and the exact-Long gradients survive to ~4·10¹² rows. */
+  def qx103(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ruled = GopherRules.withRuleColumns(Tables.documents(spark, dir))
+    val feat = ruled
+      .where(col("n_words") > 0L)
+      .withColumn("ndist", expr(
+        "CAST(size(array_distinct(filter(split(text, ' '), w -> length(w) > 0))) AS BIGINT)"))
+      .select(col("doc_id"), col("source"), col("pass").as("y"),
+        lit(1000L).as("x0"),
+        (least(col("n_words"), lit(400L)) * 5L).as("x1"),
+        expr("(sum_wc * 125) div n_words").as("x2"),
+        expr("(n_stop * 1000) div n_words").as("x3"),
+        expr("(ndist * 1000) div n_words").as("x4"))
+    val w = LogisticGD.train(feat, dims = 5, iters = 5, etaDen = 2L)
+    val scored = LogisticGD.withScore(feat, w)
+      .withColumn("score_milli", expr("CAST(floor(p * 1000.0D + 0.5D) AS BIGINT)"))
+      .withColumn("keep", (col("score_milli") >= 500L).cast("long"))
+    val bySource = scored.groupBy(col("source").as("grp"))
+      .agg(count(lit(1)).as("n_docs"), sum("keep").as("n_keep"),
+        sum(when(col("keep") === col("y"), 1L).otherwise(0L)).as("n_agree"),
+        sum("score_milli").as("v"))
+    val wRows = w.zipWithIndex.toSeq
+      .map { case (wj, j) => (s"w$j", 0L, 0L, 0L, wj) }
+      .toDF("grp", "n_docs", "n_keep", "n_agree", "v")
+    bySource.unionByName(wRows)
+  }
+
+  /** qx101b — qx101's MaxSim with its candidates from the banded LSH
+    * index (qx3's candidate generation verbatim): first-stage retrieval
+    * narrows the corpus to vectors sharing any band signature with the
+    * query, then the MaxSim kernel reranks ONLY the survivors — the
+    * production late-interaction shape (ColBERT itself serves this way:
+    * ANN over single vectors, MaxSim over the shortlist). Recall is
+    * approximate by design; the oracle replays the identical
+    * plane/bucket math so the gate still hash-matches. At 100 TB the
+    * candidate join is the equi-join on (band, sig) and the expensive
+    * t² kernel touches candidate-count rows, never the corpus. */
+  def qx101b(spark: SparkSession, dir: String): DataFrame = {
+    val base = intEmbeddings(spark, dir)
+    val sigs = lshSigs(spark, dir)
+    val qsigs = sigs.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("band").as("qband"), col("sig").as("qsig"))
+    val cand = sigs.join(broadcast(qsigs),
+        col("band") === col("qband") && col("sig") === col("qsig") &&
+          col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id").distinct()
+    val q = base.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("iv").as("qiv"))
+    val scored = cand
+      .join(base, "vec_id")
+      .join(broadcast(q), "qid")
+      .withColumn("maxsim", expr("max_sim(qiv, iv, 4)"))
+    scored.groupBy("qid").agg(expr("topk_by(maxsim, vec_id, 5)").as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("p", "t")))
+      .select(col("qid"), (col("p") + 1).as("rk"),
+        col("t.id").as("vec_id"), col("t.score").as("maxsim"))
   }
 }

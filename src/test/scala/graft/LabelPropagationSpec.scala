@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{ConnectedComponents, LabelPropagation}
+
+/** [[LabelPropagation]] — synchronous, self-inclusive, tie-deterministic
+  * LPA. Pins the behavioral contract (dense groups keep their own labels
+  * across a bridge that CC would merge), the damping (self-inclusion
+  * breaks two-coloring on bipartite subgraphs), determinism across
+  * repartitionings, and exact equality with an independent driver-side
+  * replay of the voting rule. */
+class LabelPropagationSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def runLpa(edges: Seq[(Long, Long)], n: Long, iters: Int): Map[Long, Long] =
+    LabelPropagation.run(
+      spark.range(n).select(col("id").as("u")),
+      edges.toDF("u", "v"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Driver-side replay: same synchronous vote (neighbors + self, count
+    * DESC then label ASC). */
+  private def reference(edges: Seq[(Long, Long)], n: Long, iters: Int): Map[Long, Long] = {
+    val adj = (edges ++ edges.map(e => (e._2, e._1)))
+      .filter(e => e._1 != e._2).distinct
+      .groupBy(_._1).map { case (u, es) => u -> es.map(_._2) }
+    var labels = (0L until n).map(u => u -> u).toMap
+    for (_ <- 1 to iters) {
+      labels = labels.map { case (u, own) =>
+        val votes = (adj.getOrElse(u, Seq.empty).map(labels) :+ own)
+          .groupBy(identity).map { case (l, vs) => (l, vs.size) }
+        u -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    labels
+  }
+
+  // Two triangles {0,1,2} and {3,4,5} joined by the single bridge 2-3.
+  private val bridged = Seq((0L, 1L), (1L, 2L), (0L, 2L), (3L, 4L), (4L, 5L), (3L, 5L), (2L, 3L))
+
+  test("dense communities survive a bridge that CC merges") {
+    val lpa = runLpa(bridged, 6, iters = 4)
+    assert(lpa(0L) === lpa(1L) && lpa(1L) === lpa(2L))
+    assert(lpa(3L) === lpa(4L) && lpa(4L) === lpa(5L))
+    assert(lpa(0L) !== lpa(3L), "the bridge must lose against internal density")
+    val cc = ConnectedComponents.connectedComponents(bridged.toDF("u", "v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.values.toSet.size === 1, "CC merges across the bridge")
+  }
+
+  test("equals the driver-side synchronous replay (several graphs, several round counts)") {
+    val graphs = Seq(
+      bridged,
+      // path graph
+      (0L until 7L).sliding(2).map(s => (s(0), s(1))).toSeq,
+      // star
+      (1L until 8L).map(i => (0L, i)),
+      // two squares + bridge (bipartite-ish pieces)
+      Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (4L, 5L), (5L, 6L), (6L, 7L), (7L, 4L), (0L, 4L)))
+    for (g <- graphs; it <- Seq(1, 2, 4)) {
+      val n = (g.flatMap(e => Seq(e._1, e._2)).max + 1)
+      assert(runLpa(g, n, it) === reference(g, n, it), s"graph=$g iters=$it")
+    }
+  }
+
+  test("self-inclusion damps the synchronous two-coloring oscillation") {
+    // On the single edge 0-1 WITHOUT self votes labels would swap forever:
+    // after any odd round {0->1, 1->0}, after even rounds back. With
+    // self-inclusion the tie (1 neighbor vote vs 1 self vote) breaks to
+    // the smaller label and both converge to 0 — stable across rounds.
+    for (it <- Seq(1, 2, 3, 4)) {
+      val l = runLpa(Seq((0L, 1L)), 2, it)
+      assert(l === Map(0L -> 0L, 1L -> 0L), s"iters=$it")
+    }
+  }
+
+  test("isolated nodes keep their own label") {
+    val l = runLpa(Seq((0L, 1L)), 4, 3)
+    assert(l(2L) === 2L && l(3L) === 3L)
+  }
+
+  test("deterministic under repartitioning and input order") {
+    val edges = bridged ++ Seq((5L, 6L), (6L, 7L), (5L, 7L))
+    val a = LabelPropagation.run(
+      spark.range(8).select(col("id").as("u")).repartition(7),
+      edges.reverse.toDF("u", "v").repartition(5), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val b = runLpa(edges, 8, 4).toSeq.sortBy(_._1)
+    assert(a.toSeq === b.map(t => (t._1, t._2)))
+  }
+}
