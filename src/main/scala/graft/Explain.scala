@@ -24,7 +24,9 @@ object Explain {
         "qx72_robots_filter", "qx73_hll_registers", "qx74_eval_overlap",
         "qx75_authority_cap", "qx76_audio_neardup", "qx77_wet_funnel",
         "qx78_zorder3", "qx79_hybrid_rrf", "qx81_priority_sample",
-        "qx82_rendezvous_shard", "qx83_epoch_shuffle")
+        "qx82_rendezvous_shard", "qx83_epoch_shuffle",
+        "qx101_maxsim", "qx101b_maxsim_lsh", "qx102_label_prop",
+        "qx103_logistic_distill")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

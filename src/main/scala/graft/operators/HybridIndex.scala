@@ -736,6 +736,48 @@ object HybridIndex {
       .withColumnRenamed("vec_id", "doc_id")
   }
 
+  /** [[search]] with late-interaction MaxSim as the serving epilogue
+    * (the qx101b production shape riding the index): each query's fused
+    * top-10 pool is re-scored by the [[graft.functions.MaxSim]] kernel
+    * — Σ_i max_j cos(q_i, d_j) over 4 contiguous 16-dim token
+    * sub-vectors — and cut to `k`. Both sides' vectors come from the
+    * index's own committed base (two narrow id-joins over ≤10 rows per
+    * query; never a corpus rescan — the [[searchDiverse]] shape with
+    * the kernel swapped in).
+    *
+    * OPQ caveat handled here, not by the caller: MaxSim's token
+    * structure is POSITIONAL, and an OPQ-built index stores vectors in
+    * the permuted layout — a full dot is permutation-invariant but a
+    * sub-vector split is not. The epilogue therefore restores the
+    * ORIGINAL dimension order (inverting the persisted layout) before
+    * slicing tokens, so late-interaction scores are identical whether
+    * the index was built natural or OPQ (the spec pins this).
+    * Returns (qid, rk, doc_id, maxsim) in MaxSim order. */
+  def searchLateInteraction(spark: SparkSession, indexDir: String, k: Int = 5,
+                            qPred: org.apache.spark.sql.Column = DefaultQPred): DataFrame = {
+    val live = liveSegments(spark, indexDir)
+    val served = searchSegments(spark, indexDir, live, qPred)
+    // Checkpoint the pool — its lineage is the full serve and the two
+    // base joins below would re-run it (the searchDiverse lesson).
+    val pool = served.select(col("qid"), col("doc_id").as("vec_id")).localCheckpoint()
+    val base0 = readAsset(spark, indexDir, "base.parquet", live)
+    val base = layoutPerm(spark, indexDir) match {
+      case None => base0
+      case Some(perm) =>
+        val inv = new Array[Int](perm.length)
+        perm.zipWithIndex.foreach { case (orig, pos) => inv(orig) = pos }
+        OpqLayout.permuteCol(base0, "iv", inv)
+    }
+    val dv = base.select(col("vec_id"), col("iv"))
+    val qv = base.select(col("vec_id").as("qid"), col("iv").as("qiv"))
+    pool.join(dv, "vec_id").join(qv, "qid")
+      .withColumn("maxsim", expr("max_sim(qiv, iv, 4)"))
+      .groupBy("qid").agg(expr(s"topk_by(maxsim, vec_id, $k)").as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("p", "t")))
+      .select(col("qid"), (col("p") + 1).as("rk"),
+        col("t.id").as("doc_id"), col("t.score").as("maxsim"))
+  }
+
   private def searchSegments(spark: SparkSession, indexDir: String,
                              live: Seq[String],
                              qPred: org.apache.spark.sql.Column): DataFrame = {

@@ -119,4 +119,120 @@ object ViterbiTokenizer {
       }
     }.toDF("word", "n_pieces", "vit_score", "vit_sig")
   }
+
+  // ----------------------------------------------------------- hard EM
+
+  /** DP under an EXPLICIT per-piece score map (the EM rounds' form):
+    * legality for any length = membership in the map (the map carries
+    * every single corpus character by construction, so segmentation
+    * stays total). Same packed (total·8 + L) tie-break as [[piecesOf]];
+    * with [[initScores]] the two are identical piece-for-piece
+    * (spec-pinned). */
+  private[graft] def piecesOfScored(word: String,
+                                    scores: scala.collection.Map[String, Long]): List[String] = {
+    val n = word.length
+    val best = new Array[Long](n + 1)
+    var i = 1
+    while (i <= n) {
+      var pk = Long.MinValue
+      var l = 1
+      while (l <= math.min(MaxPiece, i)) {
+        val piece = word.substring(i - l, i)
+        val sc = scores.getOrElse(piece, Long.MinValue)
+        if (sc != Long.MinValue) {
+          val cand = ((best(i - l) >> 3) + sc) * 8L + l
+          if (cand > pk) pk = cand
+        }
+        l += 1
+      }
+      best(i) = pk
+      i += 1
+    }
+    var pos = n; var acc = List.empty[String]
+    while (pos > 0) {
+      val l = (best(pos) & 7L).toInt
+      acc = word.substring(pos - l, pos) :: acc
+      pos -= l
+    }
+    acc
+  }
+
+  private[graft] def segmentScored(word: String,
+                                   scores: scala.collection.Map[String, Long]): (Long, Long, Long) = {
+    val ps = piecesOfScored(word, scores)
+    val total = ps.iterator.map(scores).sum
+    val cs = ps.reverse.foldLeft(0L)((a, p) => (a * 1009L + horner(p)) % CsP)
+    (ps.length.toLong, total, cs)
+  }
+
+  /** The round-0 score map: the closed [[score]] formula over the
+    * thresholded vocab pieces PLUS every single corpus character (the
+    * alphabet), so [[piecesOfScored]] under it equals [[piecesOf]]
+    * under the bare vocab. */
+  def initScores(vocab: Set[String], alphabet: Set[String]): Map[String, Long] =
+    (vocab ++ alphabet).iterator.map(p => p -> score(p)).toMap
+
+  /** [[segments]] under an explicit score map. */
+  def segmentsScored(words: DataFrame,
+                     scores: Map[String, Long]): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(scores)
+    words.select("word").as[String].mapPartitions { it =>
+      val s = bc.value
+      it.map { w =>
+        val (np, sc, cs) = segmentScored(w, s)
+        (w, np, sc, cs)
+      }
+    }.toDF("word", "n_pieces", "vit_score", "vit_sig")
+  }
+
+  /** (word, piece) usage rows of the DP under `scores` — the hard
+    * E-step's sufficient statistic, one row per chosen piece
+    * occurrence. Distinct-word-bounded (≤ maxLen rows per word). */
+  def pieceUses(words: DataFrame, scores: Map[String, Long]): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(scores)
+    words.select("word").as[String].mapPartitions { it =>
+      val s = bc.value
+      it.flatMap(w => piecesOfScored(w, s).map(p => (w, p)))
+    }.toDF("word", "piece")
+  }
+
+  /** ONE hard-EM refinement of the piece scores — the SentencePiece EM
+    * loop (Kudo 2018) with HARD counts (Viterbi assignments, not
+    * forward-backward posteriors) and an integer micro-probability
+    * surrogate in place of the log-likelihood, so every statistic is an
+    * exact Long and a SQL twin replays the round bit-for-bit
+    * (documented divergence: the published M-step sets score = log p(p),
+    * making Viterbi maximize sequence log-probability; the integer
+    * rendering keeps the length² prior and adds the Laplace-smoothed
+    * usage probability in micro-units — frequent pieces win DP ties and
+    * attract more usage next round, the same fixed-point direction):
+    *
+    *   cnt(p)      = Σ_words freq(word) · uses(p, word)   (exact Long)
+    *   score'(p)   = 100·len(p)² + ⌊10⁶·(cnt(p)+1) div (total + |P|)⌋
+    *
+    * over the FULL piece set P = vocab ∪ alphabet (unused pieces take
+    * the smoothed floor, so the map's key set — and with it DP
+    * legality — never changes across rounds). The counts collect is
+    * vocab-bounded (the codebook discipline); the corpus-sized
+    * frequency weighting stays in the plan.
+    *
+    * @param wordFreq (word, freq) — corpus occurrence counts
+    * @return the refined score map, same key set */
+  def emRefine(wordFreq: DataFrame, scores: Map[String, Long]): Map[String, Long] = {
+    val uses = pieceUses(wordFreq.select("word"), scores)
+    val cnt = uses
+      .join(wordFreq, "word")
+      .groupBy("piece").agg(sum("freq").as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = cnt.valuesIterator.sum
+    val nv = scores.size.toLong
+    scores.keysIterator.map { p =>
+      val l = p.length.toLong
+      p -> (100L * l * l + (1000000L * (cnt.getOrElse(p, 0L) + 1L)) / (total + nv))
+    }.toMap
+  }
 }

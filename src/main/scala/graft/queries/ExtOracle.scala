@@ -3001,6 +3001,109 @@ object ExtOracle {
     sb.result()
   }
 
+  /** qx104 twin — the hard-EM round replayed end to end: the qx96 DP
+    * chain GENERALIZED over its score source and generated twice —
+    * round 0 under the closed seed formula, round 1 under the
+    * re-scored table — with the E-step in between: chosen pieces
+    * extracted from the round-0 BACKTRACK columns (one SELECT per
+    * backtrack step), frequency-weighted counts, and the
+    * Laplace-smoothed micro-probability M-step. Integer arithmetic
+    * only; same maxLen error() guard as qx96. */
+  val qx104: String = {
+    val maxLen = 12; val maxPiece = 4
+    def h(e: String): String =
+      s"list_reduce([CAST(0 AS BIGINT)] || list_transform(string_split($e, ''), " +
+        s"c -> CAST(ascii(c) AS BIGINT)), (a, b) -> (a*31 + b) % 1000003)"
+    // One DP + backtrack chain; tables suffixed r$r, columns unsuffixed
+    // (chains never join each other until the aliased seg CTEs).
+    def dpChain(r: Int, legal: (Int, String) => String,
+                scoreOf: (Int, String) => String): String = {
+      val sb2 = new StringBuilder
+      sb2 ++= s",\ns0r$r AS MATERIALIZED (SELECT word FROM words)"
+      for (i <- 1 to maxLen) {
+        val cands = (1 to math.min(maxPiece, i)).map { l =>
+          val prev = if (i - l == 0) "CAST(0 AS BIGINT)" else s"pk${i - l} // 8"
+          val piece = s"substr(word, $i - $l + 1, $l)"
+          s"""CASE WHEN length(word) >= $i AND ${legal(l, piece)}
+             |  THEN ($prev + ${scoreOf(l, piece)}) * 8 + $l END""".stripMargin
+        }.mkString(",\n  ")
+        sb2 ++= s""",
+                   |s${i}r$r AS MATERIALIZED (SELECT *, greatest(
+                   |  $cands) AS pk$i FROM s${i - 1}r$r)""".stripMargin
+      }
+      val pkAt = (v: String) =>
+        s"CASE $v ${(1 to maxLen).map(i => s"WHEN $i THEN pk$i").mkString(" ")} END"
+      sb2 ++= s""",
+                 |t0r$r AS MATERIALIZED (SELECT *, length(word) AS pos0,
+                 |       CAST(0 AS BIGINT) AS np0, CAST(0 AS BIGINT) AS cs0 FROM s${maxLen}r$r)""".stripMargin
+      for (k <- 1 to maxLen) {
+        sb2 ++= s""",
+                   |u${k}r$r AS MATERIALIZED (SELECT *, CASE WHEN pos${k - 1} > 0
+                   |  THEN CAST(${pkAt(s"pos${k - 1}")} % 8 AS INTEGER) END AS l$k FROM t${k - 1}r$r),
+                   |t${k}r$r AS MATERIALIZED (SELECT *,
+                   |  CASE WHEN pos${k - 1} > 0 THEN pos${k - 1} - l$k ELSE pos${k - 1} END AS pos$k,
+                   |  CASE WHEN pos${k - 1} > 0 THEN np${k - 1} + 1 ELSE np${k - 1} END AS np$k,
+                   |  CASE WHEN pos${k - 1} > 0
+                   |    THEN (cs${k - 1} * 1009 + ${h(s"substr(word, pos${k - 1} - l$k + 1, l$k)")}) % 2147483647
+                   |    ELSE cs${k - 1} END AS cs$k FROM u${k}r$r)""".stripMargin
+      }
+      sb2 ++= s""",
+                 |segr$r AS (SELECT word,
+                 |        CASE WHEN length(word) > $maxLen
+                 |             THEN error('qx104 oracle: word "' || word || '" exceeds maxLen=$maxLen — regenerate the oracle stages with a larger bound')
+                 |             ELSE np$maxLen END AS np$r,
+                 |        ${pkAt("length(word)")} // 8 AS score$r,
+                 |        cs$maxLen AS sig$r FROM t${maxLen}r$r)""".stripMargin
+      sb2.result()
+    }
+    val sb = new StringBuilder
+    sb ++= s"WITH $DOCS,\n"
+    sb ++= """dw AS (SELECT doc_id, w AS word FROM docs, unnest(ws) t(w)),
+             |wf AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM dw GROUP BY word),
+             |words AS MATERIALIZED (SELECT word FROM wf),
+             |vp AS MATERIALIZED (SELECT piece FROM (
+             |  SELECT DISTINCT word, substr(word, i, l) AS piece
+             |  FROM words, unnest(range(2, 5)) tl(l),
+             |       unnest(range(1, length(word) - l + 2)) tp(i))
+             |  GROUP BY piece HAVING count(*) >= 3),
+             |alpha AS MATERIALIZED (SELECT DISTINCT substr(word, i, 1) AS piece
+             |          FROM words, unnest(range(1, length(word) + 1)) tp(i)),
+             |pieces AS MATERIALIZED (SELECT piece FROM vp UNION SELECT piece FROM alpha)""".stripMargin
+    // round 0: closed seed formula, vocab-gated for l >= 2
+    sb ++= dpChain(0,
+      legal = (l, p) => if (l == 1) "TRUE" else s"$p IN (SELECT piece FROM vp)",
+      scoreOf = (l, p) => s"100*$l*$l + ${h(p)} % 50")
+    // E-step: chosen pieces from the round-0 backtrack, freq-weighted
+    sb ++= s""",
+              |use0 AS (${(1 to maxLen).map(k =>
+                s"SELECT word, substr(word, pos${k - 1} - l$k + 1, l$k) AS piece " +
+                  s"FROM t${maxLen}r0 WHERE pos${k - 1} > 0").mkString("\n  UNION ALL ")}),
+              |cnt AS MATERIALIZED (SELECT u.piece, CAST(sum(wf.freq) AS BIGINT) AS c
+              |        FROM use0 u JOIN wf ON u.word = wf.word GROUP BY u.piece),
+              |tot AS MATERIALIZED (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS total,
+              |               (SELECT CAST(count(*) AS BIGINT) FROM pieces) AS nv FROM cnt),
+              |sc1 AS MATERIALIZED (SELECT p.piece,
+              |          100 * length(p.piece) * length(p.piece)
+              |            + (1000000 * (coalesce(c.c, 0) + 1)) // (t.total + t.nv) AS s
+              |        FROM pieces p LEFT JOIN cnt c ON p.piece = c.piece CROSS JOIN tot t)""".stripMargin
+    // round 1: the refined score table drives legality AND score
+    sb ++= dpChain(1,
+      legal = (_, p) => s"$p IN (SELECT piece FROM pieces)",
+      scoreOf = (_, p) => s"(SELECT s FROM sc1 WHERE sc1.piece = $p)")
+    sb ++= s"""
+              |SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+              |       CAST(sum(np0) AS BIGINT) AS n_tok_seed,
+              |       CAST(sum(np1) AS BIGINT) AS n_tok_em,
+              |       CAST(sum(score0) AS BIGINT) AS seed_score,
+              |       CAST(sum(score1) AS BIGINT) AS em_score,
+              |       CAST(sum(sig0) AS BIGINT) AS seed_sig,
+              |       CAST(sum(sig1) AS BIGINT) AS em_sig
+              |FROM dw JOIN segr0 ON dw.word = segr0.word
+              |        JOIN segr1 ON dw.word = segr1.word
+              |GROUP BY dw.doc_id""".stripMargin
+    sb.result()
+  }
+
   /** qx102 twin — all four synchronous LPA rounds replayed as generated
     * CTEs over the identical LSH candidate graph: per round, neighbor
     * votes (both edge orientations) plus the self vote, mode label with

@@ -3925,6 +3925,54 @@ object ExtQueries {
     bySource.unionByName(wRows)
   }
 
+  /** qx104 — HARD-EM refinement of the Viterbi piece scores
+    * ([[ViterbiTokenizer.emRefine]]): the SentencePiece EM loop
+    * (Kudo 2018) closed over qx96's seed system — segment the corpus
+    * under the seed scores (hard E-step: Viterbi assignments, weighted
+    * by corpus word frequency), re-score every piece by its
+    * Laplace-smoothed usage probability in integer micro-units (M-step;
+    * the log-likelihood divergence is documented on the operator), and
+    * re-segment. The gate output is per-doc BOTH segmentations — token
+    * counts, score totals and the right-to-left Horner signatures — so
+    * the hash pins the seed DP, the counted statistic, the refined
+    * score table and the refined DP at once. The whole system is
+    * integer-exact end to end (the only qx row with literally no
+    * doubles anywhere).
+    *
+    * Scale shape: both DPs and the E-step statistic are
+    * DISTINCT-WORD-bounded kernel passes with the score map broadcast;
+    * the corpus-sized work is the frequency weighting and the final
+    * explode + broadcast join + per-doc fold (the qx61/qx96 class); the
+    * M-step collect is vocab-bounded (the codebook discipline). The
+    * oracle replays seed DP → usage extraction from the backtrack →
+    * counts → smoothed re-score → refined DP as one generated CTE
+    * chain. */
+  def qx104(spark: SparkSession, dir: String): DataFrame = {
+    val docsW = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(expr(WORDS)).as("word"))
+    val wordFreq = docsW.groupBy("word").agg(count(lit(1)).as("freq"))
+    val words = wordFreq.select("word")
+    val vocab = ViterbiTokenizer.pieceVocab(words)
+      .collect().map(_.getString(0)).toSet
+    val alphabet = words.select(explode(expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))")).as("piece"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val s0 = ViterbiTokenizer.initScores(vocab, alphabet)
+    val s1 = ViterbiTokenizer.emRefine(wordFreq, s0)
+    def seg(scores: Map[String, Long], sfx: String) =
+      ViterbiTokenizer.segmentsScored(words, scores)
+        .select(col("word"), col("n_pieces").as(s"np$sfx"),
+          col("vit_score").as(s"score$sfx"), col("vit_sig").as(s"sig$sfx"))
+    docsW
+      .join(broadcast(seg(s0, "0")), "word")
+      .join(broadcast(seg(s1, "1")), "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("np0").as("n_tok_seed"), sum("np1").as("n_tok_em"),
+        sum("score0").as("seed_score"), sum("score1").as("em_score"),
+        sum("sig0").as("seed_sig"), sum("sig1").as("em_sig"))
+  }
+
   /** qx101b — qx101's MaxSim with its candidates from the banded LSH
     * index (qx3's candidate generation verbatim): first-stage retrieval
     * narrows the corpus to vectors sharing any band signature with the

@@ -339,4 +339,49 @@ class HybridIndexSpec extends SparkTestBase {
     }
     info(s"λ=0.7 reordered ${reordered}/${byQ.size} queries vs the served ranking")
   }
+
+  test("searchLateInteraction: pool-restricted MaxSim; OPQ build serves identically") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.ExtQueries
+    import graft.sources.Tables
+    val outN = tmpDir("li_nat"); val outO = tmpDir("li_opq")
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val raw = Tables.embeddings(spark, dir)
+    HybridIndex.build(spark, docs, raw, outN)
+    HybridIndex.build(spark, docs, raw, outO, opq = true)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("qid"), col("rk").cast("long"), col("doc_id"), col("maxsim"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2))
+    // Reference builder: a build's OWN fused pool rescored by max_sim
+    // over the RAW corpus vectors (independent of index storage). The
+    // pools legitimately differ between natural and OPQ builds — PQ
+    // quantization in the permuted space retrieves different dense
+    // candidates — so the pin is per-build: serve == raw-vector
+    // reference. For the OPQ build that equality holds ONLY if the
+    // epilogue inverts the stored layout before token slicing (MaxSim's
+    // token structure is positional; a permuted split scores
+    // differently), which is exactly the property under test.
+    val base = ExtQueries.intEmbeddingsFrom(raw)
+    def reference(out: String) = {
+      val pool = HybridIndex.search(spark, out)
+        .select(col("qid"), col("doc_id").as("vec_id"))
+      pool
+        .join(base.select(col("vec_id"), col("iv")), "vec_id")
+        .join(base.select(col("vec_id").as("qid"), col("iv").as("qiv")), "qid")
+        .withColumn("maxsim", expr("max_sim(qiv, iv, 4)"))
+        .groupBy("qid").agg(expr("topk_by(maxsim, vec_id, 5)").as("tk"))
+        .select(col("qid"), posexplode(col("tk")).as(Seq("p", "t")))
+        .select(col("qid"), (col("p") + 1).as("rk"),
+          col("t.id").as("doc_id"), col("t.score").as("maxsim"))
+    }
+    val nat = canon(HybridIndex.searchLateInteraction(spark, outN))
+    assert(nat.nonEmpty)
+    assert(nat.toSeq === canon(reference(outN)).toSeq,
+      "natural-build serve must equal the pool-restricted raw-vector MaxSim")
+    val opq = canon(HybridIndex.searchLateInteraction(spark, outO))
+    assert(opq.toSeq === canon(reference(outO)).toSeq,
+      "OPQ-build serve must invert the layout before token slicing")
+  }
 }

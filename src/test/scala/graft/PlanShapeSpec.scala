@@ -494,4 +494,43 @@ class PlanShapeSpec extends SparkTestBase {
     assert(read.nonEmpty && read.forall(_ == Set("embedding")),
       s"the energy pass must read only the vectors, saw $read")
   }
+
+  test("qx101: brute MaxSim broadcasts the query side and never shuffles the corpus") {
+    val p = sparkPlan("qx101_maxsim")
+    assert(p.toString.contains("BroadcastNestedLoopJoin") ||
+      p.toString.contains("BroadcastHashJoin"),
+      "the query set must ride a broadcast, not an exchange")
+    // The only exchange is the bounded topk_by aggregation on qid — the
+    // n·q scored pairs themselves must not cross the wire (the partial
+    // topk_by prunes each map task to ≤ k rows per query first).
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Partial
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    assert(p.collect {
+      case a: BaseAggregateExec
+        if a.aggregateExpressions.exists(_.mode == Partial) => a
+    }.nonEmpty, "topk_by must partial-aggregate map-side")
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val ex = SparkEntry.queries("qx101_maxsim")(spark, dir)
+        .queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }
+      assert(ex.size == 1, s"expected one (post-partial-topk) exchange, saw ${ex.size}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("qx102: the LPA output plan runs off the checkpointed labels, not rescans") {
+    // Four voting rounds each end in localCheckpoint; the community-size
+    // epilogue must reference only the final checkpointed labels — a file
+    // scan here would mean a round's lineage re-runs the LSH candidate
+    // join (the qx98/qx100 lesson applied to the iterative operator).
+    assert(scans("qx102_label_prop").isEmpty,
+      "qx102's epilogue must reference only checkpointed labels")
+  }
+
+  test("qx103: the serving scan is pruned to the feature inputs") {
+    val read = scans("qx103_logistic_distill").map(_.requiredSchema.fieldNames.toSet)
+    assert(read.nonEmpty && read.forall(s => s.subsetOf(Set("text", "source"))),
+      s"the distilled scorer needs text + source only, saw $read")
+  }
 }
