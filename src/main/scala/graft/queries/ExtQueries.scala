@@ -3898,10 +3898,11 @@ object ExtQueries {
     * table (5 Longs/row) ending in a 5-long tree-aggregate; weights
     * ride back as plan literals. Nothing driver-side grows with the
     * corpus, and the exact-Long gradients survive to ~4·10¹² rows. */
-  def qx103(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val ruled = GopherRules.withRuleColumns(Tables.documents(spark, dir))
-    val feat = ruled
+  /** qx103's milli-feature table (doc_id, source, y, x0..x4) — shared
+    * with [[graft.streaming.LogisticServeStream]]'s spec so the online
+    * scorer is pinned against the exact batch features. */
+  private[graft] def logisticFeatures(spark: SparkSession, dir: String): DataFrame =
+    GopherRules.withRuleColumns(Tables.documents(spark, dir))
       .where(col("n_words") > 0L)
       .withColumn("ndist", expr(
         "CAST(size(array_distinct(filter(split(text, ' '), w -> length(w) > 0))) AS BIGINT)"))
@@ -3911,6 +3912,10 @@ object ExtQueries {
         expr("(sum_wc * 125) div n_words").as("x2"),
         expr("(n_stop * 1000) div n_words").as("x3"),
         expr("(ndist * 1000) div n_words").as("x4"))
+
+  def qx103(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val feat = logisticFeatures(spark, dir)
     val w = LogisticGD.train(feat, dims = 5, iters = 5, etaDen = 2L)
     val scored = LogisticGD.withScore(feat, w)
       .withColumn("score_milli", expr("CAST(floor(p * 1000.0D + 0.5D) AS BIGINT)"))
