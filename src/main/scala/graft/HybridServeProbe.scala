@@ -50,11 +50,21 @@ object HybridServeProbe {
       divRows = HybridIndex.searchDiverse(spark, out).count()
       (System.nanoTime() - t2) / 1e9
     }
+    // The late-interaction epilogue's marginal cost (round 12): MaxSim
+    // rerank of the fused top-10 pool from the committed base vectors.
+    var liRows = 0L
+    val liSecs = (1 to reps).map { _ =>
+      val t3 = System.nanoTime()
+      liRows = HybridIndex.searchLateInteraction(spark, out).count()
+      (System.nanoTime() - t3) / 1e9
+    }
     println(s"""{"build_sec":${"%.2f".format(buildSec)},""" +
       s""""serve_sec":[${serveSecs.map(s => "%.2f".format(s)).mkString(",")}],""" +
       s""""rows":$rows,""" +
       s""""diverse_sec":[${diverseSecs.map(s => "%.2f".format(s)).mkString(",")}],""" +
-      s""""diverse_rows":$divRows,"sf":"$dir"}""")
+      s""""diverse_rows":$divRows,""" +
+      s""""li_sec":[${liSecs.map(s => "%.2f".format(s)).mkString(",")}],""" +
+      s""""li_rows":$liRows,"sf":"$dir"}""")
     spark.stop()
   }
 }
