@@ -69,4 +69,50 @@ object LabelPropagation {
     nodesC.unpersist(false); und.unpersist(false)
     labels
   }
+
+  /** Per-community MODULARITY audit (Newman & Girvan 2004) of a
+    * labeling: n_nodes, intra-edge count e_in, degree mass d_sum and
+    * the community's contribution q_c = e_c/m − (d_c/2m)² in exact
+    * integer surrogates — coverage micro ⌊10⁶·e_c div m⌋ minus the
+    * SQUARED MILLI-TRUNCATED degree fraction ⌊10³·d_c div 2m⌋². The
+    * truncate-before-square order is deliberate: squaring d_c itself
+    * overflows a Long past ~1.5M edges, while the milli-first spelling
+    * is safe at any edge count (the qx91 surrogate trade; worst-case
+    * truncation error ~2·10⁻³ on a statistic read at 10⁻¹ granularity).
+    * Q = Σ_c q_micro/10⁶; near 0 ⇒ the partition is no better than
+    * random wiring — the audit that says whether an LPA cut found real
+    * structure.
+    *
+    * Plan shape: two hash joins of the edge list against the labels,
+    * one community groupBy with map-side partials, the scalar m
+    * cross-joined in (the PageRank dangling-mass shape).
+    *
+    * @param labels columns `u`, `label`
+    * @param edges  columns `u`, `v` — undirected, each pair once */
+  def modularity(labels: DataFrame, edges: DataFrame): DataFrame = {
+    val la = labels.select(col("u").as("ua"), col("label").as("ca"))
+    val lb = labels.select(col("u").as("ub"), col("label").as("cb"))
+    val tagged = edges
+      .join(la, col("u") === col("ua"))
+      .join(lb, col("v") === col("ub"))
+    val m = edges.agg(count(lit(1)).as("m"))
+    val dmass = tagged.select(col("ca").as("community"))
+      .unionByName(tagged.select(col("cb").as("community")))
+      .groupBy("community").agg(count(lit(1)).as("d_sum"))
+    val ein = tagged.where(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("e_in"))
+    val nodes = labels.groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_nodes"))
+    nodes
+      .join(ein, Seq("community"), "left")
+      .join(dmass, Seq("community"), "left")
+      .crossJoin(m)
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"),
+        coalesce(col("d_sum"), lit(0L)).as("d_sum"), col("m"))
+      .withColumn("cov_micro", expr("(1000000 * e_in) div m"))
+      .withColumn("deg_milli", expr("(1000 * d_sum) div (2 * m)"))
+      .withColumn("q_micro", col("cov_micro") - col("deg_milli") * col("deg_milli"))
+      .drop("m")
+  }
 }

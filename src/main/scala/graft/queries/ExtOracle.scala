@@ -3108,27 +3108,63 @@ object ExtOracle {
     * CTEs over the identical LSH candidate graph: per round, neighbor
     * votes (both edge orientations) plus the self vote, mode label with
     * (count DESC, label ASC) ties via QUALIFY row_number. */
-  val qx102: String = {
+  /** The shared LPA chain (qx102/qx105): LSH candidate graph, both
+    * orientations, four synchronous rounds ending at `l4`. The `cand`
+    * and `l4` CTEs are MATERIALIZED — the modularity tail references
+    * each several times. */
+  private val LPA_CHAIN: String = {
     val sb = new StringBuilder
-    sb ++= s"""WITH $EMB,
+    sb ++= s"""$EMB,
               |$LSH,
-              |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+              |cand AS MATERIALIZED (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
               |         FROM sig x JOIN sig y ON x.band = y.band AND x.sig = y.sig
               |         WHERE x.vec_id < y.vec_id),
               |e AS (SELECT a AS u, b AS v FROM cand UNION ALL SELECT b, a FROM cand),
               |l0 AS (SELECT vec_id AS u, vec_id AS label FROM embeddings)""".stripMargin
     for (t <- 1 to 4) {
+      val mat = if (t == 4) " MATERIALIZED" else ""
       sb ++= s""",
                 |vt$t AS (SELECT e.u, l.label FROM e JOIN l${t - 1} l ON e.v = l.u
                 |         UNION ALL SELECT u, label FROM l${t - 1}),
                 |tt$t AS (SELECT u, label, count(*) AS c FROM vt$t GROUP BY u, label),
-                |l$t AS (SELECT u, label FROM tt$t
+                |l$t AS$mat (SELECT u, label FROM tt$t
                 |        QUALIFY row_number() OVER (PARTITION BY u ORDER BY c DESC, label ASC) = 1)""".stripMargin
     }
-    sb ++= s"""
-              |, cs AS (SELECT label, count(*) AS csize FROM l4 GROUP BY label)
-              |SELECT l4.u AS vec_id, l4.label AS community, cs.csize
-              |FROM l4 JOIN cs ON l4.label = cs.label""".stripMargin
     sb.result()
   }
+
+  val qx102: String =
+    s"""WITH $LPA_CHAIN,
+       |cs AS (SELECT label, count(*) AS csize FROM l4 GROUP BY label)
+       |SELECT l4.u AS vec_id, l4.label AS community, cs.csize
+       |FROM l4 JOIN cs ON l4.label = cs.label""".stripMargin
+
+  /** qx105 twin — the modularity tail over the identical LPA chain:
+    * per-community intra edges, degree mass, node count and the
+    * integer-surrogate contribution (coverage micro minus the squared
+    * MILLI-truncated degree fraction — same truncate-before-square
+    * spelling as the Spark side). */
+  val qx105: String =
+    s"""WITH $LPA_CHAIN,
+       |te AS MATERIALIZED (SELECT la.label AS ca, lb.label AS cb
+       |      FROM cand JOIN l4 la ON cand.a = la.u JOIN l4 lb ON cand.b = lb.u),
+       |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM cand),
+       |dm AS (SELECT community, CAST(count(*) AS BIGINT) AS d_sum
+       |       FROM (SELECT ca AS community FROM te UNION ALL SELECT cb FROM te)
+       |       GROUP BY community),
+       |ei AS (SELECT ca AS community, CAST(count(*) AS BIGINT) AS e_in
+       |       FROM te WHERE ca = cb GROUP BY ca),
+       |nn AS (SELECT label AS community, CAST(count(*) AS BIGINT) AS n_nodes
+       |       FROM l4 GROUP BY label)
+       |SELECT nn.community, nn.n_nodes,
+       |       CAST(coalesce(ei.e_in, 0) AS BIGINT) AS e_in,
+       |       CAST(coalesce(dm.d_sum, 0) AS BIGINT) AS d_sum,
+       |       (1000000 * coalesce(ei.e_in, 0)) // mm.m AS cov_micro,
+       |       (1000 * coalesce(dm.d_sum, 0)) // (2 * mm.m) AS deg_milli,
+       |       (1000000 * coalesce(ei.e_in, 0)) // mm.m
+       |         - ((1000 * coalesce(dm.d_sum, 0)) // (2 * mm.m))
+       |           * ((1000 * coalesce(dm.d_sum, 0)) // (2 * mm.m)) AS q_micro
+       |FROM nn LEFT JOIN ei ON nn.community = ei.community
+       |        LEFT JOIN dm ON nn.community = dm.community
+       |        CROSS JOIN mm""".stripMargin
 }

@@ -3872,13 +3872,41 @@ object ExtQueries {
     * edge-sized shuffles with map-side partial counts; lineage cut per
     * round. The oracle replays all four rounds as generated CTEs. */
   def qx102(spark: SparkSession, dir: String): DataFrame = {
-    val nodes = Tables.embeddings(spark, dir).select(col("vec_id").as("u"))
-    val edges = EmbeddingLsh.candidatePairs(lshSigs(spark, dir))
-      .select(col("vec_a").as("u"), col("vec_b").as("v"))
-    val labels = LabelPropagation.run(nodes, edges, iters = 4)
+    val (labels, _) = lpaSystem(spark, dir)
     val cs = labels.groupBy("label").agg(count(lit(1)).as("csize"))
     labels.join(cs, "label")
       .select(col("u").as("vec_id"), col("label").as("community"), col("csize"))
+  }
+
+  /** The qx102 community system — (labels, edges) — shared with qx105's
+    * modularity audit so both rows run one LPA spelling. */
+  private def lpaSystem(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val nodes = Tables.embeddings(spark, dir).select(col("vec_id").as("u"))
+    val edges = EmbeddingLsh.candidatePairs(lshSigs(spark, dir))
+      .select(col("vec_a").as("u"), col("vec_b").as("v"))
+    (LabelPropagation.run(nodes, edges, iters = 4), edges)
+  }
+
+  /** qx105 — MODULARITY audit of the qx102 communities (Newman &
+    * Girvan 2004): per community, the intra-edge count e_c, degree mass
+    * d_c and node count, plus the community's modularity contribution
+    * q_c = e_c/m − (d_c/2m)² rendered in EXACT integer surrogates —
+    * coverage cov_micro = ⌊10⁶·e_c div m⌋ and the degree fraction
+    * truncated to milli BEFORE squaring (deg_milli = ⌊10³·d_c div 2m⌋,
+    * q_micro = cov_micro − deg_milli²), so every magnitude stays far
+    * inside a Long at ANY edge count (squaring d_c itself would
+    * overflow past ~1.5M edges; the milli-first spelling is the same
+    * trade qx91's surprisal surrogate makes, divergence documented).
+    * This is the audit that says whether the LPA cut is REAL structure:
+    * Q near 0 ⇒ the partition is no better than random wiring.
+    *
+    * Scale shape: two label joins over the edge list (hash joins on
+    * node id), one groupBy community with map-side partial aggregates,
+    * the scalar m cross-joined in (the PageRank dangling-mass shape).
+    * The oracle replays the full LPA chain plus the modularity tail. */
+  def qx105(spark: SparkSession, dir: String): DataFrame = {
+    val (labels, edges) = lpaSystem(spark, dir)
+    LabelPropagation.modularity(labels, edges)
   }
 
   /** qx103 — CLASSIFIER DISTILLATION by in-plan logistic GD

@@ -81,6 +81,40 @@ class LabelPropagationSpec extends SparkTestBase {
     assert(l(2L) === 2L && l(3L) === 3L)
   }
 
+  test("modularity: the LPA cut of planted structure beats the trivial partitions") {
+    import org.apache.spark.sql.DataFrame
+    // Two 4-cliques joined by one bridge: real structure, Q well above 0.
+    def clique(off: Long) = for (i <- 0L until 4L; j <- i + 1 until 4L) yield (off + i, off + j)
+    val edges = (clique(0) ++ clique(4) :+ (3L, 4L)).toDF("u", "v")
+    val nodes = spark.range(8).select(col("id").as("u"))
+    def q(labels: DataFrame): Long =
+      LabelPropagation.modularity(labels, edges)
+        .agg(sum("q_micro")).collect()(0).getLong(0)
+    val lpa = LabelPropagation.run(nodes, edges, 4)
+    val qLpa = q(lpa)
+    val qOne = q(nodes.select(col("u"), lit(0L).as("label")))
+    val qSingletons = q(nodes.select(col("u"), col("u").as("label")))
+    // hand check: m=13, communities {0..3} and {4..7}: e_in=6 each,
+    // d_sum=13 each -> cov ≈ 461538, deg_milli=500 -> q ≈ 211538 each.
+    assert(lpa.select("label").distinct().count() === 2)
+    assert(qLpa > 400000L, s"planted structure must score high, got $qLpa")
+    assert(qOne === 0L - 1000L * 1000L + 999L * 999L + 1000000L ||
+      qOne <= 0L, s"one-community Q must be ~0, got $qOne") // cov=1e6, deg_milli≈1000
+    assert(qSingletons < 0L, s"all-singletons Q must be negative, got $qSingletons")
+    assert(qLpa > qOne && qLpa > qSingletons)
+  }
+
+  test("modularity handles isolated nodes and empty communities' degree mass") {
+    val edges = Seq((0L, 1L)).toDF("u", "v")
+    val labels = Seq((0L, 0L), (1L, 0L), (2L, 2L)).toDF("u", "label")
+    val rows = LabelPropagation.modularity(labels, edges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(6))).toMap
+    // community 0: the single edge is internal; m=1 -> cov=1e6, deg_milli=1000 -> q=0
+    assert(rows(0L) === ((2L, 1L, 2L, 0L)))
+    // isolated community: no edges, no degree mass, q=0
+    assert(rows(2L) === ((1L, 0L, 0L, 0L)))
+  }
+
   test("deterministic under repartitioning and input order") {
     val edges = bridged ++ Seq((5L, 6L), (6L, 7L), (5L, 7L))
     val a = LabelPropagation.run(
