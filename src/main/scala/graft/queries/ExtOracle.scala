@@ -2159,8 +2159,11 @@ object ExtOracle {
 
   /** The hybrid twins' shared lexical-BM25 + RRF-fusion suffix: every
     * CTE from the word explosion to the fused top-10, expecting a
-    * `drk(qid, doc_id, dense_rk)` CTE upstream. */
-  private lazy val HYBRID_LEX_FUSION: String =
+    * `drk(qid, doc_id, dense_rk)` CTE upstream. Split so qx106 can
+    * reuse the lexical leg (through `lrk`) without the fusion. */
+  private lazy val HYBRID_LEX_FUSION: String = HYBRID_LEX + HYBRID_FUSION_TAIL
+
+  private lazy val HYBRID_LEX: String =
     s"""w AS (SELECT doc_id,
        |             unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS word
        |      FROM documents),
@@ -2184,7 +2187,10 @@ object ExtOracle {
        |lrk AS (SELECT qid, doc_id,
        |               CAST(row_number() OVER (PARTITION BY qid
        |                 ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS lex_rk
-       |        FROM ls QUALIFY lex_rk <= 20),
+       |        FROM ls QUALIFY lex_rk <= 20)""".stripMargin
+
+  private lazy val HYBRID_FUSION_TAIL: String =
+    s""",
        |f AS (SELECT COALESCE(d.qid, l.qid) AS qid,
        |             COALESCE(d.doc_id, l.doc_id) AS doc_id,
        |             COALESCE(d.dense_rk, 0) AS dense_rk,
@@ -2199,6 +2205,45 @@ object ExtOracle {
        |FROM (SELECT *, CAST(row_number() OVER (PARTITION BY qid
        |        ORDER BY rrf_micro DESC, doc_id ASC) AS BIGINT) AS rk FROM f) t
        |WHERE rk <= 10""".stripMargin
+
+  /** qx106 twin — the triplet miner over the SAME dense/lexical legs
+    * as qx79 (shared CTE fragments): positive = dense rank 1, hard
+    * negatives = the two best lexical ranks absent from the dense
+    * top-20 (−1 sentinels when fewer exist), plus the lexical∩dense
+    * overlap count. */
+  val qx106: String =
+    s"""WITH $EMB,
+       |dsc AS (
+       |  SELECT q.qid, n.vec_id AS doc_id,
+       |         CAST(CAST(list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * qv[i])) AS BIGINT) AS DOUBLE)
+       |           / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE))) AS cosine
+       |  FROM n CROSS JOIN q WHERE n.vec_id <> q.qid AND q.qid < 5000),
+       |drk AS (SELECT qid, doc_id,
+       |               CAST(row_number() OVER (PARTITION BY qid
+       |                 ORDER BY cosine DESC, doc_id ASC) AS BIGINT) AS dense_rk
+       |        FROM dsc QUALIFY dense_rk <= 20),
+       |""".stripMargin + HYBRID_LEX +
+    s""",
+       |pos AS (SELECT qid, doc_id AS pos_id FROM drk WHERE dense_rk = 1),
+       |negc AS (SELECT l.qid, l.doc_id, l.lex_rk FROM lrk l
+       |         LEFT JOIN drk d ON l.qid = d.qid AND l.doc_id = d.doc_id
+       |         WHERE d.doc_id IS NULL),
+       |negr AS (SELECT qid, doc_id,
+       |                row_number() OVER (PARTITION BY qid
+       |                  ORDER BY lex_rk ASC, doc_id ASC) AS nr FROM negc),
+       |ng AS (SELECT qid,
+       |         CAST(coalesce(max(CASE WHEN nr = 1 THEN doc_id END), -1) AS BIGINT) AS neg1_id,
+       |         CAST(coalesce(max(CASE WHEN nr = 2 THEN doc_id END), -1) AS BIGINT) AS neg2_id
+       |       FROM negr GROUP BY qid),
+       |ovl AS (SELECT l.qid, CAST(count(*) AS BIGINT) AS n_overlap
+       |        FROM lrk l JOIN drk d ON l.qid = d.qid AND l.doc_id = d.doc_id
+       |        GROUP BY l.qid)
+       |SELECT p.qid, p.pos_id,
+       |       CAST(coalesce(ng.neg1_id, -1) AS BIGINT) AS neg1_id,
+       |       CAST(coalesce(ng.neg2_id, -1) AS BIGINT) AS neg2_id,
+       |       CAST(coalesce(ovl.n_overlap, 0) AS BIGINT) AS n_overlap
+       |FROM pos p LEFT JOIN ng ON p.qid = ng.qid
+       |           LEFT JOIN ovl ON p.qid = ovl.qid""".stripMargin
 
   /** qx80 twin — the blocklist scan re-derived by brute force: every
     * (document, pattern, start-position) substring comparison is

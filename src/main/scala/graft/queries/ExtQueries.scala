@@ -3019,8 +3019,12 @@ object ExtQueries {
     * 100× probe OOM'd exactly there (10k queries × head terms). The
     * cap keeps every gate SF's query set bit-identical (max doc_id at
     * sf0.1 is 4999) while bounding the probe at 100 queries. */
-  def qx79(spark: SparkSession, dir: String): DataFrame = {
-    // Dense leg: qx2's scan, k = 20.
+  def qx79(spark: SparkSession, dir: String): DataFrame =
+    rrfFuse(denseTop20(spark, dir), bm25Top20(spark, dir))
+
+  /** The hybrid queries' DENSE leg (qx2's scan, k = 20) — factored from
+    * qx79 for qx106's triplet miner. */
+  private[graft] def denseTop20(spark: SparkSession, dir: String): DataFrame = {
     val base = intEmbeddings(spark, dir)
     val qv = base.where(col("vec_id") % 50 === 0 && col("vec_id") < 5000)
       .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("n2").as("qn2"))
@@ -3028,10 +3032,49 @@ object ExtQueries {
       .where(col("vec_id") =!= col("qid"))
       .withColumn("dot", expr("long_dot(iv, qiv)"))
       .withColumn("cosine", expr(COSINE))
-    val dense = topK(denseScored, 20)
+    topK(denseScored, 20)
       .select(col("qid"), col("vec_id").as("doc_id"),
         col("rk").cast("long").as("dense_rk"))
-    rrfFuse(dense, bm25Top20(spark, dir))
+  }
+
+  /** qx106 — CONTRASTIVE TRIPLET MINING for retriever training (the
+    * DPR discipline, Karpukhin et al. 2020): per query, the POSITIVE is
+    * the dense top-1 neighbor and the HARD NEGATIVES are the
+    * best-BM25-ranked documents that the dense top-20 does NOT contain
+    * — lexically magnetic yet semantically off, exactly the pairs that
+    * teach a dense retriever what term overlap is not evidence of. The
+    * per-query lexical∩dense overlap count rides along (the
+    * "how hard are the negatives here" diagnostic). Both legs are the
+    * hybrid family's shared derivations ([[denseTop20]]/[[bm25Top20]]),
+    * so qx79/qx79b/qx106 can never drift apart.
+    *
+    * Scale shape: both legs end map-side-bounded (topk_by), so the
+    * miner composes anti-join + bounded top-2 + count over 20·q-row
+    * inputs — metadata-sized at any SF; the legs are checkpointed
+    * because three consumers would otherwise re-run the corpus scans
+    * (the qx98 lesson). Sentinel −1 marks a query whose lexical top-20
+    * all sit inside the dense top-20 (no hard negative exists). */
+  def qx106(spark: SparkSession, dir: String): DataFrame = {
+    val dense = denseTop20(spark, dir).localCheckpoint()
+    val lex = bm25Top20(spark, dir).localCheckpoint()
+    val pos = dense.where(col("dense_rk") === 1L)
+      .select(col("qid"), col("doc_id").as("pos_id"))
+    val negc = lex.join(dense.select("qid", "doc_id"), Seq("qid", "doc_id"), "left_anti")
+    val negs = negc.groupBy("qid")
+      .agg(expr("topk_by(CAST(-lex_rk AS DOUBLE), doc_id, 2)").as("tk"))
+      .select(col("qid"),
+        expr("element_at(tk, 1).id").as("neg1_id"),
+        expr("CASE WHEN size(tk) > 1 THEN element_at(tk, 2).id ELSE CAST(-1 AS BIGINT) END")
+          .as("neg2_id"))
+    val ov = lex.join(dense.select("qid", "doc_id"), Seq("qid", "doc_id"))
+      .groupBy("qid").agg(count(lit(1)).as("n_overlap"))
+    pos
+      .join(negs, Seq("qid"), "left")
+      .join(ov, Seq("qid"), "left")
+      .select(col("qid"), col("pos_id"),
+        coalesce(col("neg1_id"), lit(-1L)).as("neg1_id"),
+        coalesce(col("neg2_id"), lit(-1L)).as("neg2_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
   }
 
   /** The hybrid queries' LEXICAL leg (factored from qx79 for qx79b):
