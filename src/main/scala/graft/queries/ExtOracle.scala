@@ -3149,6 +3149,67 @@ object ExtOracle {
     sb.result()
   }
 
+  /** qx107 twin — the co-occurrence table replayed relationally:
+    * ±2-window pairs from 1-based list indexing, symmetric union, the
+    * same micro-ratio integer formula, per-word top-5 by
+    * (ratio DESC, context ASC) — ASCII words, so string order agrees
+    * byte-for-byte across engines. */
+  val qx107: String =
+    s"""WITH $DOCS,
+       |pr AS (SELECT ws[i] AS w, ws[i + d] AS c
+       |       FROM docs, unnest(range(1, len(ws) + 1)) ti(i), unnest([1, 2]) td(d)
+       |       WHERE i + d <= len(ws)),
+       |sym AS (SELECT w, c FROM pr UNION ALL SELECT c AS w, w AS c FROM pr),
+       |cc AS MATERIALIZED (SELECT w, c, CAST(count(*) AS BIGINT) AS cnt
+       |      FROM sym GROUP BY w, c),
+       |mw AS MATERIALIZED (SELECT w, CAST(sum(cnt) AS BIGINT) AS cw FROM cc GROUP BY w),
+       |tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM cc),
+       |scored AS (SELECT cc.w, cc.c, cc.cnt,
+       |             (1000000 * cc.cnt * tt.t) // (mw.cw * mc.cw) AS ratio_micro
+       |           FROM cc JOIN mw ON cc.w = mw.w
+       |                   JOIN mw mc ON cc.c = mc.w
+       |                   CROSS JOIN tt)
+       |SELECT w, rk, c AS ctx, cnt, ratio_micro
+       |FROM (SELECT *, CAST(row_number() OVER (PARTITION BY w
+       |        ORDER BY ratio_micro DESC, c ASC) AS BIGINT) AS rk FROM scored) z
+       |WHERE rk <= 5""".stripMargin
+
+  /** qx108 twin — the four deterministic walk steps replayed as
+    * generated CTEs: per step, a left join of the live frontier against
+    * the edge list, the identical per-step integer hash, argmin via
+    * QUALIFY (ties impossible — v is inside its own hash), dangling
+    * stop via the NULL out-edge. */
+  val qx108: String = {
+    val sb = new StringBuilder
+    sb ++= """WITH dom AS (SELECT DISTINCT doc_id % 40 AS u FROM documents),
+             |ed AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+             |   SELECT doc_id % 40 AS u, (doc_id * 7 + 3) % 40 AS v FROM documents
+             |   UNION ALL
+             |   SELECT doc_id % 40, (doc_id * 13 + 11) % 40 FROM documents)
+             |   WHERE u % 10 <> 7),
+             |w0 AS (SELECT u AS start, CAST(0 AS BIGINT) AS step, u AS node,
+             |              u AS sig, FALSE AS stopped FROM dom)""".stripMargin
+    for (t <- 1 to 4) {
+      sb ++= s""",
+                |st$t AS (SELECT w.start, w.node, w.sig, e.v,
+                |          CASE WHEN e.v IS NULL THEN NULL
+                |               ELSE (w.node * 1000003 + ${t}*8191 + e.v * 97 + 13) % 2147483647 END AS h
+                |        FROM w${t - 1} w LEFT JOIN ed e ON w.node = e.u
+                |        WHERE NOT w.stopped),
+                |w$t AS (SELECT start, CAST($t AS BIGINT) AS step,
+                |         coalesce(v, node) AS node,
+                |         (sig * 1009 + coalesce(v, node)) % 2147483647 AS sig,
+                |         v IS NULL AS stopped
+                |       FROM st$t
+                |       QUALIFY row_number() OVER (PARTITION BY start ORDER BY h ASC, v ASC) = 1)""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT start, step, node, sig FROM w0
+              |${(1 to 4).map(t =>
+                 s"UNION ALL SELECT start, step, node, sig FROM w$t WHERE NOT stopped").mkString("\n")}""".stripMargin
+    sb.result()
+  }
+
   /** qx102 twin — all four synchronous LPA rounds replayed as generated
     * CTEs over the identical LSH candidate graph: per round, neighbor
     * votes (both edge orientations) plus the self vote, mode label with

@@ -2692,13 +2692,7 @@ object ExtQueries {
   def qx71(spark: SparkSession, dir: String): DataFrame = {
     val d = col("doc_id")
     val docs = Tables.documents(spark, dir).select(d)
-    val nodes = docs.select(pmod(d, lit(40L)).as("u")).distinct()
-    val edges = docs.select(pmod(d, lit(40L)).as("u"),
-        pmod(d * 7L + 3L, lit(40L)).as("v"))
-      .unionAll(docs.select(pmod(d, lit(40L)).as("u"),
-        pmod(d * 13L + 11L, lit(40L)).as("v")))
-      .where(pmod(col("u"), lit(10L)) =!= 7L)
-      .distinct()
+    val (nodes, edges) = domainGraph(spark, dir)
     val ranks = PageRank.run(nodes, edges, iters = 8)
     val census = docs.select(pmod(d, lit(40L)).as("u"))
       .groupBy("u").agg(count(lit(1)).as("n_docs"))
@@ -2710,6 +2704,65 @@ object ExtQueries {
             (pmod(col("u"), lit(4L)) + 1L).cast("int"))).as("domain"),
         col("r").as("rank_micro"), col("n_docs"),
         coalesce(col("out_deg"), lit(0L)).as("out_deg"))
+  }
+
+  /** The qx62/qx71 domain world's link graph, factored for qx71's
+    * PageRank and qx108's random walks: node = doc_id % 40, two affine
+    * out-links per domain, every `u % 10 = 7` domain dangling. */
+  private def domainGraph(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val d = col("doc_id")
+    val docs = Tables.documents(spark, dir).select(d)
+    val nodes = docs.select(pmod(d, lit(40L)).as("u")).distinct()
+    val edges = docs.select(pmod(d, lit(40L)).as("u"),
+        pmod(d * 7L + 3L, lit(40L)).as("v"))
+      .unionAll(docs.select(pmod(d, lit(40L)).as("u"),
+        pmod(d * 13L + 11L, lit(40L)).as("v")))
+      .where(pmod(col("u"), lit(10L)) =!= 7L)
+      .distinct()
+    (nodes, edges)
+  }
+
+  /** qx108 — DETERMINISTIC RANDOM WALKS over the domain graph (the
+    * DeepWalk/node2vec corpus-prep step, Perozzi et al. 2014, with the
+    * repo's derandomization discipline): one walk of length ≤ 4 from
+    * EVERY node; at step t the walker at u moves to the out-neighbor v
+    * minimizing the integer hash (u·1000003 + t·8191 + v·97 + 13) mod P
+    * — "random" enough to spread (per-step, per-node varying), yet
+    * exactly replayable by the oracle's per-step argmin CTEs, ties
+    * impossible because v appears in its own hash. A dangling node
+    * (qx71's planted `u % 10 = 7` set) STOPS the walk — the walk-length
+    * histogram is part of the output contract. Long-form output
+    * (start, step, node) with step 0 = the start itself, plus a Horner
+    * walk signature on the final row of each walk.
+    *
+    * Scale shape: each of the 4 steps is one hash-join of the current
+    * frontier against the edge list + a per-walker min(struct) — the
+    * PageRank iteration class (graph cached, lineage cut per step); at
+    * web scale this is exactly the DeepWalk batch job. */
+  def qx108(spark: SparkSession, dir: String): DataFrame = {
+    val P = 2147483647L
+    val (nodes, edges) = domainGraph(spark, dir)
+    val edgesC = edges.cache()
+    var walks = nodes.select(col("u").as("start"), lit(0L).as("step"),
+      col("u").as("node"), col("u").as("sig"), lit(false).as("stopped"))
+    var out = walks
+    for (t <- 1 to 4) {
+      val frontier = walks.where(!col("stopped"))
+      val step = frontier
+        .join(edgesC.withColumnRenamed("u", "node"), Seq("node"), "left")
+        .withColumn("h",
+          pmod(col("node") * 1000003L + lit(t.toLong * 8191L) + col("v") * 97L + 13L, lit(P)))
+        .groupBy("start")
+        .agg(min(struct(col("h"), col("v"))).as("b"),
+          first(col("node")).as("prev"), first(col("sig")).as("psig"))
+        .select(col("start"), lit(t.toLong).as("step"),
+          coalesce(col("b.v"), col("prev")).as("node"),
+          pmod(col("psig") * 1009L + coalesce(col("b.v"), col("prev")), lit(P)).as("sig"),
+          col("b.v").isNull.as("stopped"))
+      walks = step.localCheckpoint()
+      out = out.unionByName(walks.where(!col("stopped")))
+    }
+    out.select(col("start"), col("step"), col("node"), col("sig"))
   }
 
   /** qx72 — ROBOTS.TXT FRONTIER FILTERING (RFC 9309): the politeness
@@ -4047,6 +4100,51 @@ object ExtQueries {
         sum("np0").as("n_tok_seed"), sum("np1").as("n_tok_em"),
         sum("score0").as("seed_score"), sum("score1").as("em_score"),
         sum("sig0").as("seed_sig"), sum("sig1").as("em_sig"))
+  }
+
+  /** qx107 — PPMI CO-OCCURRENCE statistics (Church & Hanks 1990; the
+    * count table GloVe/word2vec-style embedding training and
+    * collocation mining start from): symmetric ±2-window word
+    * co-occurrence counts, marginals, and the pointwise-mutual-
+    * information RATIO in integer micro-units —
+    * ratio_micro = ⌊10⁶·c(w,c)·T div (c(w)·c(c))⌋, the repo's standard
+    * log-surrogate (PMI > 0 ⇔ ratio > 10⁶; monotone in PMI, so ranks
+    * are PMI ranks) — cut to each word's top-5 contexts by
+    * (ratio DESC, context ASC).
+    *
+    * Scale shape: pair generation is SHUFFLE-FREE (an array transform
+    * inside the scan — no positional self-join), one map-side-
+    * combinable groupBy on (w, c); everything after is
+    * VOCABULARY-bounded (≤ |V|² rows), which is why the per-word
+    * Window rank is fine here where corpus-row Windows are banned.
+    * Overflow bound: 10⁶·c(w,c)·T needs c·T < 9.2·10¹² — at corpus
+    * scale compute the table per shard or on the qx21-sampled slice
+    * (documented; the statistic is vocabulary-shaped, not
+    * corpus-shaped). */
+  def qx107(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.documents(spark, dir)
+      .select(expr(s"$WORDS").as("ws"))
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ws) - 1), i ->
+          |  filter(transform(array(1, 2), d ->
+          |    IF(i + d < size(ws), struct(ws[i] AS w, ws[i + d] AS c), NULL)),
+          |    x -> x IS NOT NULL)))""".stripMargin)).as("p"))
+      .select(col("p.w").as("w"), col("p.c").as("c"))
+    val sym = pairs.unionByName(pairs.select(col("c").as("w"), col("w").as("c")))
+    val cc = sym.groupBy("w", "c").agg(count(lit(1)).as("cnt"))
+    val mw = cc.groupBy("w").agg(sum("cnt").as("cw"))
+    val tot = cc.agg(sum("cnt").as("t"))
+    val scored = cc
+      .join(mw, "w")
+      .join(mw.select(col("w").as("c"), col("cw").as("ccw")), "c")
+      .crossJoin(tot)
+      .withColumn("ratio_micro", expr("(1000000 * cnt * t) div (cw * ccw)"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("w").orderBy(col("ratio_micro").desc, col("c").asc)))
+      .where(col("rk") <= 5)
+      .select(col("w"), col("rk").cast("long").as("rk"), col("c").as("ctx"),
+        col("cnt"), col("ratio_micro"))
   }
 
   /** qx101b — qx101's MaxSim with its candidates from the banded LSH
