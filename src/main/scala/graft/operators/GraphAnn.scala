@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** GRAPH-BASED approximate nearest neighbor — the fourth ANN family
+  * next to the repo's flat-IVF / IMI / PQ ladder: a k-NN GRAPH over the
+  * corpus (built from the LSH candidate pairs, so construction is the
+  * usual bucketed equi-join, never all-pairs) searched by BEAM
+  * expansion from a fixed entry point (the Malkov/NSW discipline —
+  * HNSW's layer-0 search with a deterministic single entry instead of
+  * layered entries, a documented simplification; fixed rounds instead
+  * of convergence detection, the LabelPropagation determinism
+  * argument).
+  *
+  * Determinism: scores are the repo's exact-integer cosine (one double
+  * division in fixed order), every beam cut is (cosine DESC, vec_id
+  * ASC) via the packed topk_by order, the entry point is min(vec_id),
+  * and rounds are fixed — so a SQL oracle replays build + all search
+  * rounds CTE for CTE.
+  *
+  * Scale shape: build = LSH candidate join + per-node bounded topk_by
+  * (map-side pruned; the graph is n·K edges, a first-class persistable
+  * asset). Search = per round ONE hash join of the beam frontier
+  * against the graph + a per-query bounded topk_by — beam·K vector
+  * fetches per query per round, never a corpus scan; lineage cut per
+  * round (the PageRank discipline).
+  */
+object GraphAnn {
+
+  /** k-NN graph from banded LSH candidates: for each node, its K
+    * exact-cosine-nearest candidates. Columns (u, v, cos). */
+  def knnGraph(base: DataFrame, candPairs: DataFrame, k: Int): DataFrame = {
+    val und = candPairs.select(col("vec_a").as("u"), col("vec_b").as("v"))
+      .unionByName(candPairs.select(col("vec_b").as("u"), col("vec_a").as("v")))
+    val a = base.select(col("vec_id").as("u"), col("iv").as("uiv"), col("n2").as("un2"))
+    val b = base.select(col("vec_id").as("v"), col("iv").as("viv"), col("n2").as("vn2"))
+    und.join(a, "u").join(b, "v")
+      .withColumn("cos", expr(
+        "CAST(long_dot(uiv, viv) AS DOUBLE) / (sqrt(CAST(un2 AS DOUBLE)) * sqrt(CAST(vn2 AS DOUBLE)))"))
+      .groupBy("u").agg(expr(s"topk_by(cos, v, $k)").as("tk"))
+      .select(col("u"), explode(col("tk")).as("t"))
+      .select(col("u"), col("t.id").as("v"), col("t.score").as("cos"))
+  }
+
+  /** Beam search: the per-query `seeds` (plus the global `entry`
+    * fallback, so an unseeded query still searches) are scored and cut
+    * to the initial beam; each of `rounds` rounds expands the beam's
+    * out-neighbors and re-cuts to `beam` by exact cosine to the query.
+    * Seeding from each query's own LSH bucket is the production shape
+    * (random high-dim spaces give a single global entry no gradient to
+    * descend — GraphAnnSpec measures 0/10 recall entry-only vs
+    * LSH-seeded on the same corpus; HNSW's upper layers solve the same
+    * problem with layered entries). Returns the FINAL beam as
+    * (qid, rk, vec_id, cosine), the query itself excluded.
+    * `queries` needs (qid, qiv, qn2); `seeds` (qid, vec_id). */
+  def search(graph: DataFrame, base: DataFrame, queries: DataFrame,
+             seeds: DataFrame, entry: Long, beam: Int, rounds: Int): DataFrame = {
+    require(rounds >= 1 && beam >= 1)
+    val graphC = graph.select("u", "v").cache()
+    val vecs = base.select(col("vec_id"), col("iv"), col("n2"))
+    val qs = queries.select("qid", "qiv", "qn2")
+    def scored(cand: DataFrame): DataFrame = cand
+      .join(vecs, "vec_id")
+      .join(broadcast(qs), "qid")
+      .withColumn("dot", expr("long_dot(iv, qiv)"))
+      .withColumn("cosine", expr(graft.queries.ExtQueries.COSINE))
+      .select("qid", "vec_id", "cosine")
+    def cut(s: DataFrame): DataFrame = s
+      .groupBy("qid").agg(expr(s"topk_by(cosine, vec_id, $beam)").as("tk"))
+      .select(col("qid"), explode(col("tk")).as("t"))
+      .select(col("qid"), col("t.id").as("vec_id"), col("t.score").as("cosine"))
+    val seeded = seeds.select(col("qid"), col("vec_id"))
+      .unionByName(qs.select(col("qid")).withColumn("vec_id", lit(entry)))
+      .distinct()
+    var beamDf = cut(scored(seeded)).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val expanded = beamDf.select(col("qid"), col("vec_id"))
+        .join(graphC.withColumnRenamed("u", "vec_id"), Seq("vec_id"))
+        .select(col("qid"), col("v").as("vec_id"))
+        .unionByName(beamDf.select("qid", "vec_id"))
+        .distinct()
+      beamDf = cut(scored(expanded)).localCheckpoint()
+    }
+    beamDf.where(col("vec_id") =!= col("qid"))
+      .groupBy("qid").agg(expr(s"topk_by(cosine, vec_id, $beam)").as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("p", "t")))
+      .select(col("qid"), (col("p") + 1).cast("long").as("rk"),
+        col("t.id").as("vec_id"), col("t.score").as("cosine"))
+  }
+}

@@ -3174,6 +3174,65 @@ object ExtOracle {
        |        ORDER BY ratio_micro DESC, c ASC) AS BIGINT) AS rk FROM scored) z
        |WHERE rk <= 5""".stripMargin
 
+  /** qx109 twin — k-NN-graph build + all three beam rounds replayed:
+    * LSH candidates both orientations, per-node top-4 by exact cosine,
+    * then per query the entry seed, three expand-score-cut rounds
+    * (UNION dedup, QUALIFY top-4 by cosine DESC, vec_id ASC), and the
+    * final self-excluded ranking. */
+  val qx109: String = {
+    def cosQ(vtab: String) =
+      s"""CAST(CAST(list_sum(list_transform(range(1, len($vtab.v) + 1),
+         |     i -> $vtab.v[i] * qq.qv[i])) AS BIGINT) AS DOUBLE)
+         |  / (sqrt(CAST($vtab.n2 AS DOUBLE)) * sqrt(CAST(qq.qn2 AS DOUBLE)))""".stripMargin
+    val sb = new StringBuilder
+    sb ++= s"""WITH $EMB,
+              |$LSH,
+              |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+              |         FROM sig x JOIN sig y ON x.band = y.band AND x.sig = y.sig
+              |         WHERE x.vec_id < y.vec_id),
+              |und AS (SELECT vec_a AS u, vec_b AS v FROM cand
+              |        UNION ALL SELECT vec_b, vec_a FROM cand),
+              |gsc AS (SELECT und.u, und.v,
+              |          CAST(CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+              |               i -> a.v[i] * b.v[i])) AS BIGINT) AS DOUBLE)
+              |            / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS gcos
+              |        FROM und JOIN n a ON und.u = a.vec_id JOIN n b ON und.v = b.vec_id),
+              |g AS MATERIALIZED (SELECT u, v FROM gsc
+              |     QUALIFY row_number() OVER (PARTITION BY u ORDER BY gcos DESC, v ASC) <= 4),
+              |ent AS (SELECT min(vec_id) AS e FROM embeddings),
+              |qsig AS (SELECT vec_id AS qid, band, sig FROM sig WHERE vec_id % 50 = 0),
+              |seedc AS (SELECT DISTINCT s.vec_id, qs.qid
+              |          FROM sig s JOIN qsig qs ON s.band = qs.band AND s.sig = qs.sig
+              |          WHERE s.vec_id <> qs.qid),
+              |seeds AS (SELECT qid, vec_id FROM seedc
+              |          UNION SELECT qq.qid, ent.e FROM q qq CROSS JOIN ent),
+              |sc0 AS (SELECT sd.qid, sd.vec_id, ${cosQ("n")} AS cosine
+              |        FROM seeds sd JOIN n ON sd.vec_id = n.vec_id
+              |                      JOIN q qq ON sd.qid = qq.qid),
+              |b0 AS MATERIALIZED (SELECT qid, vec_id, cosine FROM sc0
+              |      QUALIFY row_number() OVER (PARTITION BY qid
+              |        ORDER BY cosine DESC, vec_id ASC) <= 4)""".stripMargin
+    for (r <- 1 to 3) {
+      sb ++= s""",
+                |ex$r AS (SELECT b.qid, g.v AS vec_id FROM b${r - 1} b JOIN g ON b.vec_id = g.u
+                |         UNION SELECT qid, vec_id FROM b${r - 1}),
+                |sc$r AS (SELECT ex.qid, ex.vec_id, ${cosQ("n")} AS cosine
+                |         FROM ex$r ex JOIN n ON ex.vec_id = n.vec_id
+                |                      JOIN q qq ON ex.qid = qq.qid),
+                |b$r AS MATERIALIZED (SELECT qid, vec_id, cosine FROM sc$r
+                |      QUALIFY row_number() OVER (PARTITION BY qid
+                |        ORDER BY cosine DESC, vec_id ASC) <= 4)""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT qid, rk, vec_id, cosine
+              |FROM (SELECT qid, vec_id, cosine,
+              |        CAST(row_number() OVER (PARTITION BY qid
+              |          ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rk
+              |      FROM b3 WHERE vec_id <> qid) z
+              |WHERE rk <= 4""".stripMargin
+    sb.result()
+  }
+
   /** qx108 twin — the four deterministic walk steps replayed as
     * generated CTEs: per step, a left join of the live frontier against
     * the edge list, the identical per-step integer hash, argmin via

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{BloomFilter, Determinism}
-import graft.operators.{AhoCorasick, AudioFingerprint, BpeTrainer, CdcChunker, ConnectedComponents, CoresetSelect, DsirSelect, EmbeddingLsh, EmbeddingPca, EpochShuffle, GopherRules, HilbertCurve, HtmlCodec, InvertedIndex, IvfAnn, LabelPropagation, LogisticGD, MixSchedule, MmrRerank, MultimodalCodec, OpqLayout, PageRank, Partitioning, ProductQuantizer, QuantKernels, RetrainTrigger, RobotsTxt, SaltedJoin, SimHashLsh, UniMax, ViterbiTokenizer, WarcCodec, WavCodec, ZOrderLayout}
+import graft.operators.{AhoCorasick, AudioFingerprint, BpeTrainer, CdcChunker, ConnectedComponents, CoresetSelect, DsirSelect, EmbeddingLsh, EmbeddingPca, EpochShuffle, GopherRules, GraphAnn, HilbertCurve, HtmlCodec, InvertedIndex, IvfAnn, LabelPropagation, LogisticGD, MixSchedule, MmrRerank, MultimodalCodec, OpqLayout, PageRank, Partitioning, ProductQuantizer, QuantKernels, RetrainTrigger, RobotsTxt, SaltedJoin, SimHashLsh, UniMax, ViterbiTokenizer, WarcCodec, WavCodec, ZOrderLayout}
 import graft.sources.Tables
 
 /** The large-scale training-data-pipeline operator family (builder brief +
@@ -4100,6 +4100,34 @@ object ExtQueries {
         sum("np0").as("n_tok_seed"), sum("np1").as("n_tok_em"),
         sum("score0").as("seed_score"), sum("score1").as("em_score"),
         sum("sig0").as("seed_sig"), sum("sig1").as("em_sig"))
+  }
+
+  /** qx109 — GRAPH-BASED ANN ([[GraphAnn]]): the fourth index family
+    * next to flat-IVF (qx13/16), IMI (qx15) and PQ (qx42-44) — a k-NN
+    * graph built from the banded LSH candidates (bucketed equi-join,
+    * never all-pairs) searched by deterministic beam expansion from the
+    * min-id entry point (NSW/HNSW layer-0 with fixed rounds and a
+    * single entry; divergences documented on the operator). Beam 4,
+    * 3 rounds, K = 4 out-edges. Recall against brute qx2 is measured
+    * in GraphAnnSpec; the gate pins the full build + every search
+    * round bit-for-bit via the oracle's CTE replay. */
+  def qx109(spark: SparkSession, dir: String): DataFrame = {
+    val base = intEmbeddings(spark, dir)
+    val sigs = lshSigs(spark, dir)
+    val graph = GraphAnn.knnGraph(base,
+      EmbeddingLsh.candidatePairs(sigs), k = 4)
+    val qs = base.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("n2").as("qn2"))
+    // qx3's per-query LSH candidates seed the beam (the production
+    // shape: graph refinement OVER the bucketed first stage).
+    val qsigs = sigs.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("band").as("qband"), col("sig").as("qsig"))
+    val seeds = sigs.join(broadcast(qsigs),
+        col("band") === col("qband") && col("sig") === col("qsig") &&
+          col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id").distinct()
+    val entry = base.agg(min("vec_id")).head.getLong(0)
+    GraphAnn.search(graph, base, qs, seeds, entry, beam = 4, rounds = 3)
   }
 
   /** qx107 — PPMI CO-OCCURRENCE statistics (Church & Hanks 1990; the
