@@ -43,6 +43,52 @@ object GraphAnn {
       .select(col("u"), col("t.id").as("v"), col("t.score").as("cos"))
   }
 
+  /** INCREMENTAL graph maintenance — admit a delta of new vectors into
+    * an existing k-NN graph WITHOUT a full rebuild (the addBatch/qx41
+    * admission discipline applied to the graph asset): only nodes that
+    * share an LSH bucket with some delta vector can gain a new
+    * candidate, so exactly those nodes (plus the delta itself) get
+    * their top-K recomputed over the union buckets; every other node's
+    * candidate set — and hence its edges — is provably unchanged.
+    * PRECONDITION (the capacity-planning discipline): `sigs` must be
+    * computed with ONE pinned plane schedule for both the original
+    * build and the admission (plane count derived from the expected
+    * final size, not the running size) — under it, admit(old, delta)
+    * is BIT-equal to a full rebuild over the union, which is exactly
+    * what the qx110 gate hash checks (oracle = the rebuild).
+    *
+    * @param base     union integer embeddings (vec_id, iv, n2)
+    * @param sigs     union LSH band signatures under the pinned planes
+    * @param oldGraph the existing graph (u, v, cos)
+    * @param deltaIds one column `id` — the newly admitted vector ids
+    * @return the union graph (u, v, cos) */
+  def admit(base: DataFrame, sigs: DataFrame, oldGraph: DataFrame,
+            deltaIds: DataFrame, k: Int): DataFrame = {
+    val dBuckets = sigs
+      .join(deltaIds.withColumnRenamed("id", "vec_id"), "vec_id")
+      .select(col("band").as("qband"), col("sig").as("qsig")).distinct()
+    val touched = sigs.join(broadcast(dBuckets),
+        col("band") === col("qband") && col("sig") === col("qsig"))
+      .select("vec_id").distinct()
+    // directed collision pairs, recomputed ONLY for touched sources
+    val cand = sigs.as("x")
+      .join(touched.withColumnRenamed("vec_id", "u"), col("x.vec_id") === col("u"))
+      .join(sigs.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("u"), col("y.vec_id").as("v")).distinct()
+    val a = base.select(col("vec_id").as("u"), col("iv").as("uiv"), col("n2").as("un2"))
+    val b = base.select(col("vec_id").as("v"), col("iv").as("viv"), col("n2").as("vn2"))
+    val recomputed = cand.join(a, "u").join(b, "v")
+      .withColumn("cos", expr(
+        "CAST(long_dot(uiv, viv) AS DOUBLE) / (sqrt(CAST(un2 AS DOUBLE)) * sqrt(CAST(vn2 AS DOUBLE)))"))
+      .groupBy("u").agg(expr(s"topk_by(cos, v, $k)").as("tk"))
+      .select(col("u"), explode(col("tk")).as("t"))
+      .select(col("u"), col("t.id").as("v"), col("t.score").as("cos"))
+    val kept = oldGraph.join(touched.withColumnRenamed("vec_id", "u"), Seq("u"), "left_anti")
+    kept.unionByName(recomputed)
+  }
+
   /** Beam search: the per-query `seeds` (plus the global `entry`
     * fallback, so an unseeded query still searches) are scored and cut
     * to the initial beam; each of `rounds` rounds expands the beam's

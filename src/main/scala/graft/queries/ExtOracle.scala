@@ -3233,6 +3233,30 @@ object ExtOracle {
     sb.result()
   }
 
+  /** qx110 twin — the FULL REBUILD over the union under the same
+    * pinned plane schedule: union collision pairs, per-node top-4 by
+    * exact cosine, per-node degree + order-free edge signature. The
+    * hash equality against Spark's incremental admission IS the
+    * rebuild-equivalence proof. */
+  val qx110: String =
+    s"""WITH $EMB,
+       |$LSH,
+       |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |         FROM sig x JOIN sig y ON x.band = y.band AND x.sig = y.sig
+       |         WHERE x.vec_id < y.vec_id),
+       |und AS (SELECT vec_a AS u, vec_b AS v FROM cand
+       |        UNION ALL SELECT vec_b, vec_a FROM cand),
+       |gsc AS (SELECT und.u, und.v,
+       |          CAST(CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+       |               i -> a.v[i] * b.v[i])) AS BIGINT) AS DOUBLE)
+       |            / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS gcos
+       |        FROM und JOIN n a ON und.u = a.vec_id JOIN n b ON und.v = b.vec_id),
+       |g AS (SELECT u, v FROM gsc
+       |      QUALIFY row_number() OVER (PARTITION BY u ORDER BY gcos DESC, v ASC) <= 4)
+       |SELECT u, CAST(count(*) AS BIGINT) AS deg,
+       |       CAST(sum((u * 1009 + v) % 2147483647) AS BIGINT) AS esig
+       |FROM g GROUP BY u""".stripMargin
+
   /** qx108 twin — the four deterministic walk steps replayed as
     * generated CTEs: per step, a left join of the live frontier against
     * the edge list, the identical per-step integer hash, argmin via

@@ -4130,6 +4130,34 @@ object ExtQueries {
     GraphAnn.search(graph, base, qs, seeds, entry, beam = 4, rounds = 3)
   }
 
+  /** qx110 — INCREMENTAL k-NN-graph admission ([[GraphAnn.admit]]):
+    * the graph asset maintained like the index — a ~14% delta
+    * (vec_id % 7 == 3) is admitted into the base-only graph by
+    * recomputing ONLY bucket-touched nodes, and the gate hash IS the
+    * rebuild-equivalence proof: the oracle replays a FULL rebuild over
+    * the union (same pinned plane schedule — the capacity-planning
+    * precondition), so incremental == rebuild must hold bit-for-bit in
+    * every degree and edge signature. Output per node: out-degree and
+    * the order-free edge-set signature Σ (u·1009 + v) mod P.
+    * Scale shape: the delta's buckets broadcast; recomputation touches
+    * collision-affected nodes only — at a steady ingest rate that is
+    * the delta's neighborhood, not the corpus. */
+  def qx110(spark: SparkSession, dir: String): DataFrame = {
+    val P = 2147483647L
+    val base = intEmbeddings(spark, dir)
+    val sigs = lshSigs(spark, dir) // planes pinned from the UNION count
+    val deltaIds = base.where(pmod(col("vec_id"), lit(7L)) === 3L)
+      .select(col("vec_id").as("id"))
+    val baseOnly = base.where(pmod(col("vec_id"), lit(7L)) =!= 3L)
+    val baseSigs = sigs.join(deltaIds.withColumnRenamed("id", "vec_id"),
+      Seq("vec_id"), "left_anti")
+    val oldGraph = GraphAnn.knnGraph(baseOnly,
+      EmbeddingLsh.candidatePairs(baseSigs), k = 4)
+    val g = GraphAnn.admit(base, sigs, oldGraph, deltaIds, k = 4)
+    g.groupBy("u").agg(count(lit(1)).as("deg"),
+      sum(pmod(col("u") * 1009L + col("v"), lit(P))).as("esig"))
+  }
+
   /** qx107 — PPMI CO-OCCURRENCE statistics (Church & Hanks 1990; the
     * count table GloVe/word2vec-style embedding training and
     * collocation mining start from): symmetric ±2-window word

@@ -127,6 +127,27 @@ class GraphAnnSpec extends SparkTestBase {
     assert(r3 >= (brute.size * 7) / 10, s"clustered space: expect high recall, got $r3/${brute.size}")
   }
 
+  test("admit == full rebuild on the corpus split; untouched nodes keep their edges") {
+    val base = this.base.localCheckpoint()
+    val sigs = this.sigs.localCheckpoint()
+    val deltaIds = base.where(pmod(col("vec_id"), lit(7L)) === 3L)
+      .select(col("vec_id").as("id"))
+    val baseOnly = base.where(pmod(col("vec_id"), lit(7L)) =!= 3L)
+    val baseSigs = sigs.join(deltaIds.withColumnRenamed("id", "vec_id"),
+      Seq("vec_id"), "left_anti")
+    val oldGraph = GraphAnn.knnGraph(baseOnly,
+      EmbeddingLsh.candidatePairs(baseSigs), k = 4).localCheckpoint()
+    def edges(df: org.apache.spark.sql.DataFrame) =
+      df.select("u", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val admitted = edges(GraphAnn.admit(base, sigs, oldGraph, deltaIds, 4))
+    val rebuilt = edges(GraphAnn.knnGraph(base, EmbeddingLsh.candidatePairs(sigs), 4))
+    assert(admitted === rebuilt, "incremental admission must equal the full rebuild")
+    // a delta that collides with nothing leaves the old graph untouched
+    import spark.implicits._
+    val ghost = Seq(999999L).toDF("id") // not in sigs -> no buckets -> no touched nodes
+    assert(edges(GraphAnn.admit(base, sigs, oldGraph, ghost, 4)) === edges(oldGraph))
+  }
+
   test("deterministic under repartitioning") {
     val g = corpusGraph
     val a = GraphAnn.search(g, base.repartition(7), queriesDf, lshSeeds, 0L, 4, 3)
