@@ -3233,6 +3233,50 @@ object ExtOracle {
     sb.result()
   }
 
+  /** qx111 twin — the data card recomputed relationally: the qx84 rule
+    * CTE for quality, a full-text Horner hash groupBy for recurrence,
+    * (source, lang) folds for the language block. */
+  val qx111: String =
+    """WITH d AS (SELECT doc_id, source, lang, text, n_chars,
+      |             list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+      |           FROM documents),
+      |s AS (SELECT doc_id, source, lang, n_chars,
+      |        CAST(len(ws) AS BIGINT) AS n_words,
+      |        CAST(list_sum([CAST(0 AS BIGINT)] || list_transform(ws, w -> CAST(length(w) AS BIGINT))) AS BIGINT) AS sum_wc,
+      |        CAST(len(list_filter(ws, w -> w IN ('the', 'a'))) AS BIGINT) AS n_stop,
+      |        CAST(len(list_filter(ws, w -> length(translate(w, 'abcdefghijklmnopqrstuvwxyz', '')) < length(w))) AS BIGINT) AS n_alpha,
+      |        CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+      |          + CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_sym,
+      |        list_reduce([CAST(0 AS BIGINT)] ||
+      |          list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+      |          (a, b) -> (a*31 + b) % 1000003) AS th
+      |      FROM d),
+      |p AS (SELECT *, CASE WHEN n_words BETWEEN 50 AND 100000
+      |             AND 3 * n_words <= sum_wc AND sum_wc <= 10 * n_words
+      |             AND 10 * n_sym <= n_words
+      |             AND 5 * n_alpha >= 4 * n_words
+      |             AND n_stop >= 2 THEN 1 ELSE 0 END AS pass FROM s),
+      |dh AS (SELECT th FROM p GROUP BY th HAVING count(*) >= 2),
+      |dup AS (SELECT source, CAST(count(*) AS BIGINT) AS n_dup
+      |        FROM p WHERE th IN (SELECT th FROM dh) GROUP BY source),
+      |lg AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM p GROUP BY source, lang),
+      |mj AS (SELECT source, lang AS major_lang, cnt AS major_cnt FROM lg
+      |       QUALIFY row_number() OVER (PARTITION BY source
+      |         ORDER BY cnt DESC, lang ASC) = 1),
+      |nl AS (SELECT source, CAST(count(*) AS BIGINT) AS n_langs FROM lg GROUP BY source),
+      |agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |          CAST(sum(n_words) AS BIGINT) AS n_tokens,
+      |          CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |          CAST(sum(pass) AS BIGINT) AS n_pass
+      |        FROM p GROUP BY source)
+      |SELECT agg.source, n_docs, n_tokens, sum_chars, n_pass,
+      |       CAST(coalesce(dup.n_dup, 0) AS BIGINT) AS n_dup,
+      |       n_langs, major_lang, major_cnt
+      |FROM agg LEFT JOIN dup ON agg.source = dup.source
+      |         JOIN nl ON agg.source = nl.source
+      |         JOIN mj ON agg.source = mj.source""".stripMargin
+
   /** qx110 twin — the FULL REBUILD over the union under the same
     * pinned plane schedule: union collision pairs, per-node top-4 by
     * exact cosine, per-node degree + order-free edge signature. The
@@ -3262,9 +3306,12 @@ object ExtOracle {
     * the edge list, the identical per-step integer hash, argmin via
     * QUALIFY (ties impossible — v is inside its own hash), dangling
     * stop via the NULL out-edge. */
-  val qx108: String = {
+  /** The qx108 walk chain as a WITH-body fragment ending in a combined
+    * `wk(start, step, node, sig)` CTE — shared with qx112's skip-gram
+    * fold so the two rows replay ONE walk spelling. */
+  private val WALK_CHAIN: String = {
     val sb = new StringBuilder
-    sb ++= """WITH dom AS (SELECT DISTINCT doc_id % 40 AS u FROM documents),
+    sb ++= """dom AS (SELECT DISTINCT doc_id % 40 AS u FROM documents),
              |ed AS MATERIALIZED (SELECT DISTINCT u, v FROM (
              |   SELECT doc_id % 40 AS u, (doc_id * 7 + 3) % 40 AS v FROM documents
              |   UNION ALL
@@ -3286,12 +3333,39 @@ object ExtOracle {
                 |       FROM st$t
                 |       QUALIFY row_number() OVER (PARTITION BY start ORDER BY h ASC, v ASC) = 1)""".stripMargin
     }
-    sb ++= s"""
-              |SELECT start, step, node, sig FROM w0
+    sb ++= s""",
+              |wk AS MATERIALIZED (SELECT start, step, node, sig FROM w0
               |${(1 to 4).map(t =>
-                 s"UNION ALL SELECT start, step, node, sig FROM w$t WHERE NOT stopped").mkString("\n")}""".stripMargin
+                 s"  UNION ALL SELECT start, step, node, sig FROM w$t WHERE NOT stopped").mkString("\n")})""".stripMargin
     sb.result()
   }
+
+  val qx108: String =
+    s"""WITH $WALK_CHAIN
+       |SELECT start, step, node, sig FROM wk""".stripMargin
+
+  /** qx112 twin — the DeepWalk skip-gram fold over the identical walk
+    * chain: window-1 pairs (both orientations) from consecutive walk
+    * steps, then the qx107 micro-ratio fold with numeric contexts and
+    * per-node top-3. */
+  val qx112: String =
+    s"""WITH $WALK_CHAIN,
+       |pr AS (SELECT a.node AS w, b.node AS c
+       |       FROM wk a JOIN wk b ON a.start = b.start AND b.step = a.step + 1),
+       |sym AS (SELECT w, c FROM pr UNION ALL SELECT c AS w, w AS c FROM pr),
+       |cc AS MATERIALIZED (SELECT w, c, CAST(count(*) AS BIGINT) AS cnt
+       |      FROM sym GROUP BY w, c),
+       |mw AS MATERIALIZED (SELECT w, CAST(sum(cnt) AS BIGINT) AS cw FROM cc GROUP BY w),
+       |tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM cc),
+       |scored AS (SELECT cc.w, cc.c, cc.cnt,
+       |             (1000000 * cc.cnt * tt.t) // (mw.cw * mc.cw) AS ratio_micro
+       |           FROM cc JOIN mw ON cc.w = mw.w
+       |                   JOIN mw mc ON cc.c = mc.w
+       |                   CROSS JOIN tt)
+       |SELECT w, rk, c AS ctx, cnt, ratio_micro
+       |FROM (SELECT *, CAST(row_number() OVER (PARTITION BY w
+       |        ORDER BY ratio_micro DESC, c ASC) AS BIGINT) AS rk FROM scored) z
+       |WHERE rk <= 3""".stripMargin
 
   /** qx102 twin — all four synchronous LPA rounds replayed as generated
     * CTEs over the identical LSH candidate graph: per round, neighbor

@@ -2765,6 +2765,41 @@ object ExtQueries {
     out.select(col("start"), col("step"), col("node"), col("sig"))
   }
 
+  /** qx112 — the DeepWalk pipeline CLOSED end-to-end (Perozzi et al.
+    * 2014): qx108's deterministic walks become skip-gram training
+    * pairs (window 1, both orientations) and qx107's micro-PMI fold
+    * scores them — per node, the top-3 co-walked contexts by
+    * (ratio DESC, ctx ASC). Composition row (the qx77 funnel
+    * discipline): both constituents are the SHARED spellings, so this
+    * row pins the walks, the pair extraction and the fold in one hash.
+    * Scale shape: pairs are a self-join of the walk table on
+    * (start, step+1) — walk-table-sized, ≤ 5 rows per start — and the
+    * fold is node-vocabulary-bounded (the qx107 argument). */
+  def qx112(spark: SparkSession, dir: String): DataFrame = {
+    val walks = qx108(spark, dir).select("start", "step", "node")
+    val nxt = walks.select(col("start"), (col("step") - 1L).as("step"),
+      col("node").as("nxt"))
+    val pr = walks.join(nxt, Seq("start", "step"))
+      .select(col("node").as("w"), col("nxt").as("c"))
+    val sym = pr.unionByName(pr.select(col("c").as("w"), col("w").as("c")))
+    val cc = sym.groupBy("w", "c").agg(count(lit(1)).as("cnt"))
+    val mw = cc.groupBy("w").agg(sum("cnt").as("cw"))
+    val tot = cc.agg(sum("cnt").as("t"))
+    val scored = cc.join(mw, "w")
+      .join(mw.select(col("w").as("c"), col("cw").as("ccw")), "c")
+      .crossJoin(tot)
+      .withColumn("ratio_micro", expr("(1000000 * cnt * t) div (cw * ccw)"))
+      .localCheckpoint() // vocabulary-bounded; referenced by rank + detail
+    scored
+      .groupBy("w")
+      .agg(expr("topk_by(CAST(ratio_micro AS DOUBLE), c, 3)").as("tk"))
+      .select(col("w"), posexplode(col("tk")).as(Seq("p", "t")))
+      .select(col("w"), (col("p") + 1).cast("long").as("rk"), col("t.id").as("ctx"))
+      .join(scored.select(col("w"), col("c").as("ctx"), col("cnt"), col("ratio_micro")),
+        Seq("w", "ctx"))
+      .select("w", "rk", "ctx", "cnt", "ratio_micro")
+  }
+
   /** qx72 — ROBOTS.TXT FRONTIER FILTERING (RFC 9309): the politeness
     * gate between qx65's URL frontier and the fetch. Every qx62-world
     * domain gets a REAL robots.txt with the protocol's traps planted —
@@ -4128,6 +4163,51 @@ object ExtQueries {
       .select("qid", "vec_id").distinct()
     val entry = base.agg(min("vec_id")).head.getLong(0)
     GraphAnn.search(graph, base, qs, seeds, entry, beam = 4, rounds = 3)
+  }
+
+  /** qx111 — per-source DATA CARD (Gebru et al. 2021's datasheets /
+    * Pushkarna et al.'s data cards, rendered as the one-pass corpus
+    * audit a release ships with): for every source, volume (docs,
+    * whitespace tokens, chars), quality (qx84 Gopher pass count),
+    * redundancy (docs whose EXACT text recurs anywhere in the corpus —
+    * cross-source, so a source copying another pays), language spread
+    * (distinct langs, majority language with (count DESC, lang ASC)
+    * ties) — every statistic an exact integer, assembled from the
+    * repo's existing per-family spellings so the card cannot drift
+    * from the audits it summarizes.
+    *
+    * Scale shape: ONE documents scan computes the per-doc stats
+    * (map-side), one text-hash groupBy finds recurrences, and
+    * everything else folds per (source) / (source, lang) — bounded by
+    * sources×langs. The card is the artifact a 100 TB release attaches
+    * per shard and sums. */
+  def qx111(spark: SparkSession, dir: String): DataFrame = {
+    val ruled = GopherRules.withRuleColumns(Tables.documents(spark, dir))
+    val docs = ruled.select(col("doc_id"), col("source"), col("lang"),
+      col("n_chars"), col("n_words"), col("pass"),
+      // full-text Horner hash (the qx10 fingerprint family)
+      expr("""aggregate(split(text, ''), CAST(0 AS BIGINT),
+             |         (a, c) -> (a * 31 + ascii(c)) % 1000003)""".stripMargin).as("th"))
+    val dupHashes = docs.groupBy("th").agg(count(lit(1)).as("n"))
+      .where(col("n") >= 2L).select("th")
+    val flagged = docs.join(broadcast(dupHashes), Seq("th"), "left_semi")
+      .groupBy("source").agg(count(lit(1)).as("n_dup"))
+    val langs = docs.groupBy("source", "lang").agg(count(lit(1)).as("cnt"))
+    val major = langs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(col("cnt").desc, col("lang").asc)))
+      .where(col("rk") === 1)
+      .select(col("source"), col("lang").as("major_lang"), col("cnt").as("major_cnt"))
+    val nLangs = langs.groupBy("source").agg(count(lit(1)).as("n_langs"))
+    docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_tokens"),
+        sum("n_chars").as("sum_chars"), sum("pass").as("n_pass"))
+      .join(flagged, Seq("source"), "left")
+      .join(nLangs, Seq("source"))
+      .join(major, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("sum_chars"),
+        col("n_pass"), coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        col("n_langs"), col("major_lang"), col("major_cnt"))
   }
 
   /** qx110 — INCREMENTAL k-NN-graph admission ([[GraphAnn.admit]]):

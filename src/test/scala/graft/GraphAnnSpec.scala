@@ -146,6 +146,12 @@ class GraphAnnSpec extends SparkTestBase {
     import spark.implicits._
     val ghost = Seq(999999L).toDF("id") // not in sigs -> no buckets -> no touched nodes
     assert(edges(GraphAnn.admit(base, sigs, oldGraph, ghost, 4)) === edges(oldGraph))
+    // admission is IDEMPOTENT: re-delivering an already-admitted delta
+    // recomputes the same touched nodes over the same union buckets —
+    // the K6/K7 replay discipline falls out of admit being a pure
+    // function of (sigs, delta), no WAL needed
+    val once = GraphAnn.admit(base, sigs, oldGraph, deltaIds, 4).localCheckpoint()
+    assert(edges(GraphAnn.admit(base, sigs, once, deltaIds, 4)) === edges(once))
   }
 
   test("deterministic under repartitioning") {
