@@ -42,17 +42,31 @@ object LabelPropagation {
     *              in either orientation (both orientations are derived
     *              internally); self-loops ignored
     * @param iters synchronous rounds (fixed, ≥ 1)
+    * @param init  optional WARM-START labels (`u`, `label`) — the
+    *              community-maintenance path after [[GraphAnn.admit]]
+    *              grows the graph: restart from the previous fixpoint
+    *              and new nodes (absent from `init`) enter at their own
+    *              id. A converged labeling is a FIXPOINT of the update
+    *              (spec-pinned: one more round returns it unchanged),
+    *              so maintenance rounds after a small delta touch far
+    *              fewer labels than a cold start.
     * @return columns `u`, `label` — the community id a node converged
     *         to (labels are node ids; a community's id is whichever of
     *         its members' ids won the votes) */
-  def run(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+  def run(nodes: DataFrame, edges: DataFrame, iters: Int,
+          init: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1, "need at least one round")
     val nodesC = nodes.select(col("u")).cache()
     val und = edges.select(col("u"), col("v"))
       .where(col("u") =!= col("v"))
       .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
       .cache()
-    var labels = nodesC.select(col("u"), col("u").as("label"))
+    var labels = init match {
+      case None => nodesC.select(col("u"), col("u").as("label"))
+      case Some(prev) => nodesC
+        .join(prev.select(col("u"), col("label").as("l0")), Seq("u"), "left")
+        .select(col("u"), coalesce(col("l0"), col("u")).as("label"))
+    }
     for (_ <- 1 to iters) {
       // each edge (u,v) delivers v's current label to u; plus u's own
       val votes = und

@@ -115,6 +115,41 @@ class LabelPropagationSpec extends SparkTestBase {
     assert(rows(2L) === ((1L, 0L, 0L, 0L)))
   }
 
+  test("warm start: a converged labeling is a fixpoint; new nodes enter at their id") {
+    import org.apache.spark.sql.DataFrame
+    val edges = bridged.toDF("u", "v")
+    val nodes = spark.range(6).select(col("id").as("u"))
+    def lm(df: DataFrame) = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val converged = LabelPropagation.run(nodes, edges, 4)
+    // one more round from the fixpoint changes nothing
+    val again = LabelPropagation.run(nodes, edges, 1, init = Some(converged))
+    assert(lm(again) === lm(converged), "a converged labeling must be stable")
+    // grow the graph by a pendant node 6 attached to the {3,4,5} triangle:
+    // warm-started maintenance with ONE round absorbs it into that
+    // community; every old label is untouched
+    val grownNodes = spark.range(7).select(col("id").as("u"))
+    val grownEdges = (bridged :+ (5L, 6L)).toDF("u", "v")
+    val warm = lm(LabelPropagation.run(grownNodes, grownEdges, 1, init = Some(converged)))
+    val old = lm(converged)
+    assert(warm(6L) === old(5L), "the pendant must join its neighbor's community")
+    old.foreach { case (u, l) => assert(warm(u) === l, s"old node $u must keep its label") }
+    // the corpus-scale fixpoint claim holds too: round 5 == round 4
+    val (labels4, edges2) = {
+      val base = queries.ExtQueries.intEmbeddingsFrom(
+        sources.Tables.embeddings(spark, "/root/testdata/sf0.001"))
+      val sigs = graft.operators.EmbeddingLsh.bandSigs(
+        base.select("vec_id", "iv"), graft.operators.EmbeddingLsh.planesFor(base.count()))
+      val e = graft.operators.EmbeddingLsh.candidatePairs(sigs)
+        .select(col("vec_a").as("u"), col("vec_b").as("v")).localCheckpoint()
+      val n = base.select(col("vec_id").as("u"))
+      (LabelPropagation.run(n, e, 4).localCheckpoint(), e)
+    }
+    val n = labels4.select("u")
+    val labels5 = LabelPropagation.run(n, edges2, 1, init = Some(labels4))
+    assert(lm(labels5) === lm(labels4),
+      "the corpus labeling at 4 rounds must already be a fixpoint")
+  }
+
   test("deterministic under repartitioning and input order") {
     val edges = bridged ++ Seq((5L, 6L), (6L, 7L), (5L, 7L))
     val a = LabelPropagation.run(
