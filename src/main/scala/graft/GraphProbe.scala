@@ -24,12 +24,17 @@ import graft.operators.{EmbeddingLsh, GraphAnn}
   *
   * `gen:<n>` synthesizes n RANDOM vectors (ProbeGen's noise term
   * alone) — the gate corpus's regime. The PLANTED-cluster probe corpus
-  * is deliberately not used here: near-identical cluster members share
-  * most hyperplane signs, so LSH buckets go quadratic — the known
-  * failure mode the capped/celled dedup family (qx50) exists for; the
-  * kNN-graph build inherits it through its candidate generator, which
-  * at clustered 100 TB means capping bucket fan-out or building from
-  * IVF cells instead (documented, not probed). */
+  * is deliberately not used for the LSH modes: near-identical cluster
+  * members share most hyperplane signs, so LSH buckets go quadratic —
+  * the known failure mode the celled dedup family (qx50) exists for,
+  * inherited by the kNN-graph build through its candidate generator.
+  *
+  * `cells:<dir>` is the answer, measured: the qx113 cell-built graph
+  * on the SAME clustered corpus — 80k vectors build in ~10 s (the LSH
+  * build never finished), cell-seeded beam search answers in ~3.4 s at
+  * recall 80/80 vs brute top-1. A first design capped cell MEMBERSHIP
+  * and probed at 1/80 recall (the periphery vanished from the graph) —
+  * kept in the operator scaladoc as the recorded wrong turn. */
 object GraphProbe {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
@@ -50,6 +55,49 @@ object GraphProbe {
       val t0 = System.nanoTime()
       val a = f
       (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // cells:<dir> — the CLUSTERED-corpus mode: build the cell-based
+    // graph (qx113) where the LSH-based build goes quadratic, and
+    // measure a cell-seeded search's recall against brute truth.
+    if (dir.startsWith("cells:")) {
+      val d = dir.drop(6)
+      val base = queries.ExtQueries.intEmbeddingsFrom(
+        spark.read.parquet(s"$d/embeddings.parquet")).localCheckpoint()
+      val n = base.count()
+      val asg = queries.ExtQueries.kmeansAsg(spark, d).localCheckpoint()
+      val (g, cellBuildSec) = time {
+        GraphAnn.knnGraphFromCells(base, asg, k = 4).localCheckpoint()
+      }
+      val edges = g.count()
+      val qs = base.where(pmod(col("vec_id"), lit(1000L)) === 0L)
+        .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("n2").as("qn2"))
+        .localCheckpoint()
+      // seeds: the query's own cell members
+      val seeds = qs.select(col("qid"))
+        .join(asg.select(col("vec_id").as("qid"), col("cid")), "qid")
+        .join(asg.select("vec_id", "cid"), "cid")
+        .select("qid", "vec_id")
+      val (found, searchSec) = time {
+        GraphAnn.search(g, base, qs, seeds, entry = 0L, beam = 4, rounds = 3)
+          .collect().map(r => (r.getLong(0), r.getLong(2)))
+      }
+      val brute = qs.crossJoin(base.select(col("vec_id"), col("iv"), col("n2")))
+        .where(col("vec_id") =!= col("qid"))
+        .withColumn("dot", expr("long_dot(iv, qiv)"))
+        .withColumn("cosine", expr(
+          "CAST(dot AS DOUBLE) / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE)))"))
+        .groupBy("qid").agg(expr("topk_by(cosine, vec_id, 1)").as("tk"))
+        .select(col("qid"), expr("element_at(tk, 1).id").as("nn"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val byQ = found.groupBy(_._1)
+      val hits = brute.count { case (q, nn) =>
+        byQ.getOrElse(q, Array.empty[(Long, Long)]).exists(_._2 == nn) }
+      println(s"""{"n":$n,"cell_build_sec":${"%.2f".format(cellBuildSec)},""" +
+        s""""edges":$edges,"search_sec":${"%.2f".format(searchSec)},""" +
+        s""""recall_top1":"$hits/${brute.size}","sf":"$d"}""")
+      spark.stop()
+      return
     }
 
     val raw =

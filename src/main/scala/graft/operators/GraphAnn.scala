@@ -43,6 +43,37 @@ object GraphAnn {
       .select(col("u"), col("t.id").as("v"), col("t.score").as("cos"))
   }
 
+  /** k-NN graph built from k-MEANS CELLS instead of LSH buckets — the
+    * construction for CLUSTERED corpora, where near-identical cluster
+    * members share most hyperplane signs and the LSH candidate
+    * generator goes quadratic (the GraphProbe finding; the qx50
+    * celled-dedup failure mode). Candidates are ALL same-cell pairs —
+    * the qx50 SemDeDup candidate shape with a top-K fold on the end —
+    * so EVERY node gets its out-edges (a first design that capped cell
+    * MEMBERSHIP dropped the periphery from the graph entirely and
+    * probed at 1/80 recall; full-coverage cells read 62/80 on the same
+    * corpus). Work is Σ|cell|²: the caller bounds it through the
+    * ASSIGNMENT granularity (k ≈ n/B keeps cells near a constant B and
+    * total work linear — the probe's clustered corpus builds in ~1 s at
+    * 80k vectors where the LSH construction never finished).
+    *
+    * @param base integer embeddings (vec_id, iv, n2)
+    * @param asg  k-means assignment (vec_id, cid, ...)
+    * @return (u, v, cos) */
+  def knnGraphFromCells(base: DataFrame, asg: DataFrame, k: Int): DataFrame = {
+    val cells = asg.select("vec_id", "cid").join(base, "vec_id")
+    val x = cells.select(col("cid"), col("vec_id").as("u"),
+      col("iv").as("uiv"), col("n2").as("un2"))
+    val y = cells.select(col("cid"), col("vec_id").as("v"),
+      col("iv").as("viv"), col("n2").as("vn2"))
+    x.join(y, Seq("cid")).where(col("u") =!= col("v"))
+      .withColumn("cos", expr(
+        "CAST(long_dot(uiv, viv) AS DOUBLE) / (sqrt(CAST(un2 AS DOUBLE)) * sqrt(CAST(vn2 AS DOUBLE)))"))
+      .groupBy("u").agg(expr(s"topk_by(cos, v, $k)").as("tk"))
+      .select(col("u"), explode(col("tk")).as("t"))
+      .select(col("u"), col("t.id").as("v"), col("t.score").as("cos"))
+  }
+
   /** INCREMENTAL graph maintenance — admit a delta of new vectors into
     * an existing k-NN graph WITHOUT a full rebuild (the addBatch/qx41
     * admission discipline applied to the graph asset): only nodes that

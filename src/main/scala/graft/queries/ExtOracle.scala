@@ -3277,6 +3277,25 @@ object ExtOracle {
       |         JOIN nl ON agg.source = nl.source
       |         JOIN mj ON agg.source = mj.source""".stripMargin
 
+  /** qx113 twin — the cell-built graph replayed: KMEANS_ASSIGN, ALL
+    * same-cell pairs, per-node top-4 by exact cosine, the qx110
+    * degree/edge-signature fold. */
+  val qx113: String =
+    s"""WITH $KMEANS_ASSIGN,
+       |asgm AS MATERIALIZED (SELECT vec_id, cid FROM assign),
+       |prs AS (SELECT x.vec_id AS u, y.vec_id AS v
+       |        FROM asgm x JOIN asgm y ON x.cid = y.cid AND x.vec_id <> y.vec_id),
+       |gsc AS (SELECT prs.u, prs.v,
+       |          CAST(CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+       |               i -> a.v[i] * b.v[i])) AS BIGINT) AS DOUBLE)
+       |            / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS gcos
+       |        FROM prs JOIN n a ON prs.u = a.vec_id JOIN n b ON prs.v = b.vec_id),
+       |g AS (SELECT u, v FROM gsc
+       |      QUALIFY row_number() OVER (PARTITION BY u ORDER BY gcos DESC, v ASC) <= 4)
+       |SELECT u, CAST(count(*) AS BIGINT) AS deg,
+       |       CAST(sum((u * 1009 + v) % 2147483647) AS BIGINT) AS esig
+       |FROM g GROUP BY u""".stripMargin
+
   /** qx110 twin — the FULL REBUILD over the union under the same
     * pinned plane schedule: union collision pairs, per-node top-4 by
     * exact cosine, per-node degree + order-free edge signature. The

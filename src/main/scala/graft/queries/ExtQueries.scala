@@ -3919,17 +3919,25 @@ object ExtQueries {
     * CTEs. */
   private[graft] val CoresetC = 6
   private[graft] val CoresetR = 3
-  def qx100(spark: SparkSession, dir: String): DataFrame = {
+  /** The qx16-trained k-means assignment with its L2 surrogate —
+    * (vec_id, cid, sc) — shared by qx100's coreset cap and qx113's
+    * cell-built graph. */
+  private[graft] def kmeansAsg(spark: SparkSession, dir: String): DataFrame = {
     val base = intEmbeddings(spark, dir)
     val k = IvfAnn.kmeansCentroidsFor(Tables.embeddings(spark, dir).count())
     val cents = IvfAnn.trainedCentroids(base, IvfAnn.centroids(spark, k), iters = 2)
       .withColumn("cn2", expr("long_dot(cv, cv)"))
-    val asg = base.select("vec_id", "iv").crossJoin(broadcast(cents))
+    base.select("vec_id", "iv").crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cid"),
         (lit(2L) * expr("long_dot(iv, cv)") - col("cn2")).as("sc"))
       .groupBy("vec_id")
       .agg(max(struct(col("sc"), (-col("cid")).as("negcid"))).as("b"))
       .select(col("vec_id"), (-col("b.negcid")).as("cid"), col("b.sc").as("sc"))
+  }
+
+  def qx100(spark: SparkSession, dir: String): DataFrame = {
+    val base = intEmbeddings(spark, dir)
+    val asg = kmeansAsg(spark, dir)
     // Per-cell cap: centroid-closest C by the SAME L2 surrogate the
     // assignment ranked with (sc ≤ ~5e13: exact in DOUBLE, so topk_by's
     // order is the integer order). Checkpoint before fan-out — pairs and
@@ -4208,6 +4216,22 @@ object ExtQueries {
       .select(col("source"), col("n_docs"), col("n_tokens"), col("sum_chars"),
         col("n_pass"), coalesce(col("n_dup"), lit(0L)).as("n_dup"),
         col("n_langs"), col("major_lang"), col("major_cnt"))
+  }
+
+  /** qx113 — CELL-BUILT k-NN graph ([[GraphAnn.knnGraphFromCells]]):
+    * the construction that survives CLUSTERED corpora, where the LSH
+    * candidate generator goes quadratic (GraphProbe's planted-corpus
+    * finding). ALL same-cell pairs under the qx16-trained assignment
+    * (the qx50 SemDeDup candidate shape — full coverage, work bounded
+    * through the assignment granularity), per-node top-4 by exact
+    * cosine; output the qx110 degree + order-free edge-signature
+    * fold. */
+  def qx113(spark: SparkSession, dir: String): DataFrame = {
+    val P = 2147483647L
+    val g = GraphAnn.knnGraphFromCells(intEmbeddings(spark, dir),
+      kmeansAsg(spark, dir), k = 4)
+    g.groupBy("u").agg(count(lit(1)).as("deg"),
+      sum(pmod(col("u") * 1009L + col("v"), lit(P))).as("esig"))
   }
 
   /** qx110 — INCREMENTAL k-NN-graph admission ([[GraphAnn.admit]]):

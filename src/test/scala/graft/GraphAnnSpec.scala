@@ -154,6 +154,53 @@ class GraphAnnSpec extends SparkTestBase {
     assert(edges(GraphAnn.admit(base, sigs, once, deltaIds, 4)) === edges(once))
   }
 
+  test("cell-built graph: full coverage, intra-cell edges, search works on planted clusters") {
+    // the qx113 construction on the planted fixture: every node with a
+    // ≥2-member cell gets out-edges, every edge is intra-cell, and
+    // cell-seeded search recovers the true neighbors
+    def vec(id: Long): Array[Long] = {
+      val label = id * 2654435761L % 97L % 10L
+      Array.tabulate(64) { d =>
+        val a = label * 131071L + d * 97L + 5L
+        (a * a % 2147483647L % 401L - 200L) * 1000L +
+          ((id * 1009L + d * 31L + 3L) * 2654435761L % 2147483647L % 161L - 80L) * 1000L
+      }
+    }
+    val b = (0L until 500L).map(i => (i, vec(i), vec(i).map(x => x * x).sum))
+      .toDF("vec_id", "iv", "n2").localCheckpoint()
+    // use the true labels as "cells" — the spec isolates the graph
+    // construction from k-means quality
+    val asg = b.select(col("vec_id"),
+      (col("vec_id") * 2654435761L % 97L % 10L).as("cid")).localCheckpoint()
+    val g = GraphAnn.knnGraphFromCells(b, asg, k = 4).localCheckpoint()
+    val cellOf = asg.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = g.select("u", "v").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty)
+    edges.foreach { case (u, v) => assert(cellOf(u) === cellOf(v), s"$u->$v crosses cells") }
+    assert(edges.map(_._1).distinct.length === 500, "every node must carry out-edges")
+    // cell-seeded search: brute truth within reach
+    val qs = b.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("n2").as("qn2"))
+    val seeds = qs.select(col("qid"))
+      .join(asg.select(col("vec_id").as("qid"), col("cid")), "qid")
+      .join(asg.select("vec_id", "cid"), "cid")
+      .select("qid", "vec_id")
+    val brute = qs.crossJoin(b.select(col("vec_id"), col("iv"), col("n2")))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("dot", expr("long_dot(iv, qiv)"))
+      .withColumn("cosine", expr(
+        "CAST(dot AS DOUBLE) / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE)))"))
+      .groupBy("qid").agg(expr("topk_by(cosine, vec_id, 1)").as("tk"))
+      .select(col("qid"), expr("element_at(tk, 1).id").as("nn"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byQ = GraphAnn.search(g, b, qs, seeds, 0L, beam = 4, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+    val hits = brute.count { case (q, nn) =>
+      byQ.getOrElse(q, Array.empty[(Long, Long)]).exists(_._2 == nn) }
+    info(s"cell-graph recall@top1-in-beam4: $hits/${brute.size}")
+    assert(hits === brute.size, "full-coverage cells must recover every true top-1 here")
+  }
+
   test("deterministic under repartitioning") {
     val g = corpusGraph
     val a = GraphAnn.search(g, base.repartition(7), queriesDf, lshSeeds, 0L, 4, 3)
