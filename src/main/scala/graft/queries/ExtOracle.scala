@@ -2986,12 +2986,15 @@ object ExtOracle {
     * the same exact-Long margin / rational fast-sigmoid / milli residual
     * shapes, weights threaded round-to-round as one-row CTEs, and the
     * integer floor-division update spelled (g − pmod(g, 2n)) / 2n. */
-  val qx103: String = {
+  /** The qx103 GD chain as a WITH-body fragment ending in the scored
+    * doc table `sc(source, y, score_milli)` — shared with qx114's
+    * calibration audit so both rows replay ONE training spelling. */
+  private lazy val LOGISTIC_CHAIN: String = {
     val dims = 5
     def zExpr(wa: String) =
       s"CAST(${(0 until dims).map(j => s"$wa.w$j * f.x$j").mkString(" + ")} AS DOUBLE) / 1000000000.0"
     val sb = new StringBuilder
-    sb ++= s"""WITH d AS (SELECT doc_id, source, text,
+    sb ++= s"""d AS (SELECT doc_id, source, text,
               |             list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
               |           FROM documents),
               |s AS (SELECT doc_id, source,
@@ -3029,9 +3032,15 @@ object ExtOracle {
                 |w$t AS (SELECT $fd FROM w${t - 1} w CROSS JOIN g$t g CROSS JOIN cnt c)""".stripMargin
     }
     sb ++= s"""
-              |, sc AS (SELECT f.source, f.y,
+              |, sc AS MATERIALIZED (SELECT f.source, f.y,
               |           CAST(floor((0.5 + z / (2.0 * (1.0 + abs(z)))) * 1000.0 + 0.5) AS BIGINT) AS score_milli
-              |         FROM (SELECT f.*, ${zExpr("w")} AS z FROM feat f CROSS JOIN w5 w) f),
+              |         FROM (SELECT f.*, ${zExpr("w")} AS z FROM feat f CROSS JOIN w5 w) f)""".stripMargin
+    sb.result()
+  }
+
+  val qx103: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH $LOGISTIC_CHAIN,
               |agg AS (SELECT source AS grp,
               |          CAST(count(*) AS BIGINT) AS n_docs,
               |          CAST(sum(CASE WHEN score_milli >= 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
@@ -3039,12 +3048,25 @@ object ExtOracle {
               |          CAST(sum(score_milli) AS BIGINT) AS v
               |        FROM sc GROUP BY source)
               |SELECT grp, n_docs, n_keep, n_agree, v FROM agg""".stripMargin
-    for (j <- 0 until dims) {
+    for (j <- 0 until 5) {
       sb ++= s"""
                 |UNION ALL SELECT 'w$j', CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), w$j FROM w5""".stripMargin
     }
     sb.result()
   }
+
+  /** qx114 twin — the reliability table over the identical chain:
+    * centi bins of the milli score, per-bin count / positive count /
+    * score mass, and the integer calibration gap
+    * |⌊10³·n₊/n⌋ − ⌊Σscore/n⌋|. */
+  val qx114: String =
+    s"""WITH $LOGISTIC_CHAIN
+       |SELECT score_milli // 10 AS bin,
+       |       CAST(count(*) AS BIGINT) AS n,
+       |       CAST(sum(y) AS BIGINT) AS n_pos,
+       |       CAST(sum(score_milli) AS BIGINT) AS sum_score,
+       |       CAST(abs((1000 * sum(y)) // count(*) - sum(score_milli) // count(*)) AS BIGINT) AS gap_milli
+       |FROM sc GROUP BY score_milli // 10""".stripMargin
 
   /** qx104 twin — the hard-EM round replayed end to end: the qx96 DP
     * chain GENERALIZED over its score source and generated twice —

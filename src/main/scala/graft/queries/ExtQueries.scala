@@ -4307,6 +4307,31 @@ object ExtQueries {
         col("cnt"), col("ratio_micro"))
   }
 
+  /** qx114 — CALIBRATION AUDIT (reliability table) of the qx103
+    * distilled scorer: milli scores binned at centi-granularity
+    * (div 10 — the scores concentrate near 0.5 under the compressive
+    * fast-sigmoid link, so decile bins would collapse to two rows),
+    * per bin the
+    * count, positive-label count, score mass and the integer
+    * calibration gap |⌊10³·n₊/n⌋ − ⌊Σscore/n⌋| — the diagram that says
+    * whether the scorer's probabilities MEAN anything before anyone
+    * thresholds them (Guo et al. 2017's reliability analysis, rendered
+    * exact-integer). Shares the training chain with qx103 (one GD
+    * spelling in engine and oracle — the rows cannot drift). Scale
+    * shape: one scan of the cached features under the final weights +
+    * a 10-bin map-side-combinable fold. */
+  def qx114(spark: SparkSession, dir: String): DataFrame = {
+    val feat = logisticFeatures(spark, dir)
+    val w = LogisticGD.train(feat, dims = 5, iters = 5, etaDen = 2L)
+    LogisticGD.withScore(feat, w)
+      .withColumn("score_milli", expr("CAST(floor(p * 1000.0D + 0.5D) AS BIGINT)"))
+      .withColumn("bin", expr("score_milli div 10"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"),
+        sum("score_milli").as("sum_score"))
+      .withColumn("gap_milli", expr("abs((1000 * n_pos) div n - sum_score div n)"))
+  }
+
   /** qx101b — qx101's MaxSim with its candidates from the banded LSH
     * index (qx3's candidate generation verbatim): first-stage retrieval
     * narrows the corpus to vectors sharing any band signature with the

@@ -85,6 +85,27 @@ class LogisticGDSpec extends SparkTestBase {
     out.unpersist(false)
   }
 
+  test("qx114 reliability table: totals reconcile and the gap recomputes") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = queries.ExtQueries.qx114(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length >= 3, "the centi bins must spread the score mass")
+    val feat = queries.ExtQueries.logisticFeatures(spark, dir)
+    assert(rows.map(_._2).sum === feat.count())
+    assert(rows.map(_._3).sum === feat.agg(sum("y")).collect()(0).getLong(0))
+    rows.foreach { case (bin, n, nPos, sumScore, gap) =>
+      assert(gap === math.abs(1000L * nPos / n - sumScore / n), s"bin $bin gap")
+      // every member's score really lives in the bin
+      assert(sumScore / n / 10 === bin || (sumScore / n) / 10 - bin <= 1, s"bin $bin mass")
+    }
+    // the audit's finding on this corpus: the scorer separates (top bin
+    // mostly positive, bottom bins mostly negative) but is NOT
+    // calibrated — gaps well above zero are the expected reading
+    val top = rows.maxBy(_._1); val bot = rows.minBy(_._1)
+    assert(top._3 * 2 > top._2, "top bin should be majority-positive")
+    assert(bot._3 * 2 < bot._2, "bottom bin should be majority-negative")
+  }
+
   test("weight rows ride along in the qx103 output") {
     val out = queries.ExtQueries.qx103(spark, "/root/testdata/sf0.001")
     val wRows = out.where(col("grp").startsWith("w")).collect()
