@@ -26,7 +26,9 @@ object Explain {
         "qx78_zorder3", "qx79_hybrid_rrf", "qx81_priority_sample",
         "qx82_rendezvous_shard", "qx83_epoch_shuffle",
         "qx101_maxsim", "qx101b_maxsim_lsh", "qx102_label_prop",
-        "qx103_logistic_distill")
+        "qx103_logistic_distill", "qx104_unigram_em", "qx105_modularity",
+        "qx106_dpr_triplets", "qx109_graph_ann", "qx110_graph_admit",
+        "qx113_cell_graph")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
