@@ -864,8 +864,10 @@ object ExtOracle {
     * the same labeling star contraction converges to. Transitive closure
     * is O(n·m) and fine at oracle scale; the Spark side's O(log n)
     * contraction is the production form. */
-  val qx20: String =
-    s"""WITH RECURSIVE $DOCS, $MH_TABLE, $BANDS,
+  /** The qx20 transitive-closure chain ending in `rep0(doc_id, rep)` —
+    * shared with qx115's leakage-safe splits. */
+  private lazy val DUP_REP_CHAIN: String =
+    s"""$DOCS, $MH_TABLE, $BANDS,
        |pairs AS (SELECT DISTINCT x.doc_id AS pa, y.doc_id AS pb
        |          FROM bands x JOIN bands y ON x.b = y.b AND x.sig = y.sig AND x.doc_id < y.doc_id),
        |sym AS (SELECT pa, pb FROM pairs UNION SELECT pb, pa FROM pairs),
@@ -873,9 +875,43 @@ object ExtOracle {
        |  SELECT pa, pb FROM sym
        |  UNION
        |  SELECT r.src, s.pb FROM reach r JOIN sym s ON r.dst = s.pa
-       |)
-       |SELECT src AS doc_id, least(src, min(dst)) AS rep
-       |FROM reach GROUP BY src""".stripMargin
+       |),
+       |rep0 AS (SELECT src AS doc_id, least(src, min(dst)) AS rep
+       |         FROM reach GROUP BY src)""".stripMargin
+
+  val qx20: String =
+    s"""WITH RECURSIVE $DUP_REP_CHAIN
+       |SELECT doc_id, rep FROM rep0""".stripMargin
+
+  /** qx115 twin — the closure chain plus singleton reps for unclustered
+    * docs, both split schemes from the same affine hash, per-(scheme,
+    * split) folds and the per-scheme leaky-cluster counts. */
+  val qx115: String = {
+    def bucket(e: String) =
+      s"CASE WHEN (($e * 1000003 + 12345) % $P % 10) < 8 THEN 0 " +
+        s"WHEN (($e * 1000003 + 12345) % $P % 10) = 8 THEN 1 ELSE 2 END"
+    s"""WITH RECURSIVE $DUP_REP_CHAIN,
+       |repx AS MATERIALIZED (SELECT d.doc_id, coalesce(r.rep, d.doc_id) AS rep
+       |        FROM documents d LEFT JOIN rep0 r ON d.doc_id = r.doc_id),
+       |asn AS MATERIALIZED (SELECT doc_id, rep,
+       |         CAST(${bucket("rep")} AS BIGINT) AS cl_split,
+       |         CAST(${bucket("doc_id")} AS BIGINT) AS doc_split
+       |       FROM repx)
+       |SELECT 'cluster' AS scheme, cl_split AS split,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(count(DISTINCT rep) AS BIGINT) AS n_clusters
+       |FROM asn GROUP BY cl_split
+       |UNION ALL
+       |SELECT 'dochash', doc_split,
+       |       CAST(count(*) AS BIGINT), CAST(count(DISTINCT rep) AS BIGINT)
+       |FROM asn GROUP BY doc_split
+       |UNION ALL
+       |SELECT 'cluster', CAST(-1 AS BIGINT), CAST(0 AS BIGINT), CAST(count(*) AS BIGINT)
+       |FROM (SELECT rep FROM asn GROUP BY rep HAVING count(DISTINCT cl_split) > 1) z1
+       |UNION ALL
+       |SELECT 'dochash', CAST(-1 AS BIGINT), CAST(0 AS BIGINT), CAST(count(*) AS BIGINT)
+       |FROM (SELECT rep FROM asn GROUP BY rep HAVING count(DISTINCT doc_split) > 1) z2""".stripMargin
+  }
 
   val qx5: String = {
     val sums = (0 until 16)

@@ -649,6 +649,51 @@ object ExtQueries {
     ConnectedComponents.connectedComponents(qx4(spark, dir))
       .select(col("node").as("doc_id"), col("rep"))
 
+  /** qx115 — LEAKAGE-SAFE train/val/test SPLITS by near-dup cluster
+    * (the complement to qx64's domain-grouped splits, closing the
+    * leakage channel qx64 cannot see: two near-duplicate documents
+    * from DIFFERENT domains landing on opposite sides of the split —
+    * the eval-contamination mode dedup-aware corpus releases split by
+    * cluster to prevent). Every doc takes its qx20 cluster rep
+    * (singletons rep themselves), and the 80/10/10 assignment hashes
+    * the REP, so a cluster moves as one unit. The row is
+    * SELF-DEMONSTRATING: it emits both schemes side by side — the
+    * cluster-keyed splits with their leaky-cluster count (0 by
+    * construction) and the naive doc-hash splits with theirs (> 0 on
+    * this corpus — the leak the operator exists to close).
+    * Scale shape: the cluster labeling is qx20's contraction; the
+    * assignment is one map-side hash; the leak audit is one groupBy
+    * rep with a distinct-count. */
+  def qx115(spark: SparkSession, dir: String): DataFrame = {
+    val P = 2147483647L
+    val labels = sharedOr("duplabels", spark, dir)(dupLabelsBase(spark, dir))
+    val rep = Tables.documents(spark, dir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
+    def bucket(c: org.apache.spark.sql.Column) = {
+      val s = pmod(pmod(c * 1000003L + 12345L, lit(P)), lit(10L))
+      when(s < 8L, lit(0L)).when(s === 8L, lit(1L)).otherwise(lit(2L))
+    }
+    val asn = rep
+      .withColumn("cl_split", bucket(col("rep")))
+      .withColumn("doc_split", bucket(col("doc_id")))
+      .localCheckpoint() // referenced by four folds; lineage = the CC run
+    def splits(scheme: String, splitCol: String) = asn
+      .groupBy(col(splitCol).as("split"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct("rep").as("n_clusters"))
+      .select(lit(scheme).as("scheme"), col("split"), col("n_docs"), col("n_clusters"))
+    def leaks(scheme: String, splitCol: String) = asn
+      .groupBy("rep").agg(countDistinct(col(splitCol)).as("ns"))
+      .where(col("ns") > 1L)
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(lit(scheme).as("scheme"), lit(-1L).as("split"),
+        lit(0L).as("n_docs"), col("n_clusters"))
+    splits("cluster", "cl_split")
+      .unionByName(splits("dochash", "doc_split"))
+      .unionByName(leaks("cluster", "cl_split"))
+      .unionByName(leaks("dochash", "doc_split"))
+  }
+
   /** The deterministic per-doc sampling hash qx21/qx22 order by: an
     * affine integer scramble of doc_id — uniform-ish, replayable, and
     * identical in the oracle. A production pipeline keys this off a
