@@ -55,10 +55,15 @@ case class MaxSim(first: Expression, second: Expression, third: Expression)
       TypeCheckResult.TypeCheckFailure(
         s"max_sim expects (ARRAY<BIGINT>, ARRAY<BIGINT>, INT), got " +
           s"(${first.dataType.simpleString}, ${second.dataType.simpleString})")
-    else if (!third.foldable || third.dataType != IntegerType ||
-      third.eval(InternalRow.empty).asInstanceOf[Number].intValue() <= 0)
+    else if (!third.foldable || third.dataType != IntegerType)
       TypeCheckResult.TypeCheckFailure("max_sim: t must be a foldable positive INT")
-    else TypeCheckResult.TypeCheckSuccess
+    else third.eval(InternalRow.empty) match {
+      // null-guard: CAST(NULL AS INT) is foldable IntegerType but folds
+      // to null — must fail the check, not NPE during analysis
+      case n: Number if n.intValue() > 0 => TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        TypeCheckResult.TypeCheckFailure("max_sim: t must be a foldable positive INT")
+    }
   }
 
   override protected def nullSafeEval(qa: Any, da: Any, ta: Any): Any = {

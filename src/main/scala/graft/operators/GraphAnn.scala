@@ -159,6 +159,10 @@ object GraphAnn {
         .distinct()
       beamDf = cut(scored(expanded)).localCheckpoint()
     }
+    // the final beam is checkpointed — lineage no longer needs the graph
+    // cache, so release it (the LabelPropagation/PageRank discipline);
+    // a standing door serving many searches must not accumulate blocks.
+    graphC.unpersist(false)
     beamDf.where(col("vec_id") =!= col("qid"))
       .groupBy("qid").agg(expr(s"topk_by(cosine, vec_id, $beam)").as("tk"))
       .select(col("qid"), posexplode(col("tk")).as(Seq("p", "t")))

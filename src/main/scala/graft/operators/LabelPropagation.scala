@@ -57,9 +57,11 @@ object LabelPropagation {
           init: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1, "need at least one round")
     val nodesC = nodes.select(col("u")).cache()
-    val und = edges.select(col("u"), col("v"))
-      .where(col("u") =!= col("v"))
-      .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+    // drop self-loops BEFORE symmetrizing — filtering only the forward
+    // orientation would let a reversed self-loop through as one extra vote
+    val noLoop = edges.select(col("u"), col("v")).where(col("u") =!= col("v"))
+    val und = noLoop
+      .unionByName(noLoop.select(col("v").as("u"), col("u").as("v")))
       .cache()
     var labels = init match {
       case None => nodesC.select(col("u"), col("u").as("label"))

@@ -2807,6 +2807,9 @@ object ExtQueries {
       walks = step.localCheckpoint()
       out = out.unionByName(walks.where(!col("stopped")))
     }
+    // every step is checkpointed — release the graph cache (the
+    // GraphAnn.search / PageRank discipline; same leak class audited r13)
+    edgesC.unpersist(false)
     out.select(col("start"), col("step"), col("node"), col("sig"))
   }
 

@@ -76,6 +76,16 @@ class LabelPropagationSpec extends SparkTestBase {
     }
   }
 
+  test("self-loops are ignored in either orientation (scaladoc contract)") {
+    // On edge 0-1, node 1's vote is a 1-1 tie (neighbor label 0 vs own
+    // label 1) breaking to 0. A self-loop (1,1) surviving symmetrization
+    // would add an extra vote for 1 and flip the outcome 2-1 — so this
+    // pins that input self-loops contribute nothing.
+    val withLoop = runLpa(Seq((0L, 1L), (1L, 1L)), 2, 1)
+    assert(withLoop === runLpa(Seq((0L, 1L)), 2, 1))
+    assert(withLoop === Map(0L -> 0L, 1L -> 0L))
+  }
+
   test("isolated nodes keep their own label") {
     val l = runLpa(Seq((0L, 1L)), 4, 3)
     assert(l(2L) === 2L && l(3L) === 3L)

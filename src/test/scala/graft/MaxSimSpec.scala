@@ -79,4 +79,14 @@ class MaxSimSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("max_sim") || e.getMessage.contains("foldable"))
   }
+
+  test("a NULL INT literal for t is a type-check failure, not an analysis NPE") {
+    // CAST(NULL AS INT) is foldable IntegerType folding to null — must
+    // surface as the max_sim type-check message, never NullPointerException
+    val e = intercept[Exception] {
+      spark.sql("SELECT max_sim(array(1L), array(1L), CAST(NULL AS INT))").collect()
+    }
+    assert(!e.isInstanceOf[NullPointerException])
+    assert(e.getMessage.contains("max_sim") || e.getMessage.contains("foldable"))
+  }
 }
