@@ -58,13 +58,24 @@ object HybridServeProbe {
       liRows = HybridIndex.searchLateInteraction(spark, out).count()
       (System.nanoTime() - t3) / 1e9
     }
+    // The mining epoch's cost from the persisted index (round 13, r12
+    // verdict #2): per-epoch triplet mining must be serve-bound (the
+    // same probe-bound legs search fuses), never corpus-bound.
+    var mineRows = 0L
+    val mineSecs = (1 to reps).map { _ =>
+      val t4 = System.nanoTime()
+      mineRows = HybridIndex.mineTriplets(spark, out).count()
+      (System.nanoTime() - t4) / 1e9
+    }
     println(s"""{"build_sec":${"%.2f".format(buildSec)},""" +
       s""""serve_sec":[${serveSecs.map(s => "%.2f".format(s)).mkString(",")}],""" +
       s""""rows":$rows,""" +
       s""""diverse_sec":[${diverseSecs.map(s => "%.2f".format(s)).mkString(",")}],""" +
       s""""diverse_rows":$divRows,""" +
       s""""li_sec":[${liSecs.map(s => "%.2f".format(s)).mkString(",")}],""" +
-      s""""li_rows":$liRows,"sf":"$dir"}""")
+      s""""li_rows":$liRows,""" +
+      s""""mine_sec":[${mineSecs.map(s => "%.2f".format(s)).mkString(",")}],""" +
+      s""""mine_rows":$mineRows,"sf":"$dir"}""")
     spark.stop()
   }
 }

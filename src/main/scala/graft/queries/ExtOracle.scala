@@ -2258,7 +2258,25 @@ object ExtOracle {
        |               CAST(row_number() OVER (PARTITION BY qid
        |                 ORDER BY cosine DESC, doc_id ASC) AS BIGINT) AS dense_rk
        |        FROM dsc QUALIFY dense_rk <= 20),
-       |""".stripMargin + HYBRID_LEX +
+       |""".stripMargin + HYBRID_LEX + TRIPLET_TAIL
+
+  /** qx106b twin — the miner's dense leg is the FULL qx44 IVFADC
+    * replay (qx79b's dense CTE verbatim); the lexical leg and the
+    * triplet tail are the SHARED fragments qx106 uses, so only the
+    * dense leg differs — the oracle-side mirror of the Scala-side
+    * factoring. */
+  val qx106b: String =
+    s"""WITH dt AS (
+       |${ivfadcSql(" AND a.vec_id < 5000", 20)}
+       |),
+       |drk AS (SELECT qid, vec_id AS doc_id, CAST(rk AS BIGINT) AS dense_rk FROM dt),
+       |""".stripMargin + HYBRID_LEX + TRIPLET_TAIL
+
+  /** The triplet-miner tail shared by qx106/qx106b: positive, hard
+    * negatives (−1 sentinels) and the overlap count, expecting
+    * `drk(qid, doc_id, dense_rk)` and `lrk(qid, doc_id, lex_rk)`
+    * CTEs upstream. */
+  private lazy val TRIPLET_TAIL: String =
     s""",
        |pos AS (SELECT qid, doc_id AS pos_id FROM drk WHERE dense_rk = 1),
        |negc AS (SELECT l.qid, l.doc_id, l.lex_rk FROM lrk l

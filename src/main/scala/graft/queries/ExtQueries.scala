@@ -3190,9 +3190,42 @@ object ExtQueries {
     * because three consumers would otherwise re-run the corpus scans
     * (the qx98 lesson). Sentinel −1 marks a query whose lexical top-20
     * all sit inside the dense top-20 (no hard negative exists). */
-  def qx106(spark: SparkSession, dir: String): DataFrame = {
-    val dense = denseTop20(spark, dir).localCheckpoint()
-    val lex = bm25Top20(spark, dir).localCheckpoint()
+  def qx106(spark: SparkSession, dir: String): DataFrame =
+    mineTriplets(denseTop20(spark, dir).localCheckpoint(),
+      bm25Top20(spark, dir).localCheckpoint())
+
+  /** qx106b — the triplet miner SERVED BY THE INDEX (the qx79b/qx98b
+    * discipline applied to the last brute-only consumer, r12 verdict
+    * #2): the dense leg is the qx44 residual-IVFADC serve cut to
+    * top-20 on the gate query slice — byte-identical to qx79b's dense
+    * leg — and the lexical leg and miner are the SHARED
+    * [[bm25Top20]]/[[mineTriplets]] spellings, so qx106 vs qx106b
+    * diffs measure exactly the index's effect on the mined triplets
+    * (the qx79-vs-qx79b argument). At 100 TB this is the form a
+    * production mining epoch runs: per-epoch cost is probe-bound
+    * (candidates ∝ cell occupancy), never the linear corpus scan the
+    * declared-brute qx106 pays by construction. Sentinel semantics
+    * (−1 when fewer than two hard negatives exist) are preserved by
+    * the shared miner. */
+  def qx106b(spark: SparkSession, dir: String): DataFrame = {
+    val (a, k) = ivfadcAssets(spark, dir)
+    val q = a.base.where(col("vec_id") % 50 === 0 && col("vec_id") < 5000)
+      .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("n2").as("qn2"))
+    val dense = ivfadcServe(q, a.books, a.pqBooks, a.codes, a.base, k, topk = 20)
+      .select(col("qid"), col("vec_id").as("doc_id"),
+        col("rk").cast("long").as("dense_rk"))
+    mineTriplets(dense.localCheckpoint(), bm25Top20(spark, dir).localCheckpoint())
+  }
+
+  /** The DPR miner over ANY (dense, lexical) top-20 rank pair —
+    * factored from qx106 so the declared-brute gate (qx106), the
+    * index-served gate (qx106b) and the persisted-index serving path
+    * ([[graft.operators.HybridIndex.mineTriplets]]) share one
+    * spelling. Inputs: dense(qid, doc_id, dense_rk),
+    * lex(qid, doc_id, lex_rk); callers checkpoint their legs (three
+    * consumers below would re-run the scans otherwise — the qx98
+    * lesson). */
+  private[graft] def mineTriplets(dense: DataFrame, lex: DataFrame): DataFrame = {
     val pos = dense.where(col("dense_rk") === 1L)
       .select(col("qid"), col("doc_id").as("pos_id"))
     val negc = lex.join(dense.select("qid", "doc_id"), Seq("qid", "doc_id"), "left_anti")

@@ -41,17 +41,30 @@ class TripletMinerSpec extends SparkTestBase {
 
   test("sentinel: a query whose lexical hits all sit in the dense set gets -1 negatives") {
     import spark.implicits._
-    // synthetic legs: qid 7's only lexical hits are dense members
+    // synthetic legs through the REAL factored miner: qid 7's only
+    // lexical hits are dense members -> both negatives coalesce to -1
     val dense = Seq((7L, 100L, 1L), (7L, 101L, 2L)).toDF("qid", "doc_id", "dense_rk")
     val lex = Seq((7L, 100L, 1L), (7L, 101L, 2L)).toDF("qid", "doc_id", "lex_rk")
-    val pos = dense.where(col("dense_rk") === 1L)
-      .select(col("qid"), col("doc_id").as("pos_id"))
-    val negc = lex.join(dense.select("qid", "doc_id"), Seq("qid", "doc_id"), "left_anti")
-    val negs = negc.groupBy("qid")
-      .agg(expr("topk_by(CAST(-lex_rk AS DOUBLE), doc_id, 2)").as("tk"))
-    val row = pos.join(negs, Seq("qid"), "left")
-      .select(col("qid"), col("pos_id"), col("tk")).collect().head
-    assert(row.getLong(1) === 100L)
-    assert(row.isNullAt(2), "no candidates -> null aggregate -> the query coalesces to -1")
+    val row = queries.ExtQueries.mineTriplets(dense, lex).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))
+      === ((7L, 100L, -1L, -1L, 2L)))
+  }
+
+  test("persisted-index mining == the qx106b gate row (r12 verdict #2)") {
+    // HybridIndex.mineTriplets over an index built from the gate corpus
+    // must equal qx106b's monolithic composition exactly — same assets
+    // (the HybridIndexSpec build==monolithic argument), same shared
+    // lexical leg, same shared miner; sentinel semantics ride along.
+    val out = java.nio.file.Files.createTempDirectory("graft_mine_idx").toString
+    operators.HybridIndex.build(spark, dir, out)
+    val served = operators.HybridIndex.mineTriplets(spark, out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    val gate = SparkEntry.queries("qx106b_dpr_indexed")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(served.nonEmpty)
+    assert(served.toSeq === gate.toSeq,
+      "index-served triplets diverged from the monolithic qx106b gate")
   }
 }
