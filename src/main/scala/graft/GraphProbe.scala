@@ -100,6 +100,44 @@ object GraphProbe {
       return
     }
 
+    // door:<dir> — the COMPOSED wave cost (round 13, r12 verdict #3):
+    // HybridIndex on all-but-a-delta, GraphIndex.init over the
+    // committed base, then ONE door-shaped wave — index addBatch +
+    // GraphIndex.admit (delta sigs, touched-node graph recompute,
+    // warm-started LPA over the candidate graph, versioned commit) —
+    // timed next to the regime numbers above.
+    if (dir.startsWith("door:")) {
+      val d = dir.drop(5)
+      val docs = spark.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val raw = spark.read.parquet(s"$d/embeddings.parquet")
+      val nAll = raw.count()
+      val idxOut = java.nio.file.Files.createTempDirectory("graft_gdoor_idx").toString
+      val gOut = java.nio.file.Files.createTempDirectory("graft_gdoor_g").toString
+      val deltaPred = pmod(col("doc_id"), lit(deltaMod * 100L)) === 3L // ~steady drip
+      val deltaPredV = pmod(col("vec_id"), lit(deltaMod * 100L)) === 3L
+      graft.operators.HybridIndex.build(spark,
+        docs.where(!deltaPred), raw.where(!deltaPredV), idxOut)
+      val (_, initSec) = time {
+        graft.operators.GraphIndex.init(spark, idxOut, gOut, expectedFinal = nAll)
+      }
+      val (_, admitIdxSec) = time {
+        graft.operators.HybridIndex.addBatch(spark, idxOut,
+          docs.where(deltaPred), raw.where(deltaPredV), segKeyOpt = Some("b0"))
+      }
+      val nDelta = raw.where(deltaPredV).count()
+      val (_, waveSec) = time {
+        graft.operators.GraphIndex.admit(spark, idxOut, gOut,
+          raw.where(deltaPredV).select(col("vec_id").as("id")), "b0")
+      }
+      println(s"""{"n":$nAll,"n_delta":$nDelta,""" +
+        s""""graph_init_sec":${"%.2f".format(initSec)},""" +
+        s""""index_admit_sec":${"%.2f".format(admitIdxSec)},""" +
+        s""""graph_wave_sec":${"%.2f".format(waveSec)},"sf":"$d"}""")
+      spark.stop()
+      return
+    }
+
     val raw =
       if (dir.startsWith("gen:")) {
         val n = dir.drop(4).toLong

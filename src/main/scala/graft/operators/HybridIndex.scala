@@ -505,6 +505,12 @@ object HybridIndex {
   /** Read one asset's LIVE segments only, manifest-resolved, with the
     * hive partition columns (`add`, and `cell_bucket` for codes)
     * intact via basePath. */
+  /** The committed integerized base vectors (vec_id, iv, n2) under the
+    * current manifest — the union every maintenance asset derives from
+    * ([[GraphIndex]] reads it for graph admission). */
+  def committedBase(spark: SparkSession, indexDir: String): DataFrame =
+    readAsset(spark, indexDir, "base.parquet", liveSegments(spark, indexDir))
+
   private def readAsset(spark: SparkSession, indexDir: String, asset: String,
                         live: Seq[String]): DataFrame =
     spark.read.option("basePath", s"$indexDir/$asset")
@@ -781,6 +787,35 @@ object HybridIndex {
   private def searchSegments(spark: SparkSession, indexDir: String,
                              live: Seq[String],
                              qPred: org.apache.spark.sql.Column): DataFrame = {
+    val (dense, lex) = servingLegs(spark, indexDir, live, qPred)
+    ExtQueries.rrfFuse(dense, lex)
+  }
+
+  /** DPR triplet mining served FROM THE PERSISTED INDEX (r12 verdict
+    * #2 — the last brute-only consumer moved onto the index): the
+    * dense and lexical legs are the exact serving legs [[search]]
+    * fuses, handed to the SHARED
+    * [[graft.queries.ExtQueries.mineTriplets]] spelling — so a mining
+    * epoch under a standing door is probe-bound (cell-occupancy
+    * candidates + the segment-local tf/df lexical leg), never a
+    * corpus scan, and its output is pinned by spec to the qx106b gate
+    * row whenever the index holds the gate corpus. Legs are
+    * checkpointed here because the miner consumes each three times
+    * (positive, anti-join, overlap — the qx98 lesson). */
+  def mineTriplets(spark: SparkSession, indexDir: String,
+                   qPred: org.apache.spark.sql.Column = DefaultQPred): DataFrame = {
+    val (dense, lex) =
+      servingLegs(spark, indexDir, liveSegments(spark, indexDir), qPred)
+    ExtQueries.mineTriplets(dense.localCheckpoint(), lex.localCheckpoint())
+  }
+
+  /** The two serving legs (dense IVFADC top-20, lexical BM25 top-20)
+    * over a resolved segment set — factored from the monolithic serve
+    * so [[search]]/[[searchAsOf]] (fusion) and [[mineTriplets]]
+    * (mining) share them. */
+  private def servingLegs(spark: SparkSession, indexDir: String,
+                          live: Seq[String],
+                          qPred: org.apache.spark.sql.Column): (DataFrame, DataFrame) = {
     val base = readAsset(spark, indexDir, "base.parquet", live)
     val q = base.where(qPred)
       .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("n2").as("qn2"))
@@ -807,6 +842,6 @@ object HybridIndex {
       .select(col("qid"), posexplode(col("tk")).as(Seq("p", "t")))
       .select(col("qid"), col("t.id").as("doc_id"),
         (col("p") + 1).cast("long").as("lex_rk"))
-    ExtQueries.rrfFuse(dense, lex)
+    (dense, lex)
   }
 }

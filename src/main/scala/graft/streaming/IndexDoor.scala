@@ -69,7 +69,8 @@ object IndexDoor {
   def run(spark: SparkSession, busRoot: String, topic: String, indexDir: String,
           checkpoint: String, maxOffsetsPerTrigger: Option[Long] = None,
           trigger: Trigger = Trigger.ProcessingTime("1 second"),
-          compactEvery: Option[Int] = None): StreamingQuery = {
+          compactEvery: Option[Int] = None,
+          graphDir: Option[String] = None): StreamingQuery = {
     val reader = spark.readStream.format("graft.sources.FileBus")
       .option("path", busRoot).option("subscribe", topic)
       .option("startingOffsets", "earliest")
@@ -87,6 +88,18 @@ object IndexDoor {
           expr("transform(split(embcsv, ','), x -> CAST(x AS FLOAT))").as("embedding"))
         HybridIndex.addBatch(spark, indexDir, docs, rawEmb,
           segKeyOpt = Some(s"b$batchId"))
+        // Graph/community maintenance rides the SAME micro-batch
+        // (round 13, r12 verdict #3): the kNN graph admits the batch's
+        // vectors ([[graft.operators.GraphIndex.admit]] — touched-node
+        // recompute only) and one warm-started LPA round refreshes the
+        // communities from the previous fixpoint. Idempotent under
+        // re-delivery: the graph version records the b<batchId> seg
+        // key and no-ops when it has already committed (the index's
+        // own segment discipline one asset over).
+        graphDir.foreach { g =>
+          graft.operators.GraphIndex.admit(spark, indexDir, g,
+            rawEmb.select(col("vec_id").as("id")), s"b$batchId")
+        }
         compactEvery.foreach { n =>
           if ((batchId + 1) % n == 0) {
             HybridIndex.compact(spark, indexDir)

@@ -297,4 +297,95 @@ class IndexDoorSpec extends SparkTestBase {
     assert(post.filter(_.getString(0) == "__index").forall(_.getString(3) == "keep"),
       s"post-retrain index health must keep, got ${post.filter(_.getString(0) == "__index").toSeq}")
   }
+
+  /** r12 verdict #3: the graph/community maintenance loop COMPOSED
+    * under the standing door — qx110's admit==rebuild hash run LIVE
+    * against door-admitted micro-batches, plus the warm-start
+    * community fixpoint, plus the re-delivery seam (a version records
+    * its b<batchId> seg key and a replay no-ops). */
+  test("graph/community maintenance rides the door: admit == rebuild, warm labels are a fixpoint") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{EmbeddingLsh, GraphAnn, GraphIndex, LabelPropagation}
+    val idxOut = tmpDir("gdoor_idx"); val gOut = tmpDir("gdoor_graph")
+    val busRoot = tmpDir("gdoor_bus"); val ck = tmpDir("gdoor_ck")
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val raw = Tables.embeddings(spark, dir)
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val cut = ids(ids.length * 3 / 5)
+    val expectedFinal = ids.length.toLong // capacity-planned plane schedule
+    HybridIndex.build(spark, docs.where(col("doc_id") < cut),
+      raw.where(col("vec_id") < cut), idxOut)
+    GraphIndex.init(spark, idxOut, gOut, expectedFinal, k = 4, lpaIters = 4)
+
+    // the delta rides the bus in two waves with a kill/restart between
+    // them; small triggers force several graph admissions per wave
+    val bRows = Tables.documents(spark, dir).where(col("doc_id") >= cut)
+      .join(raw.withColumnRenamed("vec_id", "doc_id"), "doc_id")
+      .select("doc_id", "source", "text", "embedding").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getSeq[Float](3)))
+      .sortBy(_._1)
+    val (wave1, wave2) = bRows.splitAt(bRows.length / 2)
+    def feed(wave: Array[(Long, String, String, Seq[Float])]): Unit =
+      wave.groupBy(_._1 % 2).foreach { case (p, rs) =>
+        FileBus.append(busRoot, "docs", p.toInt,
+          rs.map { case (id, src, t, e) => IndexDoor.encodeDoc(id, src, t, e, id) }.toSeq)
+      }
+    feed(wave1)
+    val q1 = IndexDoor.run(spark, busRoot, "docs", idxOut, ck,
+      maxOffsetsPerTrigger = Some(64L),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"),
+      graphDir = Some(gOut))
+    try q1.processAllAvailable() finally q1.stop()
+    feed(wave2)
+    val q2 = IndexDoor.run(spark, busRoot, "docs", idxOut, ck,
+      maxOffsetsPerTrigger = Some(64L),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"),
+      graphDir = Some(gOut))
+    try q2.processAllAvailable() finally q2.stop()
+
+    // several incremental graph versions actually committed
+    val vDirs = new java.io.File(gOut).listFiles().map(_.getName)
+      .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong).sorted
+    assert(vDirs.length >= 3, s"expected init + >=2 admissions, got v=$vDirs")
+
+    // (a) the LIVE qx110 pin: the door-maintained graph equals a full
+    // rebuild over the committed union under the SAME pinned planes
+    def edgeSet(g: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      g.collect().map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e9) / 1e9)).toSet
+    val base = HybridIndex.committedBase(spark, idxOut)
+    val planes = spark.read.parquet(s"$gOut/meta.parquet").head.getInt(0)
+    assert(planes === EmbeddingLsh.planesFor(expectedFinal))
+    val rebuilt = GraphAnn.knnGraph(base,
+      EmbeddingLsh.candidatePairs(
+        EmbeddingLsh.bandSigs(base.select("vec_id", "iv"), planes)), k = 4)
+    assert(edgeSet(GraphIndex.graph(spark, gOut)) === edgeSet(rebuilt),
+      "door-maintained graph diverged from the full rebuild")
+
+    // (b) the warm-start labeling is a FIXPOINT of the synchronous
+    // update on the final candidate graph (one more round returns it
+    // unchanged — the LabelPropagationSpec corpus pin, reached here
+    // through the door's warm-start chain), and it covers exactly the
+    // committed node set
+    val labels = GraphIndex.labels(spark, gOut)
+    val candEdges = EmbeddingLsh.candidatePairs(
+        EmbeddingLsh.bandSigs(base.select("vec_id", "iv"), planes))
+      .select(col("vec_a").as("u"), col("vec_b").as("v"))
+    def lm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val warm = lm(labels)
+    assert(warm.keySet === ids.map(_.toLong).toSet, "labels must cover the committed corpus")
+    val oneMore = lm(LabelPropagation.run(
+      base.select(col("vec_id").as("u")), candEdges, 1, init = Some(labels)))
+    assert(oneMore === warm, "warm-start labeling must be a fixpoint")
+
+    // (c) the re-delivery seam: replaying an already-recorded seg key
+    // must no-op (no new version, snapshot unchanged)
+    val before = vDirs.max
+    GraphIndex.admit(spark, idxOut, gOut,
+      spark.range(1).select(lit(ids.head.toLong).as("id")), s"b0")
+    val after = new java.io.File(gOut).listFiles().map(_.getName)
+      .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong).max
+    assert(after === before, "a re-delivered seg key must not mint a new version")
+  }
 }
