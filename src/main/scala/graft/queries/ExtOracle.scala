@@ -2741,11 +2741,11 @@ object ExtOracle {
   /** The qx88 allocation chain as a reusable CTE block (qx89 schedules
     * on top of it): ends at `k`, whose alloc expression is repeated in
     * both consumers below. */
-  private val UNIMAX_CHAIN: String =
-    """lt AS (SELECT lang,
-      |              CAST(sum(len(list_filter(string_split(text, ' '), w -> length(w) > 0))) AS BIGINT) AS avail
-      |            FROM documents GROUP BY lang),
-      |c AS (SELECT lang, avail, avail * 1 AS cap,
+  /** The waterfill arithmetic alone, expecting an upstream
+    * `lt(lang, avail)` CTE — factored (round 13) so qx116 can run the
+    * SAME allocator over community units. */
+  private val UNIMAX_TAIL: String =
+    """c AS (SELECT lang, avail, avail * 1 AS cap,
       |             sum(avail) OVER () AS tot,
       |             CAST(count(*) OVER () AS BIGINT) AS nlang,
       |             CAST(row_number() OVER (ORDER BY avail * 1, lang) AS BIGINT) AS i,
@@ -2768,6 +2768,12 @@ object ExtOracle {
       |             CASE WHEN nlang - t > 0 THEN (budget - s_t) % (nlang - t) ELSE 0 END AS rem
       |      FROM h)""".stripMargin
 
+  private val UNIMAX_CHAIN: String =
+    """lt AS (SELECT lang,
+      |              CAST(sum(len(list_filter(string_split(text, ' '), w -> length(w) > 0))) AS BIGINT) AS avail
+      |            FROM documents GROUP BY lang),
+      |""".stripMargin + UNIMAX_TAIL
+
   /** qx88 twin — the UniMax waterfill replayed window-for-window: the
     * same (cap, lang) sort, the same monotone capped-prefix pin, the
     * same floor-share + remainder-to-first integer split. */
@@ -2785,31 +2791,42 @@ object ExtOracle {
     * rank (the formulation the engine's closed form must equal — a
     * cross-validating oracle, not a replay), then the same per-language
     * audit fold. */
-  val qx89: String =
-    s"""WITH $UNIMAX_CHAIN,
-       |al AS (SELECT lang,
+  /** The stride-schedule + audit tail, expecting the waterfill's `k`
+    * upstream (factored round 13; `sl` was `l2` before the LPA chain's
+    * round CTEs made that name collide). Ends at `gp` — consumers
+    * write their own final SELECT so qx116 can cast lang back to a
+    * community id. */
+  private val MIX_TAIL: String =
+    s"""al AS (SELECT lang,
        |         CAST(CASE WHEN capped = 1 THEN cap
        |              ELSE share + CASE WHEN i - t <= rem THEN 1 ELSE 0 END END AS BIGINT) AS alloc
        |       FROM k),
-       |l2 AS (SELECT lang, alloc,
+       |sl AS (SELECT lang, alloc,
        |         CAST(row_number() OVER (ORDER BY lang) AS BIGINT) - 1 AS idx,
        |         CAST(count(*) OVER () AS BIGINT) AS ll,
        |         CAST(sum(alloc) OVER () AS BIGINT) AS bb
        |       FROM al WHERE alloc > 0),
        |tok AS (SELECT lang, alloc, idx, ll, bb, CAST(j AS BIGINT) AS j
-       |        FROM l2, unnest(range(1, alloc + 1)) tj(j)),
+       |        FROM sl, unnest(range(1, alloc + 1)) tj(j)),
        |dd AS (SELECT lang, j, (j * bb // alloc) * ll + idx AS d FROM tok),
        |ps AS (SELECT lang, j, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS pos FROM dd),
        |gp AS (SELECT lang, j, pos,
        |             pos - lag(pos) OVER (PARTITION BY lang ORDER BY j) AS gap
-       |      FROM ps)
-       |SELECT lang, CAST(count(*) AS BIGINT) AS n_slots,
+       |      FROM ps)""".stripMargin
+
+  private val MIX_AUDIT_SELECT: String =
+    s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_slots,
        |       CAST(min(pos) AS BIGINT) AS first_pos,
        |       CAST(max(pos) AS BIGINT) AS last_pos,
        |       CAST(sum(pos) AS BIGINT) AS sum_pos,
        |       CAST(max(gap) AS BIGINT) AS max_gap,
        |       CAST(min(gap) AS BIGINT) AS min_gap
        |FROM gp GROUP BY lang""".stripMargin
+
+  val qx89: String =
+    s"""WITH $UNIMAX_CHAIN,
+       |$MIX_TAIL
+       |$MIX_AUDIT_SELECT""".stripMargin
 
   /** qx86 twin — posting lists rebuilt by ordered list() aggregation,
     * the same first-docid+1 / gap delta codes, the same Horner checksum
@@ -3525,4 +3542,30 @@ object ExtOracle {
        |FROM nn LEFT JOIN ei ON nn.community = ei.community
        |        LEFT JOIN dm ON nn.community = dm.community
        |        CROSS JOIN mm""".stripMargin
+
+  /** qx116 twin — the full composition replayed: the LPA chain's
+    * final labeling joined to per-doc token counts, head-16/tail unit
+    * fold, the SHARED waterfill tail over community units (community
+    * ids as VARCHAR so cap ties break exactly like the Spark side's
+    * string lang), and the SHARED schedule/audit tail with positions
+    * from the cross-validating window sort. */
+  val qx116: String =
+    s"""WITH $LPA_CHAIN,
+       |ctok AS (SELECT l4.label AS label,
+       |           CAST(sum(len(list_filter(string_split(d.text, ' '), w -> length(w) > 0))) AS BIGINT) AS avail
+       |         FROM l4 JOIN documents d ON l4.u = d.doc_id GROUP BY l4.label),
+       |crk AS (SELECT *, CAST(row_number() OVER (ORDER BY avail DESC, label ASC) AS BIGINT) AS r
+       |        FROM ctok),
+       |lt AS (SELECT CAST(CASE WHEN r <= 16 THEN label ELSE -1 END AS VARCHAR) AS lang,
+       |              CAST(sum(avail) AS BIGINT) AS avail
+       |       FROM crk GROUP BY 1),
+       |$UNIMAX_TAIL,
+       |$MIX_TAIL
+       |SELECT CAST(lang AS BIGINT) AS community, CAST(count(*) AS BIGINT) AS n_slots,
+       |       CAST(min(pos) AS BIGINT) AS first_pos,
+       |       CAST(max(pos) AS BIGINT) AS last_pos,
+       |       CAST(sum(pos) AS BIGINT) AS sum_pos,
+       |       CAST(max(gap) AS BIGINT) AS max_gap,
+       |       CAST(min(gap) AS BIGINT) AS min_gap
+       |FROM gp GROUP BY lang""".stripMargin
 }

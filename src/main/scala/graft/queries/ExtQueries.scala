@@ -694,6 +694,65 @@ object ExtQueries {
       .unionByName(leaks("dochash", "doc_split"))
   }
 
+  /** qx116 — COMMUNITY-AWARE mixing caps (r12 verdict #4; the consumer
+    * qx102's scaladoc promised): the UniMax waterfill (qx88) run over
+    * the qx102 SEMANTIC COMMUNITIES instead of languages, then the
+    * stride-schedule audit (qx89) over the community allocations.
+    * Rationale: per-domain caps (qx62/qx75) miss a near-duplicate
+    * flood that spans domains, and qx115 already moves dup-clusters
+    * across SPLITS as one unit — this row makes the TRAINING MIX
+    * community-aware too: each semantic cluster is budgeted
+    * uniform-up-to-one-epoch, so no cluster's redundancy buys it more
+    * than the uniform share, and the stride schedule interleaves
+    * cluster exposure smoothly (no block of consecutive same-cluster
+    * tokens — the curriculum smoothness the mix family meters).
+    *
+    * Unit boundedness: the scheduler's closed form folds over the
+    * unit table per scheduled token, so the row schedules the TOP-16
+    * communities by token mass as named units and coalesces the rest
+    * into one tail unit (-1) — the head clusters ARE the redundancy
+    * risk; the tail is diverse by construction. Community ids ride as
+    * strings through the lang-keyed operators (cap ties break on the
+    * string id, replayed identically in SQL) and come back as BIGINT.
+    * Scale shape: LPA is the qx102 chain; the token fold is one
+    * map-side-combinable scan; everything after is unit-bounded
+    * window arithmetic plus the qx89 schedule (one row per scheduled
+    * token, O(17) fold each).
+    *
+    * Honesty (the qx99 pattern): the DRIVER corpus's LSH candidate
+    * graph floods to 1–2 communities (measured: 1 at sf0.001/sf0.01,
+    * 2 at sf0.1), so the gate hash pins the composition but both
+    * waterfill branches only come alive on real multi-community
+    * structure — CommunityCapSpec plants a flood + two niche
+    * communities and pins the niches at their full epoch while the
+    * flood is held to the uniform leftover share. */
+  def qx116(spark: SparkSession, dir: String): DataFrame = {
+    val (labels, _) = lpaSystem(spark, dir)
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id").as("u"), expr(s"size($WORDS)").cast("long").as("nt"))
+    communityCapAudit(labels, toks)
+  }
+
+  /** The qx116 composition after the labeling — factored so the spec
+    * can drive it with a PLANTED multi-community fixture (the driver
+    * corpus's graph is 1–2 communities; see qx116's honesty note).
+    * labels(u, label), toks(u, nt) → per-community schedule audit. */
+  private[graft] def communityCapAudit(labels: DataFrame, toks: DataFrame): DataFrame = {
+    val ctok = labels.join(toks, "u").groupBy("label").agg(sum("nt").as("avail"))
+    val rk = ctok.withColumn("r", row_number().over(
+      Window.orderBy(col("avail").desc, col("label").asc)).cast("long"))
+    val units = rk
+      .select(when(col("r") <= 16L, col("label")).otherwise(lit(-1L)).as("unit"),
+        col("avail"))
+      .groupBy("unit").agg(sum("avail").as("avail"))
+      .select(col("unit").cast("string").as("lang"), col("avail"))
+    val alloc = UniMax.allocate(units, epochsCap = 1L, budgetNum = 4L, budgetDen = 5L)
+    MixSchedule.audit(MixSchedule.schedule(alloc.select(col("lang"), col("alloc"))))
+      .select(col("lang").cast("long").as("community"), col("n_slots"),
+        col("first_pos"), col("last_pos"), col("sum_pos"),
+        col("max_gap"), col("min_gap"))
+  }
+
   /** The deterministic per-doc sampling hash qx21/qx22 order by: an
     * affine integer scramble of doc_id — uniform-ish, replayable, and
     * identical in the oracle. A production pipeline keys this off a
