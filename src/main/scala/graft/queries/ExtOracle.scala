@@ -3568,4 +3568,39 @@ object ExtOracle {
        |       CAST(max(gap) AS BIGINT) AS max_gap,
        |       CAST(min(gap) AS BIGINT) AS min_gap
        |FROM gp GROUP BY lang""".stripMargin
+
+  /** qx117 twin — the release manifest melted from the four
+    * constituent twins, each nested verbatim as a MATERIALIZED CTE
+    * (the oracle-side mirror of the shared-spelling rule: the SQL
+    * that pins qx111/qx114/qx115/qx45 is the SQL this row folds). */
+  val qx117: String =
+    s"""WITH rcard AS MATERIALIZED (
+       |$qx111
+       |),
+       |rcal AS MATERIALIZED (
+       |$qx114
+       |),
+       |rspl AS MATERIALIZED (
+       |$qx115
+       |),
+       |rfin AS MATERIALIZED (
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+       |FROM (
+       |$qx45
+       |) q45 GROUP BY lang
+       |)
+       |SELECT 'card' AS section, source || '/docs' AS k, CAST(n_docs AS BIGINT) AS v FROM rcard
+       |UNION ALL SELECT 'card', source || '/tokens', CAST(n_tokens AS BIGINT) FROM rcard
+       |UNION ALL SELECT 'card', source || '/chars', CAST(sum_chars AS BIGINT) FROM rcard
+       |UNION ALL SELECT 'card', source || '/quality_pass', CAST(n_pass AS BIGINT) FROM rcard
+       |UNION ALL SELECT 'card', source || '/dups', CAST(n_dup AS BIGINT) FROM rcard
+       |UNION ALL SELECT 'card', source || '/langs', CAST(n_langs AS BIGINT) FROM rcard
+       |UNION ALL SELECT 'card', source || '/major:' || major_lang, CAST(major_cnt AS BIGINT) FROM rcard
+       |UNION ALL SELECT 'calibration', 'bin:' || CAST(bin AS VARCHAR) || '/n', CAST(n AS BIGINT) FROM rcal
+       |UNION ALL SELECT 'calibration', 'bin:' || CAST(bin AS VARCHAR) || '/gap_milli', CAST(gap_milli AS BIGINT) FROM rcal
+       |UNION ALL SELECT 'splits', scheme || '/split:' || CAST(split AS VARCHAR) || '/docs', CAST(n_docs AS BIGINT) FROM rspl
+       |UNION ALL SELECT 'splits', scheme || '/split:' || CAST(split AS VARCHAR) || '/clusters', CAST(n_clusters AS BIGINT) FROM rspl
+       |UNION ALL SELECT 'final', lang || '/docs', CAST(n_docs AS BIGINT) FROM rfin
+       |UNION ALL SELECT 'final', lang || '/tokens', CAST(n_tokens AS BIGINT) FROM rfin""".stripMargin
 }

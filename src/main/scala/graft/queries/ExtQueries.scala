@@ -753,6 +753,57 @@ object ExtQueries {
         col("max_gap"), col("min_gap"))
   }
 
+  /** qx117 — the ONE-ROW-GREEN RELEASE MANIFEST (r12 verdict #5): the
+    * four release facts a corpus ships with, folded into one
+    * hash-pinned long-format table (section, k, v) — per-source DATA
+    * CARDS (qx111), the classifier CALIBRATION profile (qx114's
+    * reliability bins — "scores separate but are not calibrated" is a
+    * release fact), dup-cluster LEAKAGE-SAFE SPLIT counts with their
+    * leak audits (qx115), and the FINAL curated yield per language
+    * after the qx45 quality→decon→dedup→budget chain. Each constituent
+    * is the SHARED gate spelling, so this row cannot drift from the
+    * audits it summarizes (the qx22/qx45 composition discipline one
+    * level up); "is this corpus releasable" is this row staying green.
+    *
+    * Scale shape: the constituents' own shapes (each already probed);
+    * the melt is a constant fan-out over their bounded outputs
+    * (sources×7 + bins×2 + splits×2 + langs×2 rows). Constituents are
+    * checkpointed — each is referenced once per melted metric. */
+  def qx117(spark: SparkSession, dir: String): DataFrame = {
+    def m(section: String, df: DataFrame,
+          ks: (org.apache.spark.sql.Column, org.apache.spark.sql.Column)*): DataFrame =
+      ks.map { case (k, v) =>
+        df.select(lit(section).as("section"), k.as("k"), v.cast("long").as("v"))
+      }.reduce(_ unionByName _)
+    val card = qx111(spark, dir).localCheckpoint()
+    val cal = qx114(spark, dir).localCheckpoint()
+    val spl = qx115(spark, dir).localCheckpoint()
+    val fin = qx45(spark, dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .localCheckpoint()
+    m("card", card,
+      (concat(col("source"), lit("/docs")), col("n_docs")),
+      (concat(col("source"), lit("/tokens")), col("n_tokens")),
+      (concat(col("source"), lit("/chars")), col("sum_chars")),
+      (concat(col("source"), lit("/quality_pass")), col("n_pass")),
+      (concat(col("source"), lit("/dups")), col("n_dup")),
+      (concat(col("source"), lit("/langs")), col("n_langs")),
+      (concat(col("source"), lit("/major:"), col("major_lang")), col("major_cnt")))
+      .unionByName(m("calibration", cal,
+        (concat(lit("bin:"), col("bin").cast("string"), lit("/n")), col("n")),
+        (concat(lit("bin:"), col("bin").cast("string"), lit("/gap_milli")),
+          col("gap_milli"))))
+      .unionByName(m("splits", spl,
+        (concat(col("scheme"), lit("/split:"), col("split").cast("string"),
+          lit("/docs")), col("n_docs")),
+        (concat(col("scheme"), lit("/split:"), col("split").cast("string"),
+          lit("/clusters")), col("n_clusters"))))
+      .unionByName(m("final", fin,
+        (concat(col("lang"), lit("/docs")), col("n_docs")),
+        (concat(col("lang"), lit("/tokens")), col("n_tokens"))))
+  }
+
   /** The deterministic per-doc sampling hash qx21/qx22 order by: an
     * affine integer scramble of doc_id — uniform-ish, replayable, and
     * identical in the oracle. A production pipeline keys this off a
