@@ -67,6 +67,28 @@ object RetrainTrigger {
     * (micro-units, 2.0×) of the build-time baseline. */
   val QuantErrGrowthMicro: Long = 2000000L
 
+  /** The smallest sampled population the health statistics stay stable
+    * over (r12 verdict #7 — deriving the rate is no longer the
+    * caller's guess): at 50k measured vectors the recall micro
+    * statistic's sampling error is ~0.2% and the quant-err mean's
+    * relative error smaller still, both far inside the 2×/0.5×
+    * decision margins; below it the rate degrades toward full scan. */
+  val SampleFloor: Long = 50000L
+
+  /** The PINNED derivation rule: the largest power-of-two rate whose
+    * sampled population `n / rate` still meets `floor` — powers of two
+    * so successive corpus sizes reuse identical sample sets as long as
+    * possible, 1 when the corpus is small enough to scan outright.
+    * Recorded in `health.parquet` (rate + the inputs it came from) so
+    * the choice is auditable and every epoch replays it by
+    * construction. */
+  def sampleEveryFor(n: Long, floor: Long = SampleFloor): Long = {
+    require(floor > 0, "sample floor must be positive")
+    var r = 1L
+    while (n / (r * 2L) >= floor) r *= 2L
+    r
+  }
+
   /** Measure the fresh index's dense recall AND quantizer fit and
     * persist them as the health baseline (`health.parquet`) the
     * decision loop compares against — call once after
@@ -82,17 +104,27 @@ object RetrainTrigger {
     * identical rule — baseline and epoch can never silently measure
     * different sub-corpora ([[graft.RetrainTriggerSpec]] pins the
     * sampled verdicts == the full-scan verdicts on both the healthy
-    * and the drifted fixtures). Pick the rate so |base|/sampleEvery
-    * stays a stable measurement population (~10⁵ at corpus scale). */
+    * and the drifted fixtures).
+    *
+    * `sampleEvery = 0` (the default since round 13) DERIVES the rate
+    * from the committed corpus size with [[sampleEveryFor]] — 1 below
+    * 2×[[SampleFloor]] vectors (scan outright), doubling as the corpus
+    * doubles past it — and persists the derivation inputs
+    * (`n_base`, `sample_floor`) next to the resolved rate so the
+    * choice is auditable from the baseline alone. Pass an explicit
+    * rate to override (the calibration fixtures do). */
   def recordHealthBaseline(spark: SparkSession, indexDir: String,
                            qPred: org.apache.spark.sql.Column = HybridIndex.DefaultQPred,
-                           k: Int = 10, sampleEvery: Long = 1L): (Long, Long) = {
+                           k: Int = 10, sampleEvery: Long = 0L): (Long, Long) = {
     import spark.implicits._
-    val (_, rec) = HybridIndex.denseRecallMicro(spark, indexDir, qPred, k, sampleEvery)
+    val nBase = HybridIndex.committedBase(spark, indexDir).count()
+    val rate = if (sampleEvery == 0L) sampleEveryFor(nBase) else sampleEvery
+    val (_, rec) = HybridIndex.denseRecallMicro(spark, indexDir, qPred, k, rate)
     val (_, qerr) = HybridIndex.quantErrMean(spark, indexDir,
-      HybridIndex.healthSamplePred(sampleEvery))
-    Seq((rec, qerr, k.toLong, sampleEvery))
-      .toDF("baseline_recall_micro", "baseline_quant_err", "k", "sample_every")
+      HybridIndex.healthSamplePred(rate))
+    Seq((rec, qerr, k.toLong, rate, nBase, SampleFloor))
+      .toDF("baseline_recall_micro", "baseline_quant_err", "k", "sample_every",
+        "n_base", "sample_floor")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/health.parquet")
     (rec, qerr)
   }

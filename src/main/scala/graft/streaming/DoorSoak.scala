@@ -111,14 +111,18 @@ object DoorSoak {
     * admission wall time and segment count, then the maintenance and
     * serve times — the build-once/admit-forever posture measured under
     * the same conditions the ingest/crawl soaks use. `sampleEvery`
-    * (default 1 = full scan) records the health baseline under the
-    * pinned vec_id sample rule, so the decide stage's quant-err and
-    * recall legs measure the sampled sub-corpus — the r11 verdict-#3
-    * epoch-cost knob, measured here at the 100×-class corpus. */
+    * (default 0 = DERIVE from corpus size with
+    * [[graft.operators.RetrainTrigger.sampleEveryFor]] — the r12
+    * verdict-#7 rule: 1 at gate/probe fixture scale, >1 past
+    * 2×SampleFloor committed vectors; pass an explicit rate to pin)
+    * records the health baseline under the pinned vec_id sample rule,
+    * so the decide stage's quant-err and recall legs measure the
+    * sampled sub-corpus — the r11 verdict-#3 epoch-cost knob, measured
+    * here at the 100×-class corpus. */
   private def indexMain(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val nWaves = args.lift(1).map(_.toInt).getOrElse(8)
-    val sampleEvery = args.lift(2).map(_.toLong).getOrElse(1L)
+    val sampleEvery = args.lift(2).map(_.toLong).getOrElse(0L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -150,7 +154,10 @@ object DoorSoak {
     val (baseRec, baseErr) =
       graft.operators.RetrainTrigger.recordHealthBaseline(spark, idx,
         sampleEvery = sampleEvery)
-    println(f"""{"stage":"health_baseline","recall_micro":$baseRec,"quant_err":$baseErr,"sample_every":$sampleEvery,"wall_sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+    // resolved rate read back from the baseline (0 = derived by rule)
+    val resolvedRate = spark.read.parquet(s"$idx/health.parquet")
+      .head.getAs[Long]("sample_every")
+    println(f"""{"stage":"health_baseline","recall_micro":$baseRec,"quant_err":$baseErr,"sample_every":$resolvedRate,"sample_arg":$sampleEvery,"wall_sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
 
     val bRows = spark.read.parquet(s"$sfDir/documents.parquet")
       .where(col("doc_id") >= cut)

@@ -225,6 +225,42 @@ class RetrainTriggerSpec extends SparkTestBase {
       s"post-retrain sampled health must keep, got $postVerdicts")
   }
 
+  test("sample-rate derivation rule: power-of-two rate keeping the population at the floor (r12 verdict #7)") {
+    import RetrainTrigger.sampleEveryFor
+    // below 2x floor: scan outright
+    assert(sampleEveryFor(0L) === 1L)
+    assert(sampleEveryFor(49999L) === 1L)
+    assert(sampleEveryFor(99999L) === 1L)
+    // doubling past it: n/rate stays in [floor, 2*floor)
+    assert(sampleEveryFor(100000L) === 2L)
+    assert(sampleEveryFor(200000L) === 4L)
+    assert(sampleEveryFor(399999L) === 4L)
+    assert(sampleEveryFor(400000L) === 8L)
+    // the invariant itself, across magnitudes
+    for (n <- Seq(1L, 75000L, 123456L, 1000000L, 50000000L, 10000000000L)) {
+      val r = sampleEveryFor(n)
+      assert((r & (r - 1)) === 0L, s"rate must be a power of two, got $r for n=$n")
+      assert(r === 1L || n / r >= RetrainTrigger.SampleFloor,
+        s"sampled population must hold the floor, n=$n r=$r")
+      assert(n / (r * 2) < RetrainTrigger.SampleFloor,
+        s"rate must be the largest such power, n=$n r=$r")
+    }
+    // and a custom floor exercises the same contract
+    assert(sampleEveryFor(800L, floor = 100L) === 8L)
+
+    // recordHealthBaseline's default derives and persists the inputs:
+    // at fixture scale the rule picks 1 (the full scan it always was)
+    val idx = tmpDir("derive_rate")
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val raw = Tables.embeddings(spark, dir)
+    HybridIndex.build(spark, docs, raw, idx)
+    RetrainTrigger.recordHealthBaseline(spark, idx)
+    val h = spark.read.parquet(s"$idx/health.parquet").head
+    assert(h.getAs[Long]("sample_every") === 1L, "fixture scale must resolve to full scan")
+    assert(h.getAs[Long]("n_base") === raw.count(), "derivation input must be recorded")
+    assert(h.getAs[Long]("sample_floor") === RetrainTrigger.SampleFloor)
+  }
+
   test("standing decision: decideOnline from the DriftStream model == decide from the corpus") {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
