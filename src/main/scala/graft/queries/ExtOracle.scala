@@ -3569,6 +3569,30 @@ object ExtOracle {
        |       CAST(min(gap) AS BIGINT) AS min_gap
        |FROM gp GROUP BY lang""".stripMargin
 
+  /** qx118 twin — the recall audit over the qx2/qx3 twins nested
+    * verbatim (the qx117 nesting discipline applied to serving
+    * quality): per-query overlap of the two top-5 lists, ≤6-bucket
+    * histogram + the −1 summary row with corpus recall micro. */
+  val qx118: String =
+    s"""WITH rb AS MATERIALIZED (
+       |$qx2
+       |),
+       |rl AS MATERIALIZED (
+       |$qx3
+       |),
+       |pq AS (SELECT b.qid, CAST(coalesce(o.h, 0) AS BIGINT) AS h
+       |       FROM (SELECT DISTINCT qid FROM rb) b
+       |       LEFT JOIN (SELECT rb.qid, count(*) AS h
+       |                  FROM rb JOIN rl ON rb.qid = rl.qid AND rb.vec_id = rl.vec_id
+       |                  GROUP BY rb.qid) o ON b.qid = o.qid)
+       |SELECT CAST(h AS BIGINT) AS hits, CAST(count(*) AS BIGINT) AS n_queries,
+       |       CAST(0 AS BIGINT) AS recall_micro
+       |FROM pq GROUP BY h
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT), CAST(count(*) AS BIGINT),
+       |       CAST(1000000 * sum(h) // (5 * count(*)) AS BIGINT)
+       |FROM pq""".stripMargin
+
   /** qx117 twin — the release manifest melted from the four
     * constituent twins, each nested verbatim as a MATERIALIZED CTE
     * (the oracle-side mirror of the shared-spelling rule: the SQL

@@ -804,6 +804,35 @@ object ExtQueries {
         (concat(col("lang"), lit("/tokens")), col("n_tokens"))))
   }
 
+  /** qx118 — ANN RECALL AUDIT, oracle-visible (round 13): recall@5 of
+    * the banded-LSH serve (qx3) against the exact brute top-5 (qx2),
+    * per-query overlap histogram plus the corpus recall in micro-units
+    * on a −1 summary row. Until now serving-quality recall lived in
+    * probes and specs ([[graft.RecallProbe]], GraphAnnSpec); this row
+    * makes it a HASH-PINNED release number — the dashboard fact "what
+    * recall is the index actually serving" computed from the two
+    * shared gate spellings, so it can never drift from the rows it
+    * audits (the qx117 discipline applied to serving quality).
+    *
+    * Scale shape: both legs are the already-probed qx2/qx3 plans
+    * (map-side topk_by; ≤ 5·|q| rows out); the audit joins two
+    * 5·|q|-row lists and folds a ≤6-bucket histogram — metadata-sized
+    * at any corpus scale. */
+  def qx118(spark: SparkSession, dir: String): DataFrame = {
+    val brute = qx2(spark, dir).select(col("qid"), col("vec_id")).localCheckpoint()
+    val lsh = qx3(spark, dir).select(col("qid"), col("vec_id")).localCheckpoint()
+    val perQ = brute.select("qid").distinct()
+      .join(brute.join(lsh, Seq("qid", "vec_id"))
+        .groupBy("qid").agg(count(lit(1)).as("h")), Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("h"), lit(0L)).as("h"))
+    val hist = perQ.groupBy("h").agg(count(lit(1)).as("n_queries"))
+      .select(col("h").as("hits"), col("n_queries"), lit(0L).as("recall_micro"))
+    val tot = perQ.agg(count(lit(1)).as("nq"), sum("h").as("sh"))
+      .select(lit(-1L).as("hits"), col("nq").as("n_queries"),
+        expr("1000000L * sh div (5 * nq)").as("recall_micro"))
+    hist.unionByName(tot)
+  }
+
   /** The deterministic per-doc sampling hash qx21/qx22 order by: an
     * affine integer scramble of doc_id — uniform-ish, replayable, and
     * identical in the oracle. A production pipeline keys this off a
