@@ -110,7 +110,18 @@ object GraphProbe {
       val d = dir.drop(5)
       val docs = spark.read.parquet(s"$d/documents.parquet")
         .select(col("doc_id"), col("text"))
+      // NOISE embeddings over the probe corpus's vec_id domain — the
+      // gen: regime, like every LSH mode above: the planted-cluster
+      // embeddings the probe corpus ships break the LSH candidate
+      // generator quadratically (the qx113 finding; the first door
+      // probe OOM'd exactly there), and the production answer for
+      // clustered spaces is the cell-built graph, not this one.
       val raw = spark.read.parquet(s"$d/embeddings.parquet")
+        .select(col("vec_id"))
+        .withColumn("embedding", expr(
+          """transform(sequence(0, 63), dd -> CAST(
+            |  ((vec_id * 1009 + dd * 31 + 3) * 2654435761 % 2147483647 % 721 - 360) / 1000.0
+            |AS FLOAT))""".stripMargin))
       val nAll = raw.count()
       val idxOut = java.nio.file.Files.createTempDirectory("graft_gdoor_idx").toString
       val gOut = java.nio.file.Files.createTempDirectory("graft_gdoor_g").toString

@@ -3593,6 +3593,33 @@ object ExtOracle {
        |       CAST(1000000 * sum(h) // (5 * count(*)) AS BIGINT)
        |FROM pq""".stripMargin
 
+  /** qx119 twin — shard-summable card columns: the same Horner text
+    * hash as qx111, duplicate membership computed globally AND
+    * per-parity-shard, folded per source. */
+  val qx119: String =
+    """WITH d AS (SELECT doc_id, source, doc_id % 2 AS shard,
+      |             list_reduce([CAST(0 AS BIGINT)] ||
+      |               list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+      |               (a, b) -> (a*31 + b) % 1000003) AS th
+      |           FROM documents),
+      |gd AS (SELECT th FROM d GROUP BY th HAVING count(*) >= 2),
+      |gl AS (SELECT source, CAST(count(*) AS BIGINT) AS n_dup_global
+      |       FROM d WHERE th IN (SELECT th FROM gd) GROUP BY source),
+      |sd AS (SELECT shard, th FROM d GROUP BY shard, th HAVING count(*) >= 2),
+      |lo AS (SELECT source, CAST(count(*) AS BIGINT) AS n_dup_local
+      |       FROM d JOIN sd USING (shard, th) GROUP BY source),
+      |vol AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs_global FROM d GROUP BY source),
+      |vf AS (SELECT source, CAST(sum(nd) AS BIGINT) AS n_docs_fold
+      |       FROM (SELECT shard, source, count(*) AS nd FROM d GROUP BY shard, source)
+      |       GROUP BY source)
+      |SELECT vol.source, vf.n_docs_fold, vol.n_docs_global,
+      |       CAST(coalesce(lo.n_dup_local, 0) AS BIGINT) AS n_dup_local,
+      |       CAST(coalesce(gl.n_dup_global, 0) AS BIGINT) AS n_dup_global,
+      |       CAST(coalesce(gl.n_dup_global, 0) - coalesce(lo.n_dup_local, 0) AS BIGINT) AS n_dup_cross
+      |FROM vol JOIN vf ON vol.source = vf.source
+      |         LEFT JOIN gl ON vol.source = gl.source
+      |         LEFT JOIN lo ON vol.source = lo.source""".stripMargin
+
   /** qx117 twin — the release manifest melted from the four
     * constituent twins, each nested verbatim as a MATERIALIZED CTE
     * (the oracle-side mirror of the shared-spelling rule: the SQL

@@ -833,6 +833,52 @@ object ExtQueries {
     hist.unionByName(tot)
   }
 
+  /** qx119 — SHARD-SUMMABLE data cards, the scale claim on qx111 made
+    * oracle-visible (round 13): qx111's scaladoc says "the card a
+    * 100 TB release attaches per shard and sums" — this row PROVES
+    * which columns that holds for and MEASURES the one that needs a
+    * global pass. The corpus splits into two shards (doc_id parity);
+    * volume columns fold by addition (n_docs_fold == n_docs_global,
+    * hash-pinned), but the redundancy column does not: shard-local
+    * dedup only sees within-shard recurrences, and the shortfall
+    * n_dup_cross = global − Σ local is exactly the cross-shard
+    * duplicate mass a shard-summed card silently understates — the
+    * number that says whether your release pipeline needs the global
+    * identity exchange (it does whenever this is > 0; on this corpus
+    * it is, planted by the neighbor-copy dups straddling parity).
+    *
+    * Scale shape: one doc scan with the qx111 Horner text hash, one
+    * (th) and one (shard, th) groupBy — both map-side-combinable —
+    * and source-bounded folds; the broadcast left-semi against the
+    * recurring-hash set is qx111's own shape. */
+  def qx119(spark: SparkSession, dir: String): DataFrame = {
+    val th = """aggregate(split(text, ''), CAST(0 AS BIGINT),
+               |         (a, c) -> (a * 31 + ascii(c)) % 1000003)""".stripMargin
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), expr(th).as("th"),
+        pmod(col("doc_id"), lit(2L)).as("shard"))
+      .localCheckpoint() // feeds four folds; lineage = one doc scan
+    val gDup = d.groupBy("th").agg(count(lit(1)).as("n"))
+      .where(col("n") >= 2L).select("th")
+    val gl = d.join(broadcast(gDup), Seq("th"), "left_semi")
+      .groupBy("source").agg(count(lit(1)).as("n_dup_global"))
+    val sDup = d.groupBy("shard", "th").agg(count(lit(1)).as("n"))
+      .where(col("n") >= 2L).select("shard", "th")
+    val lo = d.join(broadcast(sDup), Seq("shard", "th"), "left_semi")
+      .groupBy("source").agg(count(lit(1)).as("n_dup_local"))
+    val vol = d.groupBy("source").agg(count(lit(1)).as("n_docs_global"))
+    val volFold = d.groupBy("shard", "source").agg(count(lit(1)).as("nd"))
+      .groupBy("source").agg(sum("nd").as("n_docs_fold"))
+    vol.join(volFold, "source")
+      .join(gl, Seq("source"), "left")
+      .join(lo, Seq("source"), "left")
+      .select(col("source"), col("n_docs_fold"), col("n_docs_global"),
+        coalesce(col("n_dup_local"), lit(0L)).as("n_dup_local"),
+        coalesce(col("n_dup_global"), lit(0L)).as("n_dup_global"),
+        (coalesce(col("n_dup_global"), lit(0L)) -
+          coalesce(col("n_dup_local"), lit(0L))).as("n_dup_cross"))
+  }
+
   /** The deterministic per-doc sampling hash qx21/qx22 order by: an
     * affine integer scramble of doc_id — uniform-ish, replayable, and
     * identical in the oracle. A production pipeline keys this off a
