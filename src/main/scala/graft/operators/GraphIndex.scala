@@ -54,7 +54,11 @@ object GraphIndex {
       spark.read.parquet(s"$graphDir/v=$v/info.parquet").head.getString(0)
     }.toSet
 
-  /** Stage-then-rename commit of one immutable snapshot version. */
+  /** Stage-then-rename commit of one immutable snapshot version.
+    * `committed_ms` rides in info.parquet — commit metadata, not query
+    * data (the HybridIndex manifest discipline): [[vacuum]]'s
+    * supersede-time grace reads it so no retirement decision ever
+    * trusts filesystem mtime. */
   private def commitVersion(spark: SparkSession, graphDir: String, v: Long,
                             seg: String, graph: DataFrame,
                             labels: DataFrame): Unit = {
@@ -63,7 +67,8 @@ object GraphIndex {
     val staging = s"$graphDir/_staging_v$v"
     graph.write.mode("overwrite").parquet(s"$staging/graph.parquet")
     labels.write.mode("overwrite").parquet(s"$staging/labels.parquet")
-    Seq(seg).toDF("seg").write.mode("overwrite").parquet(s"$staging/info.parquet")
+    Seq((seg, System.currentTimeMillis())).toDF("seg", "committed_ms")
+      .write.mode("overwrite").parquet(s"$staging/info.parquet")
     val dst = new org.apache.hadoop.fs.Path(s"$graphDir/v=$v")
     if (f.exists(dst)) { // lost race / re-delivery landed first: drop ours
       f.delete(new org.apache.hadoop.fs.Path(staging), true)
@@ -137,6 +142,47 @@ object GraphIndex {
       iters = lpaIters,
       init = Some(spark.read.parquet(s"$graphDir/v=$prev/labels.parquet")))
     commitVersion(spark, graphDir, prev + 1L, seg, graph, labels)
+  }
+
+  /** Retire superseded snapshot versions past a grace period — each
+    * version holds a full n·K-edge graph copy, so a standing door
+    * grows storage one copy per admitted batch without this. The
+    * HybridIndex supersede-time rule, one asset over: a non-latest
+    * version stays protected until `graceMs` has passed since the
+    * NEXT version's recorded commit (a reader that resolved it gets
+    * the full grace from the moment it was superseded — never an
+    * mtime guess against a skewed clock), and crash-orphaned
+    * `_staging_*` dirs are collected by stage-time mtime grace (the
+    * only record an uncommitted writer leaves). The append-only
+    * `sigs/` segments are NEVER vacuumed — every vector's signature is
+    * immutable under the pinned planes and shared by all versions.
+    * A seg key whose version was retired CAN re-admit on a
+    * beyond-grace replay, but [[GraphAnn.admit]] over a base/sig
+    * union that already contains the delta recomputes the identical
+    * graph — a redundant version with identical content, never a
+    * double-admission (same assumption HybridIndex's vacuum makes:
+    * replays arrive within grace; here even the violation is benign). */
+  def vacuum(spark: SparkSession, graphDir: String,
+             graceMs: Long = 30L * 60 * 1000,
+             nowMs: Long = System.currentTimeMillis()): Seq[String] = {
+    val f = fs(spark, graphDir)
+    val vs = versionsOf(spark, graphDir)
+    val committed = vs.map { v =>
+      v -> spark.read.parquet(s"$graphDir/v=$v/info.parquet")
+        .head.getAs[Long]("committed_ms")
+    }.toMap
+    val deletable = vs.dropRight(1).zip(vs.drop(1)).collect {
+      case (v, next) if committed(next) + graceMs <= nowMs => v
+    }
+    val removed = deletable.map { v =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$graphDir/v=$v"), true)
+      s"v=$v"
+    }
+    val staged = f.listStatus(new org.apache.hadoop.fs.Path(graphDir))
+      .filter(s => s.getPath.getName.startsWith("_staging_") &&
+        s.getModificationTime + graceMs <= nowMs)
+      .map { s => f.delete(s.getPath, true); s.getPath.getName }
+    removed ++ staged
   }
 
   /** Latest committed snapshot. */

@@ -104,6 +104,9 @@ object IndexDoor {
           if ((batchId + 1) % n == 0) {
             HybridIndex.compact(spark, indexDir)
             HybridIndex.vacuum(spark, indexDir)
+            // the graph asset vacuums on the same maintenance cadence
+            // (each snapshot version is a full n·K-edge copy)
+            graphDir.foreach(g => graft.operators.GraphIndex.vacuum(spark, g))
           }
         }
       }

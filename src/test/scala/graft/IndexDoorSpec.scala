@@ -387,5 +387,22 @@ class IndexDoorSpec extends SparkTestBase {
     val after = new java.io.File(gOut).listFiles().map(_.getName)
       .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong).max
     assert(after === before, "a re-delivered seg key must not mint a new version")
+
+    // (d) supersede-time vacuum: within grace NOTHING deletes (even
+    // with every snapshot aged — retention follows the recorded
+    // commit times, not mtimes); grace-0 retires every superseded
+    // version, keeps the latest, and never touches the sigs segments
+    assert(GraphIndex.vacuum(spark, gOut).isEmpty,
+      "default grace must protect every superseded version")
+    val servedBefore = GraphIndex.graph(spark, gOut).count()
+    val gone = GraphIndex.vacuum(spark, gOut, graceMs = 0L)
+    assert(gone.nonEmpty, "grace-0 must retire superseded versions")
+    val left = new java.io.File(gOut).listFiles().map(_.getName)
+      .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
+    assert(left.toSeq === Seq(before), s"only the latest version survives, got $left")
+    assert(GraphIndex.graph(spark, gOut).count() === servedBefore,
+      "the served snapshot must be untouched by vacuum")
+    assert(new java.io.File(s"$gOut/sigs").listFiles().nonEmpty,
+      "sig segments are shared by all versions and never vacuumed")
   }
 }
