@@ -137,14 +137,22 @@ object GraphProbe {
           docs.where(deltaPred), raw.where(deltaPredV), segKeyOpt = Some("b0"))
       }
       val nDelta = raw.where(deltaPredV).count()
+      // the per-batch leg: graph-only admission (touched-bound)
       val (_, waveSec) = time {
         graft.operators.GraphIndex.admit(spark, idxOut, gOut,
           raw.where(deltaPredV).select(col("vec_id").as("id")), "b0")
       }
+      // the amortized leg: warm-started community re-propagation
+      // (edge-linear per round — the reason it rides the compactEvery
+      // cadence, measured here next to the wave it amortizes over)
+      val (_, refreshSec) = time {
+        graft.operators.GraphIndex.refreshCommunities(spark, idxOut, gOut)
+      }
       println(s"""{"n":$nAll,"n_delta":$nDelta,""" +
         s""""graph_init_sec":${"%.2f".format(initSec)},""" +
         s""""index_admit_sec":${"%.2f".format(admitIdxSec)},""" +
-        s""""graph_wave_sec":${"%.2f".format(waveSec)},"sf":"$d"}""")
+        s""""graph_wave_sec":${"%.2f".format(waveSec)},""" +
+        s""""community_refresh_sec":${"%.2f".format(refreshSec)},"sf":"$d"}""")
       spark.stop()
       return
     }

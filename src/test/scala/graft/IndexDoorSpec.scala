@@ -362,12 +362,17 @@ class IndexDoorSpec extends SparkTestBase {
     assert(edgeSet(GraphIndex.graph(spark, gOut)) === edgeSet(rebuilt),
       "door-maintained graph diverged from the full rebuild")
 
-    // (b) the warm-start labeling is a FIXPOINT of the synchronous
-    // update on the final candidate graph (one more round returns it
-    // unchanged — the LabelPropagationSpec corpus pin, reached here
-    // through the door's warm-start chain), and it covers exactly the
-    // committed node set
+    // (b) communities refresh on the MAINTENANCE cadence (the 374 s
+    // probe finding: re-propagation is edge-linear per round, so it
+    // amortizes like compact): one refresh labels the latest graph
+    // version, and the warm-start labeling is a FIXPOINT of the
+    // synchronous update on the final candidate graph (one more round
+    // returns it unchanged — the LabelPropagationSpec corpus pin,
+    // reached here through the door's warm-start chain) covering
+    // exactly the committed node set; a second refresh no-ops.
+    GraphIndex.refreshCommunities(spark, idxOut, gOut)
     val labels = GraphIndex.labels(spark, gOut)
+    GraphIndex.refreshCommunities(spark, idxOut, gOut) // idempotent
     val candEdges = EmbeddingLsh.candidatePairs(
         EmbeddingLsh.bandSigs(base.select("vec_id", "iv"), planes))
       .select(col("vec_a").as("u"), col("vec_b").as("v"))
@@ -388,20 +393,23 @@ class IndexDoorSpec extends SparkTestBase {
       .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong).max
     assert(after === before, "a re-delivered seg key must not mint a new version")
 
-    // (d) supersede-time vacuum: within grace NOTHING deletes (even
-    // with every snapshot aged — retention follows the recorded
-    // commit times, not mtimes); grace-0 retires every superseded
-    // version, keeps the latest, and never touches the sigs segments
+    // (d) supersede-time vacuum: within grace NOTHING deletes
+    // (retention follows the recorded commit times, not mtimes);
+    // grace-0 retires every superseded graph AND labels version,
+    // keeps the latest of each, and never touches the sigs segments
     assert(GraphIndex.vacuum(spark, gOut).isEmpty,
       "default grace must protect every superseded version")
     val servedBefore = GraphIndex.graph(spark, gOut).count()
+    val labelsBefore = GraphIndex.labels(spark, gOut).count()
     val gone = GraphIndex.vacuum(spark, gOut, graceMs = 0L)
     assert(gone.nonEmpty, "grace-0 must retire superseded versions")
     val left = new java.io.File(gOut).listFiles().map(_.getName)
-      .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
-    assert(left.toSeq === Seq(before), s"only the latest version survives, got $left")
+      .filter(n => n.startsWith("v=")).map(_.stripPrefix("v=").toLong)
+    assert(left.toSeq === Seq(before), s"only the latest graph version survives, got $left")
     assert(GraphIndex.graph(spark, gOut).count() === servedBefore,
       "the served snapshot must be untouched by vacuum")
+    assert(GraphIndex.labels(spark, gOut).count() === labelsBefore,
+      "the newest labeling must be untouched by vacuum")
     assert(new java.io.File(s"$gOut/sigs").listFiles().nonEmpty,
       "sig segments are shared by all versions and never vacuumed")
   }
