@@ -2220,7 +2220,7 @@ object ExtOracle {
        |ls AS (SELECT qt.qid, sc.doc_id, CAST(sum(s_micro) AS BIGINT) AS score_micro
        |       FROM sc JOIN qt USING (word) WHERE sc.doc_id <> qt.qid
        |       GROUP BY qt.qid, sc.doc_id),
-       |lrk AS (SELECT qid, doc_id,
+       |lrk AS MATERIALIZED (SELECT qid, doc_id,
        |               CAST(row_number() OVER (PARTITION BY qid
        |                 ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS lex_rk
        |        FROM ls QUALIFY lex_rk <= 20)""".stripMargin
@@ -2254,7 +2254,7 @@ object ExtOracle {
        |         CAST(CAST(list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * qv[i])) AS BIGINT) AS DOUBLE)
        |           / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE))) AS cosine
        |  FROM n CROSS JOIN q WHERE n.vec_id <> q.qid AND q.qid < 5000),
-       |drk AS (SELECT qid, doc_id,
+       |drk AS MATERIALIZED (SELECT qid, doc_id,
        |               CAST(row_number() OVER (PARTITION BY qid
        |                 ORDER BY cosine DESC, doc_id ASC) AS BIGINT) AS dense_rk
        |        FROM dsc QUALIFY dense_rk <= 20),
@@ -2269,7 +2269,7 @@ object ExtOracle {
     s"""WITH dt AS (
        |${ivfadcSql(" AND a.vec_id < 5000", 20)}
        |),
-       |drk AS (SELECT qid, vec_id AS doc_id, CAST(rk AS BIGINT) AS dense_rk FROM dt),
+       |drk AS MATERIALIZED (SELECT qid, vec_id AS doc_id, CAST(rk AS BIGINT) AS dense_rk FROM dt),
        |""".stripMargin + HYBRID_LEX + TRIPLET_TAIL
 
   /** The triplet-miner tail shared by qx106/qx106b: positive, hard
