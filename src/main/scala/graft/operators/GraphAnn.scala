@@ -93,14 +93,28 @@ object GraphAnn {
     * @param oldGraph the existing graph (u, v, cos)
     * @param deltaIds one column `id` — the newly admitted vector ids
     * @return the union graph (u, v, cos) */
-  def admit(base: DataFrame, sigs: DataFrame, oldGraph: DataFrame,
-            deltaIds: DataFrame, k: Int): DataFrame = {
+  /** The nodes whose candidate set a delta admission can change:
+    * everything sharing an LSH bucket with some delta vector. Factored
+    * from [[admit]] so a caller can COUNT it first — the admit-vs-
+    * rebuild decision is |touched| vs n (see [[GraphIndex.admit]]):
+    * touched ≈ delta × bands × occupancy, so at the pinned
+    * ~32-49 occupancy a delta past ~n/300 already touches most of the
+    * corpus and recomputing it costs MORE than a clean rebuild (hot
+    * buckets contribute occupancy² pairs — measured 86M directed
+    * candidates for a 0.14% delta at 80k vectors, vs the rebuild's
+    * 53M undirected). */
+  def touchedIds(sigs: DataFrame, deltaIds: DataFrame): DataFrame = {
     val dBuckets = sigs
       .join(deltaIds.withColumnRenamed("id", "vec_id"), "vec_id")
       .select(col("band").as("qband"), col("sig").as("qsig")).distinct()
-    val touched = sigs.join(broadcast(dBuckets),
+    sigs.join(broadcast(dBuckets),
         col("band") === col("qband") && col("sig") === col("qsig"))
       .select("vec_id").distinct()
+  }
+
+  def admit(base: DataFrame, sigs: DataFrame, oldGraph: DataFrame,
+            deltaIds: DataFrame, k: Int): DataFrame = {
+    val touched = touchedIds(sigs, deltaIds)
     // directed collision pairs, recomputed ONLY for touched sources
     val cand = sigs.as("x")
       .join(touched.withColumnRenamed("vec_id", "u"), col("x.vec_id") === col("u"))

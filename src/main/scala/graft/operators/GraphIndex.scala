@@ -47,6 +47,16 @@ object GraphIndex {
     org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
 
+  /** Env-gated step timing (GRAFT_GRAPH_TIMING=1) — the probe's
+    * decomposition hook; silent in production. */
+  private def timed[A](label: String)(f: => A): A =
+    if (sys.env.contains("GRAFT_GRAPH_TIMING")) {
+      val t0 = System.nanoTime()
+      val a = f
+      println(f"[graphindex] $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      a
+    } else f
+
   private def versionsOf(spark: SparkSession, graphDir: String,
                          prefix: String = "v="): Seq[Long] = {
     val f = fs(spark, graphDir)
@@ -133,14 +143,35 @@ object GraphIndex {
     val dIds = deltaIds.select(col("id")).localCheckpoint()
     // delta sigs from the committed union base (narrow id-join), under
     // the pinned schedule; idempotent segment overwrite
-    EmbeddingLsh.bandSigs(
-        base.join(dIds.withColumnRenamed("id", "vec_id"), "vec_id")
-          .select("vec_id", "iv"), planes)
-      .write.mode("overwrite").parquet(s"$graphDir/sigs/seg=$seg")
+    timed("delta_sigs") {
+      EmbeddingLsh.bandSigs(
+          base.join(dIds.withColumnRenamed("id", "vec_id"), "vec_id")
+            .select("vec_id", "iv"), planes)
+        .write.mode("overwrite").parquet(s"$graphDir/sigs/seg=$seg")
+    }
     val sigs = unionSigs(spark, graphDir)
     val oldGraph = spark.read.parquet(s"$graphDir/v=$prev/graph.parquet")
-    val graph = GraphAnn.admit(base, sigs, oldGraph, dIds, k).localCheckpoint()
-    commitVersion(spark, graphDir, s"v=${prev + 1L}", seg, "graph", graph)
+    // ADMIT-vs-REBUILD regime decision, self-deciding per batch (the
+    // GraphProbe finding made operational): touched ≈ delta × bands ×
+    // occupancy, and past ~1/4 of the corpus the incremental path's
+    // hot-bucket candidate join costs MORE than a clean rebuild
+    // (measured at the 80k probe: a 0.14% delta touched 82% and admit
+    // ran 167 s vs the 24 s rebuild). Both paths produce the IDENTICAL
+    // graph (the qx110 admit==rebuild pin), so the choice is pure
+    // cost; steady-drip batches stay incremental, bulk waves rebuild.
+    val nTouched = timed("touched_count") {
+      GraphAnn.touchedIds(sigs, dIds).count()
+    }
+    val nBase = base.count()
+    val graph = timed(s"graph_${if (nTouched * 4 >= nBase) "rebuild" else "admit"}") {
+      (if (nTouched * 4 >= nBase)
+        GraphAnn.knnGraph(base, EmbeddingLsh.candidatePairs(sigs), k)
+      else
+        GraphAnn.admit(base, sigs, oldGraph, dIds, k)).localCheckpoint()
+    }
+    timed("commit") {
+      commitVersion(spark, graphDir, s"v=${prev + 1L}", seg, "graph", graph)
+    }
   }
 
   /** Re-propagate communities for the LATEST graph version — the
