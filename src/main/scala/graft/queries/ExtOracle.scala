@@ -3620,6 +3620,33 @@ object ExtOracle {
       |         LEFT JOIN gl ON vol.source = gl.source
       |         LEFT JOIN lo ON vol.source = lo.source""".stripMargin
 
+  /** qx120 twin — the dedup-family Venn over the qx4/qx14/qx12 twins
+    * nested verbatim (MATERIALIZED — each feeds one full-outer join
+    * chain), membership coalesced to 0/1 and folded to the ≤7 cells. */
+  val qx120: String =
+    s"""WITH vm AS MATERIALIZED (
+       |$qx4
+       |),
+       |vs AS MATERIALIZED (
+       |$qx14
+       |),
+       |ve AS MATERIALIZED (
+       |$qx12
+       |),
+       |j1 AS (SELECT COALESCE(vm.doc_a, vs.doc_a) AS a,
+       |              COALESCE(vm.doc_b, vs.doc_b) AS b,
+       |              CASE WHEN vm.doc_a IS NOT NULL THEN 1 ELSE 0 END AS m,
+       |              CASE WHEN vs.doc_a IS NOT NULL THEN 1 ELSE 0 END AS s
+       |       FROM vm FULL OUTER JOIN vs
+       |         ON vm.doc_a = vs.doc_a AND vm.doc_b = vs.doc_b),
+       |j2 AS (SELECT COALESCE(j1.m, 0) AS m, COALESCE(j1.s, 0) AS s,
+       |              CASE WHEN ve.vec_a IS NOT NULL THEN 1 ELSE 0 END AS e
+       |       FROM j1 FULL OUTER JOIN ve
+       |         ON j1.a = ve.vec_a AND j1.b = ve.vec_b)
+       |SELECT CAST(m AS BIGINT) AS m, CAST(s AS BIGINT) AS s,
+       |       CAST(e AS BIGINT) AS e, CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM j2 GROUP BY m, s, e""".stripMargin
+
   /** qx117 twin — the release manifest melted from the four
     * constituent twins, each nested verbatim as a MATERIALIZED CTE
     * (the oracle-side mirror of the shared-spelling rule: the SQL

@@ -879,6 +879,42 @@ object ExtQueries {
           coalesce(col("n_dup_local"), lit(0L))).as("n_dup_cross"))
   }
 
+  /** qx120 — DEDUP-FAMILY AGREEMENT audit (round 13): the Venn of the
+    * three near-dup pair miners over one corpus — lexical MinHash
+    * bands (qx4), SimHash Hamming≤3 (qx14), embedding cosine≥0.35
+    * (qx12) — folded to the 7 exclusive membership cells. The release
+    * fact this pins: the families are DIFFERENT detectors by design
+    * (shingle overlap vs bit-parity vs semantic geometry), so "how
+    * many pairs does each channel see that the others miss" is the
+    * dashboard number that justifies running all three; each family's
+    * false-candidate tail lands in its exclusive cell. All three
+    * inputs are the SHARED gate spellings (the qx117/qx118 nesting
+    * discipline), so the audit cannot drift from the rows it measures.
+    * Corpus honesty (the qx99/qx116 pattern): the driver's synthetic
+    * embeddings are INDEPENDENT of the text (vec_id-derived), so the
+    * semantic channel can never corroborate the lexical ones here —
+    * the planted exact copies land in the m∩s cell (21 pairs at
+    * sf0.001) and the triple cell is structurally empty; on a real
+    * corpus the triple cell is where exact copies go.
+    *
+    * Scale shape: the three pair sets are the families' own bounded
+    * candidate joins (each already probed at 100×); the audit is two
+    * hash full-outer joins on (a, b) plus a ≤7-row fold. */
+  def qx120(spark: SparkSession, dir: String): DataFrame = {
+    val mh = qx4(spark, dir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"), lit(1L).as("m"))
+    val sh = qx14(spark, dir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"), lit(1L).as("s"))
+    val em = qx12(spark, dir)
+      .select(col("vec_a").as("a"), col("vec_b").as("b"), lit(1L).as("e"))
+    mh.join(sh, Seq("a", "b"), "full_outer")
+      .join(em, Seq("a", "b"), "full_outer")
+      .select(coalesce(col("m"), lit(0L)).as("m"),
+        coalesce(col("s"), lit(0L)).as("s"),
+        coalesce(col("e"), lit(0L)).as("e"))
+      .groupBy("m", "s", "e").agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** The deterministic per-doc sampling hash qx21/qx22 order by: an
     * affine integer scramble of doc_id — uniform-ish, replayable, and
     * identical in the oracle. A production pipeline keys this off a
