@@ -27,8 +27,10 @@ object Explain {
         "qx82_rendezvous_shard", "qx83_epoch_shuffle",
         "qx101_maxsim", "qx101b_maxsim_lsh", "qx102_label_prop",
         "qx103_logistic_distill", "qx104_unigram_em", "qx105_modularity",
-        "qx106_dpr_triplets", "qx109_graph_ann", "qx110_graph_admit",
-        "qx113_cell_graph")
+        "qx106_dpr_triplets", "qx106b_dpr_indexed", "qx109_graph_ann",
+        "qx110_graph_admit", "qx113_cell_graph", "qx116_community_cap",
+        "qx118_ann_recall_audit", "qx119_shard_card_fold",
+        "qx120_dedup_venn")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
