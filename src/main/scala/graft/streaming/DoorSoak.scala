@@ -166,10 +166,23 @@ object DoorSoak {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getSeq[Float](3)))
       .sortBy(_._1)
     println(s"[soak] index door: ${bRows.length} live docs in $nWaves waves; at $base")
+    // arg 4 "graph": soak the COMPOSED graph/community maintenance too
+    // (round 13 — GraphIndex under the same door: per-batch regime-
+    // deciding graph admission, community refresh + graph vacuum on
+    // the compactEvery cadence).
+    val withGraph = args.lift(3).contains("graph")
+    val gDir = s"$base/graph"
+    if (withGraph) {
+      t0 = System.nanoTime()
+      graft.operators.GraphIndex.init(spark, idx, gDir,
+        expectedFinal = raw.count())
+      println(f"""{"stage":"graph_init","wall_sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+    }
     def door() = IndexDoor.run(spark, bus, "docs", idx, ck,
       maxOffsetsPerTrigger = Some(math.max(64L, bRows.length.toLong / (2L * nWaves))),
       trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"),
-      compactEvery = Some(4)) // the standing-door merge policy, soaked
+      compactEvery = Some(4), // the standing-door merge policy, soaked
+      graphDir = if (withGraph) Some(gDir) else None)
     var q = door()
     bRows.grouped(bRows.length / nWaves + 1).zipWithIndex.foreach { case (wave, i) =>
       t0 = System.nanoTime()
@@ -192,6 +205,27 @@ object DoorSoak {
     graft.operators.HybridIndex.compact(spark, idx)
     graft.operators.HybridIndex.vacuum(spark, idx, graceMs = 0L)
     println(f"""{"stage":"compact+vacuum","wall_sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+    if (withGraph) {
+      // the composed pin, run LIVE at soak scale: the door-maintained
+      // graph equals a clean rebuild over the committed union (qx110),
+      // and a final refresh labels the latest version
+      t0 = System.nanoTime()
+      graft.operators.GraphIndex.refreshCommunities(spark, idx, gDir)
+      println(f"""{"stage":"graph_refresh","wall_sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+      t0 = System.nanoTime()
+      val gBase = graft.operators.HybridIndex.committedBase(spark, idx)
+      val planes = spark.read.parquet(s"$gDir/meta.parquet").head.getInt(0)
+      val rebuilt = graft.operators.GraphAnn.knnGraph(gBase,
+        graft.operators.EmbeddingLsh.candidatePairs(
+          graft.operators.EmbeddingLsh.bandSigs(gBase.select("vec_id", "iv"), planes)), 4)
+      val doorG = graft.operators.GraphIndex.graph(spark, gDir)
+      val diff = doorG.select("u", "v").unionByName(rebuilt.select("u", "v"))
+        .groupBy("u", "v").agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("c"))
+        .where(col("c") =!= 2L).count()
+      println(f"""{"stage":"graph_rebuild_check","edge_diff":$diff,"wall_sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+      require(diff == 0L, s"door-maintained graph diverged from rebuild: $diff edges")
+    }
     // The per-epoch maintenance decision over exactly what the door
     // admitted — the RetrainTrigger loop run where it would run in
     // production (and the soak's healthy feed must KEEP everywhere).
