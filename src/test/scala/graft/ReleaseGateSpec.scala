@@ -1,0 +1,47 @@
+package graft
+
+/** [[ReleaseGate]] — the qx117 manifest held against the pinned
+  * release criteria. Pins the decision function on the real corpus
+  * (releasable; the doc-hash leak contrast > 0 rides along
+  * informationally) and on doctored manifests exercising each
+  * criterion's failure edge. */
+class ReleaseGateSpec extends SparkTestBase {
+
+  test("the gate corpus is releasable; the doc-hash contrast shows the closed leak") {
+    val rows = ReleaseGate.manifestRows(
+      queries.ExtQueries.qx117(spark, "/root/testdata/sf0.001"))
+    val (ok, d) = ReleaseGate.evaluate(rows)
+    assert(ok, s"gate corpus must be releasable, got $d")
+    assert(d("cluster_leaks") === 0L)
+    assert(d("dochash_leaks") > 0L,
+      "the naive scheme leaks on this corpus — the contrast qx115 documents")
+    assert(d("worst_gap_milli") > 0L, "the calibration gap is reported, not hidden")
+    assert(d("n_sources") > 0L && d("min_final_tokens") > 0L)
+  }
+
+  test("each criterion's failure edge flips the verdict") {
+    val base = ReleaseGate.manifestRows(
+      queries.ExtQueries.qx117(spark, "/root/testdata/sf0.001"))
+    def flipped(f: Array[(String, String, Long)] => Array[(String, String, Long)]) =
+      ReleaseGate.evaluate(f(base))._1
+    // a leaked cluster in the cluster-keyed scheme
+    assert(!flipped(_.map {
+      case ("splits", k, _) if k == "cluster/split:-1/clusters" => ("splits", k, 3L)
+      case r => r
+    }), "cluster leaks must fail the gate")
+    // a language whose final budget collapsed to zero
+    assert(!flipped(_.map {
+      case ("final", k, _) if k.endsWith("/tokens") => ("final", k, 0L)
+      case r => r
+    }), "a zero-yield language must fail the gate")
+    // a card missing its majority-language row
+    assert(!flipped(_.filterNot { case (s, k, _) =>
+      s == "card" && k.contains("/major:")
+    }), "an incomplete card must fail the gate")
+    // the calibration gap is informational — worsening it alone must NOT flip
+    assert(flipped(_.map {
+      case ("calibration", k, _) if k.endsWith("/gap_milli") => ("calibration", k, 999L)
+      case r => r
+    }), "calibration is reported, never a silent threshold")
+  }
+}
