@@ -127,8 +127,12 @@ object GraphIndex {
 
   /** Admit one delta (the door's admitted micro-batch, already
     * committed into the index) under segment key `seg` — GRAPH ONLY
-    * (touched-bound; see the cadence note above), no-op if a version
-    * already records `seg` (re-delivered batch). */
+    * (see the cadence note above), no-op if a version already records
+    * `seg` (re-delivered batch). Self-deciding regime: counts the
+    * bucket-touched set first and falls back to a clean rebuild past
+    * n/4 touched — identical output either way (qx110), so steady
+    * drip stays incremental and a bulk wave never pays the hot-bucket
+    * candidate blowup (the AdmitProbe finding). */
   def admit(spark: SparkSession, indexDir: String, graphDir: String,
             deltaIds: DataFrame, seg: String): Unit = {
     if (admittedSegs(spark, graphDir).contains(seg)) return
