@@ -3647,6 +3647,30 @@ object ExtOracle {
        |       CAST(e AS BIGINT) AS e, CAST(count(*) AS BIGINT) AS n_pairs
        |FROM j2 GROUP BY m, s, e""".stripMargin
 
+  /** qx121 twin — graph-ANN recall@top1 over the qx2/qx109 twins
+    * nested verbatim (the qx118 discipline for the graph family). */
+  val qx121: String =
+    s"""WITH gb AS MATERIALIZED (
+       |$qx2
+       |),
+       |gg AS MATERIALIZED (
+       |$qx109
+       |),
+       |b1 AS (SELECT qid, vec_id FROM gb WHERE rk = 1),
+       |ht AS (SELECT DISTINCT b1.qid FROM b1
+       |       JOIN gg ON b1.qid = gg.qid AND b1.vec_id = gg.vec_id),
+       |pq AS (SELECT b1.qid,
+       |              CASE WHEN ht.qid IS NOT NULL THEN 1 ELSE 0 END AS found
+       |       FROM b1 LEFT JOIN ht ON b1.qid = ht.qid)
+       |SELECT CAST(found AS BIGINT) AS found,
+       |       CAST(count(*) AS BIGINT) AS n_queries,
+       |       CAST(0 AS BIGINT) AS recall_micro
+       |FROM pq GROUP BY found
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT), CAST(count(*) AS BIGINT),
+       |       CAST(1000000 * sum(found) // count(*) AS BIGINT)
+       |FROM pq""".stripMargin
+
   /** qx117 twin — the release manifest melted from the four
     * constituent twins, each nested verbatim as a MATERIALIZED CTE
     * (the oracle-side mirror of the shared-spelling rule: the SQL

@@ -915,6 +915,35 @@ object ExtQueries {
       .groupBy("m", "s", "e").agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** qx121 — GRAPH-ANN recall audit (the qx118 discipline applied to
+    * the fourth ANN family): recall@top1 of the qx109 beam search
+    * against the exact brute nearest neighbor (qx2 rank 1) — the
+    * metric GraphProbe and GraphAnnSpec already measure off-gate, now
+    * HASH-PINNED as a release number. Per-query found ∈ {0, 1}
+    * histogram plus the corpus recall micro on a −1 summary row; both
+    * legs are the shared gate spellings, so the audit tracks exactly
+    * what qx109 serves (beam 4, 3 rounds, LSH-seeded).
+    *
+    * Scale shape: the legs' own (already-probed) plans; the audit is
+    * a semi-join of |q| rows against ≤4·|q| beam rows + a 2-bucket
+    * fold — metadata-sized anywhere. */
+  def qx121(spark: SparkSession, dir: String): DataFrame = {
+    val brute1 = qx2(spark, dir).where(col("rk") === 1)
+      .select(col("qid"), col("vec_id")).localCheckpoint()
+    val beam = qx109(spark, dir).select(col("qid"), col("vec_id")).localCheckpoint()
+    val hit = brute1.join(beam, Seq("qid", "vec_id"), "left_semi")
+      .select(col("qid"), lit(1L).as("f"))
+    val perQ = brute1.select("qid")
+      .join(hit, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("f"), lit(0L)).as("found"))
+    val hist = perQ.groupBy("found").agg(count(lit(1)).as("n_queries"))
+      .select(col("found"), col("n_queries"), lit(0L).as("recall_micro"))
+    val tot = perQ.agg(count(lit(1)).as("nq"), sum("found").as("sf"))
+      .select(lit(-1L).as("found"), col("nq").as("n_queries"),
+        expr("1000000L * sf div nq").as("recall_micro"))
+    hist.unionByName(tot)
+  }
+
   /** The deterministic per-doc sampling hash qx21/qx22 order by: an
     * affine integer scramble of doc_id — uniform-ish, replayable, and
     * identical in the oracle. A production pipeline keys this off a

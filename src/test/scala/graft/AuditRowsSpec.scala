@@ -49,6 +49,22 @@ class AuditRowsSpec extends SparkTestBase {
     assert(rows.map(_._5).sum > 0L, "the corpus plants cross-shard dups — global must see them")
   }
 
+  test("qx121: the summary row IS graph-ANN recall@top1 recomputed from qx2/qx109") {
+    val brute1 = queries.ExtQueries.qx2(spark, dir).where(col("rk") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val beam = queries.ExtQueries.qx109(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+    val out = SparkEntry.queries("qx121_graph_recall")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val found = brute1.count { case (q, nn) =>
+      beam.getOrElse(q, Array.empty).exists(_._2 == nn) }.toLong
+    val summary = out.find(_._1 == -1L).get
+    assert(summary._2 === brute1.size.toLong)
+    assert(summary._3 === 1000000L * found / brute1.size)
+    assert(out.filter(_._1 >= 0).map(_._2).sum === brute1.size.toLong)
+    assert(out.find(_._1 == 1L).map(_._2).getOrElse(0L) === found)
+  }
+
   test("qx120: cells recount the three families' pair sets exactly") {
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
