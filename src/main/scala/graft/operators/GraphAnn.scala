@@ -113,8 +113,17 @@ object GraphAnn {
   }
 
   def admit(base: DataFrame, sigs: DataFrame, oldGraph: DataFrame,
-            deltaIds: DataFrame, k: Int): DataFrame = {
-    val touched = touchedIds(sigs, deltaIds)
+            deltaIds: DataFrame, k: Int): DataFrame =
+    admit(base, sigs, oldGraph, deltaIds, k, None)
+
+  /** [[admit]] with the touched set PRECOMPUTED by the caller —
+    * [[GraphIndex.admit]] counts it for the admit-vs-rebuild regime
+    * decision and passes the same (checkpointed) frame in, so the
+    * bucket join runs once per micro-batch, not twice (r13 advice). */
+  def admit(base: DataFrame, sigs: DataFrame, oldGraph: DataFrame,
+            deltaIds: DataFrame, k: Int,
+            touchedOpt: Option[DataFrame]): DataFrame = {
+    val touched = touchedOpt.getOrElse(touchedIds(sigs, deltaIds))
     // directed collision pairs, recomputed ONLY for touched sources
     val cand = sigs.as("x")
       .join(touched.withColumnRenamed("vec_id", "u"), col("x.vec_id") === col("u"))

@@ -18,12 +18,19 @@ import org.apache.spark.sql.functions._
   *     per admission (a vector's sigs never change under pinned
   *     planes, so the union is always consistent; re-delivery
   *     overwrites its own segment with identical bytes).
-  *   - `v=<N>/graph.parquet` + `info.parquet` (seg, committed_ms) —
-  *     immutable graph snapshots, committed stage-then-rename (the
-  *     HybridIndex manifest discipline): a crash mid-stage leaves only
-  *     `_staging_*` garbage; a re-delivered `b<batchId>` admission
-  *     finds its seg key already recorded and no-ops instead of
-  *     minting a duplicate version.
+  *   - `v=<N>/graph.parquet` + `info.parquet` (seg, committed_ms,
+  *     n_base, segs) — immutable graph snapshots, committed
+  *     stage-then-rename (the HybridIndex manifest discipline): a
+  *     crash mid-stage leaves only `_staging_*` garbage; a
+  *     re-delivered `b<batchId>` admission finds its seg key in the
+  *     latest version's CUMULATIVE `segs` ledger and no-ops instead
+  *     of minting a duplicate version. The commit record also carries
+  *     the committed corpus size `n_base` (round 14, r13 verdict #3):
+  *     the per-batch admit reads ONE info file — no `base.count()`
+  *     job, no O(versions) info scan — and because the ledger is
+  *     cumulative it survives [[vacuum]], so even a beyond-grace
+  *     replay of a retired version's seg key no-ops now (r13's
+  *     "benign redundant version" edge is gone).
   *   - `labels_v=<N>/labels.parquet` + `info.parquet` — the community
   *     labeling of graph version N, its OWN versioned asset on its
   *     own cadence (see below), same commit protocol, idempotent by
@@ -66,33 +73,63 @@ object GraphIndex {
       .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix).toLong).toSeq.sorted
   }
 
-  private def admittedSegs(spark: SparkSession, graphDir: String): Set[String] =
-    versionsOf(spark, graphDir).map { v =>
-      spark.read.parquet(s"$graphDir/v=$v/info.parquet").head.getString(0)
-    }.toSet
+  /** The latest graph version's commit record — ONE small parquet
+    * read per admission (r13 verdict #3: the per-batch path must be
+    * metadata-cheap): (version, seg, n_base, cumulative seg ledger). */
+  private def latestInfo(spark: SparkSession,
+                         graphDir: String): (Long, String, Long, Set[String]) = {
+    val vs = versionsOf(spark, graphDir)
+    require(vs.nonEmpty, s"GraphIndex used before init under $graphDir")
+    val r = spark.read.parquet(s"$graphDir/v=${vs.max}/info.parquet").head
+    (vs.max, r.getAs[String]("seg"), r.getAs[Long]("n_base"),
+      r.getAs[Seq[String]]("segs").toSet)
+  }
 
   /** Stage-then-rename commit of one immutable version dir holding
     * `<asset>.parquet` + `info.parquet`. `committed_ms` is commit
     * metadata, not query data (the HybridIndex manifest discipline):
     * [[vacuum]]'s supersede-time grace reads it so no retirement
-    * decision ever trusts filesystem mtime. Losing the rename race to
-    * a concurrent identical commit (re-delivery) drops ours silently —
-    * the surviving dir is complete by rename atomicity. */
-  private def commitVersion(spark: SparkSession, graphDir: String,
-                            dirName: String, seg: String,
-                            asset: String, df: DataFrame): Unit = {
+    * decision ever trusts filesystem mtime. `nBase`/`segs` are the
+    * committed corpus size and the cumulative seg-key ledger (graph
+    * versions; labels versions carry −1/empty — their idempotence is
+    * by target-version existence). Losing the rename race is only
+    * benign when the survivor is OUR commit re-delivered — the
+    * destination's recorded seg is checked and a MISMATCH throws
+    * (r13 advice: two writers racing distinct segs to the same
+    * version number must fail loudly, not silently drop a delta;
+    * nothing enforces single-writer on a graphDir). */
+  private[graft] def commitVersion(spark: SparkSession, graphDir: String,
+                                   dirName: String, seg: String,
+                                   asset: String, df: DataFrame,
+                                   nBase: Long = -1L,
+                                   segs: Seq[String] = Seq.empty): Unit = {
     import spark.implicits._
     val f = fs(spark, graphDir)
     val staging = s"$graphDir/_staging_$dirName"
     df.write.mode("overwrite").parquet(s"$staging/$asset.parquet")
-    Seq((seg, System.currentTimeMillis())).toDF("seg", "committed_ms")
+    Seq((seg, System.currentTimeMillis(), nBase, segs))
+      .toDF("seg", "committed_ms", "n_base", "segs")
       .write.mode("overwrite").parquet(s"$staging/info.parquet")
     val dst = new org.apache.hadoop.fs.Path(s"$graphDir/$dirName")
+    def survivorSeg(): String =
+      spark.read.parquet(s"$graphDir/$dirName/info.parquet")
+        .head.getAs[String]("seg")
     if (f.exists(dst)) {
       f.delete(new org.apache.hadoop.fs.Path(staging), true)
+      val other = survivorSeg()
+      if (other != seg)
+        throw new java.io.IOException(
+          s"GraphIndex commit $dirName: version already committed by seg '$other' " +
+            s"(ours: '$seg') — concurrent writers raced distinct deltas to the " +
+            "same version number; re-admit at the next version")
     } else if (!f.rename(new org.apache.hadoop.fs.Path(staging), dst)) {
       f.delete(new org.apache.hadoop.fs.Path(staging), true)
-      throw new java.io.IOException(s"GraphIndex commit $dirName lost its rename")
+      if (!f.exists(dst))
+        throw new java.io.IOException(s"GraphIndex commit $dirName lost its rename")
+      val other = survivorSeg()
+      if (other != seg)
+        throw new java.io.IOException(
+          s"GraphIndex commit $dirName lost its rename to seg '$other' (ours: '$seg')")
     }
   }
 
@@ -115,7 +152,8 @@ object GraphIndex {
     val sigsP = spark.read.parquet(s"$graphDir/sigs/seg=init")
     val pairs = EmbeddingLsh.candidatePairs(sigsP).localCheckpoint()
     val graph = GraphAnn.knnGraph(base, pairs, k).localCheckpoint()
-    commitVersion(spark, graphDir, "v=0", "init", "graph", graph)
+    commitVersion(spark, graphDir, "v=0", "init", "graph", graph,
+      nBase = base.count(), segs = Seq("init"))
     // communities vote over the CANDIDATE graph (qx102's edge set —
     // denser than the k-out kNN graph, whose sparsity leaves
     // synchronous LPA oscillating; on collision edges the labeling
@@ -127,20 +165,18 @@ object GraphIndex {
 
   /** Admit one delta (the door's admitted micro-batch, already
     * committed into the index) under segment key `seg` — GRAPH ONLY
-    * (see the cadence note above), no-op if a version already records
-    * `seg` (re-delivered batch). Self-deciding regime: counts the
+    * (see the cadence note above), no-op if the latest version's
+    * cumulative seg ledger records `seg` (re-delivered batch). Self-deciding regime: counts the
     * bucket-touched set first and falls back to a clean rebuild past
     * n/4 touched — identical output either way (qx110), so steady
     * drip stays incremental and a bulk wave never pays the hot-bucket
     * candidate blowup (the AdmitProbe finding). */
   def admit(spark: SparkSession, indexDir: String, graphDir: String,
             deltaIds: DataFrame, seg: String): Unit = {
-    if (admittedSegs(spark, graphDir).contains(seg)) return
+    val (prev, _, nPrev, ledger) = latestInfo(spark, graphDir)
+    if (ledger.contains(seg)) return
     val meta = spark.read.parquet(s"$graphDir/meta.parquet").head
     val (planes, k) = (meta.getInt(0), meta.getInt(1))
-    val vs = versionsOf(spark, graphDir)
-    require(vs.nonEmpty, s"GraphIndex.admit before init under $graphDir")
-    val prev = vs.max
     // base is a lineage-free parquet read — never materialized here;
     // only the (small) delta id set is pinned
     val base = HybridIndex.committedBase(spark, indexDir)
@@ -163,18 +199,28 @@ object GraphIndex {
     // ran 167 s vs the 24 s rebuild). Both paths produce the IDENTICAL
     // graph (the qx110 admit==rebuild pin), so the choice is pure
     // cost; steady-drip batches stay incremental, bulk waves rebuild.
-    val nTouched = timed("touched_count") {
-      GraphAnn.touchedIds(sigs, dIds).count()
+    // The touched set is checkpointed ONCE and shared by the count and
+    // the incremental path, and n comes from the commit record plus
+    // the delta count (disjoint by the door's addBatch discipline) —
+    // the decision's inputs cost two bounded-frame counts, never a
+    // corpus scan (r13 verdict #3; the one caveat: a beyond-grace
+    // replay of ids already in base would inflate n by its size — the
+    // same benign-replay assumption the vacuum grace already makes,
+    // and the threshold only shifts by that sliver).
+    val touched = timed("touched_sigs") {
+      GraphAnn.touchedIds(sigs, dIds).localCheckpoint()
     }
-    val nBase = base.count()
+    val nTouched = touched.count()
+    val nBase = nPrev + dIds.count()
     val graph = timed(s"graph_${if (nTouched * 4 >= nBase) "rebuild" else "admit"}") {
       (if (nTouched * 4 >= nBase)
         GraphAnn.knnGraph(base, EmbeddingLsh.candidatePairs(sigs), k)
       else
-        GraphAnn.admit(base, sigs, oldGraph, dIds, k)).localCheckpoint()
+        GraphAnn.admit(base, sigs, oldGraph, dIds, k, Some(touched))).localCheckpoint()
     }
     timed("commit") {
-      commitVersion(spark, graphDir, s"v=${prev + 1L}", seg, "graph", graph)
+      commitVersion(spark, graphDir, s"v=${prev + 1L}", seg, "graph", graph,
+        nBase = nBase, segs = (ledger + seg).toSeq.sorted)
     }
   }
 
@@ -187,16 +233,23 @@ object GraphIndex {
     * idempotent under replay and cheap to call every batch. */
   def refreshCommunities(spark: SparkSession, indexDir: String,
                          graphDir: String): Unit = {
-    val target = versionsOf(spark, graphDir).max
-    if (versionsOf(spark, graphDir, "labels_v=").contains(target)) return
+    val vs = versionsOf(spark, graphDir)
+    require(vs.nonEmpty, s"GraphIndex.refreshCommunities before init under $graphDir")
+    val target = vs.max
+    val labelVs = versionsOf(spark, graphDir, "labels_v=")
+    if (labelVs.contains(target)) return
     val lpaIters = spark.read.parquet(s"$graphDir/meta.parquet").head.getInt(2)
     val base = HybridIndex.committedBase(spark, indexDir)
-    val prevLabels = versionsOf(spark, graphDir, "labels_v=").max
+    // COLD-start when no labeling ever committed (init crashed between
+    // the v=0 graph commit and the labels_v=0 commit — r13 advice):
+    // every node enters at its own id instead of assuming labels_v=0
+    // survived; otherwise warm-start from the newest fixpoint.
+    val warm = labelVs.lastOption.map(v =>
+      spark.read.parquet(s"$graphDir/labels_v=$v/labels.parquet"))
     val labels = LabelPropagation.run(base.select(col("vec_id").as("u")),
       EmbeddingLsh.candidatePairs(unionSigs(spark, graphDir))
         .select(col("vec_a").as("u"), col("vec_b").as("v")),
-      iters = lpaIters,
-      init = Some(spark.read.parquet(s"$graphDir/labels_v=$prevLabels/labels.parquet")))
+      iters = lpaIters, init = warm)
     commitVersion(spark, graphDir, s"labels_v=$target", s"refresh$target",
       "labels", labels)
   }
@@ -213,12 +266,10 @@ object GraphIndex {
     * mtime grace (the only record an uncommitted writer leaves). The
     * append-only `sigs/` segments are NEVER vacuumed — every vector's
     * signature is immutable under the pinned planes and shared by all
-    * versions. A seg key whose version was retired CAN re-admit on a
-    * beyond-grace replay, but [[GraphAnn.admit]] over a base/sig union
-    * that already contains the delta recomputes the identical graph —
-    * a redundant version with identical content, never a
-    * double-admission (same assumption HybridIndex's vacuum makes:
-    * replays arrive within grace; here even the violation is benign). */
+    * versions. Retiring a version loses nothing the idempotence check
+    * needs: the CUMULATIVE seg ledger rides in every later version's
+    * info (round 14), so even a beyond-grace replay of a retired
+    * version's seg key no-ops at [[admit]]'s first read. */
   def vacuum(spark: SparkSession, graphDir: String,
              graceMs: Long = 30L * 60 * 1000,
              nowMs: Long = System.currentTimeMillis()): Seq[String] = {

@@ -502,15 +502,15 @@ object HybridIndex {
           "the destination — concurrent writer?)")
   }
 
-  /** Read one asset's LIVE segments only, manifest-resolved, with the
-    * hive partition columns (`add`, and `cell_bucket` for codes)
-    * intact via basePath. */
   /** The committed integerized base vectors (vec_id, iv, n2) under the
     * current manifest — the union every maintenance asset derives from
     * ([[GraphIndex]] reads it for graph admission). */
   def committedBase(spark: SparkSession, indexDir: String): DataFrame =
     readAsset(spark, indexDir, "base.parquet", liveSegments(spark, indexDir))
 
+  /** Read one asset's LIVE segments only, manifest-resolved, with the
+    * hive partition columns (`add`, and `cell_bucket` for codes)
+    * intact via basePath. */
   private def readAsset(spark: SparkSession, indexDir: String, asset: String,
                         live: Seq[String]): DataFrame =
     spark.read.option("basePath", s"$indexDir/$asset")

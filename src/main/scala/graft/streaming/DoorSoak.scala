@@ -219,8 +219,15 @@ object DoorSoak {
         graft.operators.EmbeddingLsh.candidatePairs(
           graft.operators.EmbeddingLsh.bandSigs(gBase.select("vec_id", "iv"), planes)), 4)
       val doorG = graft.operators.GraphIndex.graph(spark, gDir)
-      val diff = doorG.select("u", "v").unionByName(rebuilt.select("u", "v"))
-        .groupBy("u", "v").agg(org.apache.spark.sql.functions.count(
+      // the grouping key carries the cosine (rounded as IndexDoorSpec
+      // rounds it — r13 advice): an edge present on both sides with a
+      // DIVERGENT weight, or duplicated on one side and absent on the
+      // other, must count as a diff, not cancel out on bare (u, v)
+      def keyed(g: org.apache.spark.sql.DataFrame) = g.select(col("u"), col("v"),
+        org.apache.spark.sql.functions.expr(
+          "CAST(round(cos * 1e9) AS BIGINT)").as("cos9"))
+      val diff = keyed(doorG).unionByName(keyed(rebuilt))
+        .groupBy("u", "v", "cos9").agg(org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)).as("c"))
         .where(col("c") =!= 2L).count()
       println(f"""{"stage":"graph_rebuild_check","edge_diff":$diff,"wall_sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{GraphIndex, HybridIndex}
+import graft.sources.Tables
+
+/** [[GraphIndex]]'s round-14 bookkeeping seams (r13 verdict #3 + the
+  * three advice items on the same file): the commit record now carries
+  * the committed corpus size and the CUMULATIVE seg ledger, so the
+  * per-batch admit decides its regime from ONE info read — this suite
+  * pins that the recorded inputs equal the r13 spellings they replace
+  * (n_base == base.count(), ledger == every admitted seg) on both a
+  * drip and a bulk admission, that the ledger survives vacuum (a
+  * beyond-grace replay no-ops outright now), that a commit racing a
+  * DIFFERENT seg to an existing version number fails loudly instead
+  * of silently dropping the delta, and that community refresh
+  * cold-starts when the labels leg never committed. */
+class GraphIndexSpec extends SparkTestBase {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def latestInfoRow(gDir: String): (Long, String, Long, Set[String]) = {
+    val vs = new java.io.File(gDir).listFiles().map(_.getName)
+      .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong).sorted
+    val r = spark.read.parquet(s"$gDir/v=${vs.max}/info.parquet").head
+    (vs.max, r.getAs[String]("seg"), r.getAs[Long]("n_base"),
+      r.getAs[Seq[String]]("segs").toSet)
+  }
+
+  /** Index over the first 60% of embedded docs + graph init; returns
+    * (indexDir, graphDir, the admitted-id cut, all ids sorted). */
+  private def fixture(tag: String): (String, String, Long, Array[Long]) = {
+    val idx = tmpDir(s"gix_${tag}_idx"); val g = tmpDir(s"gix_${tag}_graph")
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val raw = Tables.embeddings(spark, dir)
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val cut = ids(ids.length * 3 / 5)
+    HybridIndex.build(spark, docs.where(col("doc_id") < cut),
+      raw.where(col("vec_id") < cut), idx)
+    GraphIndex.init(spark, idx, g, expectedFinal = ids.length.toLong,
+      k = 4, lpaIters = 4)
+    (idx, g, cut, ids)
+  }
+
+  test("commit record carries n_base == committed count and the cumulative ledger, drip and bulk") {
+    val (idx, g, cut, ids) = fixture("rec")
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val raw = Tables.embeddings(spark, dir)
+    // init's record
+    val (v0, _, n0, l0) = latestInfoRow(g)
+    assert(v0 === 0L && l0 === Set("init"))
+    assert(n0 === HybridIndex.committedBase(spark, idx).count(),
+      "init must record the built corpus size")
+
+    // DRIP: a handful of new ids through addBatch + admit
+    val rest = ids.filter(_ >= cut)
+    val (drip, bulk) = rest.splitAt(8)
+    def admitWave(wave: Array[Long], seg: String): Unit = {
+      val s = wave.toSet
+      HybridIndex.addBatch(spark, idx,
+        docs.where(col("doc_id").isin(s.toSeq: _*)),
+        raw.where(col("vec_id").isin(s.toSeq: _*)), segKeyOpt = Some(seg))
+      GraphIndex.admit(spark, idx, g,
+        raw.where(col("vec_id").isin(s.toSeq: _*))
+          .select(col("vec_id").as("id")), seg)
+    }
+    admitWave(drip, "b1")
+    val (v1, _, n1, l1) = latestInfoRow(g)
+    assert(v1 === 1L && l1 === Set("init", "b1"))
+    assert(n1 === HybridIndex.committedBase(spark, idx).count(),
+      "drip admission must record exactly the committed corpus size " +
+        "(the regime decision's n input unchanged from the base.count() spelling)")
+
+    // BULK: the remaining ~40% in one wave (the rebuild regime at this
+    // corpus — touched*4 >= n; the decision input is what we pin here)
+    admitWave(bulk, "b2")
+    val (v2, _, n2, l2) = latestInfoRow(g)
+    assert(v2 === 2L && l2 === Set("init", "b1", "b2"))
+    assert(n2 === HybridIndex.committedBase(spark, idx).count(),
+      "bulk admission must record exactly the committed corpus size")
+    assert(n2 === ids.length.toLong)
+
+    // the ledger survives VACUUM: retire everything but the latest,
+    // then replay both seg keys — no new version may appear (the
+    // beyond-grace replay edge r13 documented as benign is now a
+    // structural no-op)
+    GraphIndex.vacuum(spark, g, graceMs = 0L)
+    val before = latestInfoRow(g)._1
+    GraphIndex.admit(spark, idx, g,
+      raw.limit(1).select(col("vec_id").as("id")), "b1")
+    GraphIndex.admit(spark, idx, g,
+      raw.limit(1).select(col("vec_id").as("id")), "b2")
+    assert(latestInfoRow(g)._1 === before,
+      "replaying retired seg keys must no-op off the cumulative ledger")
+  }
+
+  test("a commit racing a different seg to an existing version fails loudly; identical re-commit no-ops") {
+    val (_, g, _, _) = fixture("race")
+    import spark.implicits._
+    val probe = Seq((1L, 2L, 0.5)).toDF("u", "v", "cos")
+    // identical seg (re-delivered commit losing the exists race): silent
+    GraphIndex.commitVersion(spark, g, "v=0", "init", "graph", probe)
+    // different seg to the same version: the r13-advice failure mode —
+    // two writers racing distinct deltas; the loser must throw, not
+    // silently vanish from the graph
+    val ex = intercept[java.io.IOException] {
+      GraphIndex.commitVersion(spark, g, "v=0", "bOTHER", "graph", probe)
+    }
+    assert(ex.getMessage.contains("bOTHER") && ex.getMessage.contains("init"))
+  }
+
+  test("refreshCommunities cold-starts when no labeling ever committed; before init it refuses") {
+    val (idx, g, _, _) = fixture("cold")
+    // simulate the init crash between the v=0 commit and labels_v=0:
+    // delete the labels version outright
+    def rmr(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmr)
+      f.delete()
+    }
+    rmr(new java.io.File(s"$g/labels_v=0"))
+    GraphIndex.refreshCommunities(spark, idx, g)
+    val labels = GraphIndex.labels(spark, g)
+    val committed = HybridIndex.committedBase(spark, idx)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(labels.select("u").collect().map(_.getLong(0)).toSet === committed,
+      "cold-start labeling must cover the committed corpus")
+
+    // before init: a bare empty dir must refuse, not empty.max-crash
+    val fresh = tmpDir("gix_noinit")
+    val exR = intercept[IllegalArgumentException] {
+      GraphIndex.refreshCommunities(spark, idx, fresh)
+    }
+    assert(exR.getMessage.contains("before init"))
+    val exA = intercept[IllegalArgumentException] {
+      GraphIndex.admit(spark, idx, fresh,
+        spark.range(1).select(lit(1L).as("id")), "b0")
+    }
+    assert(exA.getMessage.contains("before init"))
+  }
+}
