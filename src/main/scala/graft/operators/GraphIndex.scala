@@ -293,6 +293,41 @@ object GraphIndex {
     sweep("v=") ++ sweep("labels_v=") ++ staged
   }
 
+  /** SERVE beam-ANN from the maintained asset (round 14, r13 verdict
+    * #1 — the graph's first consumer beyond its own audits; until now
+    * qx109/qx121 rebuilt their graph inline per query set, which is
+    * exactly the cost a standing asset exists to amortize): queries
+    * (qid, qiv, qn2) are signed under the asset's PINNED plane
+    * schedule, seeded from their LSH bucket mates in the append-only
+    * sig segments (qx109's production seeding, against the asset
+    * instead of a fresh corpus signing), and beam-searched over the
+    * latest committed graph snapshot with qx109's parameters by
+    * default. Per serve: |q|·bands map work for the query sigs, one
+    * banded equi-join for seeds, beam·K vector fetches per query per
+    * round — never a corpus re-sign, never a graph build. The
+    * entry-point fallback is min committed vec_id (one metadata-cheap
+    * agg on the base — GraphAnn's deterministic global entry).
+    * [[graft.IndexDoorSpec]] pins the serve bit-equal to the inline
+    * qx109 spelling over a rebuild of the same committed corpus, with
+    * recall vs brute live; DoorSoak's graph leg records what the
+    * asset saves vs the inline build at the 10× corpus. */
+  def search(spark: SparkSession, indexDir: String, graphDir: String,
+             queries: DataFrame, beam: Int = 4, rounds: Int = 3): DataFrame = {
+    val planes = spark.read.parquet(s"$graphDir/meta.parquet").head.getInt(0)
+    val base = HybridIndex.committedBase(spark, indexDir)
+    val qs = queries.select("qid", "qiv", "qn2")
+    val qsigs = EmbeddingLsh.bandSigs(
+        qs.select(col("qid").as("vec_id"), col("qiv").as("iv")), planes)
+      .select(col("vec_id").as("qid"), col("band").as("qband"),
+        col("sig").as("qsig"))
+    val seeds = unionSigs(spark, graphDir).join(broadcast(qsigs),
+        col("band") === col("qband") && col("sig") === col("qsig") &&
+          col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id").distinct()
+    val entry = base.agg(min("vec_id")).head.getLong(0)
+    GraphAnn.search(graph(spark, graphDir), base, qs, seeds, entry, beam, rounds)
+  }
+
   /** Latest committed graph snapshot. */
   def graph(spark: SparkSession, graphDir: String): DataFrame = {
     val v = versionsOf(spark, graphDir).max

@@ -232,6 +232,50 @@ object DoorSoak {
         .where(col("c") =!= 2L).count()
       println(f"""{"stage":"graph_rebuild_check","edge_diff":$diff,"wall_sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
       require(diff == 0L, s"door-maintained graph diverged from rebuild: $diff edges")
+      // SERVE comparison (r14, r13 verdict #1): what the persisted
+      // asset saves — beam serve from the committed snapshot vs the
+      // inline qx109 shape (sign corpus + rebuild graph + serve) on
+      // the same queries — plus the asset serve's recall@top1 vs
+      // brute, the qx121 number read LIVE off the maintained asset.
+      val qs = gBase.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("n2").as("qn2"))
+        .localCheckpoint()
+      t0 = System.nanoTime()
+      val assetBeam = graft.operators.GraphIndex.search(spark, idx, gDir, qs)
+        .localCheckpoint()
+      val nServed = assetBeam.count()
+      val assetSec = (System.nanoTime() - t0) / 1e9
+      t0 = System.nanoTime()
+      import org.apache.spark.sql.functions.{broadcast, expr, min => fmin}
+      val sigsInline = graft.operators.EmbeddingLsh.bandSigs(
+        gBase.select("vec_id", "iv"), planes)
+      val qsigsI = sigsInline.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("band").as("qband"),
+          col("sig").as("qsig"))
+      val seedsI = sigsInline.join(broadcast(qsigsI),
+          col("band") === col("qband") && col("sig") === col("qsig") &&
+            col("vec_id") =!= col("qid"))
+        .select("qid", "vec_id").distinct()
+      val entryI = gBase.agg(fmin("vec_id")).head.getLong(0)
+      val inlineGraph = graft.operators.GraphAnn.knnGraph(gBase,
+        graft.operators.EmbeddingLsh.candidatePairs(sigsInline), 4)
+      val nInline = graft.operators.GraphAnn.search(inlineGraph, gBase, qs,
+        seedsI, entryI, beam = 4, rounds = 3).count()
+      val inlineSec = (System.nanoTime() - t0) / 1e9
+      require(nServed == nInline,
+        s"asset serve row count diverged from the inline build: $nServed vs $nInline")
+      val brute1 = gBase.crossJoin(broadcast(qs))
+        .where(col("vec_id") =!= col("qid"))
+        .withColumn("dot", expr("long_dot(iv, qiv)"))
+        .withColumn("cosine", expr(graft.queries.ExtQueries.COSINE))
+        .groupBy("qid").agg(expr("topk_by(cosine, vec_id, 1)").as("tk"))
+        .select(col("qid"), org.apache.spark.sql.functions.explode(col("tk")).as("t"))
+        .select(col("qid"), col("t.id").as("nn"))
+      val hits = brute1.join(
+          assetBeam.select(col("qid"), col("vec_id").as("nn")),
+          Seq("qid", "nn"), "left_semi").count()
+      val nq = qs.count()
+      println(f"""{"stage":"graph_serve","queries":$nq,"asset_sec":$assetSec%.2f,"inline_sec":$inlineSec%.2f,"recall_top1_micro":${1000000L * hits / math.max(1L, nq)}}""")
     }
     // The per-epoch maintenance decision over exactly what the door
     // admitted — the RetrainTrigger loop run where it would run in

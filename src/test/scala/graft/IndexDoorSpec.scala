@@ -384,6 +384,65 @@ class IndexDoorSpec extends SparkTestBase {
       base.select(col("vec_id").as("u")), candEdges, 1, init = Some(labels)))
     assert(oneMore === warm, "warm-start labeling must be a fixpoint")
 
+    // (b2) SERVE from the maintained asset (r14, r13 verdict #1 — the
+    // graph's first consumer beyond its own audits): GraphIndex.search
+    // over the committed snapshot is BIT-equal to the inline qx109
+    // spelling (fresh corpus signing, fresh rebuild, same pinned
+    // planes/beam/rounds/entry), and its recall@top1 vs brute is
+    // computed LIVE on the asset (the qx121 discipline).
+    val qs = base.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("n2").as("qn2"))
+    def beamSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        round9(r.getDouble(3)))).toSet
+    val servedAsset = GraphIndex.search(spark, idxOut, gOut, qs)
+    val sigsInline = EmbeddingLsh.bandSigs(base.select("vec_id", "iv"), planes)
+    val qsigsInline = sigsInline.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("band").as("qband"),
+        col("sig").as("qsig"))
+    val seedsInline = sigsInline.join(broadcast(qsigsInline),
+        col("band") === col("qband") && col("sig") === col("qsig") &&
+          col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id").distinct()
+    val entry = base.agg(min("vec_id")).head.getLong(0)
+    val servedTwin = GraphAnn.search(rebuilt, base, qs, seedsInline, entry,
+      beam = 4, rounds = 3)
+    assert(beamSet(servedAsset) === beamSet(servedTwin),
+      "asset serve must be bit-equal to the inline qx109 spelling over the rebuild")
+    val brute1 = base.crossJoin(broadcast(qs))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("dot", expr("long_dot(iv, qiv)"))
+      .withColumn("cosine", expr(graft.queries.ExtQueries.COSINE))
+      .groupBy("qid").agg(expr("topk_by(cosine, vec_id, 1)").as("tk"))
+      .select(col("qid"), explode(col("tk")).as("t"))
+      .select(col("qid"), col("t.id").as("nn"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val beams = servedAsset.collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1)
+    val found = brute1.count { case (q, nn) =>
+      beams.getOrElse(q, Array.empty).exists(_._2 == nn) }
+    info(s"asset-served recall@top1 = $found/${brute1.size}")
+    assert(found > 0, "the asset serve must find brute nearest neighbors")
+
+    // (b3) the maintained labels are the BUDGETING input (r14, r13
+    // verdict #2): the qx116 community-cap audit computed from
+    // GraphIndex.labels equals the inline spelling — a cold qx102-style
+    // labeling over the same committed corpus — so the cadence-
+    // refreshed asset demonstrably feeds the mixing caps.
+    val toks = Tables.documents(spark, dir)
+      .join(base.select(col("vec_id").as("doc_id")), "doc_id")
+      .select(col("doc_id").as("u"),
+        expr("CAST(size(filter(split(text, ' '), w -> length(w) > 0)) AS BIGINT)")
+          .as("nt"))
+    val coldLabels = LabelPropagation.run(
+      base.select(col("vec_id").as("u")), candEdges, 4, init = None)
+    def auditRows(labelsDf: org.apache.spark.sql.DataFrame) =
+      graft.queries.ExtQueries.communityCapAudit(labelsDf, toks)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(auditRows(GraphIndex.labels(spark, gOut)) === auditRows(coldLabels),
+      "community caps from the maintained labels must equal the inline qx116 spelling")
+
     // (c) the re-delivery seam: replaying an already-recorded seg key
     // must no-op (no new version, snapshot unchanged)
     val before = vDirs.max
