@@ -3671,6 +3671,63 @@ object ExtOracle {
        |       CAST(1000000 * sum(found) // count(*) AS BIGINT)
        |FROM pq""".stripMargin
 
+  /** qx122 twin — IVFADC recall@5 over the qx2/qx44 twins nested
+    * verbatim (the qx118 fold applied to the serving family). */
+  val qx122: String =
+    s"""WITH rb AS MATERIALIZED (
+       |$qx2
+       |),
+       |ra AS MATERIALIZED (
+       |$qx44
+       |),
+       |pq AS (SELECT b.qid, CAST(coalesce(o.h, 0) AS BIGINT) AS h
+       |       FROM (SELECT DISTINCT qid FROM rb) b
+       |       LEFT JOIN (SELECT rb.qid, count(*) AS h
+       |                  FROM rb JOIN ra ON rb.qid = ra.qid AND rb.vec_id = ra.vec_id
+       |                  GROUP BY rb.qid) o ON b.qid = o.qid)
+       |SELECT CAST(h AS BIGINT) AS hits, CAST(count(*) AS BIGINT) AS n_queries,
+       |       CAST(0 AS BIGINT) AS recall_micro
+       |FROM pq GROUP BY h
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT), CAST(count(*) AS BIGINT),
+       |       CAST(1000000 * sum(h) // (5 * count(*)) AS BIGINT)
+       |FROM pq""".stripMargin
+
+  /** qx123 twin — the coarse-family recall ledger: the qx13/qx15/qx16
+    * twins nested verbatim, each folded per family against the qx2
+    * brute twin under the qx118 arithmetic. */
+  val qx123: String =
+    s"""WITH rb AS MATERIALIZED (
+       |$qx2
+       |),
+       |f1 AS MATERIALIZED (
+       |$qx13
+       |),
+       |f2 AS MATERIALIZED (
+       |$qx15
+       |),
+       |f3 AS MATERIALIZED (
+       |$qx16
+       |),
+       |srv AS (SELECT 'ivf' AS family, qid, vec_id FROM f1
+       |        UNION ALL SELECT 'imi', qid, vec_id FROM f2
+       |        UNION ALL SELECT 'kmeans', qid, vec_id FROM f3),
+       |fams AS (SELECT unnest(['ivf', 'imi', 'kmeans']) AS family),
+       |pq AS (SELECT fams.family, b.qid, CAST(coalesce(o.h, 0) AS BIGINT) AS h
+       |       FROM fams CROSS JOIN (SELECT DISTINCT qid FROM rb) b
+       |       LEFT JOIN (SELECT srv.family, rb.qid, count(*) AS h
+       |                  FROM rb JOIN srv ON rb.qid = srv.qid AND rb.vec_id = srv.vec_id
+       |                  GROUP BY srv.family, rb.qid) o
+       |         ON fams.family = o.family AND b.qid = o.qid)
+       |SELECT family, CAST(h AS BIGINT) AS hits,
+       |       CAST(count(*) AS BIGINT) AS n_queries,
+       |       CAST(0 AS BIGINT) AS recall_micro
+       |FROM pq GROUP BY family, h
+       |UNION ALL
+       |SELECT family, CAST(-1 AS BIGINT), CAST(count(*) AS BIGINT),
+       |       CAST(1000000 * sum(h) // (5 * count(*)) AS BIGINT)
+       |FROM pq GROUP BY family""".stripMargin
+
   /** qx117 twin — the release manifest melted from the four
     * constituent twins, each nested verbatim as a MATERIALIZED CTE
     * (the oracle-side mirror of the shared-spelling rule: the SQL

@@ -821,15 +821,26 @@ object ExtQueries {
   def qx118(spark: SparkSession, dir: String): DataFrame = {
     val brute = qx2(spark, dir).select(col("qid"), col("vec_id")).localCheckpoint()
     val lsh = qx3(spark, dir).select(col("qid"), col("vec_id")).localCheckpoint()
+    recallAuditK(brute, lsh, 5)
+  }
+
+  /** The recall@k audit fold shared by qx118/qx122/qx123 (factored in
+    * round 14 when the ledger grew to every served family — ONE
+    * spelling so the audits cannot diverge in their arithmetic):
+    * per-query overlap of the two (qid, vec_id) top-k lists as a
+    * ≤(k+1)-bucket histogram plus the −1 summary row carrying corpus
+    * recall in micro-units. Metadata-sized at any corpus scale — both
+    * inputs are ≤ k·|q| rows. */
+  private def recallAuditK(brute: DataFrame, served: DataFrame, k: Int): DataFrame = {
     val perQ = brute.select("qid").distinct()
-      .join(brute.join(lsh, Seq("qid", "vec_id"))
+      .join(brute.join(served, Seq("qid", "vec_id"))
         .groupBy("qid").agg(count(lit(1)).as("h")), Seq("qid"), "left")
       .select(col("qid"), coalesce(col("h"), lit(0L)).as("h"))
     val hist = perQ.groupBy("h").agg(count(lit(1)).as("n_queries"))
       .select(col("h").as("hits"), col("n_queries"), lit(0L).as("recall_micro"))
     val tot = perQ.agg(count(lit(1)).as("nq"), sum("h").as("sh"))
       .select(lit(-1L).as("hits"), col("nq").as("n_queries"),
-        expr("1000000L * sh div (5 * nq)").as("recall_micro"))
+        expr(s"1000000L * sh div ($k * nq)").as("recall_micro"))
     hist.unionByName(tot)
   }
 
@@ -942,6 +953,53 @@ object ExtQueries {
       .select(lit(-1L).as("found"), col("nq").as("n_queries"),
         expr("1000000L * sf div nq").as("recall_micro"))
     hist.unionByName(tot)
+  }
+
+  /** qx122 — IVFADC recall audit (round 14, r13 verdict #4: finish the
+    * recall ledger — one oracle-visible audit per SERVED ANN family):
+    * recall@5 of the residual-IVFADC serve (qx44 — the family that
+    * actually serves qx79b/qx106b through the persisted HybridIndex)
+    * against the exact brute top-5 (qx2), the qx118 fold verbatim
+    * ([[recallAuditK]] — shared spelling, shared arithmetic). Until
+    * now IVFADC recall lived only in [[graft.RecallProbe]]'s fixture
+    * readings; this row makes the serving family's recall a
+    * HASH-PINNED release number that tracks exactly what the index
+    * serves, at every SF the gate runs.
+    *
+    * Scale shape: both legs are the already-probed qx2/qx44 plans;
+    * the audit joins two 5·|q|-row lists and folds a ≤6-bucket
+    * histogram — metadata-sized at any corpus scale. */
+  def qx122(spark: SparkSession, dir: String): DataFrame = {
+    val brute = qx2(spark, dir).select(col("qid"), col("vec_id")).localCheckpoint()
+    val adc = qx44(spark, dir).select(col("qid"), col("vec_id")).localCheckpoint()
+    recallAuditK(brute, adc, 5)
+  }
+
+  /** qx123 — the IVF COARSE-FAMILY recall ledger in one parameterized
+    * row (round 14, closing r13 verdict #4's "IMI/k-means variant"):
+    * recall@5 vs brute (qx2) for each coarse-quantization family the
+    * repo serves — hashed flat IVF (qx13), hashed two-level IMI
+    * (qx15), trained k-means IVF (qx16) — the qx118 fold per family
+    * with a `family` key column. One row instead of three because the
+    * number the ledger answers ("which coarse index family should
+    * serve this corpus") is a COMPARISON — the families' histograms
+    * belong side by side under identical arithmetic and an identical
+    * query set. All four legs are the shared gate spellings, so the
+    * ledger cannot drift from the rows it audits.
+    *
+    * Scale shape: the legs' own (already-probed) plans; each audit is
+    * a 5·|q|-row join + ≤6-bucket fold, three of them — still
+    * metadata-sized. */
+  def qx123(spark: SparkSession, dir: String): DataFrame = {
+    val brute = qx2(spark, dir).select(col("qid"), col("vec_id")).localCheckpoint()
+    def leg(name: String, served: DataFrame): DataFrame =
+      recallAuditK(brute,
+          served.select(col("qid"), col("vec_id")).localCheckpoint(), 5)
+        .select(lit(name).as("family"), col("hits"), col("n_queries"),
+          col("recall_micro"))
+    leg("ivf", qx13(spark, dir))
+      .unionByName(leg("imi", qx15(spark, dir)))
+      .unionByName(leg("kmeans", qx16(spark, dir)))
   }
 
   /** The deterministic per-doc sampling hash qx21/qx22 order by: an

@@ -65,6 +65,51 @@ class AuditRowsSpec extends SparkTestBase {
     assert(out.find(_._1 == 1L).map(_._2).getOrElse(0L) === found)
   }
 
+  test("qx122: the summary row IS IVFADC recall@5 recomputed from qx2/qx44") {
+    val brute = queries.ExtQueries.qx2(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+    val adc = queries.ExtQueries.qx44(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+    val out = SparkEntry.queries("qx122_ivfadc_recall")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val hist = out.filter(_._1 >= 0)
+    val summary = out.find(_._1 == -1L).get
+    assert(hist.map(_._2).sum === brute.size.toLong, "histogram must cover every query once")
+    val hits = brute.map { case (q, bs) =>
+      val as = adc.getOrElse(q, Array.empty).map(_._2).toSet
+      bs.count(t => as(t._2)).toLong
+    }.sum
+    assert(summary._2 === brute.size.toLong)
+    assert(summary._3 === 1000000L * hits / (5L * brute.size),
+      "summary recall_micro must equal the driver-side recomputation")
+  }
+
+  test("qx123: every family's summary row IS its recall@5 recomputed from the gate spellings") {
+    val brute = queries.ExtQueries.qx2(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+    val fams = Map(
+      "ivf" -> queries.ExtQueries.qx13(spark, dir),
+      "imi" -> queries.ExtQueries.qx15(spark, dir),
+      "kmeans" -> queries.ExtQueries.qx16(spark, dir))
+    val out = SparkEntry.queries("qx123_ivf_family_recall")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._1).toSet === fams.keySet, "one ledger block per family")
+    fams.foreach { case (fam, df) =>
+      val served = df.collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      val rows = out.filter(_._1 == fam)
+      val summary = rows.find(_._2 == -1L).get
+      assert(rows.filter(_._2 >= 0).map(_._3).sum === brute.size.toLong,
+        s"$fam: histogram must cover every query once")
+      val hits = brute.map { case (q, bs) =>
+        val ss = served.getOrElse(q, Array.empty).map(_._2).toSet
+        bs.count(t => ss(t._2)).toLong
+      }.sum
+      assert(summary._3 === brute.size.toLong, s"$fam: summary n_queries")
+      assert(summary._4 === 1000000L * hits / (5L * brute.size),
+        s"$fam: summary recall_micro must equal the driver-side recomputation")
+    }
+  }
+
   test("qx120: cells recount the three families' pair sets exactly") {
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
