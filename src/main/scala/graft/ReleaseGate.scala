@@ -60,6 +60,21 @@ object ReleaseGate {
   def manifestRows(df: DataFrame): Array[(String, String, Long)] =
     df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
 
+  /** Evaluate the manifest over an ARBITRARY document corpus — the
+    * standing-pipeline entry (round 14, r13 verdict #5: the verdict as
+    * a maintenance-cadence READOUT, not a manual main): stage the docs
+    * as `documents.parquet` under `stagingDir` (qx117's whole chain
+    * reads tables by directory — the shared gate spelling untouched)
+    * and evaluate the same pinned criteria. DoorSoak's index leg calls
+    * this every compact wave over the door's committed corpus;
+    * [[graft.ReleaseGateSpec]] pins a doctored corpus flipping the
+    * verdict to false end-to-end. */
+  def evaluateCorpus(spark: SparkSession, docs: DataFrame,
+                     stagingDir: String): (Boolean, Map[String, Long]) = {
+    docs.write.mode("overwrite").parquet(s"$stagingDir/documents.parquet")
+    evaluate(manifestRows(queries.ExtQueries.qx117(spark, stagingDir)))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")

@@ -199,6 +199,24 @@ object DoorSoak {
         .map(_.stripPrefix("v=").toLong).max
       val live = spark.read.parquet(s"$idx/manifest/v=$maxV").count()
       println(f"""{"wave":${i + 1},"docs":${wave.size},"wall_sec":${(System.nanoTime() - t0) / 1e9}%.2f,"live_segments":$live}""")
+      // RELEASE readout on the maintenance cadence (r14, r13 verdict
+      // #5): every other wave, the committed corpus's qx117 manifest
+      // is evaluated to one verdict line next to the soak numbers —
+      // "is this corpus releasable" as a standing readout. Committed
+      // MEMBERSHIP comes from the index (the door's admission record);
+      // document metadata rides the upstream table the bus was fed
+      // from.
+      if ((i + 1) % 2 == 0) {
+        t0 = System.nanoTime()
+        val committedDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .join(graft.operators.HybridIndex.committedBase(spark, idx)
+            .select(col("vec_id").as("doc_id")), "doc_id")
+        val (ok, det) = graft.ReleaseGate.evaluateCorpus(spark, committedDocs,
+          s"$base/release_stage")
+        val kv = det.toSeq.sortBy(_._1)
+          .map { case (k2, v2) => s""""$k2":$v2""" }.mkString(",")
+        println(f"""{"stage":"release_gate","wave":${i + 1},"releasable":$ok,$kv,"wall_sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+      }
     }
     q.stop()
     t0 = System.nanoTime()

@@ -19,6 +19,23 @@ class ReleaseGateSpec extends SparkTestBase {
     assert(d("n_sources") > 0L && d("min_final_tokens") > 0L)
   }
 
+  test("evaluateCorpus: a doctored corpus flips the standing verdict to false end-to-end") {
+    import org.apache.spark.sql.functions._
+    val docs = sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    // healthy committed corpus through the staging path (the DoorSoak
+    // cadence readout's exact spelling): releasable
+    val (okHealthy, dHealthy) = ReleaseGate.evaluateCorpus(spark, docs,
+      tmpDir("relgate_healthy"))
+    assert(okHealthy, s"the gate corpus staged through evaluateCorpus must pass, got $dHealthy")
+    // doctored: every text collapsed to one token — the whole corpus
+    // fails the Gopher gate, the curated yield is empty, and the
+    // CORPUS (not a doctored manifest row) flips the verdict
+    val (okDoc, dDoc) = ReleaseGate.evaluateCorpus(spark,
+      docs.withColumn("text", lit("x")), tmpDir("relgate_doctored"))
+    assert(!okDoc, s"a zero-yield corpus must fail the standing gate, got $dDoc")
+    assert(dDoc("final_langs") === 0L, "the failure is the empty curated yield")
+  }
+
   test("each criterion's failure edge flips the verdict") {
     val base = ReleaseGate.manifestRows(
       queries.ExtQueries.qx117(spark, "/root/testdata/sf0.001"))
