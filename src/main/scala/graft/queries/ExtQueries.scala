@@ -775,13 +775,27 @@ object ExtQueries {
       ks.map { case (k, v) =>
         df.select(lit(section).as("section"), k.as("k"), v.cast("long").as("v"))
       }.reduce(_ unionByName _)
-    val card = qx111(spark, dir).localCheckpoint()
-    val cal = qx114(spark, dir).localCheckpoint()
-    val spl = qx115(spark, dir).localCheckpoint()
-    val fin = qx45(spark, dir)
+    // The four constituents are INDEPENDENT, so they materialize
+    // CONCURRENTLY (round 14, r13 verdict #6: checkpointed serially the
+    // composite paid the SUM of its legs — 10.1 s at sf0.1 — where the
+    // slowest leg bounds it under concurrent scheduling; local[32] has
+    // the slack and a cluster scheduler more so). localCheckpoint is
+    // eager, so each future drives its own leg's jobs; the melt below
+    // consumes four pinned frames either way — same rows, same hash.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fCard = Future(qx111(spark, dir).localCheckpoint())
+    val fCal = Future(qx114(spark, dir).localCheckpoint())
+    val fSpl = Future(qx115(spark, dir).localCheckpoint())
+    val fFin = Future(qx45(spark, dir)
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
-      .localCheckpoint()
+      .localCheckpoint())
+    val card = Await.result(fCard, Duration.Inf)
+    val cal = Await.result(fCal, Duration.Inf)
+    val spl = Await.result(fSpl, Duration.Inf)
+    val fin = Await.result(fFin, Duration.Inf)
     m("card", card,
       (concat(col("source"), lit("/docs")), col("n_docs")),
       (concat(col("source"), lit("/tokens")), col("n_tokens")),
