@@ -148,11 +148,45 @@ object GraphProbe {
       val (_, refreshSec) = time {
         graft.operators.GraphIndex.refreshCommunities(spark, idxOut, gOut)
       }
+      // SERVE from the maintained asset vs the inline qx109 shape
+      // (round 14, r13 verdict #1): what the standing asset saves a
+      // query set at probe scale — GraphIndex.search reads the
+      // committed snapshot + append-only sigs; the inline path pays
+      // corpus signing + candidate join + graph build before its
+      // first beam.
+      val committed = graft.operators.HybridIndex.committedBase(spark, idxOut)
+      val qs = committed.where(pmod(col("vec_id"), lit(1000L)) === 0L)
+        .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("n2").as("qn2"))
+        .localCheckpoint()
+      val nq = qs.count()
+      val (nServed, serveAssetSec) = time {
+        graft.operators.GraphIndex.search(spark, idxOut, gOut, qs).count()
+      }
+      val (nInline, serveInlineSec) = time {
+        val planesP = spark.read.parquet(s"$gOut/meta.parquet").head.getInt(0)
+        val sigsI = EmbeddingLsh.bandSigs(committed.select("vec_id", "iv"), planesP)
+        val qsigsI = sigsI.join(qs.select(col("qid").as("vec_id")), "vec_id")
+          .select(col("vec_id").as("qid"), col("band").as("qband"),
+            col("sig").as("qsig"))
+        val seedsI = sigsI.join(broadcast(qsigsI),
+            col("band") === col("qband") && col("sig") === col("qsig") &&
+              col("vec_id") =!= col("qid"))
+          .select("qid", "vec_id").distinct()
+        val entryI = committed.agg(min("vec_id")).head.getLong(0)
+        GraphAnn.search(
+          GraphAnn.knnGraph(committed, EmbeddingLsh.candidatePairs(sigsI), 4),
+          committed, qs, seedsI, entryI, beam = 4, rounds = 3).count()
+      }
+      require(nServed == nInline,
+        s"asset serve row count diverged from inline: $nServed vs $nInline")
       println(s"""{"n":$nAll,"n_delta":$nDelta,""" +
         s""""graph_init_sec":${"%.2f".format(initSec)},""" +
         s""""index_admit_sec":${"%.2f".format(admitIdxSec)},""" +
         s""""graph_wave_sec":${"%.2f".format(waveSec)},""" +
-        s""""community_refresh_sec":${"%.2f".format(refreshSec)},"sf":"$d"}""")
+        s""""community_refresh_sec":${"%.2f".format(refreshSec)},""" +
+        s""""serve_queries":$nq,""" +
+        s""""serve_asset_sec":${"%.2f".format(serveAssetSec)},""" +
+        s""""serve_inline_sec":${"%.2f".format(serveInlineSec)},"sf":"$d"}""")
       spark.stop()
       return
     }

@@ -76,13 +76,13 @@ object GraphIndex {
   /** The latest graph version's commit record — ONE small parquet
     * read per admission (r13 verdict #3: the per-batch path must be
     * metadata-cheap): (version, seg, n_base, cumulative seg ledger). */
-  private def latestInfo(spark: SparkSession,
-                         graphDir: String): (Long, String, Long, Set[String]) = {
+  private def latestInfo(spark: SparkSession, graphDir: String)
+      : (Long, String, Long, Set[String], Long) = {
     val vs = versionsOf(spark, graphDir)
     require(vs.nonEmpty, s"GraphIndex used before init under $graphDir")
     val r = spark.read.parquet(s"$graphDir/v=${vs.max}/info.parquet").head
     (vs.max, r.getAs[String]("seg"), r.getAs[Long]("n_base"),
-      r.getAs[Seq[String]]("segs").toSet)
+      r.getAs[Seq[String]]("segs").toSet, r.getAs[Long]("entry_id"))
   }
 
   /** Stage-then-rename commit of one immutable version dir holding
@@ -102,13 +102,14 @@ object GraphIndex {
                                    dirName: String, seg: String,
                                    asset: String, df: DataFrame,
                                    nBase: Long = -1L,
-                                   segs: Seq[String] = Seq.empty): Unit = {
+                                   segs: Seq[String] = Seq.empty,
+                                   entryId: Long = -1L): Unit = {
     import spark.implicits._
     val f = fs(spark, graphDir)
     val staging = s"$graphDir/_staging_$dirName"
     df.write.mode("overwrite").parquet(s"$staging/$asset.parquet")
-    Seq((seg, System.currentTimeMillis(), nBase, segs))
-      .toDF("seg", "committed_ms", "n_base", "segs")
+    Seq((seg, System.currentTimeMillis(), nBase, segs, entryId))
+      .toDF("seg", "committed_ms", "n_base", "segs", "entry_id")
       .write.mode("overwrite").parquet(s"$staging/info.parquet")
     val dst = new org.apache.hadoop.fs.Path(s"$graphDir/$dirName")
     def survivorSeg(): String =
@@ -153,7 +154,8 @@ object GraphIndex {
     val pairs = EmbeddingLsh.candidatePairs(sigsP).localCheckpoint()
     val graph = GraphAnn.knnGraph(base, pairs, k).localCheckpoint()
     commitVersion(spark, graphDir, "v=0", "init", "graph", graph,
-      nBase = base.count(), segs = Seq("init"))
+      nBase = base.count(), segs = Seq("init"),
+      entryId = base.agg(min("vec_id")).head.getLong(0))
     // communities vote over the CANDIDATE graph (qx102's edge set —
     // denser than the k-out kNN graph, whose sparsity leaves
     // synchronous LPA oscillating; on collision edges the labeling
@@ -173,7 +175,7 @@ object GraphIndex {
     * candidate blowup (the AdmitProbe finding). */
   def admit(spark: SparkSession, indexDir: String, graphDir: String,
             deltaIds: DataFrame, seg: String): Unit = {
-    val (prev, _, nPrev, ledger) = latestInfo(spark, graphDir)
+    val (prev, _, nPrev, ledger, entPrev) = latestInfo(spark, graphDir)
     if (ledger.contains(seg)) return
     val meta = spark.read.parquet(s"$graphDir/meta.parquet").head
     val (planes, k) = (meta.getInt(0), meta.getInt(1))
@@ -220,7 +222,8 @@ object GraphIndex {
     }
     timed("commit") {
       commitVersion(spark, graphDir, s"v=${prev + 1L}", seg, "graph", graph,
-        nBase = nBase, segs = (ledger + seg).toSeq.sorted)
+        nBase = nBase, segs = (ledger + seg).toSeq.sorted,
+        entryId = math.min(entPrev, dIds.agg(min("id")).head.getLong(0)))
     }
   }
 
@@ -324,8 +327,12 @@ object GraphIndex {
         col("band") === col("qband") && col("sig") === col("qsig") &&
           col("vec_id") =!= col("qid"))
       .select("qid", "vec_id").distinct()
-    val entry = base.agg(min("vec_id")).head.getLong(0)
-    GraphAnn.search(graph(spark, graphDir), base, qs, seeds, entry, beam, rounds)
+    // the entry fallback rides the commit record (min committed
+    // vec_id, folded at init and each admit) — a serve never scans
+    // the base for it
+    val (v, _, _, _, entry) = latestInfo(spark, graphDir)
+    GraphAnn.search(spark.read.parquet(s"$graphDir/v=$v/graph.parquet"),
+      base, qs, seeds, entry, beam, rounds)
   }
 
   /** Latest committed graph snapshot. */

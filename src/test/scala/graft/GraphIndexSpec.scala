@@ -79,6 +79,13 @@ class GraphIndexSpec extends SparkTestBase {
     assert(n2 === HybridIndex.committedBase(spark, idx).count(),
       "bulk admission must record exactly the committed corpus size")
     assert(n2 === ids.length.toLong)
+    // the serve entry point rides the record too (round 14): min
+    // committed vec_id, folded through init + admits — never a
+    // per-serve base scan
+    val entry = spark.read.parquet(s"$g/v=2/info.parquet")
+      .head.getAs[Long]("entry_id")
+    assert(entry === ids.min,
+      "the recorded entry must be the min committed vec_id")
 
     // the ledger survives VACUUM: retire everything but the latest,
     // then replay both seg keys — no new version may appear (the
