@@ -75,6 +75,23 @@ object ReleaseGate {
     evaluate(manifestRows(queries.ExtQueries.qx117(spark, stagingDir)))
   }
 
+  /** The SERVING-quality ledger next to the data verdict (round 14 —
+    * the recall audits became gate rows in r13/r14; a release ships
+    * their numbers too): each served ANN family's corpus recall from
+    * its audit row's −1 summary (qx118 LSH, qx121 graph, qx122
+    * IVFADC). REPORTED, not thresholded — the qx114 calibration
+    * stance: recall targets are corpus- and product-specific, so the
+    * release records the number instead of hiding a default behind
+    * it. */
+  def servingLedger(spark: SparkSession, sfDir: String): Map[String, Long] = {
+    def summary(df: DataFrame): Long =
+      df.where(df(df.columns.head) === -1L).head.getAs[Long]("recall_micro")
+    Map(
+      "lsh_recall5_micro" -> summary(queries.ExtQueries.qx118(spark, sfDir)),
+      "graph_recall1_micro" -> summary(queries.ExtQueries.qx121(spark, sfDir)),
+      "ivfadc_recall5_micro" -> summary(queries.ExtQueries.qx122(spark, sfDir)))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -88,7 +105,8 @@ object ReleaseGate {
     spark.sparkContext.setLogLevel("WARN")
     val (ok, d) = evaluate(manifestRows(
       queries.ExtQueries.qx117(spark, sfDir)))
-    val kv = d.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString(",")
+    val all = d ++ servingLedger(spark, sfDir)
+    val kv = all.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString(",")
     println(s"""{"releasable":$ok,$kv,"sf":"$sfDir"}""")
     spark.stop()
     if (!ok) sys.exit(1)

@@ -36,6 +36,18 @@ class ReleaseGateSpec extends SparkTestBase {
     assert(dDoc("final_langs") === 0L, "the failure is the empty curated yield")
   }
 
+  test("the serving ledger reports each ANN family's audit summary") {
+    import org.apache.spark.sql.functions.col
+    val led = ReleaseGate.servingLedger(spark, "/root/testdata/sf0.001")
+    assert(led.keySet === Set("lsh_recall5_micro", "graph_recall1_micro",
+      "ivfadc_recall5_micro"))
+    led.values.foreach(v => assert(v >= 0L && v <= 1000000L))
+    val direct = queries.ExtQueries.qx118(spark, "/root/testdata/sf0.001")
+      .where(col("hits") === -1L).head.getAs[Long]("recall_micro")
+    assert(led("lsh_recall5_micro") === direct,
+      "the ledger must be the audit row's own summary, nothing recomputed differently")
+  }
+
   test("each criterion's failure edge flips the verdict") {
     val base = ReleaseGate.manifestRows(
       queries.ExtQueries.qx117(spark, "/root/testdata/sf0.001"))
