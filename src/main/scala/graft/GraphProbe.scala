@@ -164,18 +164,8 @@ object GraphProbe {
       }
       val (nInline, serveInlineSec) = time {
         val planesP = spark.read.parquet(s"$gOut/meta.parquet").head.getInt(0)
-        val sigsI = EmbeddingLsh.bandSigs(committed.select("vec_id", "iv"), planesP)
-        val qsigsI = sigsI.join(qs.select(col("qid").as("vec_id")), "vec_id")
-          .select(col("vec_id").as("qid"), col("band").as("qband"),
-            col("sig").as("qsig"))
-        val seedsI = sigsI.join(broadcast(qsigsI),
-            col("band") === col("qband") && col("sig") === col("qsig") &&
-              col("vec_id") =!= col("qid"))
-          .select("qid", "vec_id").distinct()
-        val entryI = committed.agg(min("vec_id")).head.getLong(0)
-        GraphAnn.search(
-          GraphAnn.knnGraph(committed, EmbeddingLsh.candidatePairs(sigsI), 4),
-          committed, qs, seedsI, entryI, beam = 4, rounds = 3).count()
+        GraphAnn.inlineServe(committed, planesP, qs, k = 4,
+          beam = 4, rounds = 3).count()
       }
       require(nServed == nInline,
         s"asset serve row count diverged from inline: $nServed vs $nInline")

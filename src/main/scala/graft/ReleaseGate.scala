@@ -82,7 +82,11 @@ object ReleaseGate {
     * IVFADC). REPORTED, not thresholded — the qx114 calibration
     * stance: recall targets are corpus- and product-specific, so the
     * release records the number instead of hiding a default behind
-    * it. */
+    * it. Cost note: each entry runs its audit row's own gate spelling
+    * verbatim (the ledger MUST be the rows' own summaries —
+    * ReleaseGateSpec pins it), so the brute qx2 leg is paid once per
+    * family; this readout runs manually or on the maintenance
+    * cadence, never per batch. */
   def servingLedger(spark: SparkSession, sfDir: String): Map[String, Long] = {
     def summary(df: DataFrame): Long =
       df.where(df(df.columns.head) === -1L).head.getAs[Long]("recall_micro")

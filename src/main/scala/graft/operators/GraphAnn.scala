@@ -143,6 +143,33 @@ object GraphAnn {
     kept.unionByName(recomputed)
   }
 
+  /** The ASSET-FREE serving spelling in one place: sign the corpus
+    * under `planes`, sign the queries the same way, seed each query
+    * from its bucket mates, build the k-NN graph from the LSH
+    * candidates, beam-search — i.e. exactly what serving WITHOUT a
+    * maintained [[GraphIndex]] costs per query set (qx109's shape).
+    * Factored (round-14 review) so the three asset-vs-inline
+    * comparison twins — IndexDoorSpec's bit-equality pin, DoorSoak's
+    * soak timing, GraphProbe's probe timing — share one spelling and
+    * cannot drift apart; a drifted copy would silently invalidate the
+    * equality they exist to enforce. */
+  def inlineServe(base: DataFrame, planes: Int, queries: DataFrame,
+                  k: Int, beam: Int, rounds: Int): DataFrame = {
+    val sigs = EmbeddingLsh.bandSigs(base.select("vec_id", "iv"), planes)
+    val qs = queries.select("qid", "qiv", "qn2")
+    val qsigs = EmbeddingLsh.bandSigs(
+        qs.select(col("qid").as("vec_id"), col("qiv").as("iv")), planes)
+      .select(col("vec_id").as("qid"), col("band").as("qband"),
+        col("sig").as("qsig"))
+    val seeds = sigs.join(broadcast(qsigs),
+        col("band") === col("qband") && col("sig") === col("qsig") &&
+          col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id").distinct()
+    val entry = base.agg(min("vec_id")).head.getLong(0)
+    search(knnGraph(base, EmbeddingLsh.candidatePairs(sigs), k),
+      base, qs, seeds, entry, beam, rounds)
+  }
+
   /** Beam search: the per-query `seeds` (plus the global `entry`
     * fallback, so an unseeded query still searches) are scored and cut
     * to the initial beam; each of `rounds` rounds expands the beam's

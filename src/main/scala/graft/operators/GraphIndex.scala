@@ -75,7 +75,12 @@ object GraphIndex {
 
   /** The latest graph version's commit record — ONE small parquet
     * read per admission (r13 verdict #3: the per-batch path must be
-    * metadata-cheap): (version, seg, n_base, cumulative seg ledger). */
+    * metadata-cheap): (version, seg, n_base, cumulative seg ledger,
+    * entry id). This is info-schema v2 (round 14); an asset whose
+    * versions were committed by the r13 two-column schema has no
+    * in-place migration — re-[[init]] it (no such asset ships: every
+    * graphDir in tests/soaks/probes is built fresh, and the door
+    * creates its own at init). */
   private def latestInfo(spark: SparkSession, graphDir: String)
       : (Long, String, Long, Set[String], Long) = {
     val vs = versionsOf(spark, graphDir)
@@ -106,7 +111,15 @@ object GraphIndex {
                                    entryId: Long = -1L): Unit = {
     import spark.implicits._
     val f = fs(spark, graphDir)
-    val staging = s"$graphDir/_staging_$dirName"
+    // staging is WRITER-UNIQUE (round-14 review): with a shared
+    // `_staging_<dirName>` path, two writers racing the same version
+    // number overwrite each other's staged files and the rename can
+    // commit the OTHER writer's (or torn) content under our success
+    // path — unique staging makes the rename the only contended step,
+    // so the loser reliably reaches the survivor-seg check below.
+    // Crash orphans still match vacuum's `_staging_*` sweep prefix.
+    val staging =
+      s"$graphDir/_staging_${dirName}_${java.util.UUID.randomUUID.toString.take(8)}"
     df.write.mode("overwrite").parquet(s"$staging/$asset.parquet")
     Seq((seg, System.currentTimeMillis(), nBase, segs, entryId))
       .toDF("seg", "committed_ms", "n_base", "segs", "entry_id")
@@ -183,6 +196,11 @@ object GraphIndex {
     // only the (small) delta id set is pinned
     val base = HybridIndex.committedBase(spark, indexDir)
     val dIds = deltaIds.select(col("id")).localCheckpoint()
+    val nDelta = dIds.count()
+    // an EMPTY trigger admits nothing and commits nothing (the door's
+    // addBatch contract; also keeps the entry-id fold below total —
+    // min over zero rows is null)
+    if (nDelta == 0L) return
     // delta sigs from the committed union base (narrow id-join), under
     // the pinned schedule; idempotent segment overwrite
     timed("delta_sigs") {
@@ -205,24 +223,28 @@ object GraphIndex {
     // the incremental path, and n comes from the commit record plus
     // the delta count (disjoint by the door's addBatch discipline) —
     // the decision's inputs cost two bounded-frame counts, never a
-    // corpus scan (r13 verdict #3; the one caveat: a beyond-grace
-    // replay of ids already in base would inflate n by its size — the
-    // same benign-replay assumption the vacuum grace already makes,
-    // and the threshold only shifts by that sliver).
+    // corpus scan (r13 verdict #3). A beyond-grace replay of ids
+    // already in base under a NEW seg key would inflate the folded n;
+    // the rebuild branch below RESETS n to a true base.count() (a
+    // count job is noise next to the rebuild it rides), so any drift
+    // is bounded by the drip interval between rebuilds instead of
+    // compounding forever (round-14 review).
     val touched = timed("touched_sigs") {
       GraphAnn.touchedIds(sigs, dIds).localCheckpoint()
     }
     val nTouched = touched.count()
-    val nBase = nPrev + dIds.count()
-    val graph = timed(s"graph_${if (nTouched * 4 >= nBase) "rebuild" else "admit"}") {
-      (if (nTouched * 4 >= nBase)
+    val nBase = nPrev + nDelta
+    val rebuild = nTouched * 4 >= nBase
+    val graph = timed(s"graph_${if (rebuild) "rebuild" else "admit"}") {
+      (if (rebuild)
         GraphAnn.knnGraph(base, EmbeddingLsh.candidatePairs(sigs), k)
       else
         GraphAnn.admit(base, sigs, oldGraph, dIds, k, Some(touched))).localCheckpoint()
     }
     timed("commit") {
       commitVersion(spark, graphDir, s"v=${prev + 1L}", seg, "graph", graph,
-        nBase = nBase, segs = (ledger + seg).toSeq.sorted,
+        nBase = if (rebuild) base.count() else nBase,
+        segs = (ledger + seg).toSeq.sorted,
         entryId = math.min(entPrev, dIds.agg(min("id")).head.getLong(0)))
     }
   }
@@ -308,8 +330,13 @@ object GraphIndex {
     * default. Per serve: |q|·bands map work for the query sigs, one
     * banded equi-join for seeds, beam·K vector fetches per query per
     * round — never a corpus re-sign, never a graph build. The
-    * entry-point fallback is min committed vec_id (one metadata-cheap
-    * agg on the base — GraphAnn's deterministic global entry).
+    * entry-point fallback is min committed vec_id, read from the
+    * commit record (GraphAnn's deterministic global entry).
+    * PRECONDITION on the query id space: `qid` is compared against
+    * corpus `vec_id`s for self-exclusion (the qx2/qx109 in-corpus
+    * query convention), so an EXTERNAL query must carry an id outside
+    * the committed vec_id range or its colliding corpus vector is
+    * silently excluded from its results.
     * [[graft.IndexDoorSpec]] pins the serve bit-equal to the inline
     * qx109 spelling over a rebuild of the same committed corpus, with
     * recall vs brute live; DoorSoak's graph leg records what the

@@ -264,21 +264,9 @@ object DoorSoak {
       val nServed = assetBeam.count()
       val assetSec = (System.nanoTime() - t0) / 1e9
       t0 = System.nanoTime()
-      import org.apache.spark.sql.functions.{broadcast, expr, min => fmin}
-      val sigsInline = graft.operators.EmbeddingLsh.bandSigs(
-        gBase.select("vec_id", "iv"), planes)
-      val qsigsI = sigsInline.where(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("qid"), col("band").as("qband"),
-          col("sig").as("qsig"))
-      val seedsI = sigsInline.join(broadcast(qsigsI),
-          col("band") === col("qband") && col("sig") === col("qsig") &&
-            col("vec_id") =!= col("qid"))
-        .select("qid", "vec_id").distinct()
-      val entryI = gBase.agg(fmin("vec_id")).head.getLong(0)
-      val inlineGraph = graft.operators.GraphAnn.knnGraph(gBase,
-        graft.operators.EmbeddingLsh.candidatePairs(sigsInline), 4)
-      val nInline = graft.operators.GraphAnn.search(inlineGraph, gBase, qs,
-        seedsI, entryI, beam = 4, rounds = 3).count()
+      import org.apache.spark.sql.functions.{broadcast, expr}
+      val nInline = graft.operators.GraphAnn.inlineServe(gBase, planes, qs,
+        k = 4, beam = 4, rounds = 3).count()
       val inlineSec = (System.nanoTime() - t0) / 1e9
       require(nServed == nInline,
         s"asset serve row count diverged from the inline build: $nServed vs $nInline")

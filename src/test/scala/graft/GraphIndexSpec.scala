@@ -99,6 +99,15 @@ class GraphIndexSpec extends SparkTestBase {
       raw.limit(1).select(col("vec_id").as("id")), "b2")
     assert(latestInfoRow(g)._1 === before,
       "replaying retired seg keys must no-op off the cumulative ledger")
+
+    // an EMPTY delta admits nothing and commits nothing (the door's
+    // empty-trigger contract; also the round-14 review's min-over-
+    // zero-rows edge)
+    GraphIndex.admit(spark, idx, g,
+      raw.limit(0).select(col("vec_id").as("id")), "bEMPTY")
+    assert(latestInfoRow(g)._1 === before,
+      "an empty delta must not mint a version")
+    assert(!latestInfoRow(g)._4.contains("bEMPTY"))
   }
 
   test("a commit racing a different seg to an existing version fails loudly; identical re-commit no-ops") {

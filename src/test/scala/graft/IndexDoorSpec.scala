@@ -396,16 +396,7 @@ class IndexDoorSpec extends SparkTestBase {
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         round9(r.getDouble(3)))).toSet
     val servedAsset = GraphIndex.search(spark, idxOut, gOut, qs)
-    val sigsInline = EmbeddingLsh.bandSigs(base.select("vec_id", "iv"), planes)
-    val qsigsInline = sigsInline.where(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("qid"), col("band").as("qband"),
-        col("sig").as("qsig"))
-    val seedsInline = sigsInline.join(broadcast(qsigsInline),
-        col("band") === col("qband") && col("sig") === col("qsig") &&
-          col("vec_id") =!= col("qid"))
-      .select("qid", "vec_id").distinct()
-    val entry = base.agg(min("vec_id")).head.getLong(0)
-    val servedTwin = GraphAnn.search(rebuilt, base, qs, seedsInline, entry,
+    val servedTwin = GraphAnn.inlineServe(base, planes, qs, k = 4,
       beam = 4, rounds = 3)
     assert(beamSet(servedAsset) === beamSet(servedTwin),
       "asset serve must be bit-equal to the inline qx109 spelling over the rebuild")
