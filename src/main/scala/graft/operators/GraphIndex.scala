@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   *     planes, so the union is always consistent; re-delivery
   *     overwrites its own segment with identical bytes).
   *   - `v=<N>/graph.parquet` + `info.parquet` (seg, committed_ms,
-  *     n_base, segs) — immutable graph snapshots, committed
+  *     n_base, segs, entry_id) — immutable graph snapshots, committed
   *     stage-then-rename (the HybridIndex manifest discipline): a
   *     crash mid-stage leaves only `_staging_*` garbage; a
   *     re-delivered `b<batchId>` admission finds its seg key in the
