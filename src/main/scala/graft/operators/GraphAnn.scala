@@ -179,10 +179,14 @@ object GraphAnn {
     * descend — GraphAnnSpec measures 0/10 recall entry-only vs
     * LSH-seeded on the same corpus; HNSW's upper layers solve the same
     * problem with layered entries). Returns the FINAL beam as
-    * (qid, rk, vec_id, cosine), the query itself excluded.
+    * (qid, rk, vec_id, cosine) — the query itself excluded under the
+    * default `selfExclude = true` (the in-corpus query convention);
+    * an EXTERNAL query set whose ids may collide with corpus vec_ids
+    * passes false ([[GraphIndex.search]] threads it through).
     * `queries` needs (qid, qiv, qn2); `seeds` (qid, vec_id). */
   def search(graph: DataFrame, base: DataFrame, queries: DataFrame,
-             seeds: DataFrame, entry: Long, beam: Int, rounds: Int): DataFrame = {
+             seeds: DataFrame, entry: Long, beam: Int, rounds: Int,
+             selfExclude: Boolean = true): DataFrame = {
     require(rounds >= 1 && beam >= 1)
     val graphC = graph.select("u", "v").cache()
     val vecs = base.select(col("vec_id"), col("iv"), col("n2"))
@@ -213,7 +217,7 @@ object GraphAnn {
     // cache, so release it (the LabelPropagation/PageRank discipline);
     // a standing door serving many searches must not accumulate blocks.
     graphC.unpersist(false)
-    beamDf.where(col("vec_id") =!= col("qid"))
+    (if (selfExclude) beamDf.where(col("vec_id") =!= col("qid")) else beamDf)
       .groupBy("qid").agg(expr(s"topk_by(cosine, vec_id, $beam)").as("tk"))
       .select(col("qid"), posexplode(col("tk")).as(Seq("p", "t")))
       .select(col("qid"), (col("p") + 1).cast("long").as("rk"),

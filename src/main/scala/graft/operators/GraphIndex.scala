@@ -30,7 +30,10 @@ import org.apache.spark.sql.functions._
   *     job, no O(versions) info scan — and because the ledger is
   *     cumulative it survives [[vacuum]], so even a beyond-grace
   *     replay of a retired version's seg key no-ops now (r13's
-  *     "benign redundant version" edge is gone).
+  *     "benign redundant version" edge is gone). The ledger is stored
+  *     COMPACTED (round 15, r14 advice — see [[ledgerAdd]]): a
+  *     standing door's gap-free `b<batchId>` run is ONE range token,
+  *     so commit-record size is O(gaps), not O(admissions).
   *   - `labels_v=<N>/labels.parquet` + `info.parquet` — the community
   *     labeling of graph version N, its OWN versioned asset on its
   *     own cadence (see below), same commit protocol, idempotent by
@@ -64,6 +67,60 @@ object GraphIndex {
       a
     } else f
 
+  /** The cumulative seg ledger is stored COMPACTED (r14 advice: a
+    * standing door admits one seg per micro-batch, so an uncompacted
+    * ledger rewrites an O(admissions) list into every commit record
+    * and the per-admit info read grows without bound): maximal runs
+    * of numeric door keys `b<i>` fold into one `b<i>-b<j>` token, so
+    * a gap-free soak carries ONE token regardless of length, and the
+    * ledger is O(gaps + non-door keys). Non-numeric keys ("init",
+    * test keys) ride as literal tokens. PRECONDITION on the key
+    * space: a literal seg key must not itself look like a range
+    * token (`b<digits>-b<digits>`) — the door mints only
+    * `b<batchId>` keys, so this never binds in practice. */
+  private val DoorKey = "^b(\\d+)$".r
+  private val RangeKey = "^b(\\d+)-b(\\d+)$".r
+
+  private[graft] def ledgerContains(ledger: Seq[String], seg: String): Boolean =
+    seg match {
+      case DoorKey(k) =>
+        val id = k.toLong
+        ledger.exists {
+          case RangeKey(lo, hi) => lo.toLong <= id && id <= hi.toLong
+          case DoorKey(l)       => l.toLong == id
+          case _                => false
+        }
+      case s => ledger.contains(s)
+    }
+
+  /** `ledger` with `seg` folded in — door keys merge into adjacent
+    * ranges (never materializing the individual keys a range covers),
+    * literals append; output is literals-sorted ++ ranges-by-start. */
+  private[graft] def ledgerAdd(ledger: Seq[String], seg: String): Seq[String] = {
+    if (ledgerContains(ledger, seg)) return ledger
+    val intervals = ledger.collect {
+      case RangeKey(lo, hi) => (lo.toLong, hi.toLong)
+      case DoorKey(k)       => (k.toLong, k.toLong)
+    }
+    val literals = ledger.filter {
+      case RangeKey(_, _) | DoorKey(_) => false
+      case _                           => true
+    }
+    val (allIv, allLit) = seg match {
+      case DoorKey(k) => (intervals :+ (k.toLong, k.toLong), literals)
+      case s          => (intervals, literals :+ s)
+    }
+    val merged = allIv.sortBy(_._1)
+      .foldLeft(List.empty[(Long, Long)]) {
+        case ((lo, hi) :: tail, (l, h)) if l <= hi + 1 =>
+          (lo, math.max(hi, h)) :: tail
+        case (acc, iv) => iv :: acc
+      }.reverse
+    allLit.sorted ++ merged.map { case (l, h) =>
+      if (l == h) s"b$l" else s"b$l-b$h"
+    }
+  }
+
   private def versionsOf(spark: SparkSession, graphDir: String,
                          prefix: String = "v="): Seq[Long] = {
     val f = fs(spark, graphDir)
@@ -82,12 +139,22 @@ object GraphIndex {
     * graphDir in tests/soaks/probes is built fresh, and the door
     * creates its own at init). */
   private def latestInfo(spark: SparkSession, graphDir: String)
-      : (Long, String, Long, Set[String], Long) = {
+      : (Long, String, Long, Seq[String], Long) = {
     val vs = versionsOf(spark, graphDir)
     require(vs.nonEmpty, s"GraphIndex used before init under $graphDir")
-    val r = spark.read.parquet(s"$graphDir/v=${vs.max}/info.parquet").head
+    val df = spark.read.parquet(s"$graphDir/v=${vs.max}/info.parquet")
+    // Explicit schema-version check (r14 advice): an asset committed
+    // by the r13 two-column info schema would otherwise fail inside
+    // getAs with an opaque Spark field error instead of naming the fix.
+    val need = Set("seg", "committed_ms", "n_base", "segs", "entry_id")
+    require(need.subsetOf(df.schema.fieldNames.toSet),
+      s"GraphIndex info under $graphDir/v=${vs.max} is a pre-r14 schema " +
+        s"(fields: ${df.schema.fieldNames.mkString(", ")}) — no in-place " +
+        "migration exists; re-init the graph asset")
+    val r = df.head
     (vs.max, r.getAs[String]("seg"), r.getAs[Long]("n_base"),
-      r.getAs[Seq[String]]("segs").toSet, r.getAs[Long]("entry_id"))
+      r.getAs[scala.collection.Seq[String]]("segs").toSeq,
+      r.getAs[Long]("entry_id"))
   }
 
   /** Stage-then-rename commit of one immutable version dir holding
@@ -189,7 +256,7 @@ object GraphIndex {
   def admit(spark: SparkSession, indexDir: String, graphDir: String,
             deltaIds: DataFrame, seg: String): Unit = {
     val (prev, _, nPrev, ledger, entPrev) = latestInfo(spark, graphDir)
-    if (ledger.contains(seg)) return
+    if (ledgerContains(ledger, seg)) return
     val meta = spark.read.parquet(s"$graphDir/meta.parquet").head
     val (planes, k) = (meta.getInt(0), meta.getInt(1))
     // base is a lineage-free parquet read — never materialized here;
@@ -201,6 +268,21 @@ object GraphIndex {
     // addBatch contract; also keeps the entry-id fold below total —
     // min over zero rows is null)
     if (nDelta == 0L) return
+    // Replay-robust corpus-size fold (r14 advice): a beyond-grace
+    // replay under a NEW seg key re-delivers ids already committed, so
+    // folding nPrev + nDelta would inflate n and bias the admit-vs-
+    // rebuild knee until the next rebuild's base.count() reset. Count
+    // only genuinely NEW ids: the delta against ONE band of the
+    // pre-existing signature segments (one row per admitted vector —
+    // a narrow scan joined to the bounded delta frame, no corpus
+    // shuffle; the current seg is excluded so a crash between the sig
+    // write below and the commit replays correctly).
+    val nDup = timed("dup_count") {
+      spark.read.parquet(s"$graphDir/sigs")
+        .where(col("seg") =!= lit(seg) && col("band") === 0)
+        .join(broadcast(dIds.withColumnRenamed("id", "vec_id")), "vec_id")
+        .select("vec_id").distinct().count()
+    }
     // delta sigs from the committed union base (narrow id-join), under
     // the pinned schedule; idempotent segment overwrite
     timed("delta_sigs") {
@@ -221,19 +303,18 @@ object GraphIndex {
     // cost; steady-drip batches stay incremental, bulk waves rebuild.
     // The touched set is checkpointed ONCE and shared by the count and
     // the incremental path, and n comes from the commit record plus
-    // the delta count (disjoint by the door's addBatch discipline) —
-    // the decision's inputs cost two bounded-frame counts, never a
-    // corpus scan (r13 verdict #3). A beyond-grace replay of ids
-    // already in base under a NEW seg key would inflate the folded n;
-    // the rebuild branch below RESETS n to a true base.count() (a
-    // count job is noise next to the rebuild it rides), so any drift
-    // is bounded by the drip interval between rebuilds instead of
-    // compounding forever (round-14 review).
+    // the count of genuinely-new delta ids (the nDup anti-fold above
+    // makes even a beyond-grace replay under a new seg key fold
+    // exactly — r14 advice) — the decision's inputs cost bounded-frame
+    // counts plus one narrow sig-band scan, never a corpus scan (r13
+    // verdict #3). The rebuild branch still re-records a true
+    // base.count() (a count job is noise next to the rebuild it
+    // rides), belt and braces.
     val touched = timed("touched_sigs") {
       GraphAnn.touchedIds(sigs, dIds).localCheckpoint()
     }
     val nTouched = touched.count()
-    val nBase = nPrev + nDelta
+    val nBase = nPrev + (nDelta - nDup)
     val rebuild = nTouched * 4 >= nBase
     val graph = timed(s"graph_${if (rebuild) "rebuild" else "admit"}") {
       (if (rebuild)
@@ -244,7 +325,7 @@ object GraphIndex {
     timed("commit") {
       commitVersion(spark, graphDir, s"v=${prev + 1L}", seg, "graph", graph,
         nBase = if (rebuild) base.count() else nBase,
-        segs = (ledger + seg).toSeq.sorted,
+        segs = ledgerAdd(ledger, seg),
         entryId = math.min(entPrev, dIds.agg(min("id")).head.getLong(0)))
     }
   }
@@ -332,17 +413,21 @@ object GraphIndex {
     * round — never a corpus re-sign, never a graph build. The
     * entry-point fallback is min committed vec_id, read from the
     * commit record (GraphAnn's deterministic global entry).
-    * PRECONDITION on the query id space: `qid` is compared against
-    * corpus `vec_id`s for self-exclusion (the qx2/qx109 in-corpus
-    * query convention), so an EXTERNAL query must carry an id outside
-    * the committed vec_id range or its colliding corpus vector is
-    * silently excluded from its results.
+    * Query id space: under the default `selfExclude = true`, `qid` is
+    * compared against corpus `vec_id`s for self-exclusion (the
+    * qx2/qx109 in-corpus query convention), so an EXTERNAL query whose
+    * id collides with a committed vec_id would silently lose that
+    * corpus vector from its results — external callers pass
+    * `selfExclude = false` instead of managing id disjointness
+    * (r14 advice: the precondition is now a parameter, not a silent
+    * degradation).
     * [[graft.IndexDoorSpec]] pins the serve bit-equal to the inline
     * qx109 spelling over a rebuild of the same committed corpus, with
     * recall vs brute live; DoorSoak's graph leg records what the
     * asset saves vs the inline build at the 10× corpus. */
   def search(spark: SparkSession, indexDir: String, graphDir: String,
-             queries: DataFrame, beam: Int = 4, rounds: Int = 3): DataFrame = {
+             queries: DataFrame, beam: Int = 4, rounds: Int = 3,
+             selfExclude: Boolean = true): DataFrame = {
     val planes = spark.read.parquet(s"$graphDir/meta.parquet").head.getInt(0)
     val base = HybridIndex.committedBase(spark, indexDir)
     val qs = queries.select("qid", "qiv", "qn2")
@@ -350,16 +435,16 @@ object GraphIndex {
         qs.select(col("qid").as("vec_id"), col("qiv").as("iv")), planes)
       .select(col("vec_id").as("qid"), col("band").as("qband"),
         col("sig").as("qsig"))
+    val collide = col("band") === col("qband") && col("sig") === col("qsig")
     val seeds = unionSigs(spark, graphDir).join(broadcast(qsigs),
-        col("band") === col("qband") && col("sig") === col("qsig") &&
-          col("vec_id") =!= col("qid"))
+        if (selfExclude) collide && col("vec_id") =!= col("qid") else collide)
       .select("qid", "vec_id").distinct()
     // the entry fallback rides the commit record (min committed
     // vec_id, folded at init and each admit) — a serve never scans
     // the base for it
     val (v, _, _, _, entry) = latestInfo(spark, graphDir)
     GraphAnn.search(spark.read.parquet(s"$graphDir/v=$v/graph.parquet"),
-      base, qs, seeds, entry, beam, rounds)
+      base, qs, seeds, entry, beam, rounds, selfExclude)
   }
 
   /** Latest committed graph snapshot. */

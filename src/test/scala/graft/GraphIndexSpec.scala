@@ -19,12 +19,12 @@ import graft.sources.Tables
 class GraphIndexSpec extends SparkTestBase {
   private val dir = "/root/testdata/sf0.001"
 
-  private def latestInfoRow(gDir: String): (Long, String, Long, Set[String]) = {
+  private def latestInfoRow(gDir: String): (Long, String, Long, Seq[String]) = {
     val vs = new java.io.File(gDir).listFiles().map(_.getName)
       .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong).sorted
     val r = spark.read.parquet(s"$gDir/v=${vs.max}/info.parquet").head
     (vs.max, r.getAs[String]("seg"), r.getAs[Long]("n_base"),
-      r.getAs[Seq[String]]("segs").toSet)
+      r.getAs[scala.collection.Seq[String]]("segs").toSeq)
   }
 
   /** Index over the first 60% of embedded docs + graph init; returns
@@ -48,7 +48,7 @@ class GraphIndexSpec extends SparkTestBase {
     val raw = Tables.embeddings(spark, dir)
     // init's record
     val (v0, _, n0, l0) = latestInfoRow(g)
-    assert(v0 === 0L && l0 === Set("init"))
+    assert(v0 === 0L && l0 === Seq("init"))
     assert(n0 === HybridIndex.committedBase(spark, idx).count(),
       "init must record the built corpus size")
 
@@ -66,7 +66,7 @@ class GraphIndexSpec extends SparkTestBase {
     }
     admitWave(drip, "b1")
     val (v1, _, n1, l1) = latestInfoRow(g)
-    assert(v1 === 1L && l1 === Set("init", "b1"))
+    assert(v1 === 1L && l1 === Seq("init", "b1"))
     assert(n1 === HybridIndex.committedBase(spark, idx).count(),
       "drip admission must record exactly the committed corpus size " +
         "(the regime decision's n input unchanged from the base.count() spelling)")
@@ -75,7 +75,11 @@ class GraphIndexSpec extends SparkTestBase {
     // corpus — touched*4 >= n; the decision input is what we pin here)
     admitWave(bulk, "b2")
     val (v2, _, n2, l2) = latestInfoRow(g)
-    assert(v2 === 2L && l2 === Set("init", "b1", "b2"))
+    // adjacent door keys COMPACT to one range token (round 15, r14
+    // advice: commit-record size must be O(gaps), not O(admissions))
+    assert(v2 === 2L && l2 === Seq("init", "b1-b2"))
+    assert(Seq("init", "b1", "b2").forall(s =>
+      graft.operators.GraphIndex.ledgerContains(l2, s)))
     assert(n2 === HybridIndex.committedBase(spark, idx).count(),
       "bulk admission must record exactly the committed corpus size")
     assert(n2 === ids.length.toLong)
@@ -107,7 +111,67 @@ class GraphIndexSpec extends SparkTestBase {
       raw.limit(0).select(col("vec_id").as("id")), "bEMPTY")
     assert(latestInfoRow(g)._1 === before,
       "an empty delta must not mint a version")
-    assert(!latestInfoRow(g)._4.contains("bEMPTY"))
+    assert(!GraphIndex.ledgerContains(latestInfoRow(g)._4, "bEMPTY"))
+
+    // a beyond-grace replay under a NEW seg key (ids already in base)
+    // must NOT inflate the folded n_base (round 15, r14 advice — the
+    // dup anti-fold): the version mints, but n stays the true corpus
+    // size, so the admit-vs-rebuild knee never drifts
+    GraphIndex.admit(spark, idx, g,
+      raw.where(col("vec_id").isin(drip.toSeq: _*))
+        .select(col("vec_id").as("id")), "b9")
+    val (_, _, nReplay, _) = latestInfoRow(g)
+    assert(nReplay === HybridIndex.committedBase(spark, idx).count(),
+      "replayed ids under a new seg key must fold as zero new vectors")
+  }
+
+  test("ledger compaction folds door-key runs; ledgerContains resolves ranges") {
+    import GraphIndex.{ledgerAdd, ledgerContains}
+    val l = Seq("b0", "b1", "b2", "b3", "b7", "init", "b5")
+      .foldLeft(Seq.empty[String])(ledgerAdd)
+    assert(l === Seq("init", "b0-b3", "b5", "b7"),
+      "maximal runs compact; gaps and literals survive")
+    assert((0 to 3).forall(i => ledgerContains(l, s"b$i")))
+    assert(ledgerContains(l, "b5") && ledgerContains(l, "b7") &&
+      ledgerContains(l, "init"))
+    assert(!ledgerContains(l, "b4") && !ledgerContains(l, "b6") &&
+      !ledgerContains(l, "b8") && !ledgerContains(l, "other"))
+    // adding a key that bridges two ranges merges them
+    assert(ledgerAdd(l, "b4") === Seq("init", "b0-b5", "b7"))
+    // idempotent adds
+    assert(ledgerAdd(l, "b2") === l && ledgerAdd(l, "init") === l)
+  }
+
+  test("a pre-r14 info schema fails with a descriptive re-init message") {
+    import spark.implicits._
+    val g = tmpDir("gix_oldschema")
+    Seq(("init", 1L)).toDF("seg", "committed_ms")
+      .write.parquet(s"$g/v=0/info.parquet")
+    val ex = intercept[IllegalArgumentException] {
+      GraphIndex.admit(spark, "/nonexistent", g,
+        spark.range(1).select(lit(1L).as("id")), "b0")
+    }
+    assert(ex.getMessage.contains("pre-r14") &&
+      ex.getMessage.contains("re-init"))
+  }
+
+  test("search selfExclude=false serves an external query whose id collides with a corpus vec_id") {
+    val (idx, g, _, _) = fixture("selfx")
+    val committed = HybridIndex.committedBase(spark, idx)
+    // an "external" query that reuses a committed id AND its vector:
+    // under the in-corpus convention that vector is excluded from its
+    // own results; an external caller wants it back (cosine 1.0 top)
+    val qs = committed.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("qid"), col("iv").as("qiv"),
+        col("n2").as("qn2")).localCheckpoint()
+    val qid = qs.head.getLong(0)
+    val withSelf = GraphIndex.search(spark, idx, g, qs, selfExclude = false)
+      .collect()
+    assert(withSelf.exists(r => r.getLong(0) === qid && r.getLong(2) === qid),
+      "selfExclude=false must let the colliding corpus vector surface")
+    val without = GraphIndex.search(spark, idx, g, qs).collect()
+    assert(!without.exists(r => r.getLong(2) === qid),
+      "the default must keep the in-corpus exclusion")
   }
 
   test("a commit racing a different seg to an existing version fails loudly; identical re-commit no-ops") {
