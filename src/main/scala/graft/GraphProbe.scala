@@ -105,9 +105,14 @@ object GraphProbe {
     // committed base, then ONE door-shaped wave — index addBatch +
     // GraphIndex.admit (delta sigs, touched-node graph recompute,
     // warm-started LPA over the candidate graph, versioned commit) —
-    // timed next to the regime numbers above.
-    if (dir.startsWith("door:")) {
-      val d = dir.drop(5)
+    // timed next to the regime numbers above. doorcells:<dir> runs the
+    // SAME wave with the asset on the cells generator (round 15, r14
+    // verdict #1 — the occupancy-robust maintenance path); both modes
+    // record the heap envelope (r14 verdict #7: the 48 GiB LSH-refresh
+    // finding must live in the artifact, not the narrative).
+    if (dir.startsWith("door:") || dir.startsWith("doorcells:")) {
+      val gen = if (dir.startsWith("doorcells:")) "cells" else "lsh"
+      val d = dir.drop(if (gen == "cells") 10 else 5)
       val docs = spark.read.parquet(s"$d/documents.parquet")
         .select(col("doc_id"), col("text"))
       // NOISE embeddings over the probe corpus's vec_id domain — the
@@ -130,7 +135,8 @@ object GraphProbe {
       graft.operators.HybridIndex.build(spark,
         docs.where(!deltaPred), raw.where(!deltaPredV), idxOut)
       val (_, initSec) = time {
-        graft.operators.GraphIndex.init(spark, idxOut, gOut, expectedFinal = nAll)
+        graft.operators.GraphIndex.init(spark, idxOut, gOut,
+          expectedFinal = nAll, generator = gen)
       }
       val (_, admitIdxSec) = time {
         graft.operators.HybridIndex.addBatch(spark, idxOut,
@@ -163,20 +169,36 @@ object GraphProbe {
         graft.operators.GraphIndex.search(spark, idxOut, gOut, qs).count()
       }
       val (nInline, serveInlineSec) = time {
-        val planesP = spark.read.parquet(s"$gOut/meta.parquet").head.getInt(0)
-        GraphAnn.inlineServe(committed, planesP, qs, k = 4,
-          beam = 4, rounds = 3).count()
+        val m = spark.read.parquet(s"$gOut/meta.parquet").head
+        if (gen == "cells")
+          GraphAnn.inlineServeCells(committed,
+            spark.read.parquet(s"$gOut/books.parquet"),
+            m.getAs[Long]("cellk"), qs, k = 4, beam = 4, rounds = 3).count()
+        else
+          GraphAnn.inlineServe(committed, m.getAs[Int]("planes"), qs, k = 4,
+            beam = 4, rounds = 3).count()
       }
       require(nServed == nInline,
         s"asset serve row count diverged from inline: $nServed vs $nInline")
-      println(s"""{"n":$nAll,"n_delta":$nDelta,""" +
+      // heap envelope: Xmx plus the max committed-pool peak across the
+      // run (sum of heap pools' peaks bounds the true footprint)
+      val heapMaxGb = Runtime.getRuntime.maxMemory / 1e9
+      val heapPeakGb = {
+        import scala.jdk.CollectionConverters._
+        java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+          .filter(_.getType == java.lang.management.MemoryType.HEAP)
+          .map(_.getPeakUsage.getUsed).sum / 1e9
+      }
+      println(s"""{"n":$nAll,"n_delta":$nDelta,"generator":"$gen",""" +
         s""""graph_init_sec":${"%.2f".format(initSec)},""" +
         s""""index_admit_sec":${"%.2f".format(admitIdxSec)},""" +
         s""""graph_wave_sec":${"%.2f".format(waveSec)},""" +
         s""""community_refresh_sec":${"%.2f".format(refreshSec)},""" +
         s""""serve_queries":$nq,""" +
         s""""serve_asset_sec":${"%.2f".format(serveAssetSec)},""" +
-        s""""serve_inline_sec":${"%.2f".format(serveInlineSec)},"sf":"$d"}""")
+        s""""serve_inline_sec":${"%.2f".format(serveInlineSec)},""" +
+        s""""heap_max_gb":${"%.1f".format(heapMaxGb)},""" +
+        s""""heap_peak_gb":${"%.1f".format(heapPeakGb)},"sf":"$d"}""")
       spark.stop()
       return
     }

@@ -74,6 +74,54 @@ object GraphAnn {
       .select(col("u"), col("t.id").as("v"), col("t.score").as("cos"))
   }
 
+  /** (vec_id, band = 0, sig = IMI product cell) rows under PINNED
+    * trained codebooks — the CELLS generator's signature table
+    * (round 15, r14 verdict #1), shaped exactly like
+    * [[EmbeddingLsh.bandSigs]] output so every [[GraphIndex]] path
+    * (candidate equi-join, touched set, regime decision, LPA refresh,
+    * append-only segments) is generator-agnostic. Why cells scale
+    * where LSH buckets don't for MAINTENANCE: a delta vector touches
+    * ONE cell of ~TargetListSize members instead of 8 bands ×
+    * occupancy ≈ 400 bucket mates, so the touched set — and with it
+    * the per-wave admission cost — tracks the delta, not the corpus
+    * (the 200k probe measured 187 s per 286-vector LSH drip exactly
+    * because touched ≈ 57% of the corpus); and trained cells stay
+    * balanced on clustered corpora where sign-LSH buckets go
+    * quadratic (the qx113/GraphProbe finding). Assignment depends
+    * only on (vector, books), so under books pinned at init
+    * admit == rebuild stays bit-equal — the same capacity-planning
+    * argument as the pinned plane schedule. */
+  def cellSigs(emb: DataFrame, books: DataFrame, k2: Long): DataFrame =
+    IvfAnn.imiCellsL2Kernel(emb.select("vec_id", "iv"), books, k2)
+      .select(col("vec_id"), lit(0L).as("band"), col("cell").as("sig"))
+
+  /** The CELLS-generator inline serving twin of [[inlineServe]]: sign
+    * the corpus under the PINNED trained codebooks, seed each query
+    * from its 2×2 probed cells' members ([[IvfAnn.imiProbeCellsL2]] —
+    * the multi-probe analogue of LSH bucket-mate seeding), build the
+    * same-cell k-NN graph, beam-search. One spelling shared by the
+    * asset-vs-inline equality pin (GraphIndexSpec) and the probes, so
+    * the comparison twins cannot drift (the [[inlineServe]]
+    * discipline). `books` must be the ASSET's pinned codebooks — a
+    * retrained copy would assign different cells and the equality
+    * would be vacuous. */
+  def inlineServeCells(base: DataFrame, books: DataFrame, k2: Long,
+                       queries: DataFrame, k: Int, beam: Int,
+                       rounds: Int): DataFrame = {
+    val sigs = cellSigs(base, books, k2)
+    val qs = queries.select("qid", "qiv", "qn2")
+    val qsigs = IvfAnn.imiProbeCellsL2(
+        qs.select(col("qid"), col("qiv")), books, k2)
+      .select(col("qid"), lit(0L).as("qband"), col("cell").as("qsig"))
+    val seeds = sigs.join(broadcast(qsigs),
+        col("band") === col("qband") && col("sig") === col("qsig") &&
+          col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id").distinct()
+    val entry = base.agg(min("vec_id")).head.getLong(0)
+    search(knnGraph(base, EmbeddingLsh.candidatePairs(sigs), k),
+      base, qs, seeds, entry, beam, rounds)
+  }
+
   /** INCREMENTAL graph maintenance — admit a delta of new vectors into
     * an existing k-NN graph WITHOUT a full rebuild (the addBatch/qx41
     * admission discipline applied to the graph asset): only nodes that

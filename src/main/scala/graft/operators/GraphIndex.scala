@@ -9,15 +9,21 @@ import org.apache.spark.sql.functions._
   * the way the retrain flip runs for codebooks).
   *
   * Layout under `graphDir`:
-  *   - `meta.parquet` — one row (planes, k, lpa_iters): the PINNED
-  *     plane schedule (qx110's capacity-planning precondition — planes
-  *     derived from the EXPECTED final corpus size at init, never the
-  *     running size; under it admit == rebuild bit-for-bit) plus the
-  *     graph degree and the community-refresh round count.
-  *   - `sigs/seg=<key>/` — band signatures, append-only one segment
-  *     per admission (a vector's sigs never change under pinned
-  *     planes, so the union is always consistent; re-delivery
-  *     overwrites its own segment with identical bytes).
+  *   - `meta.parquet` — one row (planes, k, lpa_iters, generator,
+  *     cellk): the PINNED signature schedule (qx110's capacity-
+  *     planning precondition — derived from the EXPECTED final corpus
+  *     size at init, never the running size; under it admit == rebuild
+  *     bit-for-bit) plus the graph degree, the community-refresh round
+  *     count, and (round 15) the candidate GENERATOR — `"lsh"` banded
+  *     sign-LSH buckets, or `"cells"` trained IMI product cells whose
+  *     codebooks live in `books.parquet` (see [[init]] for when each
+  *     scales).
+  *   - `sigs/seg=<key>/` — signatures, append-only one segment per
+  *     admission (a vector's signature never changes under the pinned
+  *     schedule, so the union is always consistent; re-delivery
+  *     overwrites its own segment with identical bytes). Cells-mode
+  *     rows are (vec_id, band = 0, sig = cell) — ONE row per vector —
+  *     so every consumer below is generator-agnostic.
   *   - `v=<N>/graph.parquet` + `info.parquet` (seg, committed_ms,
   *     n_base, segs, entry_id) — immutable graph snapshots, committed
   *     stage-then-rename (the HybridIndex manifest discipline): a
@@ -217,20 +223,86 @@ object GraphIndex {
   private def unionSigs(spark: SparkSession, graphDir: String): DataFrame =
     spark.read.parquet(s"$graphDir/sigs").select("vec_id", "band", "sig")
 
+  /** Sign (vec_id, iv) rows under the asset's PINNED signature
+    * schedule: LSH band signatures under the init-derived plane count,
+    * or (band = 0, sig = product cell) under the cells generator's
+    * init-trained codebooks ([[GraphAnn.cellSigs]]). Either way a
+    * vector's signature never changes over the asset's life, so the
+    * segments stay append-only and admit == rebuild bit-for-bit. */
+  private def signUnder(spark: SparkSession, graphDir: String,
+                        vecs: DataFrame): DataFrame = {
+    val m = spark.read.parquet(s"$graphDir/meta.parquet").head
+    if (m.getAs[String]("generator") == "cells")
+      GraphAnn.cellSigs(vecs,
+        spark.read.parquet(s"$graphDir/books.parquet"),
+        m.getAs[Long]("cellk"))
+    else EmbeddingLsh.bandSigs(vecs, m.getAs[Int]("planes"))
+  }
+
+  /** Query-side signatures (qid, qband, qsig) for serve seeding under
+    * the pinned schedule: the queries' own LSH band signatures, or —
+    * cells generator — their 2×2 PROBED product cells
+    * ([[IvfAnn.imiProbeCellsL2]], the multi-probe analogue of LSH
+    * bucket-mate seeding: the query meets every member of its 4
+    * closest cells, the same probe budget the IMI family serves
+    * with). */
+  private def querySigsUnder(spark: SparkSession, graphDir: String,
+                             qs: DataFrame): DataFrame = {
+    val m = spark.read.parquet(s"$graphDir/meta.parquet").head
+    if (m.getAs[String]("generator") == "cells")
+      IvfAnn.imiProbeCellsL2(qs.select(col("qid"), col("qiv")),
+          spark.read.parquet(s"$graphDir/books.parquet"),
+          m.getAs[Long]("cellk"))
+        .select(col("qid"), lit(0L).as("qband"), col("cell").as("qsig"))
+    else
+      EmbeddingLsh.bandSigs(
+          qs.select(col("qid").as("vec_id"), col("qiv").as("iv")),
+          m.getAs[Int]("planes"))
+        .select(col("vec_id").as("qid"), col("band").as("qband"),
+          col("sig").as("qsig"))
+  }
+
   /** Build graph v=0 and labels_v=0 over the index's CURRENT committed
-    * base. `expectedFinal` pins the plane schedule for the asset's
+    * base. `expectedFinal` pins the signature schedule for the asset's
     * whole life (qx110's precondition — size it for the corpus you
-    * plan to serve, the capacity-planning discipline). */
+    * plan to serve, the capacity-planning discipline).
+    *
+    * `generator` picks the candidate generator, PINNED at init:
+    *  - `"lsh"` (default, the r13/r14 asset): banded sign-LSH buckets
+    *    — training-free, and the spelling the qx109/qx110 gate rows
+    *    and the inline comparison twins replay.
+    *  - `"cells"` (round 15, r14 verdict #1 — the OCCUPANCY-ROBUST
+    *    maintenance path): trained IMI product cells
+    *    ([[IvfAnn.trainedImiCodebooks]] at `imiCentroidsFor
+    *    (expectedFinal)`, written to `books.parquet` and pinned). A
+    *    delta vector touches ONE ~64-member cell instead of 8 bands ×
+    *    occupancy ≈ 400 bucket mates, so per-wave admission work and
+    *    the LPA candidate graph track the delta/corpus LINEARLY where
+    *    the LSH generator's touched set reached 57% of the 200k probe
+    *    corpus for a 0.14% drip (and its near-clique candidate graph
+    *    needed a 48 GiB heap to refresh). Use cells for any standing
+    *    door whose corpus outgrows the drip ≪ n/400 regime. */
   def init(spark: SparkSession, indexDir: String, graphDir: String,
-           expectedFinal: Long, k: Int = 4, lpaIters: Int = 4): Unit = {
+           expectedFinal: Long, k: Int = 4, lpaIters: Int = 4,
+           generator: String = "lsh"): Unit = {
     import spark.implicits._
-    val planes = EmbeddingLsh.planesFor(expectedFinal)
-    Seq((planes, k, lpaIters)).toDF("planes", "k", "lpa_iters")
-      .write.mode("overwrite").parquet(s"$graphDir/meta.parquet")
+    require(generator == "lsh" || generator == "cells",
+      s"GraphIndex generator must be 'lsh' or 'cells', got '$generator'")
     val base = HybridIndex.committedBase(spark, indexDir)
-    val sigs = EmbeddingLsh.bandSigs(base.select("vec_id", "iv"), planes)
-    sigs.write.mode("overwrite").parquet(s"$graphDir/sigs/seg=init")
+    val (planes, cellk) =
+      if (generator == "cells") {
+        val k2 = IvfAnn.imiCentroidsFor(expectedFinal)
+        IvfAnn.trainedImiCodebooks(base.select("vec_id", "iv"), k2, iters = 2)
+          .write.mode("overwrite").parquet(s"$graphDir/books.parquet")
+        (-1, k2)
+      } else (EmbeddingLsh.planesFor(expectedFinal), -1L)
+    Seq((planes, k, lpaIters, generator, cellk))
+      .toDF("planes", "k", "lpa_iters", "generator", "cellk")
+      .write.mode("overwrite").parquet(s"$graphDir/meta.parquet")
+    signUnder(spark, graphDir, base.select("vec_id", "iv"))
+      .write.mode("overwrite").parquet(s"$graphDir/sigs/seg=init")
     val sigsP = spark.read.parquet(s"$graphDir/sigs/seg=init")
+      .select("vec_id", "band", "sig")
     val pairs = EmbeddingLsh.candidatePairs(sigsP).localCheckpoint()
     val graph = GraphAnn.knnGraph(base, pairs, k).localCheckpoint()
     commitVersion(spark, graphDir, "v=0", "init", "graph", graph,
@@ -257,8 +329,8 @@ object GraphIndex {
             deltaIds: DataFrame, seg: String): Unit = {
     val (prev, _, nPrev, ledger, entPrev) = latestInfo(spark, graphDir)
     if (ledgerContains(ledger, seg)) return
-    val meta = spark.read.parquet(s"$graphDir/meta.parquet").head
-    val (planes, k) = (meta.getInt(0), meta.getInt(1))
+    val k = spark.read.parquet(s"$graphDir/meta.parquet")
+      .head.getAs[Int]("k")
     // base is a lineage-free parquet read — never materialized here;
     // only the (small) delta id set is pinned
     val base = HybridIndex.committedBase(spark, indexDir)
@@ -286,9 +358,9 @@ object GraphIndex {
     // delta sigs from the committed union base (narrow id-join), under
     // the pinned schedule; idempotent segment overwrite
     timed("delta_sigs") {
-      EmbeddingLsh.bandSigs(
+      signUnder(spark, graphDir,
           base.join(dIds.withColumnRenamed("id", "vec_id"), "vec_id")
-            .select("vec_id", "iv"), planes)
+            .select("vec_id", "iv"))
         .write.mode("overwrite").parquet(s"$graphDir/sigs/seg=$seg")
     }
     val sigs = unionSigs(spark, graphDir)
@@ -344,7 +416,8 @@ object GraphIndex {
     val target = vs.max
     val labelVs = versionsOf(spark, graphDir, "labels_v=")
     if (labelVs.contains(target)) return
-    val lpaIters = spark.read.parquet(s"$graphDir/meta.parquet").head.getInt(2)
+    val lpaIters = spark.read.parquet(s"$graphDir/meta.parquet")
+      .head.getAs[Int]("lpa_iters")
     val base = HybridIndex.committedBase(spark, indexDir)
     // COLD-start when no labeling ever committed (init crashed between
     // the v=0 graph commit and the labels_v=0 commit — r13 advice):
@@ -428,13 +501,9 @@ object GraphIndex {
   def search(spark: SparkSession, indexDir: String, graphDir: String,
              queries: DataFrame, beam: Int = 4, rounds: Int = 3,
              selfExclude: Boolean = true): DataFrame = {
-    val planes = spark.read.parquet(s"$graphDir/meta.parquet").head.getInt(0)
     val base = HybridIndex.committedBase(spark, indexDir)
     val qs = queries.select("qid", "qiv", "qn2")
-    val qsigs = EmbeddingLsh.bandSigs(
-        qs.select(col("qid").as("vec_id"), col("qiv").as("iv")), planes)
-      .select(col("vec_id").as("qid"), col("band").as("qband"),
-        col("sig").as("qsig"))
+    val qsigs = querySigsUnder(spark, graphDir, qs)
     val collide = col("band") === col("qband") && col("sig") === col("qsig")
     val seeds = unionSigs(spark, graphDir).join(broadcast(qsigs),
         if (selfExclude) collide && col("vec_id") =!= col("qid") else collide)

@@ -174,6 +174,63 @@ class GraphIndexSpec extends SparkTestBase {
       "the default must keep the in-corpus exclusion")
   }
 
+  test("cells generator: admission == pinned-books rebuild; asset serve == inline cells twin; refresh covers the corpus") {
+    import graft.operators.{EmbeddingLsh, GraphAnn}
+    val idx = tmpDir("gix_cells_idx"); val g = tmpDir("gix_cells_graph")
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val raw = Tables.embeddings(spark, dir)
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val cut = ids(ids.length * 3 / 5)
+    HybridIndex.build(spark, docs.where(col("doc_id") < cut),
+      raw.where(col("vec_id") < cut), idx)
+    GraphIndex.init(spark, idx, g, expectedFinal = ids.length.toLong,
+      k = 4, lpaIters = 4, generator = "cells")
+    val rest = ids.filter(_ >= cut)
+    val (w1, w2) = rest.splitAt(rest.length / 2)
+    def wave(w: Array[Long], seg: String): Unit = {
+      val s = w.toSet
+      HybridIndex.addBatch(spark, idx,
+        docs.where(col("doc_id").isin(s.toSeq: _*)),
+        raw.where(col("vec_id").isin(s.toSeq: _*)), segKeyOpt = Some(seg))
+      GraphIndex.admit(spark, idx, g,
+        raw.where(col("vec_id").isin(s.toSeq: _*))
+          .select(col("vec_id").as("id")), seg)
+    }
+    wave(w1, "b1"); wave(w2, "b2")
+    val committed = HybridIndex.committedBase(spark, idx).localCheckpoint()
+    val books = spark.read.parquet(s"$g/books.parquet")
+    val k2 = spark.read.parquet(s"$g/meta.parquet").head.getAs[Long]("cellk")
+    // (1) the maintained graph equals a clean rebuild under the SAME
+    // pinned codebooks — the qx110 admit==rebuild pin, cells flavor
+    // (assignment depends only on (vector, books), so pinned books
+    // make the incremental path's output provably rebuild-equal)
+    def edges(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val rebuilt = GraphAnn.knnGraph(committed,
+      EmbeddingLsh.candidatePairs(GraphAnn.cellSigs(committed, books, k2)), 4)
+    assert(edges(GraphIndex.graph(spark, g)) === edges(rebuilt),
+      "cells-mode incremental admission must be bit-equal to the pinned-books rebuild")
+    // n_base still folds exactly through cells-mode admissions
+    assert(latestInfoRow(g)._3 === committed.count())
+    // (2) the asset serve is bit-equal to the inline cells twin over
+    // the same committed corpus (the IndexDoorSpec discipline)
+    val qs = committed.where(pmod(col("vec_id"), lit(50L)) === 0L)
+      .select(col("vec_id").as("qid"), col("iv").as("qiv"),
+        col("n2").as("qn2")).localCheckpoint()
+    def beamSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(beamSet(GraphIndex.search(spark, idx, g, qs)) ===
+      beamSet(GraphAnn.inlineServeCells(committed, books, k2, qs,
+        k = 4, beam = 4, rounds = 3)),
+      "asset serve must equal the inline cells spelling")
+    // (3) the community refresh runs over the cell candidate graph
+    // and covers the committed corpus
+    GraphIndex.refreshCommunities(spark, idx, g)
+    assert(GraphIndex.labels(spark, g).select("u").collect()
+      .map(_.getLong(0)).toSet ===
+      committed.select("vec_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("a commit racing a different seg to an existing version fails loudly; identical re-commit no-ops") {
     val (_, g, _, _) = fixture("race")
     import spark.implicits._
