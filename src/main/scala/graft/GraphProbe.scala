@@ -180,14 +180,16 @@ object GraphProbe {
       }
       require(nServed == nInline,
         s"asset serve row count diverged from inline: $nServed vs $nInline")
-      // heap envelope: Xmx plus the max committed-pool peak across the
-      // run (sum of heap pools' peaks bounds the true footprint)
+      // heap envelope: Xmx plus the largest single heap pool's peak
+      // (pools peak at different times, so a SUM can exceed Xmx and
+      // mislead; completing the run under this Xmx is the primary
+      // evidence, the pool peak the supporting footprint number)
       val heapMaxGb = Runtime.getRuntime.maxMemory / 1e9
       val heapPeakGb = {
         import scala.jdk.CollectionConverters._
         java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
           .filter(_.getType == java.lang.management.MemoryType.HEAP)
-          .map(_.getPeakUsage.getUsed).sum / 1e9
+          .map(_.getPeakUsage.getUsed).max / 1e9
       }
       println(s"""{"n":$nAll,"n_delta":$nDelta,"generator":"$gen",""" +
         s""""graph_init_sec":${"%.2f".format(initSec)},""" +
@@ -198,7 +200,7 @@ object GraphProbe {
         s""""serve_asset_sec":${"%.2f".format(serveAssetSec)},""" +
         s""""serve_inline_sec":${"%.2f".format(serveInlineSec)},""" +
         s""""heap_max_gb":${"%.1f".format(heapMaxGb)},""" +
-        s""""heap_peak_gb":${"%.1f".format(heapPeakGb)},"sf":"$d"}""")
+        s""""heap_peak_pool_gb":${"%.1f".format(heapPeakGb)},"sf":"$d"}""")
       spark.stop()
       return
     }

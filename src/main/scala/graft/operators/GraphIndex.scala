@@ -292,7 +292,12 @@ object GraphIndex {
     val (planes, cellk) =
       if (generator == "cells") {
         val k2 = IvfAnn.imiCentroidsFor(expectedFinal)
-        IvfAnn.trainedImiCodebooks(base.select("vec_id", "iv"), k2, iters = 2)
+        // seeds sampled FROM THE DATA (not the hashed gate family):
+        // hashed seeds collapse the product cells on integerized
+        // embeddings — see [[IvfAnn.sampledImiSeeds]]; no oracle
+        // replays this training, so the asset is free to seed well
+        IvfAnn.trainedImiCodebooksFrom(base.select("vec_id", "iv"),
+            IvfAnn.sampledImiSeeds(base.select("vec_id", "iv"), k2), iters = 2)
           .write.mode("overwrite").parquet(s"$graphDir/books.parquet")
         (-1, k2)
       } else (EmbeddingLsh.planesFor(expectedFinal), -1L)

@@ -791,6 +791,34 @@ object HybridIndex {
     ExtQueries.rrfFuse(dense, lex)
   }
 
+  /** [[search]] with the DENSE leg served by a maintained
+    * [[GraphIndex]] asset standing next to this index (round 15, r14
+    * verdict #5 — the graph family as a dense-leg OPTION in the RRF
+    * stack, not just a standalone serve): beam-ANN top-20 from the
+    * committed graph snapshot replaces the IVFADC probe; the lexical
+    * BM25 leg and the integer RRF fusion are the shared serving
+    * spellings, so diffing against [[search]] over the same corpus
+    * measures exactly the dense-family swap, and the qx125 fusion
+    * ledger prices it in recall. When the index holds the gate corpus
+    * and the graph asset was initialized over it (LSH generator,
+    * expectedFinal = corpus size), the output is bit-equal to the
+    * qx79c gate row — HybridIndexSpec pins it. Per serve: the graph
+    * asset's own amortized cost (sign |q|, seed join, beam·K fetches
+    * per round — never a corpus re-sign or graph build) plus the
+    * segment-local lexical leg. */
+  def searchGraphFused(spark: SparkSession, indexDir: String,
+                       graphDir: String,
+                       qPred: org.apache.spark.sql.Column = DefaultQPred)
+      : DataFrame = {
+    val live = liveSegments(spark, indexDir)
+    val q = readAsset(spark, indexDir, "base.parquet", live).where(qPred)
+      .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("n2").as("qn2"))
+    val dense = GraphIndex.search(spark, indexDir, graphDir, q, beam = 20)
+      .select(col("qid"), col("vec_id").as("doc_id"),
+        col("rk").cast("long").as("dense_rk"))
+    ExtQueries.rrfFuse(dense, lexTop(spark, indexDir, live, q))
+  }
+
   /** DPR triplet mining served FROM THE PERSISTED INDEX (r12 verdict
     * #2 — the last brute-only consumer moved onto the index): the
     * dense and lexical legs are the exact serving legs [[search]]
@@ -819,7 +847,16 @@ object HybridIndex {
     val base = readAsset(spark, indexDir, "base.parquet", live)
     val q = base.where(qPred)
       .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("n2").as("qn2"))
-    val dense = denseTop(spark, indexDir, live, q, topk = 20)
+    (denseTop(spark, indexDir, live, q, topk = 20),
+      lexTop(spark, indexDir, live, q))
+  }
+
+  /** The lexical BM25 top-20 leg over a resolved segment set —
+    * factored from [[servingLegs]] (round 15) so
+    * [[searchGraphFused]] can fuse it with the graph dense leg
+    * without paying the IVFADC probe it replaces. */
+  private def lexTop(spark: SparkSession, indexDir: String,
+                     live: Seq[String], q: DataFrame): DataFrame = {
     val tf = readAsset(spark, indexDir, "tf.parquet", live)
     val dfreq = readAsset(spark, indexDir, "df_parts.parquet", live)
       .groupBy("word").agg(sum("df").as("df"))
@@ -842,6 +879,6 @@ object HybridIndex {
       .select(col("qid"), posexplode(col("tk")).as(Seq("p", "t")))
       .select(col("qid"), col("t.id").as("doc_id"),
         (col("p") + 1).cast("long").as("lex_rk"))
-    (dense, lex)
+    lex
   }
 }

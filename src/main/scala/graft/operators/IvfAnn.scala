@@ -238,7 +238,49 @@ object IvfAnn {
     * K-row codebook takes the [[trainedCentroids]] LocalRelation
     * round-trip. Output schema matches [[imiCodebooks]] — (cid, lvl,
     * cv(32)) — so [[imiCells]]/[[imiProbeCells]] consume it unchanged. */
-  def trainedImiCodebooks(emb: DataFrame, k: Long, iters: Int): DataFrame = {
+  /** Per-level seed codebooks sampled FROM THE DATA — (cid, lvl,
+    * cv(32)) rows from the k vectors at the smallest values of a
+    * deterministic id scramble (one bounded TakeOrdered + a ≤ k-row
+    * collect, never a corpus sort), each split into its two 32-dim
+    * halves. Exists because the hashed ±1000 [[imiCodebooks]] seeds
+    * sit three orders of magnitude below ±360k integerized embedding
+    * values, so a short Lloyd run from them strands most centroids
+    * dead and the product cells COLLAPSE — measured at the 200k door
+    * probe: 277 of 4096 cells live, mean occupancy 722 vs the ~49
+    * design point, which pushed the cells-generator graph admission
+    * into the rebuild regime. Data-scale seeds keep every centroid
+    * live. NOT for the qx43/qx44 gate rows: their DuckDB oracles
+    * replay the hashed seed family; this seeding is for PINNED
+    * codebook assets ([[GraphIndex]] cells mode) whose training no
+    * oracle replays. */
+  def sampledImiSeeds(emb: DataFrame, k: Long): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val picks = emb.select(col("vec_id"), col("iv"))
+      .orderBy(pmod(col("vec_id") * 1000003L + 12345L, lit(2147483647L)).asc,
+        col("vec_id").asc)
+      .limit(k.toInt).collect()
+    picks.zipWithIndex.toSeq.flatMap { case (r, i) =>
+      val iv = r.getAs[scala.collection.Seq[Long]]("iv")
+      Seq((i.toLong, 0, iv.slice(0, 32).toSeq),
+        (i.toLong, 1, iv.slice(32, 64).toSeq))
+    }.toDF("cid", "lvl", "cv")
+  }
+
+  /** [[trainedImiCodebooks]] from CALLER-SUPPLIED seeds — factored
+    * (round 15) so the graph asset's cells generator can train from
+    * [[sampledImiSeeds]] while the gate rows keep the oracle-replayed
+    * hashed seed family. */
+  def trainedImiCodebooksFrom(emb: DataFrame, seeds: DataFrame,
+                              iters: Int): DataFrame = {
+    val spark = emb.sparkSession
+    (1 to iters).foldLeft(seeds) { (books, _) =>
+      val step = QuantKernels.lloydIter(emb.select("vec_id", "iv"), books, "lvl", 32)
+      spark.createDataFrame(java.util.Arrays.asList(step.collect(): _*), step.schema)
+    }
+  }
+
+  def trainedImiCodebooks(emb: DataFrame, k: Long, iters: Int): DataFrame =
     // Both halves train in ONE joint Lloyd loop; since round 10 each
     // iteration is [[QuantKernels.lloydIter]]'s single mapPartitions
     // pass (assign + partial sums in registers) instead of the
@@ -248,13 +290,7 @@ object IvfAnn {
     // to per-level trainedCentroids (same tie-breaks, same truncating
     // mean, same empty-cluster fallback) — the oracle replays either
     // spelling.
-    val spark = emb.sparkSession
-    val seeds = imiCodebooks(spark, k)
-    (1 to iters).foldLeft(seeds) { (books, _) =>
-      val step = QuantKernels.lloydIter(emb.select("vec_id", "iv"), books, "lvl", 32)
-      spark.createDataFrame(java.util.Arrays.asList(step.collect(): _*), step.schema)
-    }
-  }
+    trainedImiCodebooksFrom(emb, imiCodebooks(emb.sparkSession, k), iters)
 
   /** The declarative (broadcast-crossJoin) spelling of
     * [[trainedImiCodebooks]], kept as the spec reference the kernel is

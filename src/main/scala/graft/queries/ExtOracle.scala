@@ -3272,7 +3272,15 @@ object ExtOracle {
     * then per query the entry seed, three expand-score-cut rounds
     * (UNION dedup, QUALIFY top-4 by cosine DESC, vec_id ASC), and the
     * final self-excluded ranking. */
-  val qx109: String = {
+  /** The qx109 graph-ANN replay (build + 3 beam rounds), parameterized
+    * (round 15) for reuse by the qx79c hybrid twin: `beam` is the beam
+    * width / per-round cut / final cut, and `qCap` further restricts
+    * the query-id slice (ANDed onto the `% 50 = 0` predicate at every
+    * point a query enters — the signature CTE and the entry-point
+    * fallback). */
+  private def graphAnnSql(beam: Int, qCap: Option[Long]): String = {
+    val qExtraV = qCap.map(c => s" AND vec_id < $c").getOrElse("")
+    val qExtraQQ = qCap.map(c => s" WHERE qq.qid < $c").getOrElse("")
     def cosQ(vtab: String) =
       s"""CAST(CAST(list_sum(list_transform(range(1, len($vtab.v) + 1),
          |     i -> $vtab.v[i] * qq.qv[i])) AS BIGINT) AS DOUBLE)
@@ -3293,18 +3301,19 @@ object ExtOracle {
               |g AS MATERIALIZED (SELECT u, v FROM gsc
               |     QUALIFY row_number() OVER (PARTITION BY u ORDER BY gcos DESC, v ASC) <= 4),
               |ent AS (SELECT min(vec_id) AS e FROM embeddings),
-              |qsig AS (SELECT vec_id AS qid, band, sig FROM sig WHERE vec_id % 50 = 0),
+              |qsig AS (SELECT vec_id AS qid, band, sig FROM sig
+              |         WHERE vec_id % 50 = 0$qExtraV),
               |seedc AS (SELECT DISTINCT s.vec_id, qs.qid
               |          FROM sig s JOIN qsig qs ON s.band = qs.band AND s.sig = qs.sig
               |          WHERE s.vec_id <> qs.qid),
               |seeds AS (SELECT qid, vec_id FROM seedc
-              |          UNION SELECT qq.qid, ent.e FROM q qq CROSS JOIN ent),
+              |          UNION SELECT qq.qid, ent.e FROM q qq CROSS JOIN ent$qExtraQQ),
               |sc0 AS (SELECT sd.qid, sd.vec_id, ${cosQ("n")} AS cosine
               |        FROM seeds sd JOIN n ON sd.vec_id = n.vec_id
               |                      JOIN q qq ON sd.qid = qq.qid),
               |b0 AS MATERIALIZED (SELECT qid, vec_id, cosine FROM sc0
               |      QUALIFY row_number() OVER (PARTITION BY qid
-              |        ORDER BY cosine DESC, vec_id ASC) <= 4)""".stripMargin
+              |        ORDER BY cosine DESC, vec_id ASC) <= $beam)""".stripMargin
     for (r <- 1 to 3) {
       sb ++= s""",
                 |ex$r AS (SELECT b.qid, g.v AS vec_id FROM b${r - 1} b JOIN g ON b.vec_id = g.u
@@ -3314,7 +3323,7 @@ object ExtOracle {
                 |                      JOIN q qq ON ex.qid = qq.qid),
                 |b$r AS MATERIALIZED (SELECT qid, vec_id, cosine FROM sc$r
                 |      QUALIFY row_number() OVER (PARTITION BY qid
-                |        ORDER BY cosine DESC, vec_id ASC) <= 4)""".stripMargin
+                |        ORDER BY cosine DESC, vec_id ASC) <= $beam)""".stripMargin
     }
     sb ++= s"""
               |SELECT qid, rk, vec_id, cosine
@@ -3322,9 +3331,55 @@ object ExtOracle {
               |        CAST(row_number() OVER (PARTITION BY qid
               |          ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rk
               |      FROM b3 WHERE vec_id <> qid) z
-              |WHERE rk <= 4""".stripMargin
+              |WHERE rk <= $beam""".stripMargin
     sb.result()
   }
+
+  val qx109: String = graphAnnSql(4, None)
+
+  /** qx79c twin — the dense leg is the FULL qx109 graph-ANN replay
+    * (LSH candidate build + all three beam rounds) at beam 20 on
+    * qx79's capped query slice; the lexical and fusion SQL is the
+    * SHARED suffix, so only the dense family differs from
+    * qx79/qx79b. */
+  val qx79c: String =
+    s"""WITH dt AS (
+       |${graphAnnSql(20, Some(5000L))}
+       |),
+       |drk AS (SELECT qid, vec_id AS doc_id, CAST(rk AS BIGINT) AS dense_rk FROM dt),
+       |""".stripMargin + HYBRID_LEX_FUSION
+
+  /** qx125 twin — the fused-retrieval recall ledger: the qx79 (brute
+    * fusion), qx79b (IVFADC fusion) and qx79c (graph fusion) twins
+    * nested verbatim, the two served families folded against the
+    * brute fused top-10 under the qx118 arithmetic at k = 10. */
+  val qx125: String =
+    s"""WITH fb AS MATERIALIZED (
+       |$qx79
+       |),
+       |h1 AS MATERIALIZED (
+       |$qx79b
+       |),
+       |h2 AS MATERIALIZED (
+       |$qx79c
+       |),
+       |srv AS (SELECT 'ivfadc' AS family, qid, doc_id FROM h1
+       |        UNION ALL SELECT 'graph', qid, doc_id FROM h2),
+       |fams AS (SELECT unnest(['ivfadc', 'graph']) AS family),
+       |pq AS (SELECT fams.family, b.qid, CAST(coalesce(o.h, 0) AS BIGINT) AS h
+       |       FROM fams CROSS JOIN (SELECT DISTINCT qid FROM fb) b
+       |       LEFT JOIN (SELECT srv.family, fb.qid, count(*) AS h
+       |                  FROM fb JOIN srv ON fb.qid = srv.qid AND fb.doc_id = srv.doc_id
+       |                  GROUP BY srv.family, fb.qid) o
+       |         ON fams.family = o.family AND b.qid = o.qid)
+       |SELECT family, CAST(h AS BIGINT) AS hits,
+       |       CAST(count(*) AS BIGINT) AS n_queries,
+       |       CAST(0 AS BIGINT) AS recall_micro
+       |FROM pq GROUP BY family, h
+       |UNION ALL
+       |SELECT family, CAST(-1 AS BIGINT), CAST(count(*) AS BIGINT),
+       |       CAST(1000000 * sum(h) // (10 * count(*)) AS BIGINT)
+       |FROM pq GROUP BY family""".stripMargin
 
   /** qx111 twin — the data card recomputed relationally: the qx84 rule
     * CTE for quality, a full-text Horner hash groupBy for recurrence,

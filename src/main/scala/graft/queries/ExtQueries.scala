@@ -3646,6 +3646,76 @@ object ExtQueries {
     rrfFuse(dense, bm25Top20(spark, dir))
   }
 
+  /** The hybrid family's GRAPH-ANN dense leg (round 15, r14 verdict
+    * #5 — the fourth ANN family as a dense-leg option in the RRF
+    * stack): the qx109 build-and-beam-serve spelling at beam 20 over
+    * qx79's capped query slice, emitted as (qid, doc_id, dense_rk).
+    * Shared by qx79c and the qx125 fusion-recall ledger. Scale shape:
+    * qx109's own (bucketed candidate join, per-round bounded beam
+    * expansion); the wider beam only widens the ≤ beam·|q| frontier
+    * frames, never the corpus-sized stages. */
+  private[graft] def graphDenseTop20(spark: SparkSession, dir: String): DataFrame = {
+    val base = intEmbeddings(spark, dir)
+    val sigs = lshSigs(spark, dir)
+    val graph = GraphAnn.knnGraph(base, EmbeddingLsh.candidatePairs(sigs), k = 4)
+    val qPred = col("vec_id") % 50 === 0 && col("vec_id") < 5000
+    val qs = base.where(qPred)
+      .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("n2").as("qn2"))
+    val qsigs = sigs.where(qPred)
+      .select(col("vec_id").as("qid"), col("band").as("qband"),
+        col("sig").as("qsig"))
+    val seeds = sigs.join(broadcast(qsigs),
+        col("band") === col("qband") && col("sig") === col("qsig") &&
+          col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id").distinct()
+    val entry = base.agg(min("vec_id")).head.getLong(0)
+    GraphAnn.search(graph, base, qs, seeds, entry, beam = 20, rounds = 3)
+      .select(col("qid"), col("vec_id").as("doc_id"),
+        col("rk").cast("long").as("dense_rk"))
+  }
+
+  /** qx79c — hybrid retrieval with the GRAPH-ANN dense leg (round 15,
+    * r14 verdict #5): qx79 with its dense leg served by the qx109
+    * k-NN-graph beam search (beam 20) instead of the brute n·q scan —
+    * the graph family joining IVFADC (qx79b) as a production dense
+    * option in the RRF stack. The lexical BM25 leg and the integer
+    * fusion are byte-identical to qx79/qx79b (shared
+    * [[bm25Top20]]/[[rrfFuse]]), and the query set is qx79's capped
+    * slice, so diffing the three gates measures exactly the dense
+    * family swap. The oracle replays the ENTIRE composition — graph
+    * build, all three beam rounds, BM25, fusion. At 100 TB the graph
+    * leg serves from the maintained [[graft.operators.GraphIndex]]
+    * asset ([[graft.operators.HybridIndex.searchGraphFused]] — the
+    * persisted twin this gate row pins). */
+  def qx79c(spark: SparkSession, dir: String): DataFrame =
+    rrfFuse(graphDenseTop20(spark, dir), bm25Top20(spark, dir))
+
+  /** qx125 — FUSED-retrieval recall ledger (round 15, r14 verdict #5's
+    * ledger entry): recall@10 of each index-served hybrid fusion —
+    * IVFADC dense leg (qx79b) vs graph-ANN dense leg (qx79c) — against
+    * the brute-dense fusion (qx79) over the identical query set: the
+    * qx123 family-keyed comparison applied to the END-TO-END serving
+    * stack instead of a single leg, because the release question is
+    * which dense family loses how much of the FUSED ranking (the list
+    * users see) at equal lexical budget. All three inputs are the
+    * shared gate spellings under one [[recallAuditK]] fold.
+    *
+    * Scale shape: the legs' own (already-probed) plans; each audit
+    * joins two 10·|q|-row lists and folds a ≤11-bucket histogram —
+    * metadata-sized at any corpus scale. */
+  def qx125(spark: SparkSession, dir: String): DataFrame = {
+    val brute = qx79(spark, dir).select(col("qid"), col("doc_id").as("vec_id"))
+      .localCheckpoint()
+    def leg(name: String, served: DataFrame): DataFrame =
+      recallAuditK(brute,
+          served.select(col("qid"), col("doc_id").as("vec_id"))
+            .localCheckpoint(), 10)
+        .select(lit(name).as("family"), col("hits"), col("n_queries"),
+          col("recall_micro"))
+    leg("ivfadc", qx79b(spark, dir))
+      .unionByName(leg("graph", qx79c(spark, dir)))
+  }
+
   /** qx80 — BLOCKLIST scan gate: [[graft.operators.AhoCorasick]]'s
     * single-pass dense DFA over the documents table with a 15-term
     * blocklist built to stress the automaton (nested suffixes

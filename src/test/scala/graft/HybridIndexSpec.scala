@@ -34,6 +34,26 @@ class HybridIndexSpec extends SparkTestBase {
         s"diff=${(served.toSet -- gate.toSet).take(3)}")
   }
 
+  test("searchGraphFused from a maintained graph asset == monolithic qx79c") {
+    val out = tmpDir("hybrid_gidx"); val g = tmpDir("hybrid_gidx_graph")
+    HybridIndex.build(spark, dir, out)
+    // graph asset over the committed corpus, LSH generator sized from
+    // the corpus itself — the exact regime qx79c's inline build uses,
+    // so the persisted serve must be BIT-equal to the gate row (the
+    // qx79b pin, graph-dense flavor; transitively oracle-pinned)
+    val n = graft.sources.Tables.embeddings(spark, dir).count()
+    graft.operators.GraphIndex.init(spark, out, g, expectedFinal = n)
+    def fused(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val served = fused(HybridIndex.searchGraphFused(spark, out, g))
+    val gate = fused(SparkEntry.queries("qx79c_hybrid_graph")(spark, dir))
+    assert(served.size == gate.size && served == gate,
+      s"graph-fused serve diverged from the qx79c gate: " +
+        s"served=${served.size} gate=${gate.size}, " +
+        s"diff=${(served.toSet -- gate.toSet).take(3)}")
+  }
+
   test("addBatch equals a frozen-codebook rebuild over the union corpus") {
     import org.apache.spark.sql.functions.col
     import graft.queries.ExtQueries
