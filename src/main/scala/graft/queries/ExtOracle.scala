@@ -404,15 +404,44 @@ object ExtOracle {
     * (adc ASC, vec_id ASC), exact-cosine top-5 refine. */
   val qx44: String = ivfadcSql("", 5)
 
-  /** The qx44 residual-IVFADC replay, parameterized for reuse by the
-    * qx79b hybrid twin: `qExtra` further restricts the query-id slice
-    * (appended to the `% 50 = 0` predicate) and `k` is the refined
-    * top-k depth. */
-  private def ivfadcSql(qExtra: String, k: Int): String = {
-    // Generic subspace-Lloyd step over a (vec_id, d, val) dims table;
-    // cluster identity = (sub = d // width, cid).
-    def step(prefix: String, dims: String, width: Int,
-             cin: String, cout: String, i: Int): String =
+  /** qx124 twin — the recall-at-budget curve: ONE shared
+    * [[IVFADC_TRAIN]] replay feeding four [[ivfadcServeCtes]] chains
+    * (perLevel 1/2/3 probes × refine C 32/256), each folded against
+    * the qx2 brute twin under the qx118 arithmetic, keyed by the
+    * budget label. */
+  val qx124: String =
+    s"""WITH rb AS MATERIALIZED (
+       |$qx2
+       |),
+       |$IVFADC_TRAIN,
+       |${ivfadcServeCtes("ba", 1, 32, 5, "")},
+       |${ivfadcServeCtes("bb", 2, 32, 5, "")},
+       |${ivfadcServeCtes("bc", 2, 256, 5, "")},
+       |${ivfadcServeCtes("bd", 3, 256, 5, "")},
+       |srv AS (SELECT 'p1_c32' AS budget, qid, vec_id FROM resba
+       |        UNION ALL SELECT 'p2_c32', qid, vec_id FROM resbb
+       |        UNION ALL SELECT 'p2_c256', qid, vec_id FROM resbc
+       |        UNION ALL SELECT 'p3_c256', qid, vec_id FROM resbd),
+       |buds AS (SELECT unnest(['p1_c32', 'p2_c32', 'p2_c256', 'p3_c256']) AS budget),
+       |pq AS (SELECT buds.budget, b.qid, CAST(coalesce(o.h, 0) AS BIGINT) AS h
+       |       FROM buds CROSS JOIN (SELECT DISTINCT qid FROM rb) b
+       |       LEFT JOIN (SELECT srv.budget, rb.qid, count(*) AS h
+       |                  FROM rb JOIN srv ON rb.qid = srv.qid AND rb.vec_id = srv.vec_id
+       |                  GROUP BY srv.budget, rb.qid) o
+       |         ON buds.budget = o.budget AND b.qid = o.qid)
+       |SELECT budget, CAST(h AS BIGINT) AS hits,
+       |       CAST(count(*) AS BIGINT) AS n_queries,
+       |       CAST(0 AS BIGINT) AS recall_micro
+       |FROM pq GROUP BY budget, h
+       |UNION ALL
+       |SELECT budget, CAST(-1 AS BIGINT), CAST(count(*) AS BIGINT),
+       |       CAST(1000000 * sum(h) // (5 * count(*)) AS BIGINT)
+       |FROM pq GROUP BY budget""".stripMargin
+
+  // Generic subspace-Lloyd step over a (vec_id, d, val) dims table;
+  // cluster identity = (sub = d // width, cid).
+  private def subspaceLloydStep(prefix: String, dims: String, width: Int,
+                                cin: String, cout: String, i: Int): String =
       s"""${prefix}cn$i AS (SELECT cid, d // $width AS sub, sum(cval*cval) AS cn2
          |          FROM $cin GROUP BY 1, 2),
          |${prefix}ad$i AS (SELECT vec_id, cid, d // $width AS sub, sum(val * cval) AS dot
@@ -429,7 +458,11 @@ object ExtOracle {
          |          GROUP BY 1, 2),
          |$cout AS (SELECT s.cid, s.d, COALESCE(u.m, s.cval) AS cval
          |          FROM $cin s LEFT JOIN ${prefix}up$i u ON s.cid = u.cid AND s.d = u.d)""".stripMargin
-    s"""WITH $EMB,
+  /** Shared IVFADC TRAINING chain (both trained half-codebooks, corpus
+    * cells, residual PQ codebooks and codes) — factored (round 15) so
+    * the qx124 budget curve's four serve legs replay ONE training. */
+  private lazy val IVFADC_TRAIN: String =
+    s"""$EMB,
        |params AS (SELECT count(*) AS n FROM embeddings),
        |kk AS (SELECT CAST(least(65536, greatest(4,
        |         1 << ((length(bin(greatest(n // 64, 2))) - 1 + 1) // 2))) AS BIGINT) AS k
@@ -440,11 +473,11 @@ object ExtOracle {
        |            % $P % 2001 - 1000 AS cval
        |        FROM kk, unnest(range(0, k)) AS t(c), generate_series(0, 31) td(d),
        |             (VALUES (0), (1)) l(lvl)),
-       |pdims AS (SELECT vec_id, i - 1 AS d, v[i] AS val FROM n, generate_series(1, 64) t(i)),
-       |${step("i", "pdims", 32, "ic0", "ic1", 0)},
-       |${step("i", "pdims", 32, "ic1", "ic2", 1)},
-       |icnf AS (SELECT cid, d // 32 AS sub, sum(cval*cval) AS cn2 FROM ic2 GROUP BY 1, 2),
-       |iadf AS (SELECT vec_id, cid, d // 32 AS sub, sum(val * cval) AS dot
+       |pdims AS MATERIALIZED (SELECT vec_id, i - 1 AS d, v[i] AS val FROM n, generate_series(1, 64) t(i)),
+       |${subspaceLloydStep("i", "pdims", 32, "ic0", "ic1", 0)},
+       |${subspaceLloydStep("i", "pdims", 32, "ic1", "ic2", 1)},
+       |icnf AS MATERIALIZED (SELECT cid, d // 32 AS sub, sum(cval*cval) AS cn2 FROM ic2 GROUP BY 1, 2),
+       |iadf AS MATERIALIZED (SELECT vec_id, cid, d // 32 AS sub, sum(val * cval) AS dot
        |         FROM pdims JOIN ic2 USING (d) GROUP BY 1, 2, 3),
        |iasf AS (SELECT vec_id, sub, cid FROM (
        |          SELECT a.vec_id, a.sub, a.cid,
@@ -452,20 +485,10 @@ object ExtOracle {
        |                   ORDER BY (2*dot - cn2) DESC, a.cid ASC) AS rn
        |          FROM iadf a JOIN icnf c ON a.cid = c.cid AND a.sub = c.sub)
        |         WHERE rn = 1),
-       |cells AS (SELECT a0.vec_id, a0.cid * k + a1.cid AS cell
+       |cells AS MATERIALIZED (SELECT a0.vec_id, a0.cid * k + a1.cid AS cell
        |          FROM iasf a0, iasf a1, kk
        |          WHERE a0.vec_id = a1.vec_id AND a0.sub = 0 AND a1.sub = 1),
-       |qpr AS (SELECT qid, sub, cid FROM (
-       |          SELECT a.vec_id AS qid, a.sub, a.cid,
-       |                 row_number() OVER (PARTITION BY a.vec_id, a.sub
-       |                   ORDER BY (2*dot - cn2) DESC, a.cid ASC) AS rn
-       |          FROM iadf a JOIN icnf c ON a.cid = c.cid AND a.sub = c.sub
-       |          WHERE a.vec_id % 50 = 0$qExtra)
-       |        WHERE rn <= 2),
-       |qcells AS (SELECT p0.qid, p0.cid * k + p1.cid AS cell
-       |           FROM qpr p0, qpr p1, kk
-       |           WHERE p0.qid = p1.qid AND p0.sub = 0 AND p1.sub = 1),
-       |rdims AS (SELECT p.vec_id, p.d, p.val - s.cval AS val
+       |rdims AS MATERIALIZED (SELECT p.vec_id, p.d, p.val - s.cval AS val
        |          FROM pdims p
        |          JOIN iasf a ON p.vec_id = a.vec_id AND p.d // 32 = a.sub
        |          JOIN ic2 s ON s.cid = a.cid AND s.d = p.d),
@@ -473,54 +496,80 @@ object ExtOracle {
        |          (((c * 1000003 + d * 97 + 37) % $P) * ((c * 1000003 + d * 97 + 37) % $P))
        |            % $P % 2001 - 1000 AS cval
        |        FROM unnest(range(0, 16)) AS t(c), generate_series(0, 63) td(d)),
-       |${step("p", "rdims", 8, "pc0", "pc1", 0)},
-       |${step("p", "rdims", 8, "pc1", "pc2", 1)},
-       |pcnf AS (SELECT cid, d // 8 AS sub, sum(cval*cval) AS cn2 FROM pc2 GROUP BY 1, 2),
+       |${subspaceLloydStep("p", "rdims", 8, "pc0", "pc1", 0)},
+       |${subspaceLloydStep("p", "rdims", 8, "pc1", "pc2", 1)},
+       |pcnf AS MATERIALIZED (SELECT cid, d // 8 AS sub, sum(cval*cval) AS cn2 FROM pc2 GROUP BY 1, 2),
        |padf AS (SELECT vec_id, cid, d // 8 AS sub, sum(val * cval) AS dot
        |         FROM rdims JOIN pc2 USING (d) GROUP BY 1, 2, 3),
-       |codes AS (SELECT vec_id, sub, cid FROM (
+       |codes AS MATERIALIZED (SELECT vec_id, sub, cid FROM (
        |           SELECT a.vec_id, a.sub, a.cid,
        |                  row_number() OVER (PARTITION BY a.vec_id, a.sub
        |                    ORDER BY (2*dot - cn2) DESC, a.cid ASC) AS rn
        |           FROM padf a JOIN pcnf c ON a.cid = c.cid AND a.sub = c.sub)
-       |          WHERE rn = 1),
-       |qrdims AS (SELECT qc.qid, qc.cell, p.d, p.val - s.cval AS val
-       |           FROM qcells qc
+       |          WHERE rn = 1)""".stripMargin
+
+  /** ONE IVFADC serve as a CTE chain suffixed `$sfx` — query probe
+    * (perLevel² cells), residual LUTs, ADC, top-`refineC` exact refine,
+    * top-`k` emit into `res$sfx`. References only [[IVFADC_TRAIN]]
+    * CTEs, so any number of serve chains (the qx124 budget curve)
+    * share one training. */
+  private def ivfadcServeCtes(sfx: String, perLevel: Int, refineC: Int,
+                              k: Int, qExtra: String): String =
+    s"""qpr$sfx AS (SELECT qid, sub, cid FROM (
+       |          SELECT a.vec_id AS qid, a.sub, a.cid,
+       |                 row_number() OVER (PARTITION BY a.vec_id, a.sub
+       |                   ORDER BY (2*dot - cn2) DESC, a.cid ASC) AS rn
+       |          FROM iadf a JOIN icnf c ON a.cid = c.cid AND a.sub = c.sub
+       |          WHERE a.vec_id % 50 = 0$qExtra)
+       |        WHERE rn <= $perLevel),
+       |qcells$sfx AS (SELECT p0.qid, p0.cid * k + p1.cid AS cell
+       |           FROM qpr$sfx p0, qpr$sfx p1, kk
+       |           WHERE p0.qid = p1.qid AND p0.sub = 0 AND p1.sub = 1),
+       |qrdims$sfx AS (SELECT qc.qid, qc.cell, p.d, p.val - s.cval AS val
+       |           FROM qcells$sfx qc
        |           JOIN pdims p ON p.vec_id = qc.qid
        |           JOIN kk ON TRUE
        |           JOIN ic2 s ON s.d = p.d AND s.cid =
        |             CASE WHEN p.d // 32 = 0 THEN qc.cell // k ELSE qc.cell % k END),
-       |qrn AS (SELECT qid, cell, CAST(sum(val*val) AS BIGINT) AS qrn2
-       |        FROM qrdims GROUP BY 1, 2),
-       |lut AS (SELECT a.qid, a.cell, a.cid, a.sub, c.cn2 - 2 * a.qdot AS part
+       |qrn$sfx AS (SELECT qid, cell, CAST(sum(val*val) AS BIGINT) AS qrn2
+       |        FROM qrdims$sfx GROUP BY 1, 2),
+       |lut$sfx AS (SELECT a.qid, a.cell, a.cid, a.sub, c.cn2 - 2 * a.qdot AS part
        |        FROM (SELECT qid, cell, cid, d // 8 AS sub, sum(val * cval) AS qdot
-       |              FROM qrdims JOIN pc2 USING (d) GROUP BY 1, 2, 3, 4) a
+       |              FROM qrdims$sfx JOIN pc2 USING (d) GROUP BY 1, 2, 3, 4) a
        |        JOIN pcnf c ON a.cid = c.cid AND a.sub = c.sub),
-       |cand AS (SELECT qid, cell, vec_id
-       |         FROM qcells JOIN cells USING (cell) WHERE vec_id <> qid),
-       |adc0 AS (SELECT cand.qid, cand.vec_id, cand.cell, CAST(sum(part) AS BIGINT) AS s
-       |         FROM cand
-       |         JOIN codes c ON c.vec_id = cand.vec_id
-       |         JOIN lut l ON l.qid = cand.qid AND l.cell = cand.cell
+       |cand$sfx AS (SELECT qid, cell, vec_id
+       |         FROM qcells$sfx JOIN cells USING (cell) WHERE vec_id <> qid),
+       |adc0$sfx AS (SELECT cd.qid, cd.vec_id, cd.cell, CAST(sum(part) AS BIGINT) AS s
+       |         FROM cand$sfx cd
+       |         JOIN codes c ON c.vec_id = cd.vec_id
+       |         JOIN lut$sfx l ON l.qid = cd.qid AND l.cell = cd.cell
        |              AND l.sub = c.sub AND l.cid = c.cid
        |         GROUP BY 1, 2, 3),
-       |adc AS (SELECT adc0.qid, adc0.vec_id, s + qrn2 AS adc
-       |        FROM adc0 JOIN qrn ON qrn.qid = adc0.qid AND qrn.cell = adc0.cell),
-       |sel AS (SELECT qid, vec_id FROM (
+       |adc$sfx AS (SELECT a0.qid, a0.vec_id, s + qrn2 AS adc
+       |        FROM adc0$sfx a0 JOIN qrn$sfx qr ON qr.qid = a0.qid AND qr.cell = a0.cell),
+       |sel$sfx AS (SELECT qid, vec_id FROM (
        |         SELECT qid, vec_id,
        |                row_number() OVER (PARTITION BY qid
        |                  ORDER BY adc ASC, vec_id ASC) AS rn
-       |         FROM adc) WHERE rn <= 32),
-       |scored AS (
-       |  SELECT sel.qid, sel.vec_id,
+       |         FROM adc$sfx) WHERE rn <= $refineC),
+       |scored$sfx AS (
+       |  SELECT s0.qid, s0.vec_id,
        |         CAST(CAST(list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * qv[i])) AS BIGINT) AS DOUBLE)
        |           / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE))) AS cosine
-       |  FROM sel JOIN n ON sel.vec_id = n.vec_id JOIN q ON sel.qid = q.qid)
-       |SELECT qid, rk, vec_id, cosine
-       |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rk
-       |      FROM scored) t
-       |WHERE rk <= $k""".stripMargin
-  }
+       |  FROM sel$sfx s0 JOIN n ON s0.vec_id = n.vec_id JOIN q ON s0.qid = q.qid),
+       |res$sfx AS (SELECT qid, rk, vec_id, cosine
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rk
+       |        FROM scored$sfx) t
+       |  WHERE rk <= $k)""".stripMargin
+
+  /** The qx44 residual-IVFADC replay, parameterized for reuse by the
+    * qx79b hybrid twin: `qExtra` further restricts the query-id slice
+    * (appended to the `% 50 = 0` predicate) and `k` is the refined
+    * top-k depth. */
+  private def ivfadcSql(qExtra: String, k: Int): String =
+    s"""WITH $IVFADC_TRAIN,
+       |${ivfadcServeCtes("", 2, 32, k, qExtra)}
+       |SELECT qid, rk, vec_id, cosine FROM res""".stripMargin
 
   val qx16: String =
     s"""WITH $KMEANS_ASSIGN,

@@ -383,11 +383,13 @@ object ExtQueries {
     ProductQuantizer.luts(q, booksN)
 
   /** ADC top-C cut + exact-cosine top-5 refine — the tail qx42 and qx43
-    * share; `adc` rows are (qid, vec_id, adc). */
+    * share; `adc` rows are (qid, vec_id, adc). `c` is the refine
+    * budget (round 15: parameterized for the qx124 recall-at-budget
+    * curve; every existing caller keeps [[PqC]]). */
   private def pqRefine(adc: DataFrame, base: DataFrame, q: DataFrame,
-                       k: Int = 5): DataFrame = {
+                       k: Int = 5, c: Int = PqC): DataFrame = {
     val cand = adc
-      .groupBy("qid").agg(expr(s"topk_by(CAST(-adc AS DOUBLE), vec_id, $PqC)").as("tk"))
+      .groupBy("qid").agg(expr(s"topk_by(CAST(-adc AS DOUBLE), vec_id, $c)").as("tk"))
       .select(col("qid"), explode(col("tk.id")).as("vec_id"))
     val scored = cand.join(base, "vec_id").join(broadcast(q), "qid")
       .withColumn("dot", expr("long_dot(iv, qiv)"))
@@ -564,10 +566,16 @@ object ExtQueries {
   private[graft] def ivfadcServe(q: DataFrame, tBooks: DataFrame, rBooks: DataFrame,
                                  rCodes: DataFrame, base: DataFrame, k: Long,
                                  topk: Int,
-                                 qCellsOpt: Option[DataFrame] = None): DataFrame = {
+                                 qCellsOpt: Option[DataFrame] = None,
+                                 perLevel: Int = 2,
+                                 refineC: Int = PqC): DataFrame = {
     // A caller who already computed the probe set (HybridIndex, which
     // also prunes code buckets with it) passes it in — one probe pass.
-    val qCells = qCellsOpt.getOrElse(IvfAnn.imiProbeCellsL2(q, tBooks, k, 2))
+    // perLevel/refineC are the SERVING BUDGET knobs (round 15, qx124):
+    // perLevel² probed cells bound the candidate set, refineC the
+    // exact-rescore pass — the two costs a serving deployment trades
+    // against recall.
+    val qCells = qCellsOpt.getOrElse(IvfAnn.imiProbeCellsL2(q, tBooks, k, perLevel))
     val qRes = residualizedWith(tBooks, k)(
       q.select(col("qid").as("vec_id"), col("qiv").as("iv")),
       qCells.withColumnRenamed("qid", "vec_id"))
@@ -581,7 +589,7 @@ object ExtQueries {
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         (expr("pq_adc(lutarr, codes)") + col("qrn2")).as("adc"))
-    pqRefine(adc, base, q, topk)
+    pqRefine(adc, base, q, topk, refineC)
   }
 
   // ------------------------------------------------------- near-dup dedup
@@ -1014,6 +1022,38 @@ object ExtQueries {
     leg("ivf", qx13(spark, dir))
       .unionByName(leg("imi", qx15(spark, dir)))
       .unionByName(leg("kmeans", qx16(spark, dir)))
+  }
+
+  /** qx124 — RECALL-AT-BUDGET curve for the serving IVFADC family
+    * (round 15, r14 verdict #6): the qx122 audit at FOUR operating
+    * points of the two serving-budget knobs — probed cells (perLevel²:
+    * 1, 4, 9) and exact-refine depth C (32, 256) — so the knobs'
+    * recall-cost tradeoff is a hash-pinned release fact instead of a
+    * RecallProbe note (the probe measured the curve closing at C = 256,
+    * per Jégou TPAMI'11 §V; `p2_c32` is the production default, which
+    * anchors this curve to the qx122 ledger row exactly). One
+    * parameterized row, the qx123 comparison shape: the question is a
+    * CURVE, so the budgets' histograms belong side by side over an
+    * identical query set, one build.
+    *
+    * Scale shape: the IVFADC build runs ONCE (shared assets); each
+    * budget leg is a probe-bound serve (candidates ∝ perLevel² · cell
+    * occupancy, refine ∝ C) and each audit joins two 5·|q|-row lists —
+    * metadata-sized at any corpus scale. */
+  def qx124(spark: SparkSession, dir: String): DataFrame = {
+    val brute = qx2(spark, dir).select(col("qid"), col("vec_id")).localCheckpoint()
+    val (a, k) = ivfadcAssets(spark, dir)
+    val q = a.base.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("n2").as("qn2"))
+    def leg(perLevel: Int, c: Int): DataFrame =
+      recallAuditK(brute,
+          ivfadcServe(q, a.books, a.pqBooks, a.codes, a.base, k, topk = 5,
+              perLevel = perLevel, refineC = c)
+            .select(col("qid"), col("vec_id")).localCheckpoint(), 5)
+        .select(lit(s"p${perLevel}_c$c").as("budget"), col("hits"),
+          col("n_queries"), col("recall_micro"))
+    leg(1, 32).unionByName(leg(2, 32))
+      .unionByName(leg(2, 256)).unionByName(leg(3, 256))
   }
 
   /** The deterministic per-doc sampling hash qx21/qx22 order by: an
