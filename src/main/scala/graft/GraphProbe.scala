@@ -173,13 +173,31 @@ object GraphProbe {
         if (gen == "cells")
           GraphAnn.inlineServeCells(committed,
             spark.read.parquet(s"$gOut/books.parquet"),
-            m.getAs[Long]("cellk"), qs, k = 4, beam = 4, rounds = 3).count()
+            m.getAs[Long]("cellk"),
+            spark.read.parquet(s"$gOut/splits.parquet"),
+            qs, k = 4, beam = 4, rounds = 3).count()
         else
           GraphAnn.inlineServe(committed, m.getAs[Int]("planes"), qs, k = 4,
             beam = 4, rounds = 3).count()
       }
       require(nServed == nInline,
         s"asset serve row count diverged from inline: $nServed vs $nInline")
+      // serving-quality honesty (round 15): recall@top1 of the asset
+      // serve vs brute truth over the same queries — one |q|·n scored
+      // pass, the cells: mode's check on the door asset
+      val served = graft.operators.GraphIndex.search(spark, idxOut, gOut, qs)
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+      val brute = qs.crossJoin(committed.select(col("vec_id"), col("iv"), col("n2")))
+        .where(col("vec_id") =!= col("qid"))
+        .withColumn("dot", expr("long_dot(iv, qiv)"))
+        .withColumn("cosine", expr(
+          "CAST(dot AS DOUBLE) / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE)))"))
+        .groupBy("qid").agg(expr("topk_by(cosine, vec_id, 1)").as("tk"))
+        .select(col("qid"), expr("element_at(tk, 1).id").as("nn"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val byQ = served.groupBy(_._1)
+      val recallHits = brute.count { case (qq, nn) =>
+        byQ.getOrElse(qq, Array.empty[(Long, Long)]).exists(_._2 == nn) }
       // heap envelope: Xmx plus the largest single heap pool's peak
       // (pools peak at different times, so a SUM can exceed Xmx and
       // mislead; completing the run under this Xmx is the primary
@@ -199,6 +217,7 @@ object GraphProbe {
         s""""serve_queries":$nq,""" +
         s""""serve_asset_sec":${"%.2f".format(serveAssetSec)},""" +
         s""""serve_inline_sec":${"%.2f".format(serveInlineSec)},""" +
+        s""""recall_top1":"$recallHits/${brute.size}",""" +
         s""""heap_max_gb":${"%.1f".format(heapMaxGb)},""" +
         s""""heap_peak_pool_gb":${"%.1f".format(heapPeakGb)},"sf":"$d"}""")
       spark.stop()

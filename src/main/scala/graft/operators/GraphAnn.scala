@@ -91,9 +91,48 @@ object GraphAnn {
     * only on (vector, books), so under books pinned at init
     * admit == rebuild stays bit-equal — the same capacity-planning
     * argument as the pinned plane schedule. */
-  def cellSigs(emb: DataFrame, books: DataFrame, k2: Long): DataFrame =
+  /** Sub-bucket id space per cell: sig = cell · 2²⁰ + sub. Cell ids
+    * are < 2³² (k2 ≤ 65536 per level), so sigs stay well inside Long
+    * for any split factor < 2²⁰ (a single cell of ~67M members at the
+    * 64-target — far past any sane regime). */
+  val CellSubMax = 1L << 20
+
+  /** Per-cell SPLIT FACTORS pinned at init — the occupancy cap that
+    * makes the cells generator robust on corpora k-means cannot
+    * balance (the 200k iid-noise probe: BOTH hashed and data-sampled
+    * seeds collapse 4096 product cells to ~300 live ones, mean
+    * occupancy ~650, max ~4400 — Σ|cell|² blew the default heap in
+    * the candidate join). A cell with count > 2·target splits into
+    * ceil(count/target) sub-buckets by a pure per-vector id hash, so
+    * expected sub-bucket size is ~target BY CONSTRUCTION, whatever
+    * the coarse quantizer did. Only cells needing a split are stored
+    * (≤ n/(2·target) rows, ~300 at the probe — always
+    * broadcastable); absent cells read as splits = 1. Split factors
+    * are part of the PINNED signature schedule: computed from the
+    * INIT corpus, never the running one — the same capacity-planning
+    * argument as the plane count, and the reason admit == rebuild
+    * stays bit-equal. A post-init distribution shift that overgrows
+    * a bucket is the retrain-flip trigger's territory, not this
+    * table's. */
+  def cellSplits(asg: DataFrame, target: Long = IvfAnn.TargetListSize): DataFrame =
+    asg.groupBy("cell").agg(count(lit(1)).as("n"))
+      .where(col("n") > 2L * target)
+      .select(col("cell"),
+        expr(s"CAST(ceil(CAST(n AS DOUBLE) / $target) AS BIGINT)").as("splits"))
+
+  /** The pure per-vector sub-bucket assignment under pinned split
+    * factors (reduced-mod hash so the product never overflows at any
+    * id). */
+  private def subOf(sp: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(pmod(col("vec_id"), lit(2147483647L)) * 1000003L + 7L, sp)
+
+  def cellSigs(emb: DataFrame, books: DataFrame, k2: Long,
+               splits: DataFrame): DataFrame =
     IvfAnn.imiCellsL2Kernel(emb.select("vec_id", "iv"), books, k2)
-      .select(col("vec_id"), lit(0L).as("band"), col("cell").as("sig"))
+      .join(broadcast(splits), Seq("cell"), "left")
+      .withColumn("sp", coalesce(col("splits"), lit(1L)))
+      .select(col("vec_id"), lit(0L).as("band"),
+        (col("cell") * CellSubMax + subOf(col("sp"))).as("sig"))
 
   /** The CELLS-generator inline serving twin of [[inlineServe]]: sign
     * the corpus under the PINNED trained codebooks, seed each query
@@ -105,14 +144,27 @@ object GraphAnn {
     * discipline). `books` must be the ASSET's pinned codebooks — a
     * retrained copy would assign different cells and the equality
     * would be vacuous. */
+  /** Query-side signature rows (qid, qband = 0, qsig) for cell-mode
+    * seeding: each probed cell EXPANDS to all its pinned sub-buckets
+    * (the query must meet every member of its probed cells — the
+    * sub-split bounds BUILD work, not the query's own candidate
+    * reach; expansion is ≤ probes · maxSplits rows per query, a
+    * bounded frame). */
+  def cellQuerySigs(queries: DataFrame, books: DataFrame, k2: Long,
+                    splits: DataFrame): DataFrame =
+    IvfAnn.imiProbeCellsL2(queries.select(col("qid"), col("qiv")), books, k2)
+      .join(broadcast(splits), Seq("cell"), "left")
+      .withColumn("sp", coalesce(col("splits"), lit(1L)))
+      .select(col("qid"), lit(0L).as("qband"),
+        explode(expr(s"transform(sequence(0, CAST(sp - 1 AS INT)), " +
+          s"s -> cell * $CellSubMax + s)")).as("qsig"))
+
   def inlineServeCells(base: DataFrame, books: DataFrame, k2: Long,
-                       queries: DataFrame, k: Int, beam: Int,
-                       rounds: Int): DataFrame = {
-    val sigs = cellSigs(base, books, k2)
+                       splits: DataFrame, queries: DataFrame, k: Int,
+                       beam: Int, rounds: Int): DataFrame = {
+    val sigs = cellSigs(base, books, k2, splits)
     val qs = queries.select("qid", "qiv", "qn2")
-    val qsigs = IvfAnn.imiProbeCellsL2(
-        qs.select(col("qid"), col("qiv")), books, k2)
-      .select(col("qid"), lit(0L).as("qband"), col("cell").as("qsig"))
+    val qsigs = cellQuerySigs(qs, books, k2, splits)
     val seeds = sigs.join(broadcast(qsigs),
         col("band") === col("qband") && col("sig") === col("qsig") &&
           col("vec_id") =!= col("qid"))

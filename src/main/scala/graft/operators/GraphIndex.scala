@@ -235,7 +235,8 @@ object GraphIndex {
     if (m.getAs[String]("generator") == "cells")
       GraphAnn.cellSigs(vecs,
         spark.read.parquet(s"$graphDir/books.parquet"),
-        m.getAs[Long]("cellk"))
+        m.getAs[Long]("cellk"),
+        spark.read.parquet(s"$graphDir/splits.parquet"))
     else EmbeddingLsh.bandSigs(vecs, m.getAs[Int]("planes"))
   }
 
@@ -250,10 +251,10 @@ object GraphIndex {
                              qs: DataFrame): DataFrame = {
     val m = spark.read.parquet(s"$graphDir/meta.parquet").head
     if (m.getAs[String]("generator") == "cells")
-      IvfAnn.imiProbeCellsL2(qs.select(col("qid"), col("qiv")),
-          spark.read.parquet(s"$graphDir/books.parquet"),
-          m.getAs[Long]("cellk"))
-        .select(col("qid"), lit(0L).as("qband"), col("cell").as("qsig"))
+      GraphAnn.cellQuerySigs(qs,
+        spark.read.parquet(s"$graphDir/books.parquet"),
+        m.getAs[Long]("cellk"),
+        spark.read.parquet(s"$graphDir/splits.parquet"))
     else
       EmbeddingLsh.bandSigs(
           qs.select(col("qid").as("vec_id"), col("qiv").as("iv")),
@@ -299,6 +300,14 @@ object GraphIndex {
         IvfAnn.trainedImiCodebooksFrom(base.select("vec_id", "iv"),
             IvfAnn.sampledImiSeeds(base.select("vec_id", "iv"), k2), iters = 2)
           .write.mode("overwrite").parquet(s"$graphDir/books.parquet")
+        // the pinned occupancy cap ([[GraphAnn.cellSplits]]): per-cell
+        // split factors from the INIT corpus's assignment, so bucket
+        // size is bounded by construction even where k-means cannot
+        // balance (the iid-noise probe collapsed 4096 cells to ~300)
+        val books = spark.read.parquet(s"$graphDir/books.parquet")
+        GraphAnn.cellSplits(
+            IvfAnn.imiCellsL2Kernel(base.select("vec_id", "iv"), books, k2))
+          .write.mode("overwrite").parquet(s"$graphDir/splits.parquet")
         (-1, k2)
       } else (EmbeddingLsh.planesFor(expectedFinal), -1L)
     Seq((planes, k, lpaIters, generator, cellk))

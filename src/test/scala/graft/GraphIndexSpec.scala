@@ -199,6 +199,7 @@ class GraphIndexSpec extends SparkTestBase {
     wave(w1, "b1"); wave(w2, "b2")
     val committed = HybridIndex.committedBase(spark, idx).localCheckpoint()
     val books = spark.read.parquet(s"$g/books.parquet")
+    val splits = spark.read.parquet(s"$g/splits.parquet")
     val k2 = spark.read.parquet(s"$g/meta.parquet").head.getAs[Long]("cellk")
     // (1) the maintained graph equals a clean rebuild under the SAME
     // pinned codebooks — the qx110 admit==rebuild pin, cells flavor
@@ -207,7 +208,8 @@ class GraphIndexSpec extends SparkTestBase {
     def edges(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val rebuilt = GraphAnn.knnGraph(committed,
-      EmbeddingLsh.candidatePairs(GraphAnn.cellSigs(committed, books, k2)), 4)
+      EmbeddingLsh.candidatePairs(
+        GraphAnn.cellSigs(committed, books, k2, splits)), 4)
     assert(edges(GraphIndex.graph(spark, g)) === edges(rebuilt),
       "cells-mode incremental admission must be bit-equal to the pinned-books rebuild")
     // n_base still folds exactly through cells-mode admissions
@@ -220,7 +222,7 @@ class GraphIndexSpec extends SparkTestBase {
     def beamSet(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
     assert(beamSet(GraphIndex.search(spark, idx, g, qs)) ===
-      beamSet(GraphAnn.inlineServeCells(committed, books, k2, qs,
+      beamSet(GraphAnn.inlineServeCells(committed, books, k2, splits, qs,
         k = 4, beam = 4, rounds = 3)),
       "asset serve must equal the inline cells spelling")
     // (3) the community refresh runs over the cell candidate graph
