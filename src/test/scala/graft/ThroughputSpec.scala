@@ -23,15 +23,21 @@ class ThroughputSpec extends SparkTestBase {
     * by the same factor (never up — a true regression still fails on
     * a quiet box, and the turnaround assert stays absolute). */
   private def loadFactor(): Double = {
-    // quiet-box reference: min of 5 solo runs on the idle round-15
-    // box (local[4] test session), 0.95 s — doubled to absorb
-    // benign scheduling jitter before any scaling kicks in.
-    val quietSec = 1.9
-    val t0 = System.nanoTime()
-    spark.range(0L, 40000000L, 1L, 4)
-      .selectExpr("sum(id * 2654435761 % 2147483647)").collect()
-    val sec = (System.nanoTime() - t0) / 1e9
-    info(f"load calibration: $sec%.2f s vs quiet $quietSec%.2f s")
+    // quiet-box reference: warm min-of-2 solo runs on the idle
+    // round-15 box (local[4] test session) read ~0.4 s; 1.3 gives 3×
+    // headroom so benign jitter never scales the floor. The first run
+    // is a discarded warm-up — cold Janino codegen + JIT dominate it
+    // (~5 s measured) and would read as phantom load.
+    val quietSec = 1.3
+    def run(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 40000000L, 1L, 4)
+        .selectExpr("sum(id * 2654435761 % 2147483647)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    run() // warm-up, discarded
+    val sec = math.min(run(), run())
+    info(f"load calibration: $sec%.2f s (warm min-of-2) vs quiet $quietSec%.2f s")
     math.max(1.0, sec / quietSec)
   }
 
