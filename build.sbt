@@ -11,6 +11,21 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// ThroughputSpec asserts an ABSOLUTE rate; 40 minutes of suites age the
+// shared forked JVM (round-15 measurement: the windowed pipeline read
+// 262 ev/s mid-suite vs 630 standalone while a batch calibration job
+// read 0.10 s — host idle, JVM aged). Run it in its OWN forked JVM so
+// the measurement is always fresh-JVM; groups are serialized so the
+// rate test never races the main group for cores.
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val opts = (Test / forkOptions).value
+  tests.groupBy(_.name == "graft.ThroughputSpec").map { case (isTp, ts) =>
+    Tests.Group(if (isTp) "throughput-isolated" else "main", ts,
+      Tests.SubProcess(opts))
+  }.toSeq
+}
+Global / concurrentRestrictions += Tags.limit(Tags.ForkedTestGroup, 1)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
