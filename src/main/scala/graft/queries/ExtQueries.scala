@@ -3744,16 +3744,26 @@ object ExtQueries {
     * joins two 10·|q|-row lists and folds a ≤11-bucket histogram —
     * metadata-sized at any corpus scale. */
   def qx125(spark: SparkSession, dir: String): DataFrame = {
-    val brute = qx79(spark, dir).select(col("qid"), col("doc_id").as("vec_id"))
-      .localCheckpoint()
+    // The three fusion stacks are independent — materialize them
+    // CONCURRENTLY (the qx117 composite-row cost model: max(legs) +
+    // fold under eager localCheckpoints, not the sum — this row read
+    // 21.9 s serial in the first r15 bench, ≈ its three constituents
+    // added end to end).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def fused(df: => DataFrame) = Future(
+      df.select(col("qid"), col("doc_id").as("vec_id")).localCheckpoint())
+    val fBrute = fused(qx79(spark, dir))
+    val fAdc = fused(qx79b(spark, dir))
+    val fGraph = fused(qx79c(spark, dir))
+    val brute = Await.result(fBrute, Duration.Inf)
     def leg(name: String, served: DataFrame): DataFrame =
-      recallAuditK(brute,
-          served.select(col("qid"), col("doc_id").as("vec_id"))
-            .localCheckpoint(), 10)
+      recallAuditK(brute, served, 10)
         .select(lit(name).as("family"), col("hits"), col("n_queries"),
           col("recall_micro"))
-    leg("ivfadc", qx79b(spark, dir))
-      .unionByName(leg("graph", qx79c(spark, dir)))
+    leg("ivfadc", Await.result(fAdc, Duration.Inf))
+      .unionByName(leg("graph", Await.result(fGraph, Duration.Inf)))
   }
 
   /** qx80 — BLOCKLIST scan gate: [[graft.operators.AhoCorasick]]'s
