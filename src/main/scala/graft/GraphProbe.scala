@@ -20,7 +20,9 @@ import graft.operators.{EmbeddingLsh, GraphAnn}
   * 1.5×). Recorded in SURVEY §8.2 qx110.
   *
   * Usage: runMain graft.GraphProbe (<dir>|gen:<n>) [reps] [deltaMod]
-  * Prints one JSON line.
+  * Prints one JSON line. In the door:/doorcells: modes a NEGATIVE
+  * deltaMod is the raw wave modulus (-4 → a 25% bulk wave); positive
+  * keeps the drip spelling (modulus deltaMod·100).
   *
   * `gen:<n>` synthesizes n RANDOM vectors (ProbeGen's noise term
   * alone) — the gate corpus's regime. The PLANTED-cluster probe corpus
@@ -78,8 +80,12 @@ object GraphProbe {
         .join(asg.select(col("vec_id").as("qid"), col("cid")), "qid")
         .join(asg.select("vec_id", "cid"), "cid")
         .select("qid", "vec_id")
+      // recall_top1 is top1-vs-top1 (round 16, r15 advice: counting a
+      // hit anywhere in the served beam under this key overstated
+      // serving quality) — restrict the served side to rk = 1
       val (found, searchSec) = time {
         GraphAnn.search(g, base, qs, seeds, entry = 0L, beam = 4, rounds = 3)
+          .where(col("rk") === 1L)
           .collect().map(r => (r.getLong(0), r.getLong(2)))
       }
       val brute = qs.crossJoin(base.select(col("vec_id"), col("iv"), col("n2")))
@@ -113,6 +119,13 @@ object GraphProbe {
     if (dir.startsWith("door:") || dir.startsWith("doorcells:")) {
       val gen = if (dir.startsWith("doorcells:")) "cells" else "lsh"
       val d = dir.drop(if (gen == "cells") 10 else 5)
+      // delta sizing: a positive deltaMod keeps the steady-drip
+      // spelling (modulus deltaMod·100 → a ~1/(deltaMod·100) drip); a
+      // NEGATIVE deltaMod is the RAW modulus (round 16, r15 verdict
+      // #7 — the bulk-wave probe: -4 → a 25% wave, squarely in the
+      // admit-vs-rebuild knee's rebuild regime, confirming the cells
+      // rebuild also fits the default heap).
+      val doorMod = if (deltaMod < 0) -deltaMod else deltaMod * 100L
       val docs = spark.read.parquet(s"$d/documents.parquet")
         .select(col("doc_id"), col("text"))
       // NOISE embeddings over the probe corpus's vec_id domain — the
@@ -130,8 +143,8 @@ object GraphProbe {
       val nAll = raw.count()
       val idxOut = java.nio.file.Files.createTempDirectory("graft_gdoor_idx").toString
       val gOut = java.nio.file.Files.createTempDirectory("graft_gdoor_g").toString
-      val deltaPred = pmod(col("doc_id"), lit(deltaMod * 100L)) === 3L // ~steady drip
-      val deltaPredV = pmod(col("vec_id"), lit(deltaMod * 100L)) === 3L
+      val deltaPred = pmod(col("doc_id"), lit(doorMod)) === 3L
+      val deltaPredV = pmod(col("vec_id"), lit(doorMod)) === 3L
       graft.operators.HybridIndex.build(spark,
         docs.where(!deltaPred), raw.where(!deltaPredV), idxOut)
       val (_, initSec) = time {
@@ -184,8 +197,11 @@ object GraphProbe {
         s"asset serve row count diverged from inline: $nServed vs $nInline")
       // serving-quality honesty (round 15): recall@top1 of the asset
       // serve vs brute truth over the same queries — one |q|·n scored
-      // pass, the cells: mode's check on the door asset
+      // pass, the cells: mode's check on the door asset. Top1-vs-top1
+      // (round 16, r15 advice): only the serve's rk = 1 row counts —
+      // a beam-anywhere hit under a "recall_top1" key overstated it.
       val served = graft.operators.GraphIndex.search(spark, idxOut, gOut, qs)
+        .where(col("rk") === 1L)
         .collect().map(r => (r.getLong(0), r.getLong(2)))
       val brute = qs.crossJoin(committed.select(col("vec_id"), col("iv"), col("n2")))
         .where(col("vec_id") =!= col("qid"))

@@ -87,16 +87,28 @@ object GraphIndex {
   private val DoorKey = "^b(\\d+)$".r
   private val RangeKey = "^b(\\d+)-b(\\d+)$".r
 
+  /** The numeric door id of `seg` — ONLY when the key round-trips
+    * canonically (round 16, r15 advice: 'b01' must NOT alias 'b1' —
+    * numeric folding would skip its admission as a replay and
+    * compaction would rewrite the literal to 'b1', losing the string
+    * that names `sigs/seg=b01`). A non-canonical numeric-looking key
+    * is handled as a literal everywhere below; the door itself mints
+    * only canonical `b<batchId>` keys. */
+  private def doorId(seg: String): Option[Long] = seg match {
+    case DoorKey(k) if s"b${k.toLong}" == seg => Some(k.toLong)
+    case _                                    => None
+  }
+
   private[graft] def ledgerContains(ledger: Seq[String], seg: String): Boolean =
-    seg match {
-      case DoorKey(k) =>
-        val id = k.toLong
-        ledger.exists {
-          case RangeKey(lo, hi) => lo.toLong <= id && id <= hi.toLong
-          case DoorKey(l)       => l.toLong == id
-          case _                => false
+    doorId(seg) match {
+      case Some(id) =>
+        ledger.exists { t =>
+          t match {
+            case RangeKey(lo, hi) => lo.toLong <= id && id <= hi.toLong
+            case _                => doorId(t).contains(id)
+          }
         }
-      case s => ledger.contains(s)
+      case None => ledger.contains(seg)
     }
 
   /** `ledger` with `seg` folded in — door keys merge into adjacent
@@ -104,17 +116,15 @@ object GraphIndex {
     * literals append; output is literals-sorted ++ ranges-by-start. */
   private[graft] def ledgerAdd(ledger: Seq[String], seg: String): Seq[String] = {
     if (ledgerContains(ledger, seg)) return ledger
-    val intervals = ledger.collect {
-      case RangeKey(lo, hi) => (lo.toLong, hi.toLong)
-      case DoorKey(k)       => (k.toLong, k.toLong)
+    def asInterval(t: String): Option[(Long, Long)] = t match {
+      case RangeKey(lo, hi) => Some((lo.toLong, hi.toLong))
+      case _                => doorId(t).map(id => (id, id))
     }
-    val literals = ledger.filter {
-      case RangeKey(_, _) | DoorKey(_) => false
-      case _                           => true
-    }
-    val (allIv, allLit) = seg match {
-      case DoorKey(k) => (intervals :+ (k.toLong, k.toLong), literals)
-      case s          => (intervals, literals :+ s)
+    val intervals = ledger.flatMap(asInterval(_))
+    val literals = ledger.filter(asInterval(_).isEmpty)
+    val (allIv, allLit) = asInterval(seg) match {
+      case Some(iv) => (intervals :+ iv, literals)
+      case None     => (intervals, literals :+ seg)
     }
     val merged = allIv.sortBy(_._1)
       .foldLeft(List.empty[(Long, Long)]) {
@@ -125,6 +135,28 @@ object GraphIndex {
     allLit.sorted ++ merged.map { case (l, h) =>
       if (l == h) s"b$l" else s"b$l-b$h"
     }
+  }
+
+  /** Filter on the sigs `seg` partition column: ONLY segments the
+    * cumulative ledger records as committed (round 16, r15 advice —
+    * the nDup anti-fold must not count an id as already-admitted
+    * because a CRASHED admit left its sig segment behind: if that
+    * wave is later re-delivered under a different seg key, its
+    * genuinely new-to-graph ids would read as dups and n_base would
+    * undercount until the next rebuild). Range tokens match only
+    * CANONICAL door keys (the [[doorId]] round-trip rule, spelled as
+    * a no-leading-zeros regex); singles and literals match exactly.
+    * The ledger is O(gaps), so the predicate stays a bounded
+    * expression the partition-column pruner can evaluate. */
+  private def committedSegPredicate(ledger: Seq[String])
+      : org.apache.spark.sql.Column = {
+    val canonical = col("seg").rlike("^b(0|[1-9][0-9]*)$")
+    val segId = expr("CAST(substring(seg, 2) AS BIGINT)")
+    ledger.map {
+      case RangeKey(lo, hi) =>
+        canonical && segId.between(lo.toLong, hi.toLong)
+      case t => col("seg") === lit(t)
+    }.foldLeft(lit(false))(_ || _)
   }
 
   private def versionsOf(spark: SparkSession, graphDir: String,
@@ -268,8 +300,10 @@ object GraphIndex {
     * whole life (qx110's precondition — size it for the corpus you
     * plan to serve, the capacity-planning discipline).
     *
-    * `generator` picks the candidate generator, PINNED at init:
-    *  - `"lsh"` (default, the r13/r14 asset): banded sign-LSH buckets
+    * `generator` picks the candidate generator, PINNED at init —
+    * `"auto"` (the default, round 16) resolves via [[generatorFor]]:
+    * cells past [[CellsKnee]], lsh below it:
+    *  - `"lsh"` (the r13/r14 asset): banded sign-LSH buckets
     *    — training-free, and the spelling the qx109/qx110 gate rows
     *    and the inline comparison twins replay.
     *  - `"cells"` (round 15, r14 verdict #1 — the OCCUPANCY-ROBUST
@@ -283,15 +317,38 @@ object GraphIndex {
     *    corpus for a 0.14% drip (and its near-clique candidate graph
     *    needed a 48 GiB heap to refresh). Use cells for any standing
     *    door whose corpus outgrows the drip ≪ n/400 regime. */
+  /** Knee past which [[generatorFor]] picks the cells generator: the
+    * LSH generator's maintenance cost is occupancy-bound, and the
+    * probes located where that breaks — at 80k vectors a 0.14% drip
+    * already touched 82% of the corpus (admit 167 s vs the 24 s
+    * rebuild), and at 200k the LSH asset cost 2,116 s to init and its
+    * community refresh needed a 48 GiB heap, where the cells asset
+    * initialized in 36–68 s and refreshed in 20–31 s at the default
+    * 8 GiB (GraphProbe door/doorcells, rounds 14–15). 20k sits well
+    * below the first measured blowup with margin for skewed corpora;
+    * below it even a full per-wave rebuild is sub-second-class. */
+  val CellsKnee = 20000L
+
+  /** The generator [[init]]'s `"auto"` default resolves to: `"cells"`
+    * for any standing asset sized past [[CellsKnee]] (round 16, r15
+    * verdict #1 — the occupancy-robust path is the production
+    * recommendation, so it must be the default, not an opt-in flag),
+    * `"lsh"` below it (training-free, and the family the qx109/qx110
+    * gate rows replay). */
+  def generatorFor(expectedFinal: Long): String =
+    if (expectedFinal >= CellsKnee) "cells" else "lsh"
+
   def init(spark: SparkSession, indexDir: String, graphDir: String,
            expectedFinal: Long, k: Int = 4, lpaIters: Int = 4,
-           generator: String = "lsh"): Unit = {
+           generator: String = "auto"): Unit = {
     import spark.implicits._
-    require(generator == "lsh" || generator == "cells",
-      s"GraphIndex generator must be 'lsh' or 'cells', got '$generator'")
+    val gen =
+      if (generator == "auto") generatorFor(expectedFinal) else generator
+    require(gen == "lsh" || gen == "cells",
+      s"GraphIndex generator must be 'lsh', 'cells' or 'auto', got '$generator'")
     val base = HybridIndex.committedBase(spark, indexDir)
     val (planes, cellk) =
-      if (generator == "cells") {
+      if (gen == "cells") {
         val k2 = IvfAnn.imiCentroidsFor(expectedFinal)
         // seeds sampled FROM THE DATA (not the hashed gate family):
         // hashed seeds collapse the product cells on integerized
@@ -310,7 +367,7 @@ object GraphIndex {
           .write.mode("overwrite").parquet(s"$graphDir/splits.parquet")
         (-1, k2)
       } else (EmbeddingLsh.planesFor(expectedFinal), -1L)
-    Seq((planes, k, lpaIters, generator, cellk))
+    Seq((planes, k, lpaIters, gen, cellk))
       .toDF("planes", "k", "lpa_iters", "generator", "cellk")
       .write.mode("overwrite").parquet(s"$graphDir/meta.parquet")
     signUnder(spark, graphDir, base.select("vec_id", "iv"))
@@ -359,13 +416,17 @@ object GraphIndex {
     // folding nPrev + nDelta would inflate n and bias the admit-vs-
     // rebuild knee until the next rebuild's base.count() reset. Count
     // only genuinely NEW ids: the delta against ONE band of the
-    // pre-existing signature segments (one row per admitted vector —
-    // a narrow scan joined to the bounded delta frame, no corpus
-    // shuffle; the current seg is excluded so a crash between the sig
-    // write below and the commit replays correctly).
+    // LEDGER-COMMITTED signature segments (one row per admitted vector
+    // — a narrow scan joined to the bounded delta frame, no corpus
+    // shuffle). Committed-only (round 16, r15 advice): a crashed
+    // admit's orphan sig segment must not make its wave's ids read as
+    // dups when re-delivered under a DIFFERENT key — and it inherently
+    // excludes the current seg, whose key is not in the ledger yet, so
+    // a same-key crash between the sig write below and the commit
+    // still replays correctly.
     val nDup = timed("dup_count") {
       spark.read.parquet(s"$graphDir/sigs")
-        .where(col("seg") =!= lit(seg) && col("band") === 0)
+        .where(committedSegPredicate(ledger) && col("band") === 0)
         .join(broadcast(dIds.withColumnRenamed("id", "vec_id")), "vec_id")
         .select("vec_id").distinct().count()
     }

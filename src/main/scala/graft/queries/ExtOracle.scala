@@ -3517,6 +3517,111 @@ object ExtOracle {
        |       CAST(sum((u * 1009 + v) % 2147483647) AS BIGINT) AS esig
        |FROM g GROUP BY u""".stripMargin
 
+  /** qx126 twin — the cells-generator graph family replayed end to
+    * end: the sampled-seed pick (the id-scramble TakeOrdered is ORDER
+    * BY/LIMIT), two subspace-Lloyd steps per 32-dim half (the qx44
+    * machinery seeded from data instead of the hashed family), the
+    * trained-books L2 assignment → product cells, the per-cell split
+    * factors, the sub-bucketed signature table, the same-sig k-NN
+    * graph, each query's 2×2 probed cells expanded over their pinned
+    * sub-buckets as seeds, and the three beam rounds — the
+    * [[graphAnnSql]] chain under the cells candidate generator. */
+  val qx126: String = {
+    def cosQ(vtab: String) =
+      s"""CAST(CAST(list_sum(list_transform(range(1, len($vtab.v) + 1),
+         |     i -> $vtab.v[i] * qq.qv[i])) AS BIGINT) AS DOUBLE)
+         |  / (sqrt(CAST($vtab.n2 AS DOUBLE)) * sqrt(CAST(qq.qn2 AS DOUBLE)))""".stripMargin
+    val sb = new StringBuilder
+    sb ++= s"""WITH $EMB,
+       |params AS (SELECT count(*) AS n FROM embeddings),
+       |kk AS (SELECT CAST(least(65536, greatest(4,
+       |         1 << ((length(bin(greatest(n // 64, 2))) - 1 + 1) // 2))) AS BIGINT) AS k
+       |       FROM params),
+       |sd AS (SELECT vec_id, v, row_number() OVER (
+       |         ORDER BY (vec_id * 1000003 + 12345) % $P ASC, vec_id ASC) AS r
+       |       FROM n),
+       |tc0 AS (SELECT r - 1 AS cid, d, v[d + 1] AS cval
+       |        FROM sd, kk, generate_series(0, 63) t(d) WHERE r <= kk.k),
+       |pdims AS MATERIALIZED (SELECT vec_id, i - 1 AS d, v[i] AS val FROM n, generate_series(1, 64) t(i)),
+       |${subspaceLloydStep("t", "pdims", 32, "tc0", "tc1", 0)},
+       |${subspaceLloydStep("t", "pdims", 32, "tc1", "tc2", 1)},
+       |tcnf AS MATERIALIZED (SELECT cid, d // 32 AS sub, sum(cval*cval) AS cn2 FROM tc2 GROUP BY 1, 2),
+       |tadf AS (SELECT vec_id, cid, d // 32 AS sub, sum(val * cval) AS dot
+       |         FROM pdims JOIN tc2 USING (d) GROUP BY 1, 2, 3),
+       |tasf AS (SELECT vec_id, sub, cid FROM (
+       |          SELECT a.vec_id, a.sub, a.cid,
+       |                 row_number() OVER (PARTITION BY a.vec_id, a.sub
+       |                   ORDER BY (2*dot - cn2) DESC, a.cid ASC) AS rn
+       |          FROM tadf a JOIN tcnf c ON a.cid = c.cid AND a.sub = c.sub)
+       |         WHERE rn = 1),
+       |cells AS MATERIALIZED (SELECT a0.vec_id, a0.cid * kk.k + a1.cid AS cell
+       |          FROM tasf a0, tasf a1, kk
+       |          WHERE a0.vec_id = a1.vec_id AND a0.sub = 0 AND a1.sub = 1),
+       |spl AS MATERIALIZED (SELECT cell,
+       |         CAST(ceil(CAST(count(*) AS DOUBLE) / 64) AS BIGINT) AS splits
+       |       FROM cells GROUP BY cell HAVING count(*) > 128),
+       |sig AS MATERIALIZED (SELECT c.vec_id,
+       |         c.cell * 1048576 + ((c.vec_id % $P) * 1000003 + 7) % coalesce(s.splits, 1) AS sig
+       |       FROM cells c LEFT JOIN spl s ON c.cell = s.cell),
+       |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |         FROM sig x JOIN sig y ON x.sig = y.sig
+       |         WHERE x.vec_id < y.vec_id),
+       |und AS (SELECT vec_a AS u, vec_b AS v FROM cand
+       |        UNION ALL SELECT vec_b, vec_a FROM cand),
+       |gsc AS (SELECT und.u, und.v,
+       |          CAST(CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+       |               i -> a.v[i] * b.v[i])) AS BIGINT) AS DOUBLE)
+       |            / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS gcos
+       |        FROM und JOIN n a ON und.u = a.vec_id JOIN n b ON und.v = b.vec_id),
+       |g AS MATERIALIZED (SELECT u, v FROM gsc
+       |     QUALIFY row_number() OVER (PARTITION BY u ORDER BY gcos DESC, v ASC) <= 4),
+       |ent AS (SELECT min(vec_id) AS e FROM embeddings),
+       |qad AS (SELECT qq.qid, c.cid, c.d // 32 AS sub, sum(qq.qv[c.d + 1] * c.cval) AS dot
+       |        FROM q qq CROSS JOIN tc2 c GROUP BY 1, 2, 3),
+       |qpr AS (SELECT qid, sub, cid FROM (
+       |         SELECT a.qid, a.sub, a.cid,
+       |                row_number() OVER (PARTITION BY a.qid, a.sub
+       |                  ORDER BY (2*dot - cn2) DESC, a.cid ASC) AS rn
+       |         FROM qad a JOIN tcnf c ON a.cid = c.cid AND a.sub = c.sub)
+       |        WHERE rn <= 2),
+       |qcell AS (SELECT a0.qid, a0.cid * kk.k + a1.cid AS cell
+       |          FROM qpr a0, qpr a1, kk
+       |          WHERE a0.qid = a1.qid AND a0.sub = 0 AND a1.sub = 1),
+       |qsig AS (SELECT qid, cell * 1048576 + unnest(range(0, sp)) AS qsig
+       |         FROM (SELECT qc.qid, qc.cell, coalesce(spl.splits, 1) AS sp
+       |               FROM qcell qc LEFT JOIN spl ON qc.cell = spl.cell)),
+       |seedc AS (SELECT DISTINCT qs.qid, s.vec_id
+       |          FROM sig s JOIN qsig qs ON s.sig = qs.qsig
+       |          WHERE s.vec_id <> qs.qid),
+       |seeds AS (SELECT qid, vec_id FROM seedc
+       |          UNION SELECT qq.qid, ent.e FROM q qq CROSS JOIN ent),
+       |sc0 AS (SELECT sd2.qid, sd2.vec_id, ${cosQ("n")} AS cosine
+       |        FROM seeds sd2 JOIN n ON sd2.vec_id = n.vec_id
+       |                       JOIN q qq ON sd2.qid = qq.qid),
+       |b0 AS MATERIALIZED (SELECT qid, vec_id, cosine FROM sc0
+       |      QUALIFY row_number() OVER (PARTITION BY qid
+       |        ORDER BY cosine DESC, vec_id ASC) <= 4)""".stripMargin
+    for (r <- 1 to 3) {
+      sb ++= s""",
+                |ex$r AS (SELECT b.qid, g.v AS vec_id FROM b${r - 1} b JOIN g ON b.vec_id = g.u
+                |         UNION SELECT qid, vec_id FROM b${r - 1}),
+                |sc$r AS (SELECT ex.qid, ex.vec_id, ${cosQ("n")} AS cosine
+                |         FROM ex$r ex JOIN n ON ex.vec_id = n.vec_id
+                |                      JOIN q qq ON ex.qid = qq.qid),
+                |b$r AS MATERIALIZED (SELECT qid, vec_id, cosine FROM sc$r
+                |      QUALIFY row_number() OVER (PARTITION BY qid
+                |        ORDER BY cosine DESC, vec_id ASC) <= 4)""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT qid, rk, vec_id, cosine
+              |FROM (SELECT qid, vec_id, cosine,
+              |        CAST(row_number() OVER (PARTITION BY qid
+              |          ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rk
+              |      FROM b3 WHERE vec_id <> qid) z
+              |WHERE rk <= 4""".stripMargin
+    sb.result()
+  }
+
   /** qx108 twin — the four deterministic walk steps replayed as
     * generated CTEs: per step, a left join of the live frontier against
     * the edge list, the identical per-step integer hash, argmin via

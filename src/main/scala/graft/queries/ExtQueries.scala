@@ -4785,6 +4785,40 @@ object ExtQueries {
       sum(pmod(col("u") * 1009L + col("v"), lit(P))).as("esig"))
   }
 
+  /** qx126 — the CELLS-GENERATOR graph family, oracle-pinned end to
+    * end (round 16, r15 verdict #1: the occupancy-robust maintenance
+    * path [[GraphIndex]] recommends — and now defaults to — past its
+    * knee sat outside the hard correctness signal): data-sampled
+    * deterministic seeds ([[IvfAnn.sampledImiSeeds]] — the id-scramble
+    * TakeOrdered is plain ORDER BY/LIMIT in SQL), two Lloyd iterations
+    * per 32-dim half ([[IvfAnn.trainedImiCodebooksFrom]]), the pinned
+    * per-cell sub-bucket split factors ([[GraphAnn.cellSplits]]), the
+    * sub-bucketed cell signatures, the same-sig k-NN graph, and the
+    * 2×2-probed-cell-seeded beam serve ([[GraphAnn.inlineServeCells]]
+    * — the exact spelling GraphIndexSpec pins the maintained asset
+    * bit-equal to). The DuckDB twin replays every stage: seed pick,
+    * both Lloyd steps (the qx16/qx44 subspace machinery), splits,
+    * sub-bucket hash, graph top-4, probe ranking, sub-bucket
+    * expansion, and all three beam rounds CTE for CTE.
+    * Scale shape: training is iters·n·2K half-dots; signatures are one
+    * kernel pass; the candidate join is bucket-bounded BY CONSTRUCTION
+    * (the split factors cap occupancy at ~2·64 whatever the coarse
+    * quantizer collapsed); the serve is beam·K fetches per query per
+    * round — the shape the 200k door probe measured at default heap
+    * where the LSH family needed 48 GiB. */
+  def qx126(spark: SparkSession, dir: String): DataFrame = {
+    val base = intEmbeddings(spark, dir)
+    val emb = base.select("vec_id", "iv")
+    val k2 = IvfAnn.imiCentroidsFor(base.count())
+    val books = IvfAnn.trainedImiCodebooksFrom(emb,
+      IvfAnn.sampledImiSeeds(emb, k2), iters = 2)
+    val splits = GraphAnn.cellSplits(IvfAnn.imiCellsL2Kernel(emb, books, k2))
+    val qs = base.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("n2").as("qn2"))
+    GraphAnn.inlineServeCells(base, books, k2, splits, qs,
+      k = 4, beam = 4, rounds = 3)
+  }
+
   /** qx107 — PPMI CO-OCCURRENCE statistics (Church & Hanks 1990; the
     * count table GloVe/word2vec-style embedding training and
     * collocation mining start from): symmetric ±2-window word

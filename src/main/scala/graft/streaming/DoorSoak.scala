@@ -174,9 +174,15 @@ object DoorSoak {
     val gDir = s"$base/graph"
     if (withGraph) {
       t0 = System.nanoTime()
+      // the soak runs the CELLS door explicitly (round 16, r15 verdict
+      // #1: the occupancy-robust generator is the production
+      // recommendation for any standing door, so the kill/restart soak
+      // must exercise ITS init/admit/refresh/serve path; the sf-scale
+      // corpus sits below GraphIndex.CellsKnee, where `auto` would
+      // pick lsh)
       graft.operators.GraphIndex.init(spark, idx, gDir,
-        expectedFinal = raw.count())
-      println(f"""{"stage":"graph_init","wall_sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+        expectedFinal = raw.count(), generator = "cells")
+      println(f"""{"stage":"graph_init","generator":"cells","wall_sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
     }
     def door() = IndexDoor.run(spark, bus, "docs", idx, ck,
       maxOffsetsPerTrigger = Some(math.max(64L, bRows.length.toLong / (2L * nWaves))),

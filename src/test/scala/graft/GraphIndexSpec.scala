@@ -142,6 +142,57 @@ class GraphIndexSpec extends SparkTestBase {
     assert(ledgerAdd(l, "b2") === l && ledgerAdd(l, "init") === l)
   }
 
+  test("non-canonical numeric-looking keys are literals: 'b01' never aliases 'b1'") {
+    import GraphIndex.{ledgerAdd, ledgerContains}
+    // r15 advice: numeric canonicalization would (a) skip b01's
+    // admission as a b1 replay and (b) compact the literal away,
+    // losing the string that names sigs/seg=b01
+    val l = Seq("b1", "b2").foldLeft(Seq.empty[String])(ledgerAdd)
+    assert(!ledgerContains(l, "b01"),
+      "'b01' must not read as contained via the b1-b2 range")
+    val l2 = ledgerAdd(l, "b01")
+    assert(l2.contains("b01") && l2.contains("b1-b2"),
+      "'b01' must survive as its own literal token, uncompacted")
+    assert(ledgerContains(l2, "b01") && ledgerContains(l2, "b1"))
+    // and a canonical key never matches the literal
+    assert(!ledgerContains(Seq("b01"), "b1"))
+  }
+
+  test("generatorFor picks cells past the knee; init default resolves it") {
+    assert(GraphIndex.generatorFor(GraphIndex.CellsKnee) === "cells")
+    assert(GraphIndex.generatorFor(GraphIndex.CellsKnee - 1) === "lsh")
+    // the sf-scale fixture sits below the knee: auto must have pinned
+    // the lsh generator in meta (every default-init spec in this file
+    // keeps replaying the LSH family unchanged)
+    val (_, g, _, _) = fixture("autogen")
+    assert(spark.read.parquet(s"$g/meta.parquet")
+      .head.getAs[String]("generator") === "lsh")
+  }
+
+  test("dup anti-fold reads only ledger-committed segments (a crashed admit's orphan seg never undercounts)") {
+    import spark.implicits._
+    val (idx, g, cut, ids) = fixture("orphan")
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val raw = Tables.embeddings(spark, dir)
+    val wave = ids.filter(_ >= cut).take(6)
+    // simulate a crash AFTER the sig write, BEFORE the version commit:
+    // an orphan segment holding the wave's ids exists on disk but no
+    // ledger records it (r15 advice: the dup scan must not count these
+    // ids as already-admitted when the wave is re-delivered under a
+    // DIFFERENT key)
+    wave.map(id => (id, 0L, 0L)).toSeq.toDF("vec_id", "band", "sig")
+      .write.parquet(s"$g/sigs/seg=bCRASHED")
+    val s = wave.toSet
+    HybridIndex.addBatch(spark, idx,
+      docs.where(col("doc_id").isin(s.toSeq: _*)),
+      raw.where(col("vec_id").isin(s.toSeq: _*)), segKeyOpt = Some("b7"))
+    GraphIndex.admit(spark, idx, g,
+      raw.where(col("vec_id").isin(s.toSeq: _*))
+        .select(col("vec_id").as("id")), "b7")
+    assert(latestInfoRow(g)._3 === HybridIndex.committedBase(spark, idx).count(),
+      "genuinely new ids must fold as new despite the orphan segment")
+  }
+
   test("a pre-r14 info schema fails with a descriptive re-init message") {
     import spark.implicits._
     val g = tmpDir("gix_oldschema")

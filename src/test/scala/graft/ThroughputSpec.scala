@@ -88,6 +88,14 @@ class ThroughputSpec extends SparkTestBase {
     val calRate = streamRate()
     val streamQuietRate = 1800.0 // fresh-JVM standalone ~5.5k ev/s / 3
     val sf = math.max(1.0, streamQuietRate / calRate)
+    // Cap sf like lf (round 16, r15 advice): an UNBOUNDED stream factor
+    // would let an engine-wide micro-batch regression — one that slows
+    // the stateless baseline and the windowed pipeline alike — scale
+    // the floor down one-for-one and pass; past 3× the spec guards
+    // nothing absolute, so cancel instead of silently weakening.
+    assume(sf <= 3.0,
+      f"stream calibration factor $sf%.2f > 3 — micro-batch scheduler too " +
+        "degraded for a meaningful rate floor")
     info(f"stream calibration: $calRate%.0f ev/s stateless baseline (quiet ref $streamQuietRate%.0f)")
     def attempt(run: Int): Double = {
       implicit val sqlCtx = spark.sqlContext
