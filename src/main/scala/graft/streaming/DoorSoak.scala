@@ -238,10 +238,23 @@ object DoorSoak {
       println(f"""{"stage":"graph_refresh","wall_sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
       t0 = System.nanoTime()
       val gBase = graft.operators.HybridIndex.committedBase(spark, idx)
-      val planes = spark.read.parquet(s"$gDir/meta.parquet").head.getInt(0)
+      // the rebuild must replay the asset's PINNED generator (round 16
+      // — the soak now runs the cells door, where the LSH spelling
+      // would rebuild a different graph and the check reads as a
+      // permanent diff): cells → pinned-books cell signatures (the
+      // GraphIndexSpec rebuild pin), lsh → pinned-planes band sigs.
+      val meta = spark.read.parquet(s"$gDir/meta.parquet").head
+      val rebuildSigs =
+        if (meta.getAs[String]("generator") == "cells")
+          graft.operators.GraphAnn.cellSigs(gBase.select("vec_id", "iv"),
+            spark.read.parquet(s"$gDir/books.parquet"),
+            meta.getAs[Long]("cellk"),
+            spark.read.parquet(s"$gDir/splits.parquet"))
+        else
+          graft.operators.EmbeddingLsh.bandSigs(gBase.select("vec_id", "iv"),
+            meta.getAs[Int]("planes"))
       val rebuilt = graft.operators.GraphAnn.knnGraph(gBase,
-        graft.operators.EmbeddingLsh.candidatePairs(
-          graft.operators.EmbeddingLsh.bandSigs(gBase.select("vec_id", "iv"), planes)), 4)
+        graft.operators.EmbeddingLsh.candidatePairs(rebuildSigs), 4)
       val doorG = graft.operators.GraphIndex.graph(spark, gDir)
       // the grouping key carries the cosine (rounded as IndexDoorSpec
       // rounds it — r13 advice): an edge present on both sides with a
@@ -255,6 +268,10 @@ object DoorSoak {
           org.apache.spark.sql.functions.lit(1)).as("c"))
         .where(col("c") =!= 2L).count()
       println(f"""{"stage":"graph_rebuild_check","edge_diff":$diff,"wall_sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+      // loud, not just recorded (round 16: the first cells soak read
+      // edge_diff=2000 because the check itself rebuilt via the wrong
+      // generator — a nonzero diff must kill the soak, not pass as a
+      // line in the log)
       require(diff == 0L, s"door-maintained graph diverged from rebuild: $diff edges")
       // SERVE comparison (r14, r13 verdict #1): what the persisted
       // asset saves — beam serve from the committed snapshot vs the
@@ -271,8 +288,16 @@ object DoorSoak {
       val assetSec = (System.nanoTime() - t0) / 1e9
       t0 = System.nanoTime()
       import org.apache.spark.sql.functions.{broadcast, expr}
-      val nInline = graft.operators.GraphAnn.inlineServe(gBase, planes, qs,
-        k = 4, beam = 4, rounds = 3).count()
+      // the inline twin replays the asset's pinned generator (round 16)
+      val nInline = (if (meta.getAs[String]("generator") == "cells")
+        graft.operators.GraphAnn.inlineServeCells(gBase,
+          spark.read.parquet(s"$gDir/books.parquet"),
+          meta.getAs[Long]("cellk"),
+          spark.read.parquet(s"$gDir/splits.parquet"),
+          qs, k = 4, beam = 4, rounds = 3)
+      else
+        graft.operators.GraphAnn.inlineServe(gBase, meta.getAs[Int]("planes"),
+          qs, k = 4, beam = 4, rounds = 3)).count()
       val inlineSec = (System.nanoTime() - t0) / 1e9
       require(nServed == nInline,
         s"asset serve row count diverged from the inline build: $nServed vs $nInline")
@@ -283,8 +308,11 @@ object DoorSoak {
         .groupBy("qid").agg(expr("topk_by(cosine, vec_id, 1)").as("tk"))
         .select(col("qid"), org.apache.spark.sql.functions.explode(col("tk")).as("t"))
         .select(col("qid"), col("t.id").as("nn"))
+      // top1-vs-top1 (round 16, the GraphProbe advice fix applied here
+      // too): only the serve's rk = 1 row may claim the recall hit
       val hits = brute1.join(
-          assetBeam.select(col("qid"), col("vec_id").as("nn")),
+          assetBeam.where(col("rk") === 1L)
+            .select(col("qid"), col("vec_id").as("nn")),
           Seq("qid", "nn"), "left_semi").count()
       val nq = qs.count()
       println(f"""{"stage":"graph_serve","queries":$nq,"asset_sec":$assetSec%.2f,"inline_sec":$inlineSec%.2f,"recall_top1_micro":${1000000L * hits / math.max(1L, nq)}}""")
