@@ -182,16 +182,10 @@ object GraphProbe {
         graft.operators.GraphIndex.search(spark, idxOut, gOut, qs).count()
       }
       val (nInline, serveInlineSec) = time {
-        val m = spark.read.parquet(s"$gOut/meta.parquet").head
-        if (gen == "cells")
-          GraphAnn.inlineServeCells(committed,
-            spark.read.parquet(s"$gOut/books.parquet"),
-            m.getAs[Long]("cellk"),
-            spark.read.parquet(s"$gOut/splits.parquet"),
-            qs, k = 4, beam = 4, rounds = 3).count()
-        else
-          GraphAnn.inlineServe(committed, m.getAs[Int]("planes"), qs, k = 4,
-            beam = 4, rounds = 3).count()
+        // the shared meta-driven inline twin (round 16 — one dispatch
+        // for every asset-vs-inline comparison)
+        graft.operators.GraphIndex.inlineServeTwin(spark, gOut,
+          committed, qs).count()
       }
       require(nServed == nInline,
         s"asset serve row count diverged from inline: $nServed vs $nInline")
@@ -253,6 +247,12 @@ object GraphProbe {
     val n = base.count()
     val sigs = EmbeddingLsh.bandSigs(base.select("vec_id", "iv"),
       EmbeddingLsh.planesFor(n)).localCheckpoint() // the stored asset
+    // the negative-deltaMod raw-modulus spelling is a door-mode
+    // convention only (round 16 review): here pmod against a negative
+    // divisor never equals 3, so the probe would time a ZERO-vector
+    // delta and emit a plausible-looking but meaningless line
+    require(deltaMod > 0,
+      s"deltaMod must be positive outside door:/doorcells: modes, got $deltaMod")
     val deltaIds = base.where(pmod(col("vec_id"), lit(deltaMod)) === 3L)
       .select(col("vec_id").as("id")).localCheckpoint()
     val nDelta = deltaIds.count()

@@ -148,10 +148,13 @@ object GraphIndex {
     * a no-leading-zeros regex); singles and literals match exactly.
     * The ledger is O(gaps), so the predicate stays a bounded
     * expression the partition-column pruner can evaluate. */
-  private def committedSegPredicate(ledger: Seq[String])
+  private[graft] def committedSegPredicate(ledger: Seq[String])
       : org.apache.spark.sql.Column = {
     val canonical = col("seg").rlike("^b(0|[1-9][0-9]*)$")
-    val segId = expr("CAST(substring(seg, 2) AS BIGINT)")
+    // try_cast: under ANSI mode a plain CAST throws on the non-numeric
+    // keys ('init' → 'nit') even where the canonical guard is false —
+    // Spark's And does not promise per-row short-circuit evaluation
+    val segId = expr("TRY_CAST(substring(seg, 2) AS BIGINT)")
     ledger.map {
       case RangeKey(lo, hi) =>
         canonical && segId.between(lo.toLong, hi.toLong)
@@ -261,8 +264,8 @@ object GraphIndex {
     * init-trained codebooks ([[GraphAnn.cellSigs]]). Either way a
     * vector's signature never changes over the asset's life, so the
     * segments stay append-only and admit == rebuild bit-for-bit. */
-  private def signUnder(spark: SparkSession, graphDir: String,
-                        vecs: DataFrame): DataFrame = {
+  private[graft] def signUnder(spark: SparkSession, graphDir: String,
+                               vecs: DataFrame): DataFrame = {
     val m = spark.read.parquet(s"$graphDir/meta.parquet").head
     if (m.getAs[String]("generator") == "cells")
       GraphAnn.cellSigs(vecs,
@@ -469,10 +472,31 @@ object GraphIndex {
       else
         GraphAnn.admit(base, sigs, oldGraph, dIds, k, Some(touched))).localCheckpoint()
     }
+    // A REBUILD commits everything it read (round 16, review finding):
+    // the rebuild scans ALL of sigs/ — including a crashed admit's
+    // orphan segment — and records nBase = base.count(), so those ids
+    // ARE in the committed graph and count. The ledger must say so,
+    // else a later re-delivery of the orphan wave no-ops wrongly under
+    // its own key (not in ledger → re-admitted → benign but wasteful)
+    // or, under a DIFFERENT key, reads as nDup = 0 against the
+    // committed-only scan and OVERCOUNTS nBase by the wave (the exact
+    // inverse of the r15-advice undercount). Folding every on-disk seg
+    // key into the rebuild's ledger closes both: the dup scan and the
+    // replay no-op then agree with what the rebuild actually built
+    // from. One filesystem listing — metadata-cheap next to the
+    // rebuild it rides.
+    val segsOut =
+      if (rebuild) {
+        val f = fs(spark, graphDir)
+        f.listStatus(new org.apache.hadoop.fs.Path(s"$graphDir/sigs"))
+          .map(_.getPath.getName).filter(_.startsWith("seg="))
+          .map(_.stripPrefix("seg=")).sorted
+          .foldLeft(ledgerAdd(ledger, seg))(ledgerAdd)
+      } else ledgerAdd(ledger, seg)
     timed("commit") {
       commitVersion(spark, graphDir, s"v=${prev + 1L}", seg, "graph", graph,
         nBase = if (rebuild) base.count() else nBase,
-        segs = ledgerAdd(ledger, seg),
+        segs = segsOut,
         entryId = math.min(entPrev, dIds.agg(min("id")).head.getLong(0)))
     }
   }
@@ -589,6 +613,28 @@ object GraphIndex {
     val (v, _, _, _, entry) = latestInfo(spark, graphDir)
     GraphAnn.search(spark.read.parquet(s"$graphDir/v=$v/graph.parquet"),
       base, qs, seeds, entry, beam, rounds, selfExclude)
+  }
+
+  /** The asset-free INLINE serving twin under the asset's PINNED
+    * generator — ONE meta-driven dispatch for every asset-vs-inline
+    * comparison (DoorSoak's soak check, GraphProbe's probe timing;
+    * round 16 — the first cells soak measured what a hand-rolled copy
+    * of this dispatch costs: its rebuild check replayed the WRONG
+    * generator and read a permanent 2000-edge diff). `books`/`splits`
+    * are read from the asset, so the twin cannot drift from what the
+    * asset actually pinned. */
+  def inlineServeTwin(spark: SparkSession, graphDir: String,
+                      base: DataFrame, qs: DataFrame, k: Int = 4,
+                      beam: Int = 4, rounds: Int = 3): DataFrame = {
+    val m = spark.read.parquet(s"$graphDir/meta.parquet").head
+    if (m.getAs[String]("generator") == "cells")
+      GraphAnn.inlineServeCells(base,
+        spark.read.parquet(s"$graphDir/books.parquet"),
+        m.getAs[Long]("cellk"),
+        spark.read.parquet(s"$graphDir/splits.parquet"),
+        qs, k, beam, rounds)
+    else GraphAnn.inlineServe(base, m.getAs[Int]("planes"), qs, k,
+      beam, rounds)
   }
 
   /** Latest committed graph snapshot. */

@@ -3545,10 +3545,11 @@ object ExtOracle {
        |pdims AS MATERIALIZED (SELECT vec_id, i - 1 AS d, v[i] AS val FROM n, generate_series(1, 64) t(i)),
        |${subspaceLloydStep("t", "pdims", 32, "tc0", "tc1", 0)},
        |${subspaceLloydStep("t", "pdims", 32, "tc1", "tc2", 1)},
-       |tcnf AS MATERIALIZED (SELECT cid, d // 32 AS sub, sum(cval*cval) AS cn2 FROM tc2 GROUP BY 1, 2),
-       |tadf AS (SELECT vec_id, cid, d // 32 AS sub, sum(val * cval) AS dot
-       |         FROM pdims JOIN tc2 USING (d) GROUP BY 1, 2, 3),
-       |tasf AS (SELECT vec_id, sub, cid FROM (
+       |tcb AS MATERIALIZED (SELECT cid, d, cval FROM tc2),
+       |tcnf AS MATERIALIZED (SELECT cid, d // 32 AS sub, sum(cval*cval) AS cn2 FROM tcb GROUP BY 1, 2),
+       |tadf AS MATERIALIZED (SELECT vec_id, cid, d // 32 AS sub, sum(val * cval) AS dot
+       |         FROM pdims JOIN tcb USING (d) GROUP BY 1, 2, 3),
+       |tasf AS MATERIALIZED (SELECT vec_id, sub, cid FROM (
        |          SELECT a.vec_id, a.sub, a.cid,
        |                 row_number() OVER (PARTITION BY a.vec_id, a.sub
        |                   ORDER BY (2*dot - cn2) DESC, a.cid ASC) AS rn
@@ -3577,8 +3578,8 @@ object ExtOracle {
        |     QUALIFY row_number() OVER (PARTITION BY u ORDER BY gcos DESC, v ASC) <= 4),
        |ent AS (SELECT min(vec_id) AS e FROM embeddings),
        |qad AS (SELECT qq.qid, c.cid, c.d // 32 AS sub, sum(qq.qv[c.d + 1] * c.cval) AS dot
-       |        FROM q qq CROSS JOIN tc2 c GROUP BY 1, 2, 3),
-       |qpr AS (SELECT qid, sub, cid FROM (
+       |        FROM q qq CROSS JOIN tcb c GROUP BY 1, 2, 3),
+       |qpr AS MATERIALIZED (SELECT qid, sub, cid FROM (
        |         SELECT a.qid, a.sub, a.cid,
        |                row_number() OVER (PARTITION BY a.qid, a.sub
        |                  ORDER BY (2*dot - cn2) DESC, a.cid ASC) AS rn

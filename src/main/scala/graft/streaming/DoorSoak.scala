@@ -241,20 +241,12 @@ object DoorSoak {
       // the rebuild must replay the asset's PINNED generator (round 16
       // — the soak now runs the cells door, where the LSH spelling
       // would rebuild a different graph and the check reads as a
-      // permanent diff): cells → pinned-books cell signatures (the
-      // GraphIndexSpec rebuild pin), lsh → pinned-planes band sigs.
-      val meta = spark.read.parquet(s"$gDir/meta.parquet").head
-      val rebuildSigs =
-        if (meta.getAs[String]("generator") == "cells")
-          graft.operators.GraphAnn.cellSigs(gBase.select("vec_id", "iv"),
-            spark.read.parquet(s"$gDir/books.parquet"),
-            meta.getAs[Long]("cellk"),
-            spark.read.parquet(s"$gDir/splits.parquet"))
-        else
-          graft.operators.EmbeddingLsh.bandSigs(gBase.select("vec_id", "iv"),
-            meta.getAs[Int]("planes"))
+      // permanent diff): GraphIndex.signUnder, the asset's own signing
+      // dispatch, so the check cannot drift from what the door pinned.
       val rebuilt = graft.operators.GraphAnn.knnGraph(gBase,
-        graft.operators.EmbeddingLsh.candidatePairs(rebuildSigs), 4)
+        graft.operators.EmbeddingLsh.candidatePairs(
+          graft.operators.GraphIndex.signUnder(spark, gDir,
+            gBase.select("vec_id", "iv"))), 4)
       val doorG = graft.operators.GraphIndex.graph(spark, gDir)
       // the grouping key carries the cosine (rounded as IndexDoorSpec
       // rounds it — r13 advice): an edge present on both sides with a
@@ -288,16 +280,10 @@ object DoorSoak {
       val assetSec = (System.nanoTime() - t0) / 1e9
       t0 = System.nanoTime()
       import org.apache.spark.sql.functions.{broadcast, expr}
-      // the inline twin replays the asset's pinned generator (round 16)
-      val nInline = (if (meta.getAs[String]("generator") == "cells")
-        graft.operators.GraphAnn.inlineServeCells(gBase,
-          spark.read.parquet(s"$gDir/books.parquet"),
-          meta.getAs[Long]("cellk"),
-          spark.read.parquet(s"$gDir/splits.parquet"),
-          qs, k = 4, beam = 4, rounds = 3)
-      else
-        graft.operators.GraphAnn.inlineServe(gBase, meta.getAs[Int]("planes"),
-          qs, k = 4, beam = 4, rounds = 3)).count()
+      // the inline twin replays the asset's pinned generator (round 16
+      // — the shared meta-driven dispatch, so the twin cannot drift)
+      val nInline = graft.operators.GraphIndex.inlineServeTwin(
+        spark, gDir, gBase, qs).count()
       val inlineSec = (System.nanoTime() - t0) / 1e9
       require(nServed == nInline,
         s"asset serve row count diverged from the inline build: $nServed vs $nInline")

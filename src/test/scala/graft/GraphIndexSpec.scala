@@ -169,6 +169,69 @@ class GraphIndexSpec extends SparkTestBase {
       .head.getAs[String]("generator") === "lsh")
   }
 
+  test("committedSegPredicate admits exactly the ledger: ranges match canonical keys only, literals exact") {
+    import spark.implicits._
+    // the discriminating unit check (the e2e orphan test below can
+    // land in the rebuild regime, whose base.count() masks the
+    // predicate): every seg-partition spelling against a mixed ledger
+    val segs = Seq("init", "b1", "b3", "b4", "b05", "b5", "x", "bORPHAN")
+      .toDF("seg")
+    val ledger = Seq("init", "b1-b3", "b05", "x")
+    val kept = segs.where(GraphIndex.committedSegPredicate(ledger))
+      .collect().map(_.getString(0)).toSet
+    // b4/b5 are outside the range and not listed; 'b05' matches ONLY
+    // its literal (never the b1-b3 range via numeric aliasing); the
+    // orphan key is invisible to the dup scan
+    assert(kept === Set("init", "b1", "b3", "b05", "x"))
+  }
+
+  test("a rebuild folds every on-disk sig segment into the ledger (orphans it built from become committed)") {
+    import spark.implicits._
+    val (idx, g, cut, ids) = fixture("rebfold")
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val raw = Tables.embeddings(spark, dir)
+    val rest = ids.filter(_ >= cut)
+    val (orphanWave, bulk) = rest.splitAt(6)
+    // the orphan wave reaches the INDEX and its sig segment, but the
+    // graph commit "crashed" — only the segment exists
+    val os = orphanWave.toSet
+    HybridIndex.addBatch(spark, idx,
+      docs.where(col("doc_id").isin(os.toSeq: _*)),
+      raw.where(col("vec_id").isin(os.toSeq: _*)), segKeyOpt = Some("b3"))
+    orphanWave.map(id => (id, 0L, 7L)).toSeq.toDF("vec_id", "band", "sig")
+      .write.parquet(s"$g/sigs/seg=b3")
+    // a BULK wave rebuilds (touched*4 >= n at this corpus): the
+    // rebuild reads ALL of sigs/ — the orphan included — and records
+    // base.count(), so the orphan's ids ARE committed; the ledger must
+    // say so (round 16 review: otherwise a cross-key re-delivery of
+    // the orphan wave reads nDup = 0 against the committed-only scan
+    // and OVERCOUNTS n_base)
+    val bs = bulk.toSet
+    HybridIndex.addBatch(spark, idx,
+      docs.where(col("doc_id").isin(bs.toSeq: _*)),
+      raw.where(col("vec_id").isin(bs.toSeq: _*)), segKeyOpt = Some("b4"))
+    GraphIndex.admit(spark, idx, g,
+      raw.where(col("vec_id").isin(bs.toSeq: _*))
+        .select(col("vec_id").as("id")), "b4")
+    val (v, _, n, ledger) = latestInfoRow(g)
+    assert(GraphIndex.ledgerContains(ledger, "b3"),
+      s"the rebuild must fold the orphan seg it built from, got $ledger")
+    assert(n === HybridIndex.committedBase(spark, idx).count())
+    // same-key re-delivery of the orphan wave now no-ops outright
+    GraphIndex.admit(spark, idx, g,
+      raw.where(col("vec_id").isin(os.toSeq: _*))
+        .select(col("vec_id").as("id")), "b3")
+    assert(latestInfoRow(g)._1 === v,
+      "re-delivering the rebuild-folded orphan seg must not mint a version")
+    // and a CROSS-KEY re-delivery folds as zero new vectors: the ids
+    // sit in the now-committed b3 segment, so the dup scan counts them
+    GraphIndex.admit(spark, idx, g,
+      raw.where(col("vec_id").isin(os.toSeq: _*))
+        .select(col("vec_id").as("id")), "b9")
+    assert(latestInfoRow(g)._3 === HybridIndex.committedBase(spark, idx).count(),
+      "cross-key re-delivery of a rebuild-committed wave must not inflate n_base")
+  }
+
   test("dup anti-fold reads only ledger-committed segments (a crashed admit's orphan seg never undercounts)") {
     import spark.implicits._
     val (idx, g, cut, ids) = fixture("orphan")

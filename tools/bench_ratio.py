@@ -46,8 +46,11 @@ def main(argv):
     shared = sorted(set(new) & set(old))
     new_sum = sum(new[q] for q in shared)
     old_sum = sum(old[q] for q in shared)
+    # a zero old-side time would make ratio=inf, and json.dumps emits
+    # bare `Infinity` (not valid JSON) — clamp to a large finite marker
+    # so the "one JSON line" contract survives a degenerate artifact
     per_q = sorted(
-        ((new[q] / old[q] if old[q] > 0 else float("inf"), q) for q in shared),
+        ((new[q] / old[q] if old[q] > 0 else 1e9, q) for q in shared),
         reverse=True,
     )
     out = {
