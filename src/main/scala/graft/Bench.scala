@@ -7,6 +7,41 @@ import graft.streaming.Model._
 import graft.streaming.Pipelines
 
 object Bench {
+
+  /** Fixed-work single-thread integer kernel, timed — the ENVIRONMENT
+    * CALIBRATION CANARY (round 17, r16 verdict #2/#3): the iteration
+    * count is pinned, so the wall time measures the machine, never the
+    * code under test. Two rounds of bench adjudication (r15, r16) had
+    * to re-derive "contended vs regressed" from cross-round re-runs of
+    * old HEADs; with the canary (plus the load average) in every
+    * artifact, a contended run is machine-readable as contended from
+    * the JSON alone — e.g. the driver's BENCH_r16.json carried qx83 at
+    * 293 s vs 0.23 s isolated with nothing in the artifact saying the
+    * host was busy. Runs once untimed (JIT) then timed. */
+  private val CanaryIters = 600000000L
+  def canarySec(): Double = {
+    def burn(n: Long): Long = {
+      var x = 0x9E3779B97F4A7C15L; var i = 0L
+      while (i < n) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      x
+    }
+    val sink = burn(CanaryIters / 10)
+    val t0 = System.nanoTime()
+    val sink2 = burn(CanaryIters)
+    val sec = (System.nanoTime() - t0) / 1e9
+    if ((sink | sink2) == 42L) System.err.print("")
+    sec
+  }
+
+  /** Host load fields for a JSON section: 1-min load average over the
+    * host's core count plus the raw readings. */
+  def loadJson(): String = {
+    val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val la = os.getSystemLoadAverage
+    val nc = Runtime.getRuntime.availableProcessors
+    s""""load_avg":$la,"host_cpus":$nc"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -17,6 +52,10 @@ object Bench {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Environment self-description at bench open (r16 verdict #2/#3):
+    // load average + the fixed-work canary, BEFORE any query runs.
+    val openLoad = loadJson()
+    val openCanary = canarySec()
     // Warm up the JVM/codegen paths once so the first measured query is
     // not charged session bring-up cost.
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -136,6 +175,12 @@ object Bench {
       } catch { case e: Throwable =>
         Left(Option(e.getMessage).getOrElse(e.getClass.getName).takeWhile(_ != '\n').take(200))
       } finally spark.conf.set("spark.sql.shuffle.partitions", cpus)
+    // the streaming leg's own environment reading (r16 verdict #3: the
+    // driver artifact's 2,700 ev/s median under contention must be
+    // machine-readable as contended — batch queries may have run for
+    // minutes by now, so the open reading does not govern here)
+    val streamLoad = loadJson()
+    val streamCanary = canarySec()
     val streamRuns = (1 to streamN).map(streamRep)
     val streamOk = streamRuns.collect { case Right(r) => r }
     val streaming: Either[String, (Double, Double)] =
@@ -154,15 +199,16 @@ object Bench {
         val sortedEv = streamOk.map(_._1).sorted
         val median = math.round(sortedEv(sortedEv.size / 2))
         s"""{"ev_per_sec":${math.round(evs)},"ev_per_sec_median":$median,""" +
-          s""""ev_per_sec_reps":$reps,"batch_sec":$lat,"state_partitions":$streamParts}"""
-      case Left(m)           => s"""{"error":${jstr(m)}}"""
+          s""""ev_per_sec_reps":$reps,"batch_sec":$lat,"state_partitions":$streamParts,""" +
+          s""""canary_sec":$streamCanary,$streamLoad}"""
+      case Left(m)           => s"""{"error":${jstr(m)},"canary_sec":$streamCanary,$streamLoad}"""
     }
     val skipped = skip.toSeq.sorted.map(jstr).mkString("[", ",", "]")
     val splitJson = qx79bSplit match {
       case Some((b, s)) => s"""{"build_sec":$b,"serve_sec":$s}"""
       case None         => "null"
     }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","n":$reps,"stat":"min","queries":$qs,"queries_max":$qsMax,"errors":$errs,"skipped":$skipped,"qx79b_split":$splitJson,"streaming":$streamJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","n":$reps,"stat":"min","canary_sec":$openCanary,$openLoad,"queries":$qs,"queries_max":$qsMax,"errors":$errs,"skipped":$skipped,"qx79b_split":$splitJson,"streaming":$streamJson,"sf":"$sfDir"}"""
     println(line)
     // Round-5 verdict #2: BENCH_r05's stdout tail capture truncated
     // mid-JSON, losing the total and half the per-query mins. Write the

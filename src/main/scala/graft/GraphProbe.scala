@@ -86,7 +86,7 @@ object GraphProbe {
       val (found, searchSec) = time {
         GraphAnn.search(g, base, qs, seeds, entry = 0L, beam = 4, rounds = 3)
           .where(col("rk") === 1L)
-          .collect().map(r => (r.getLong(0), r.getLong(2)))
+          .collect().map(r => (r.getLong(0), (r.getLong(2), r.getDouble(3)))).toMap
       }
       val brute = qs.crossJoin(base.select(col("vec_id"), col("iv"), col("n2")))
         .where(col("vec_id") =!= col("qid"))
@@ -94,14 +94,18 @@ object GraphProbe {
         .withColumn("cosine", expr(
           "CAST(dot AS DOUBLE) / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE)))"))
         .groupBy("qid").agg(expr("topk_by(cosine, vec_id, 1)").as("tk"))
-        .select(col("qid"), expr("element_at(tk, 1).id").as("nn"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val byQ = found.groupBy(_._1)
-      val hits = brute.count { case (q, nn) =>
-        byQ.getOrElse(q, Array.empty[(Long, Long)]).exists(_._2 == nn) }
+        .select(col("qid"), expr("element_at(tk, 1).id").as("nn"),
+          expr("element_at(tk, 1).score").as("maxc"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val hits = brute.count { case (q, (nn, _)) =>
+        found.get(q).exists(_._1 == nn) }
+      // tie-aware twin next to the strict count (round 17 — the
+      // corpus-size-aware reading: strict undercounts where maxima tie)
+      val qHits = brute.count { case (q, (_, maxc)) =>
+        found.get(q).exists(_._2 == maxc) }
       println(s"""{"n":$n,"cell_build_sec":${"%.2f".format(cellBuildSec)},""" +
         s""""edges":$edges,"search_sec":${"%.2f".format(searchSec)},""" +
-        s""""recall_top1":"$hits/${brute.size}","sf":"$d"}""")
+        s""""recall_top1":"$hits/${brute.size}","recall_q":"$qHits/${brute.size}","sf":"$d"}""")
       spark.stop()
       return
     }
@@ -125,6 +129,14 @@ object GraphProbe {
       // #7 — the bulk-wave probe: -4 → a 25% wave, squarely in the
       // admit-vs-rebuild knee's rebuild regime, confirming the cells
       // rebuild also fits the default heap).
+      // deltaMod == 0 would make doorMod 0 and pmod(id, 0) a null
+      // (false-everywhere) predicate — the probe would time a
+      // zero-vector delta and emit a plausible-looking but
+      // meaningless line (round 17, r16 advice: mirror the gen:-mode
+      // positivity guard here)
+      require(deltaMod != 0L,
+        "deltaMod must be nonzero in door:/doorcells: modes " +
+          "(positive = drip modulus deltaMod*100, negative = raw bulk modulus)")
       val doorMod = if (deltaMod < 0) -deltaMod else deltaMod * 100L
       val docs = spark.read.parquet(s"$d/documents.parquet")
         .select(col("doc_id"), col("text"))
@@ -196,18 +208,36 @@ object GraphProbe {
       // a beam-anywhere hit under a "recall_top1" key overstated it.
       val served = graft.operators.GraphIndex.search(spark, idxOut, gOut, qs)
         .where(col("rk") === 1L)
-        .collect().map(r => (r.getLong(0), r.getLong(2)))
+        .collect().map(r => (r.getLong(0), (r.getLong(2), r.getDouble(3))))
+        .toMap
       val brute = qs.crossJoin(committed.select(col("vec_id"), col("iv"), col("n2")))
         .where(col("vec_id") =!= col("qid"))
         .withColumn("dot", expr("long_dot(iv, qiv)"))
         .withColumn("cosine", expr(
           "CAST(dot AS DOUBLE) / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE)))"))
         .groupBy("qid").agg(expr("topk_by(cosine, vec_id, 1)").as("tk"))
-        .select(col("qid"), expr("element_at(tk, 1).id").as("nn"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val byQ = served.groupBy(_._1)
-      val recallHits = brute.count { case (qq, nn) =>
-        byQ.getOrElse(qq, Array.empty[(Long, Long)]).exists(_._2 == nn) }
+        .select(col("qid"), expr("element_at(tk, 1).id").as("nn"),
+          expr("element_at(tk, 1).score").as("maxc"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val recallHits = brute.count { case (qq, (nn, _)) =>
+        served.get(qq).exists(_._1 == nn) }
+      // TIE-AWARE quality recall + the absolute floor (round 17, r16
+      // verdict #1). The corpus-size-aware expectation for the STRICT
+      // number above: on small corpora several vectors tie at the
+      // exact maximum cosine and the beam may surface a tied id other
+      // than the globally smallest, so strict reads BELOW quality
+      // there (sf0.01 soak: 4/10 strict, 10/10 tie-aware —
+      // GraphServeQualitySpec); at probe scale ties are measure-zero
+      // and the two coincide. The floor rides the tie-aware metric —
+      // served rk=1 cosine == brute max cosine, exact equality by
+      // shared arithmetic — so a real quality collapse fails the
+      // probe at ANY corpus size without tie false-alarms.
+      val qualityHits = brute.count { case (qq, (_, maxc)) =>
+        served.get(qq).exists(_._2 == maxc) }
+      val qMicro = 1000000L * qualityHits / math.max(1, brute.size)
+      require(qMicro >= graft.operators.GraphAnn.ServeRecallFloorMicro,
+        s"door asset serving quality collapsed: tie-aware top1 recall " +
+          s"$qualityHits/${brute.size} < floor ${graft.operators.GraphAnn.ServeRecallFloorMicro} micro")
       // heap envelope: Xmx plus the largest single heap pool's peak
       // (pools peak at different times, so a SUM can exceed Xmx and
       // mislead; completing the run under this Xmx is the primary
@@ -228,6 +258,8 @@ object GraphProbe {
         s""""serve_asset_sec":${"%.2f".format(serveAssetSec)},""" +
         s""""serve_inline_sec":${"%.2f".format(serveInlineSec)},""" +
         s""""recall_top1":"$recallHits/${brute.size}",""" +
+        s""""recall_q":"$qualityHits/${brute.size}",""" +
+        s""""recall_floor_micro":${graft.operators.GraphAnn.ServeRecallFloorMicro},""" +
         s""""heap_max_gb":${"%.1f".format(heapMaxGb)},""" +
         s""""heap_peak_pool_gb":${"%.1f".format(heapPeakGb)},"sf":"$d"}""")
       spark.stop()

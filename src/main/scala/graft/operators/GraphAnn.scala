@@ -28,6 +28,30 @@ import org.apache.spark.sql.functions._
   */
 object GraphAnn {
 
+  /** ABSOLUTE serving-quality floor, micro-units of tie-aware top-1
+    * recall (round 17, r16 verdict #1). The metric it floors: a query
+    * counts as served correctly when its rk = 1 beam result's cosine
+    * EQUALS the brute-force maximum cosine — the same expression over
+    * the same integers on both sides, so equality is exact and a
+    * tie-shuffled optimum (several ids sharing the max; the beam may
+    * surface one other than the globally smallest id) never
+    * false-alarms the way strict id-vs-id top1 would.
+    *
+    * Why ONE absolute value now holds at every corpus size: the
+    * sf0.01 soak's 4/10 strict reading was diagnosed
+    * ([[graft.GraphServeQualitySpec]]) as SEED COVERAGE, not beam or
+    * graph failure — every miss's true top-1 sat outside the 2×2
+    * probed cells of a 16-cell grid, a budget artifact the
+    * corpus-size-aware serving budget ([[serveProbesFor]]) removes by
+    * probing the whole grid below the tiny-grid knee. With the budget
+    * rule in place the measured posture is exact at the small scales
+    * (full probe ⇒ the first beam cut IS the global top-k) and
+    * 200/200 at the 200k probe's 2-probe regime; 0.90 leaves margin
+    * for genuinely hard query draws while making a silent quality
+    * collapse fatal in DoorSoak/GraphProbe the way a nonzero rebuild
+    * edge diff is. */
+  val ServeRecallFloorMicro: Long = 900000L
+
   /** k-NN graph from banded LSH candidates: for each node, its K
     * exact-cosine-nearest candidates. Columns (u, v, cos). */
   def knnGraph(base: DataFrame, candPairs: DataFrame, k: Int): DataFrame = {
@@ -120,6 +144,33 @@ object GraphAnn {
       .select(col("cell"),
         expr(s"CAST(ceil(CAST(n AS DOUBLE) / $target) AS BIGINT)").as("splits"))
 
+  /** CORPUS-SIZE-AWARE serving probe budget for a cells graph, per
+    * 32-dim half (round 17, r16 verdict #1 — the real cause of the
+    * sf0.01 soak's 4/10 strict serving recall). The cells generator
+    * signs each vector into ONE product cell (single band), so graph
+    * edges exist only WITHIN a (cell, sub-bucket): the beam can never
+    * leave the probed cells' components, and serving recall is bounded
+    * by "did a probed cell contain the true neighbor". On a tiny grid
+    * that bound bites hard: at n = 500 the trained grid is 4×4 = 16
+    * cells and the default 2×2 probe covers ~25% of the corpus —
+    * [[graft.GraphServeQualitySpec]] pins that every strict miss there
+    * is exactly a query whose true top-1 sits OUTSIDE the probed
+    * cells (never a beam/graph failure). The production answer at
+    * that scale is to probe the WHOLE grid: k2 ≤ 8 implies
+    * n ≲ k2²·2·[[IvfAnn.TargetListSize]] ≈ 8k vectors, where
+    * full-probe seeding costs one bounded broadcast join and makes
+    * the serve EXACT — the faiss flat-below-the-knee discipline. Past
+    * the tiny-grid knee the measured posture governs: 2×2 of a ≥1024-
+    * cell trained grid read strict 200/200 at the 200k probe. (The
+    * k2 = 16 band in between is floor-guarded: DoorSoak/GraphProbe
+    * fail hard if its serve ever measures under
+    * [[ServeRecallFloorMicro]].) Serving budget only — signatures,
+    * admission, and the persisted asset are untouched, and the qx126
+    * gate row keeps replaying the pinned 2-probe budget explicitly
+    * (the qx124 budget-row discipline). */
+  def serveProbesFor(k2: Long): Int =
+    if (k2 <= 8L) k2.toInt else IvfAnn.ImiProbesPerLevel
+
   /** The pure per-vector sub-bucket assignment under pinned split
     * factors (reduced-mod hash so the product never overflows at any
     * id). */
@@ -149,10 +200,13 @@ object GraphAnn {
     * (the query must meet every member of its probed cells — the
     * sub-split bounds BUILD work, not the query's own candidate
     * reach; expansion is ≤ probes · maxSplits rows per query, a
-    * bounded frame). */
+    * bounded frame). `probes` ≤ 0 derives the corpus-size-aware
+    * default ([[serveProbesFor]]); a positive value pins the budget
+    * (the qx126 gate replay). */
   def cellQuerySigs(queries: DataFrame, books: DataFrame, k2: Long,
-                    splits: DataFrame): DataFrame =
-    IvfAnn.imiProbeCellsL2(queries.select(col("qid"), col("qiv")), books, k2)
+                    splits: DataFrame, probes: Int = -1): DataFrame =
+    IvfAnn.imiProbeCellsL2(queries.select(col("qid"), col("qiv")), books, k2,
+        perLevel = if (probes > 0) probes else serveProbesFor(k2))
       .join(broadcast(splits), Seq("cell"), "left")
       .withColumn("sp", coalesce(col("splits"), lit(1L)))
       .select(col("qid"), lit(0L).as("qband"),
@@ -161,10 +215,10 @@ object GraphAnn {
 
   def inlineServeCells(base: DataFrame, books: DataFrame, k2: Long,
                        splits: DataFrame, queries: DataFrame, k: Int,
-                       beam: Int, rounds: Int): DataFrame = {
+                       beam: Int, rounds: Int, probes: Int = -1): DataFrame = {
     val sigs = cellSigs(base, books, k2, splits)
     val qs = queries.select("qid", "qiv", "qn2")
-    val qsigs = cellQuerySigs(qs, books, k2, splits)
+    val qsigs = cellQuerySigs(qs, books, k2, splits, probes)
     val seeds = sigs.join(broadcast(qsigs),
         col("band") === col("qband") && col("sig") === col("qsig") &&
           col("vec_id") =!= col("qid"))

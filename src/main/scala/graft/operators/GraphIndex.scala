@@ -93,10 +93,16 @@ object GraphIndex {
     * compaction would rewrite the literal to 'b1', losing the string
     * that names `sigs/seg=b01`). A non-canonical numeric-looking key
     * is handled as a literal everywhere below; the door itself mints
-    * only canonical `b<batchId>` keys. */
+    * only canonical `b<batchId>` keys. Overflow-length digit runs
+    * (> 19 digits, e.g. 'b99999999999999999999') also degrade to
+    * literals (round 17, r16 advice): an unguarded `toLong` would
+    * throw inside ledgerContains/ledgerAdd while the TRY_CAST in
+    * [[committedSegPredicate]] maps the same key to null — the two
+    * spellings must agree that such a key is a literal, not crash. */
   private def doorId(seg: String): Option[Long] = seg match {
-    case DoorKey(k) if s"b${k.toLong}" == seg => Some(k.toLong)
-    case _                                    => None
+    case DoorKey(k) =>
+      scala.util.Try(k.toLong).toOption.filter(id => s"b$id" == seg)
+    case _ => None
   }
 
   private[graft] def ledgerContains(ledger: Seq[String], seg: String): Boolean =
@@ -485,12 +491,26 @@ object GraphIndex {
     // replay no-op then agree with what the rebuild actually built
     // from. One filesystem listing — metadata-cheap next to the
     // rebuild it rides.
+    //
+    // Only FULLY-WRITTEN segments fold (round 17, r16 advice): a
+    // segment torn by a crash mid delta_sigs write (task-committed
+    // part files present, job never committed → no _SUCCESS marker)
+    // must stay OUT of the ledger — promoting it would silence the
+    // documented repair path (same-key re-delivery idempotently
+    // overwrites its own segment) behind the ledger no-op, leaving
+    // any sig rows the torn write lost out of the candidate
+    // generator permanently. Left unfolded, the re-delivered wave
+    // re-admits and its overwrite repairs the segment; the rebuild
+    // itself read whatever partial rows exist, which only UNDER-seeds
+    // candidates until that repair — never a wrong graph edge.
     val segsOut =
       if (rebuild) {
         val f = fs(spark, graphDir)
         f.listStatus(new org.apache.hadoop.fs.Path(s"$graphDir/sigs"))
-          .map(_.getPath.getName).filter(_.startsWith("seg="))
-          .map(_.stripPrefix("seg=")).sorted
+          .map(_.getPath).filter(_.getName.startsWith("seg="))
+          .filter(p => f.exists(
+            new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+          .map(_.getName.stripPrefix("seg=")).sorted
           .foldLeft(ledgerAdd(ledger, seg))(ledgerAdd)
       } else ledgerAdd(ledger, seg)
     timed("commit") {

@@ -4795,8 +4795,13 @@ object ExtQueries {
     * per-cell sub-bucket split factors ([[GraphAnn.cellSplits]]), the
     * sub-bucketed cell signatures, the same-sig k-NN graph, and the
     * 2×2-probed-cell-seeded beam serve ([[GraphAnn.inlineServeCells]]
-    * — the exact spelling GraphIndexSpec pins the maintained asset
-    * bit-equal to). The DuckDB twin replays every stage: seed pick,
+    * — the spelling GraphIndexSpec pins the maintained asset
+    * bit-equal to; the probe budget is pinned EXPLICITLY at 2 per
+    * half here, the qx124 budget-row discipline, because the door's
+    * own default budget is corpus-size-aware since round 17 —
+    * [[GraphAnn.serveProbesFor]] — and this row exists to replay the
+    * 2-probe machinery, graph and beam included, not the full-probe
+    * degenerate case). The DuckDB twin replays every stage: seed pick,
     * both Lloyd steps (the qx16/qx44 subspace machinery), splits,
     * sub-bucket hash, graph top-4, probe ranking, sub-bucket
     * expansion, and all three beam rounds CTE for CTE.
@@ -4816,7 +4821,7 @@ object ExtQueries {
     val qs = base.where(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("n2").as("qn2"))
     GraphAnn.inlineServeCells(base, books, k2, splits, qs,
-      k = 4, beam = 4, rounds = 3)
+      k = 4, beam = 4, rounds = 3, probes = IvfAnn.ImiProbesPerLevel)
   }
 
   /** qx107 — PPMI CO-OCCURRENCE statistics (Church & Hanks 1990; the

@@ -39,7 +39,7 @@ object ChunkDedupStream {
   case class ChunkVerdict(source: String, doc_id: Long, start: Long,
                           len: Long, dup: Boolean, first: Boolean)
 
-  private case class Store(occ: Long, curDoc: Long, curStart: Long, subCursor: Long)
+  private[streaming] case class Store(occ: Long, curDoc: Long, curStart: Long, subCursor: Long)
 
   class StoreProcessor
     extends StatefulProcessor[(String, Long, Long, Long), ChunkObs, ChunkVerdict] {
@@ -78,7 +78,7 @@ object ChunkDedupStream {
   case class GlobalVerdict(source: String, doc_id: Long, start: Long,
                            len: Long, ch1: Long, first: Boolean, owner: String)
 
-  private case class GStore(occ: Long, curDoc: Long, curStart: Long,
+  private[streaming] case class GStore(occ: Long, curDoc: Long, curStart: Long,
                             owner: String, subCursor: Long)
 
   /** The [[StoreProcessor]] contract on the identity-only key: same

@@ -37,7 +37,7 @@ object CmsStream {
   /** Per-batch heartbeat; the grid is read from state, not the sink. */
   case class CmsHeartbeat(lang: String, n_docs: Long, n_words: Long)
 
-  private case class Grid(cells: Seq[Long], cursor: Long, nDocs: Long, nWords: Long)
+  private[streaming] case class Grid(cells: Seq[Long], cursor: Long, nDocs: Long, nWords: Long)
 
   /** Row i's cell for word-hash wh — qx33's colOf, verbatim. */
   def cellOf(i: Int, wh: Long): Int =

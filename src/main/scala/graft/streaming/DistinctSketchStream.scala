@@ -44,7 +44,7 @@ object DistinctSketchStream {
   // Parallel primitive arrays (not a nested case-class list): the state
   // encoder round-trips ArrayType(LongType) cleanly where nested product
   // lists fail to decode.
-  private case class Sketch(hs: Seq[Long], ss: Seq[Long], nSeen: Long)
+  private[streaming] case class Sketch(hs: Seq[Long], ss: Seq[Long], nSeen: Long)
 
   class KmvProcessor(k: Int)
       extends StatefulProcessor[String, ShingleObs, SketchSnapshot] {

@@ -24,6 +24,10 @@ object DoorSoak {
     if (args.headOption.contains("index")) { indexMain(args.drop(1)); return }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val nWaves = args.lift(1).map(_.toInt).getOrElse(8)
+    // probe-scale runs (round 17, r16 verdict #5): cap the corpus read
+    // from a larger table (0 = all) — the 200k ingest-door probe rides
+    // the 500k graph-probe corpus
+    val maxDocs = args.lift(2).map(_.toLong).getOrElse(0L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -39,7 +43,10 @@ object DoorSoak {
     import IngestDoor.DoorDoc
 
     val base = Files.createTempDirectory("graft_door_soak").toString
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val allDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val docs = (if (maxDocs > 0L)
+        allDocs.where(org.apache.spark.sql.functions.col("doc_id") < maxDocs)
+      else allDocs)
       .select("doc_id", "lang", "text").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
       .toSeq.sortBy(_._1)
@@ -48,7 +55,11 @@ object DoorSoak {
     val evalDocs = docs.collect { case (id, _, _) if id % 25 == 0 => id }.toSet
     val evalWins = docs.filter(d => evalDocs.contains(d._1))
       .flatMap(d => DeconStream.windowHashes(d._3)).toSet
-    val mWords = 1024
+    // Bloom image sized to the eval window set (~16 bits/element, so
+    // the prescreen keeps pruning at probe scale instead of
+    // saturating; 1024 words = the spec-scale floor, unchanged there)
+    val mWords = math.max(1024, java.lang.Long.highestOneBit(
+      math.max(1L, evalWins.size.toLong / 4L)).toInt * 2)
     val d = 3
     val image = new Array[Long](mWords)
     for (s <- evalWins; i <- 0 until d) {
@@ -89,15 +100,36 @@ object DoorSoak {
     live.grouped(live.size / nWaves + 1).zipWithIndex.foreach { case (wave, i) =>
       val t0 = System.nanoTime()
       input.addData(wave.map { case (id, lang, t) => DoorDoc(id, lang, t, is_new = true) })
-      q1.processAllAvailable(); q2.processAllAvailable(); q3.processAllAvailable()
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"""{"wave":${i + 1},"docs":${wave.size},"wall_sec":$sec%.2f}""")
+      q1.processAllAvailable()
+      val t1 = System.nanoTime()
+      q2.processAllAvailable()
+      val t2 = System.nanoTime()
+      q3.processAllAvailable()
+      val t3 = System.nanoTime()
+      // per-stage wall (round 17, r16 verdict #5: the composed door's
+      // probe must attribute the wave cost to its stages, the
+      // doorcells artifact discipline)
+      println(f"""{"wave":${i + 1},"docs":${wave.size},"wall_sec":${(t3 - t0) / 1e9}%.2f,""" +
+        f""""gate_sec":${(t1 - t0) / 1e9}%.2f,"budget_sec":${(t2 - t1) / 1e9}%.2f,""" +
+        f""""pack_sec":${(t3 - t2) / 1e9}%.2f}""")
       stateLine("gate", i + 1, q1)
       stateLine("budget", i + 1, q2)
       stateLine("pack", i + 1, q3)
     }
     q1.stop(); q2.stop(); q3.stop()
     val staged = spark.read.schema(IngestDoor.stagedSchema).parquet(s"$base/staged/batch=*").count()
+    // heap envelope, the doorcells spelling: completing under this Xmx
+    // is the primary evidence, the largest pool peak the footprint
+    val heapMaxGb = Runtime.getRuntime.maxMemory / 1e9
+    val heapPeakGb = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getType == java.lang.management.MemoryType.HEAP)
+        .map(_.getPeakUsage.getUsed).max / 1e9
+    }
+    println(s"""{"stage":"done","admitted":$staged,"bloom_words":$mWords,""" +
+      s""""heap_max_gb":${"%.1f".format(heapMaxGb)},""" +
+      s""""heap_peak_pool_gb":${"%.1f".format(heapPeakGb)}}""")
     println(s"[soak] done: $staged admitted docs through the door")
     spark.stop()
   }
@@ -291,17 +323,31 @@ object DoorSoak {
         .where(col("vec_id") =!= col("qid"))
         .withColumn("dot", expr("long_dot(iv, qiv)"))
         .withColumn("cosine", expr(graft.queries.ExtQueries.COSINE))
-        .groupBy("qid").agg(expr("topk_by(cosine, vec_id, 1)").as("tk"))
-        .select(col("qid"), org.apache.spark.sql.functions.explode(col("tk")).as("t"))
-        .select(col("qid"), col("t.id").as("nn"))
+        .groupBy("qid").agg(expr("element_at(topk_by(cosine, vec_id, 1), 1)").as("t"))
+        .select(col("qid"), col("t.id").as("nn"), col("t.score").as("maxc"))
       // top1-vs-top1 (round 16, the GraphProbe advice fix applied here
-      // too): only the serve's rk = 1 row may claim the recall hit
-      val hits = brute1.join(
-          assetBeam.where(col("rk") === 1L)
-            .select(col("qid"), col("vec_id").as("nn")),
-          Seq("qid", "nn"), "left_semi").count()
+      // too): only the serve's rk = 1 row may claim the strict hit
+      val top1 = assetBeam.where(col("rk") === 1L)
+        .select(col("qid"), col("vec_id").as("snn"), col("cosine").as("scos"))
+        .join(brute1, "qid").localCheckpoint()
+      val hits = top1.where(col("snn") === col("nn")).count()
+      // TIE-AWARE quality recall + the ABSOLUTE floor (round 17, r16
+      // verdict #1): the strict metric is not floorable across corpus
+      // sizes — at soak scale several vectors routinely tie at the
+      // exact maximum cosine and the beam may surface a tied id other
+      // than the globally smallest (GraphServeQualitySpec pins the
+      // sf0.01 4/10 strict reading as exactly that), so a hit here is
+      // served-cosine == brute-max-cosine (same expression, same
+      // integers — exact equality). THIS metric carries the floor: a
+      // real quality collapse now kills the soak the way a nonzero
+      // rebuild edge diff does, instead of passing as a log line.
+      val qHits = top1.where(col("scos") === col("maxc")).count()
       val nq = qs.count()
-      println(f"""{"stage":"graph_serve","queries":$nq,"asset_sec":$assetSec%.2f,"inline_sec":$inlineSec%.2f,"recall_top1_micro":${1000000L * hits / math.max(1L, nq)}}""")
+      val qMicro = 1000000L * qHits / math.max(1L, nq)
+      println(f"""{"stage":"graph_serve","queries":$nq,"asset_sec":$assetSec%.2f,"inline_sec":$inlineSec%.2f,"recall_top1_micro":${1000000L * hits / math.max(1L, nq)},"recall_q_micro":$qMicro,"recall_floor_micro":${graft.operators.GraphAnn.ServeRecallFloorMicro}}""")
+      require(qMicro >= graft.operators.GraphAnn.ServeRecallFloorMicro,
+        s"asset serving quality collapsed: tie-aware top1 recall $qMicro micro " +
+          s"< floor ${graft.operators.GraphAnn.ServeRecallFloorMicro}")
     }
     // The per-epoch maintenance decision over exactly what the door
     // admitted — the RetrainTrigger loop run where it would run in

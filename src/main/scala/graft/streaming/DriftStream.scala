@@ -29,7 +29,14 @@ object DriftStream {
   /** Per-(key, batch) heartbeat; the histograms live in state. */
   case class DriftBeat(source: String, shard: Int, n_docs: Long, n_feats: Long)
 
-  private case class Hist(cs: Seq[Long], cursor: Long, nDocs: Long, nFeats: Long)
+  // Qualified (not plain) private, here and for every state case class
+  // in this package: a plain-private nested class keeps a PRIVATE flag
+  // in its InnerClasses attribute, which Janino (unlike the JVM
+  // verifier) enforces — the generated state-encoder projection then
+  // fails to compile ("no applicable method ... candidates are:
+  // Hist.curId()") and every state read/write runs interpreted.
+  // StateEncoderCodegenSpec pins the flags and the compiled path.
+  private[streaming] case class Hist(cs: Seq[Long], curId: Long, nDocs: Long, nFeats: Long)
 
   /** Scan-local sharding of one document's features. */
   def shardRows(source: String, doc_id: Long, text: String): Iterator[SrcShardFeats] =
@@ -49,7 +56,7 @@ object DriftStream {
                                  tv: TimerValues): Iterator[DriftBeat] = {
       val prev = if (st.exists) st.get() else Hist(Seq.fill(W)(0L), -1L, 0L, 0L)
       val cs = prev.cs.toArray
-      var cursor = prev.cursor; var nDocs = prev.nDocs; var nFeats = prev.nFeats
+      var cursor = prev.curId; var nDocs = prev.nDocs; var nFeats = prev.nFeats
       rows.toSeq.sortBy(_.doc_id).foreach { r =>
         if (r.doc_id > cursor) {
           r.bs.foreach { b => cs((b / DsirStream.S).toInt) += 1L }

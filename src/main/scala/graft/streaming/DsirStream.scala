@@ -37,7 +37,7 @@ object DsirStream {
   /** Per-(shard, batch) heartbeat; the counts live in state. */
   case class ShardBeat(shard: Int, n_docs: Long, n_feats: Long)
 
-  private case class Counts(cr: Seq[Long], ct: Seq[Long], cursor: Long,
+  private[streaming] case class Counts(cr: Seq[Long], ct: Seq[Long], cursor: Long,
                             nDocs: Long, nFeats: Long)
 
   /** Scan-local sharding of one document's features ([[DsirSelect

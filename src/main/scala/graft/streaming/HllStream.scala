@@ -30,7 +30,7 @@ object HllStream {
 
   case class HllHeartbeat(lang: String, n_obs: Long, n_nonempty: Long)
 
-  private case class Regs(regs: Seq[Long], nObs: Long)
+  private[streaming] case class Regs(regs: Seq[Long], nObs: Long)
 
   /** qx73's 55-bit key, verbatim. */
   def keyOf(wh: Long): Long =

@@ -32,7 +32,7 @@ object IndexStream {
   case class TermSummary(term: String, df: Long, cf: Long, first_doc: Long,
                          gap_checksum: Long, varint_bytes: Long)
 
-  private case class TermState(df: Long, cf: Long, fd: Long, pl: Long,
+  private[streaming] case class TermState(df: Long, cf: Long, fd: Long, pl: Long,
                                ck: Long, by: Long, subCursor: Long)
 
   /** Scan-local tokenization of one document into its posting rows —

@@ -33,7 +33,7 @@ object LogHistogramStream {
   case class HistSnapshot(source: String, n_docs: Long,
                           p50_est: Long, p90_est: Long, p99_est: Long)
 
-  private case class Hist(counts: Seq[Long], cursor: Long, nDocs: Long)
+  private[streaming] case class Hist(counts: Seq[Long], cursor: Long, nDocs: Long)
 
   /** floor(log₂ x) = 63 − nlz(x) — `length(bin(x)) − 1` in the batch/SQL
     * spelling, identical for x ≥ 1. */

@@ -36,7 +36,7 @@ object SpanDedupStream {
     * genuine ordering violation lands in the same bucket, so the count
     * makes a broken intake OBSERVABLE (statestore-readable) instead of
     * silently absorbed (r8 ADVICE). */
-  private case class Claim(doc: Long, i: Long, cursor: Long, subCursor: Long)
+  private[streaming] case class Claim(doc: Long, i: Long, cursor: Long, subCursor: Long)
 
   class ClaimProcessor extends StatefulProcessor[Long, SpanObs, SpanVerdict] {
     @transient private var st: ValueState[Claim] = _

@@ -158,6 +158,29 @@ class GraphIndexSpec extends SparkTestBase {
     assert(!ledgerContains(Seq("b01"), "b1"))
   }
 
+  test("overflow-length numeric keys degrade to literals (never throw) — agreeing with the TRY_CAST predicate") {
+    import GraphIndex.{ledgerAdd, ledgerContains}
+    // r16 advice: 'b' + 20 digits matches the DoorKey regex but
+    // overflows toLong — an unguarded parse threw inside
+    // ledgerContains/ledgerAdd while committedSegPredicate's TRY_CAST
+    // mapped the same key to null; both spellings must treat it as a
+    // plain literal
+    val big = "b" + "9" * 20
+    val l = Seq("b1", "b2").foldLeft(Seq.empty[String])(ledgerAdd)
+    assert(!ledgerContains(l, big))
+    val l2 = ledgerAdd(l, big)
+    assert(l2.contains(big) && l2.contains("b1-b2"),
+      "an overflow-length key must survive as its own literal token")
+    assert(ledgerContains(l2, big) && ledgerContains(l2, "b1"))
+    // and the SQL-side predicate agrees: the literal matches exactly,
+    // without a numeric-cast crash under ANSI mode
+    import spark.implicits._
+    val kept = Seq(big, "b1", "b3").toDF("seg")
+      .where(GraphIndex.committedSegPredicate(l2))
+      .collect().map(_.getString(0)).toSet
+    assert(kept === Set(big, "b1"))
+  }
+
   test("generatorFor picks cells past the knee; init default resolves it") {
     assert(GraphIndex.generatorFor(GraphIndex.CellsKnee) === "cells")
     assert(GraphIndex.generatorFor(GraphIndex.CellsKnee - 1) === "lsh")
@@ -230,6 +253,51 @@ class GraphIndexSpec extends SparkTestBase {
         .select(col("vec_id").as("id")), "b9")
     assert(latestInfoRow(g)._3 === HybridIndex.committedBase(spark, idx).count(),
       "cross-key re-delivery of a rebuild-committed wave must not inflate n_base")
+  }
+
+  test("a rebuild does not fold a TORN sig segment (no _SUCCESS) — same-key re-delivery still repairs it") {
+    import spark.implicits._
+    val (idx, g, cut, ids) = fixture("rebtorn")
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val raw = Tables.embeddings(spark, dir)
+    val rest = ids.filter(_ >= cut)
+    val (tornWave, bulk) = rest.splitAt(6)
+    // a crash MID delta_sigs write: task-committed part files are on
+    // disk but the job never committed — no _SUCCESS marker. Folding
+    // this key into the rebuild's ledger would turn the documented
+    // repair path (same-key re-delivery idempotently overwrites its
+    // own segment) into a silent no-op, leaving any rows the torn
+    // write lost out of the candidate generator permanently (round
+    // 17, r16 advice).
+    val ts = tornWave.toSet
+    HybridIndex.addBatch(spark, idx,
+      docs.where(col("doc_id").isin(ts.toSeq: _*)),
+      raw.where(col("vec_id").isin(ts.toSeq: _*)), segKeyOpt = Some("b3"))
+    tornWave.map(id => (id, 0L, 7L)).toSeq.toDF("vec_id", "band", "sig")
+      .write.parquet(s"$g/sigs/seg=b3")
+    assert(new java.io.File(s"$g/sigs/seg=b3/_SUCCESS").delete(),
+      "fixture must be able to tear the segment's job-commit marker")
+    val bs = bulk.toSet
+    HybridIndex.addBatch(spark, idx,
+      docs.where(col("doc_id").isin(bs.toSeq: _*)),
+      raw.where(col("vec_id").isin(bs.toSeq: _*)), segKeyOpt = Some("b4"))
+    GraphIndex.admit(spark, idx, g,
+      raw.where(col("vec_id").isin(bs.toSeq: _*))
+        .select(col("vec_id").as("id")), "b4")
+    val (v, _, _, ledger) = latestInfoRow(g)
+    assert(!GraphIndex.ledgerContains(ledger, "b3"),
+      s"a torn (un-job-committed) segment must stay out of the rebuild's ledger fold, got $ledger")
+    // same-key re-delivery is NOT a no-op: it re-admits, and its
+    // idempotent segment overwrite repairs the torn write
+    GraphIndex.admit(spark, idx, g,
+      raw.where(col("vec_id").isin(ts.toSeq: _*))
+        .select(col("vec_id").as("id")), "b3")
+    val (v2, _, _, ledger2) = latestInfoRow(g)
+    assert(v2 === v + 1L,
+      "re-delivering a torn segment's wave must mint a repair version")
+    assert(GraphIndex.ledgerContains(ledger2, "b3"))
+    assert(new java.io.File(s"$g/sigs/seg=b3/_SUCCESS").exists(),
+      "the repair admit must rewrite the segment to a job-committed state")
   }
 
   test("dup anti-fold reads only ledger-committed segments (a crashed admit's orphan seg never undercounts)") {
