@@ -74,6 +74,25 @@ object ExtQueries {
     }
   }
 
+  /** Materialize INDEPENDENT legs concurrently (optimization round 17,
+    * guide §2.6 "overlap independent jobs"): each thunk builds and
+    * eagerly localCheckpoints its leg on its own driver thread, so one
+    * leg's straggler tail back-fills with the next leg's stages instead
+    * of serializing whole jobs — wall cost becomes ~max(legs) instead
+    * of Σ(legs). The audit/ledger composites (qx118/qx120–qx125,
+    * qx106/qx106b, the hybrid fusions) were running their
+    * localCheckpointed legs strictly serially; at sf0.1 their inputs
+    * are job-overhead-bound, and on a cluster the scheduler overlap is
+    * worth strictly more (idle-executor back-fill). Results are
+    * unchanged: every leg is deterministic and checkpointing is
+    * value-transparent, so the fold sees identical rows. */
+  private def concurrently(legs: (() => DataFrame)*): IndexedSeq[DataFrame] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    legs.map(f => Future(f())).toIndexedSeq.map(Await.result(_, Duration.Inf))
+  }
+
   // ---- shared deterministic text hashing (Spark SQL expression strings) --
 
   /** Non-empty whitespace tokens. */
@@ -841,9 +860,10 @@ object ExtQueries {
     * 5·|q|-row lists and folds a ≤6-bucket histogram — metadata-sized
     * at any corpus scale. */
   def qx118(spark: SparkSession, dir: String): DataFrame = {
-    val brute = qx2(spark, dir).select(col("qid"), col("vec_id")).localCheckpoint()
-    val lsh = qx3(spark, dir).select(col("qid"), col("vec_id")).localCheckpoint()
-    recallAuditK(brute, lsh, 5)
+    val legs = concurrently(
+      () => qx2(spark, dir).select(col("qid"), col("vec_id")).localCheckpoint(),
+      () => qx3(spark, dir).select(col("qid"), col("vec_id")).localCheckpoint())
+    recallAuditK(legs(0), legs(1), 5)
   }
 
   /** The recall@k audit fold shared by qx118/qx122/qx123 (factored in
@@ -934,12 +954,17 @@ object ExtQueries {
     * candidate joins (each already probed at 100×); the audit is two
     * hash full-outer joins on (a, b) plus a ≤7-row fold. */
   def qx120(spark: SparkSession, dir: String): DataFrame = {
-    val mh = qx4(spark, dir)
-      .select(col("doc_a").as("a"), col("doc_b").as("b"), lit(1L).as("m"))
-    val sh = qx14(spark, dir)
-      .select(col("doc_a").as("a"), col("doc_b").as("b"), lit(1L).as("s"))
-    val em = qx12(spark, dir)
-      .select(col("vec_a").as("a"), col("vec_b").as("b"), lit(1L).as("e"))
+    val legs = concurrently(
+      () => qx4(spark, dir)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"), lit(1L).as("m"))
+        .localCheckpoint(),
+      () => qx14(spark, dir)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"), lit(1L).as("s"))
+        .localCheckpoint(),
+      () => qx12(spark, dir)
+        .select(col("vec_a").as("a"), col("vec_b").as("b"), lit(1L).as("e"))
+        .localCheckpoint())
+    val mh = legs(0); val sh = legs(1); val em = legs(2)
     mh.join(sh, Seq("a", "b"), "full_outer")
       .join(em, Seq("a", "b"), "full_outer")
       .select(coalesce(col("m"), lit(0L)).as("m"),
@@ -961,9 +986,12 @@ object ExtQueries {
     * a semi-join of |q| rows against ≤4·|q| beam rows + a 2-bucket
     * fold — metadata-sized anywhere. */
   def qx121(spark: SparkSession, dir: String): DataFrame = {
-    val brute1 = qx2(spark, dir).where(col("rk") === 1)
-      .select(col("qid"), col("vec_id")).localCheckpoint()
-    val beam = qx109(spark, dir).select(col("qid"), col("vec_id")).localCheckpoint()
+    val legs = concurrently(
+      () => qx2(spark, dir).where(col("rk") === 1)
+        .select(col("qid"), col("vec_id")).localCheckpoint(),
+      () => qx109(spark, dir).select(col("qid"), col("vec_id")).localCheckpoint())
+    val brute1 = legs(0)
+    val beam = legs(1)
     val hit = brute1.join(beam, Seq("qid", "vec_id"), "left_semi")
       .select(col("qid"), lit(1L).as("f"))
     val perQ = brute1.select("qid")
@@ -992,9 +1020,10 @@ object ExtQueries {
     * the audit joins two 5·|q|-row lists and folds a ≤6-bucket
     * histogram — metadata-sized at any corpus scale. */
   def qx122(spark: SparkSession, dir: String): DataFrame = {
-    val brute = qx2(spark, dir).select(col("qid"), col("vec_id")).localCheckpoint()
-    val adc = qx44(spark, dir).select(col("qid"), col("vec_id")).localCheckpoint()
-    recallAuditK(brute, adc, 5)
+    val legs = concurrently(
+      () => qx2(spark, dir).select(col("qid"), col("vec_id")).localCheckpoint(),
+      () => qx44(spark, dir).select(col("qid"), col("vec_id")).localCheckpoint())
+    recallAuditK(legs(0), legs(1), 5)
   }
 
   /** qx123 — the IVF COARSE-FAMILY recall ledger in one parameterized
@@ -1013,15 +1042,19 @@ object ExtQueries {
     * a 5·|q|-row join + ≤6-bucket fold, three of them — still
     * metadata-sized. */
   def qx123(spark: SparkSession, dir: String): DataFrame = {
-    val brute = qx2(spark, dir).select(col("qid"), col("vec_id")).localCheckpoint()
+    val legs = concurrently(
+      () => qx2(spark, dir).select(col("qid"), col("vec_id")).localCheckpoint(),
+      () => qx13(spark, dir).select(col("qid"), col("vec_id")).localCheckpoint(),
+      () => qx15(spark, dir).select(col("qid"), col("vec_id")).localCheckpoint(),
+      () => qx16(spark, dir).select(col("qid"), col("vec_id")).localCheckpoint())
+    val brute = legs(0)
     def leg(name: String, served: DataFrame): DataFrame =
-      recallAuditK(brute,
-          served.select(col("qid"), col("vec_id")).localCheckpoint(), 5)
+      recallAuditK(brute, served, 5)
         .select(lit(name).as("family"), col("hits"), col("n_queries"),
           col("recall_micro"))
-    leg("ivf", qx13(spark, dir))
-      .unionByName(leg("imi", qx15(spark, dir)))
-      .unionByName(leg("kmeans", qx16(spark, dir)))
+    leg("ivf", legs(1))
+      .unionByName(leg("imi", legs(2)))
+      .unionByName(leg("kmeans", legs(3)))
   }
 
   /** qx124 — RECALL-AT-BUDGET curve for the serving IVFADC family
@@ -1041,19 +1074,30 @@ object ExtQueries {
     * occupancy, refine ∝ C) and each audit joins two 5·|q|-row lists —
     * metadata-sized at any corpus scale. */
   def qx124(spark: SparkSession, dir: String): DataFrame = {
-    val brute = qx2(spark, dir).select(col("qid"), col("vec_id")).localCheckpoint()
     val (a, k) = ivfadcAssets(spark, dir)
+    // Encode the corpus ONCE for the four budget serves: the coded
+    // corpus was re-derived (encodeResidual + packed, two corpus
+    // passes) by EVERY leg's lazy lineage — one build, four re-encodes.
+    // The checkpointed code table is what "shared assets" in the
+    // scaladoc was always supposed to mean (guide §5: persist exactly
+    // the reused intermediate).
+    val codes = a.codes.localCheckpoint()
     val q = a.base.where(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("n2").as("qn2"))
-    def leg(perLevel: Int, c: Int): DataFrame =
-      recallAuditK(brute,
-          ivfadcServe(q, a.books, a.pqBooks, a.codes, a.base, k, topk = 5,
-              perLevel = perLevel, refineC = c)
-            .select(col("qid"), col("vec_id")).localCheckpoint(), 5)
-        .select(lit(s"p${perLevel}_c$c").as("budget"), col("hits"),
+    def serve(perLevel: Int, c: Int): () => DataFrame = () =>
+      ivfadcServe(q, a.books, a.pqBooks, codes, a.base, k, topk = 5,
+          perLevel = perLevel, refineC = c)
+        .select(col("qid"), col("vec_id")).localCheckpoint()
+    val legs = concurrently(
+      () => qx2(spark, dir).select(col("qid"), col("vec_id")).localCheckpoint(),
+      serve(1, 32), serve(2, 32), serve(2, 256), serve(3, 256))
+    val brute = legs(0)
+    def leg(name: String, served: DataFrame): DataFrame =
+      recallAuditK(brute, served, 5)
+        .select(lit(name).as("budget"), col("hits"),
           col("n_queries"), col("recall_micro"))
-    leg(1, 32).unionByName(leg(2, 32))
-      .unionByName(leg(2, 256)).unionByName(leg(3, 256))
+    leg("p1_c32", legs(1)).unionByName(leg("p2_c32", legs(2)))
+      .unionByName(leg("p2_c256", legs(3))).unionByName(leg("p3_c256", legs(4)))
   }
 
   /** The deterministic per-doc sampling hash qx21/qx22 order by: an
@@ -1141,10 +1185,18 @@ object ExtQueries {
       .where(col("n_tokens") >= TokMin)
     val kept = toks.join(qx20(spark, dir), Seq("doc_id"), "left")
       .where(col("rep").isNull || col("rep") === col("doc_id"))
+    // Join the pruned ids back to the RAW doc projection, not to `kept`
+    // (round 17): the surviving ids already passed every upstream
+    // filter, doc_id is unique, and (n_tokens, h) are pure functions of
+    // the doc row — identical rows out, and the second corpus-chain
+    // replay (scan + kill-list join) drops from the plan.
     val pruned = kept.groupBy("lang")
       .agg(expr(s"topk_by(CAST(-h AS DOUBLE), doc_id, $maxDocs)").as("tk"))
       .select(col("lang"), explode(col("tk.id")).as("doc_id"))
-      .join(kept.select("doc_id", "n_tokens", "h"), "doc_id")
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          expr(s"size($WORDS)").cast("long").as("n_tokens"),
+          expr(SAMPLE_HASH).as("h")), "doc_id")
     val byHash = Window.partitionBy("lang")
       .orderBy(col("h").asc, col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1186,10 +1238,18 @@ object ExtQueries {
       .join(flagged, Seq("doc_id"), "left_anti")
     val kept = toks.join(qx20(spark, dir), Seq("doc_id"), "left")
       .where(col("rep").isNull || col("rep") === col("doc_id"))
+    // qx22's join-back trick (round 17): the pruned ids already passed
+    // quality + decon + dedup, so re-attaching (n_tokens, h) needs only
+    // the raw doc projection — the second replay of the whole curation
+    // chain (scan + bloom prescreen + both anti-joins + kill-list join)
+    // drops from the plan; rows identical by doc_id uniqueness.
     val pruned = kept.groupBy("lang")
       .agg(expr(s"topk_by(CAST(-h AS DOUBLE), doc_id, $maxDocs)").as("tk"))
       .select(col("lang"), explode(col("tk.id")).as("doc_id"))
-      .join(kept.select("doc_id", "n_tokens", "h"), "doc_id")
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          expr(s"size($WORDS)").cast("long").as("n_tokens"),
+          expr(SAMPLE_HASH).as("h")), "doc_id")
     val byHash = Window.partitionBy("lang")
       .orderBy(col("h").asc, col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -3518,6 +3578,12 @@ object ExtQueries {
     * cap keeps every gate SF's query set bit-identical (max doc_id at
     * sf0.1 is 4999) while bounding the probe at 100 queries. */
   def qx79(spark: SparkSession, dir: String): DataFrame =
+    // Deliberately left as ONE declarative plan (round 17): the fused
+    // self-reference re-plans both legs statically, but AQE stage reuse
+    // executes each leg's exchanges once — measured flat (3.4 s → 3.7 s)
+    // under the checkpointed-legs spelling, and PlanShapeSpec pins this
+    // row's leg shapes (topk_by cuts, broadcast lexical lookups) on the
+    // final plan, which construction-time checkpoints would hide.
     rrfFuse(denseTop20(spark, dir), bm25Top20(spark, dir))
 
   /** The hybrid queries' DENSE leg (qx2's scan, k = 20) — factored from
@@ -3552,9 +3618,12 @@ object ExtQueries {
     * because three consumers would otherwise re-run the corpus scans
     * (the qx98 lesson). Sentinel −1 marks a query whose lexical top-20
     * all sit inside the dense top-20 (no hard negative exists). */
-  def qx106(spark: SparkSession, dir: String): DataFrame =
-    mineTriplets(denseTop20(spark, dir).localCheckpoint(),
-      bm25Top20(spark, dir).localCheckpoint())
+  def qx106(spark: SparkSession, dir: String): DataFrame = {
+    val legs = concurrently(
+      () => denseTop20(spark, dir).localCheckpoint(),
+      () => bm25Top20(spark, dir).localCheckpoint())
+    mineTriplets(legs(0), legs(1))
+  }
 
   /** qx106b — the triplet miner SERVED BY THE INDEX (the qx79b/qx98b
     * discipline applied to the last brute-only consumer, r12 verdict
@@ -3570,13 +3639,23 @@ object ExtQueries {
     * (−1 when fewer than two hard negatives exist) are preserved by
     * the shared miner. */
   def qx106b(spark: SparkSession, dir: String): DataFrame = {
+    val legs = concurrently(
+      () => ivfadcDenseTop20(spark, dir).localCheckpoint(),
+      () => bm25Top20(spark, dir).localCheckpoint())
+    mineTriplets(legs(0), legs(1))
+  }
+
+  /** The hybrid family's IVFADC-SERVED dense leg — qx79b/qx106b's dense
+    * side factored to one spelling (and qx125's reuse point): the qx44
+    * residual-IVFADC build + 2×2-probe serve cut to top-20 on the gate
+    * query slice, emitted as (qid, doc_id, dense_rk). */
+  private[graft] def ivfadcDenseTop20(spark: SparkSession, dir: String): DataFrame = {
     val (a, k) = ivfadcAssets(spark, dir)
     val q = a.base.where(col("vec_id") % 50 === 0 && col("vec_id") < 5000)
       .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("n2").as("qn2"))
-    val dense = ivfadcServe(q, a.books, a.pqBooks, a.codes, a.base, k, topk = 20)
+    ivfadcServe(q, a.books, a.pqBooks, a.codes, a.base, k, topk = 20)
       .select(col("qid"), col("vec_id").as("doc_id"),
         col("rk").cast("long").as("dense_rk"))
-    mineTriplets(dense.localCheckpoint(), bm25Top20(spark, dir).localCheckpoint())
   }
 
   /** The DPR miner over ANY (dense, lexical) top-20 rank pair —
@@ -3677,13 +3756,12 @@ object ExtQueries {
     * slice, so the two gates rank the same queries and diffing their
     * outputs measures the index's effect directly. */
   def qx79b(spark: SparkSession, dir: String): DataFrame = {
-    val (a, k) = ivfadcAssets(spark, dir)
-    val q = a.base.where(col("vec_id") % 50 === 0 && col("vec_id") < 5000)
-      .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("n2").as("qn2"))
-    val dense = ivfadcServe(q, a.books, a.pqBooks, a.codes, a.base, k, topk = 20)
-      .select(col("qid"), col("vec_id").as("doc_id"),
-        col("rk").cast("long").as("dense_rk"))
-    rrfFuse(dense, bm25Top20(spark, dir))
+    // The BM25 leg is independent of the IVFADC build+serve — it now
+    // overlaps the trainings instead of queuing behind them (§2.6).
+    val legs = concurrently(
+      () => ivfadcDenseTop20(spark, dir).localCheckpoint(),
+      () => bm25Top20(spark, dir).localCheckpoint())
+    rrfFuse(legs(0), legs(1))
   }
 
   /** The hybrid family's GRAPH-ANN dense leg (round 15, r14 verdict
@@ -3727,8 +3805,12 @@ object ExtQueries {
     * leg serves from the maintained [[graft.operators.GraphIndex]]
     * asset ([[graft.operators.HybridIndex.searchGraphFused]] — the
     * persisted twin this gate row pins). */
-  def qx79c(spark: SparkSession, dir: String): DataFrame =
-    rrfFuse(graphDenseTop20(spark, dir), bm25Top20(spark, dir))
+  def qx79c(spark: SparkSession, dir: String): DataFrame = {
+    val legs = concurrently(
+      () => graphDenseTop20(spark, dir).localCheckpoint(),
+      () => bm25Top20(spark, dir).localCheckpoint())
+    rrfFuse(legs(0), legs(1))
+  }
 
   /** qx125 — FUSED-retrieval recall ledger (round 15, r14 verdict #5's
     * ledger entry): recall@10 of each index-served hybrid fusion —
@@ -3752,11 +3834,21 @@ object ExtQueries {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    def fused(df: => DataFrame) = Future(
-      df.select(col("qid"), col("doc_id").as("vec_id")).localCheckpoint())
-    val fBrute = fused(qx79(spark, dir))
-    val fAdc = fused(qx79b(spark, dir))
-    val fGraph = fused(qx79c(spark, dir))
+    // ONE lexical leg for all three fusions (round 17): each fusion's
+    // BM25 table is byte-identical by construction (shared bm25Top20
+    // spelling over the same corpus and query slice), so the three
+    // stacks fuse against a single checkpointed copy — two whole BM25
+    // corpus passes removed at equal-output; the RRF arithmetic sees
+    // the same rows either way.
+    val lexF = Future(bm25Top20(spark, dir).localCheckpoint())
+    def fused(dense: => DataFrame) = Future {
+      val d = dense.localCheckpoint()
+      rrfFuse(d, Await.result(lexF, Duration.Inf))
+        .select(col("qid"), col("doc_id").as("vec_id")).localCheckpoint()
+    }
+    val fBrute = fused(denseTop20(spark, dir))
+    val fAdc = fused(ivfadcDenseTop20(spark, dir))
+    val fGraph = fused(graphDenseTop20(spark, dir))
     val brute = Await.result(fBrute, Duration.Inf)
     def leg(name: String, served: DataFrame): DataFrame =
       recallAuditK(brute, served, 10)
@@ -4544,8 +4636,15 @@ object ExtQueries {
     * modularity audit so both rows run one LPA spelling. */
   private def lpaSystem(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val nodes = Tables.embeddings(spark, dir).select(col("vec_id").as("u"))
+    // Checkpoint the candidate edge list (round 17): LPA consumes it
+    // through its own internal cache, but qx105's modularity tail
+    // referenced the raw lineage TWICE more (the label-tagged join and
+    // the scalar m), re-running the full LSH candidate join — sigs,
+    // self-join, distinct — per reference. One pinned edge frame feeds
+    // all three consumers; contents unchanged.
     val edges = EmbeddingLsh.candidatePairs(lshSigs(spark, dir))
       .select(col("vec_a").as("u"), col("vec_b").as("v"))
+      .localCheckpoint()
     (LabelPropagation.run(nodes, edges, iters = 4), edges)
   }
 
