@@ -60,6 +60,14 @@ object BpeTrainer {
   def train(wordFreq: DataFrame, steps: Int): (Seq[Merge], DataFrame) = {
     var state = initState(wordFreq)
     state.persist()
+    // The previous parent state: unpersisted only AFTER the pair-count
+    // collect has (as a side effect of scanning every partition of the
+    // current state) fully materialized the current state's cache.
+    // Round 17: this replaces the per-step `next.count()` materialization
+    // job — the argmax scan the NEXT step runs anyway is the
+    // materializer, halving the sequential job count of a training
+    // (2·steps jobs → steps + 1) with bit-identical merges.
+    var parent: Option[DataFrame] = None
     val merges = Seq.newBuilder[Merge]
     var step = 1
     while (step <= steps) {
@@ -73,6 +81,7 @@ object BpeTrainer {
         .orderBy(col("pc").desc, col("l").asc, col("r").asc)
         .limit(1).collect()
       require(best.nonEmpty, s"BPE step $step: no pairs left to merge")
+      parent.foreach(_.unpersist())
       val (l, r, pc) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
       merges += Merge(step, l, r, pc)
       val lLit = lit(l); val rLit = lit(r)
@@ -82,11 +91,15 @@ object BpeTrainer {
             concat(acc.substr(lit(1), length(acc) - lit(l.length + 1)), lit("|"), lLit, rLit))
             .otherwise(concat(acc, lit("|"), x))).as("seq"))
       next.persist()
-      next.count() // materialize before dropping the parent from cache
-      state.unpersist()
+      parent = Some(state)
       state = next
       step += 1
     }
+    // materialize the final state off the still-cached parent, then
+    // release the parent — callers read `state` many times (token maps,
+    // signatures) and must never replay the merge chain.
+    state.count()
+    parent.foreach(_.unpersist())
     (merges.result(), state)
   }
 

@@ -223,6 +223,11 @@ object GraphAnn {
         col("band") === col("qband") && col("sig") === col("qsig") &&
           col("vec_id") =!= col("qid"))
       .select("qid", "vec_id").distinct()
+    // The Long-entry spelling stays here deliberately (round 17): the
+    // in-plan searchEntryMin variant A/B-measured ~0.8 s SLOWER for the
+    // cells family at sf0.1 (qx126 4.7 -> 5.5 solo min-of-5) where it
+    // helped the LSH path — the broadcast-agg stage does not pay for
+    // itself under the tiny trained grids this serve probes in full.
     val entry = base.agg(min("vec_id")).head.getLong(0)
     search(knnGraph(base, EmbeddingLsh.candidatePairs(sigs), k),
       base, qs, seeds, entry, beam, rounds)
@@ -319,9 +324,8 @@ object GraphAnn {
         col("band") === col("qband") && col("sig") === col("qsig") &&
           col("vec_id") =!= col("qid"))
       .select("qid", "vec_id").distinct()
-    val entry = base.agg(min("vec_id")).head.getLong(0)
-    search(knnGraph(base, EmbeddingLsh.candidatePairs(sigs), k),
-      base, qs, seeds, entry, beam, rounds)
+    searchEntryMin(knnGraph(base, EmbeddingLsh.candidatePairs(sigs), k),
+      base, qs, seeds, beam, rounds)
   }
 
   /** Beam search: the per-query `seeds` (plus the global `entry`
@@ -340,7 +344,32 @@ object GraphAnn {
     * `queries` needs (qid, qiv, qn2); `seeds` (qid, vec_id). */
   def search(graph: DataFrame, base: DataFrame, queries: DataFrame,
              seeds: DataFrame, entry: Long, beam: Int, rounds: Int,
-             selfExclude: Boolean = true): DataFrame = {
+             selfExclude: Boolean = true): DataFrame =
+    searchSeeded(graph, base, queries,
+      seeds.select(col("qid"), col("vec_id"))
+        .unionByName(queries.select(col("qid")).withColumn("vec_id", lit(entry))),
+      beam, rounds, selfExclude)
+
+  /** [[search]] with the min-id entry point derived IN PLAN instead of
+    * collected by the caller (round 17): the entry fallback row is the
+    * corpus min(vec_id) cross-joined onto the query list — one
+    * broadcast of a 1-row aggregate replaces a dedicated driver
+    * `.head` job per query set, with identical seeded rows. Callers
+    * that serve a PERSISTED asset keep the Long overload (their entry
+    * is a pinned manifest value, not a derivable aggregate). */
+  def searchEntryMin(graph: DataFrame, base: DataFrame, queries: DataFrame,
+                     seeds: DataFrame, beam: Int, rounds: Int,
+                     selfExclude: Boolean = true): DataFrame =
+    searchSeeded(graph, base, queries,
+      seeds.select(col("qid"), col("vec_id"))
+        .unionByName(queries.select(col("qid")).crossJoin(
+          broadcast(base.agg(min("vec_id").as("vec_id"))))),
+      beam, rounds, selfExclude)
+
+  private def searchSeeded(graph: DataFrame, base: DataFrame,
+                           queries: DataFrame, seeded0: DataFrame,
+                           beam: Int, rounds: Int,
+                           selfExclude: Boolean): DataFrame = {
     require(rounds >= 1 && beam >= 1)
     val graphC = graph.select("u", "v").cache()
     val vecs = base.select(col("vec_id"), col("iv"), col("n2"))
@@ -355,9 +384,7 @@ object GraphAnn {
       .groupBy("qid").agg(expr(s"topk_by(cosine, vec_id, $beam)").as("tk"))
       .select(col("qid"), explode(col("tk")).as("t"))
       .select(col("qid"), col("t.id").as("vec_id"), col("t.score").as("cosine"))
-    val seeded = seeds.select(col("qid"), col("vec_id"))
-      .unionByName(qs.select(col("qid")).withColumn("vec_id", lit(entry)))
-      .distinct()
+    val seeded = seeded0.distinct()
     var beamDf = cut(scored(seeded)).localCheckpoint()
     for (_ <- 1 to rounds) {
       val expanded = beamDf.select(col("qid"), col("vec_id"))

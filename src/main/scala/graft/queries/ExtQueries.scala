@@ -3435,7 +3435,11 @@ object ExtQueries {
     * the domains-sized caps table + qx62's bounded partial top-k. */
   def qx75(spark: SparkSession, dir: String): DataFrame = {
     val d = col("doc_id")
-    val auth = qx71(spark, dir).select("domain", "rank_micro")
+    // Domains-sized (40 rows), referenced by the cap derivation twice
+    // (totals + caps) — un-pinned, each reference replayed qx71's tail
+    // past the checkpointed ranks: the census and degree corpus scans
+    // and their joins (round 17, guide §5).
+    val auth = qx71(spark, dir).select("domain", "rank_micro").localCheckpoint()
     val tot = auth.agg(sum("rank_micro").as("t"), count(lit(1)).as("nn"))
     val caps = auth.crossJoin(tot).select(col("domain"), col("rank_micro"),
       (lit(2L) + least(lit(6L), expr("(rank_micro * 4 * nn) div t"))).as("cap"))
@@ -3786,8 +3790,7 @@ object ExtQueries {
         col("band") === col("qband") && col("sig") === col("qsig") &&
           col("vec_id") =!= col("qid"))
       .select("qid", "vec_id").distinct()
-    val entry = base.agg(min("vec_id")).head.getLong(0)
-    GraphAnn.search(graph, base, qs, seeds, entry, beam = 20, rounds = 3)
+    GraphAnn.searchEntryMin(graph, base, qs, seeds, beam = 20, rounds = 3)
       .select(col("qid"), col("vec_id").as("doc_id"),
         col("rk").cast("long").as("dense_rk"))
   }
@@ -4791,8 +4794,7 @@ object ExtQueries {
         col("band") === col("qband") && col("sig") === col("qsig") &&
           col("vec_id") =!= col("qid"))
       .select("qid", "vec_id").distinct()
-    val entry = base.agg(min("vec_id")).head.getLong(0)
-    GraphAnn.search(graph, base, qs, seeds, entry, beam = 4, rounds = 3)
+    GraphAnn.searchEntryMin(graph, base, qs, seeds, beam = 4, rounds = 3)
   }
 
   /** qx111 — per-source DATA CARD (Gebru et al. 2021's datasheets /
