@@ -43,10 +43,16 @@ object MixSchedule {
     * sequence), and pos is the closed form above. */
   def schedule(alloc: DataFrame): DataFrame = {
     val spark = alloc.sparkSession
+    // Languages-bounded (≤ hundreds of rows) and referenced FOUR times
+    // below (the max-alloc read, both broadcasts, and langArr) — pinned,
+    // so the caller's allocation chain (in qx116: the LPA-labels join
+    // plus the per-community token scan) runs once, not per reference
+    // (round 17, guide §5).
     val langs = alloc.where(col("alloc") > 0L)
       .withColumn("idx", row_number().over(Window.orderBy("lang")).cast("long") - 1L)
       .withColumn("nlang", count(lit(1)).over(Window.partitionBy()))
       .withColumn("btot", sum("alloc").over(Window.partitionBy()))
+      .localCheckpoint()
     // One-row broadcast of the whole language table as an array column:
     // the schedule expression folds over it scan-locally.
     val langArr = langs.groupBy()
