@@ -46,25 +46,89 @@ object ConnectedComponents {
     * dedup keep-list downstream. */
   val MaxRounds = 30
 
+  /** Size gate for the driver-local solve (round 17, guide §1.2): the
+    * contraction loop pays ~3 bounded jobs per alternation (checkpoint,
+    * convergence count, except-all), which DOMINATES wall time when the
+    * edge list is metadata-sized — the common case for near-dup pair
+    * graphs, whose size tracks the duplicate rate, not the corpus. Below
+    * the gate the canonical edge list is collected once (≤ maxEdges rows
+    * — the same measured-rowcount discipline as the repo's broadcast
+    * gates) and solved by union-find; the labeling is IDENTICAL (both
+    * paths label every edge-touched node with its component minimum —
+    * spec-pinned equal on the same fixtures). Past the gate the
+    * alternating contraction runs unchanged — the 100 TB path. Default
+    * 1M edges ≈ tens of MB on the driver; raise on a production driver
+    * via the conf. */
+  val LocalMaxEdgesConf = "spark.graft.cc.localMaxEdges"
+  val LocalMaxEdgesDefault = 1000000L
+
   /** (node, rep) for every node appearing in `edges0`, where `rep` is
     * the minimum node id of the node's connected component (isolated
     * nodes never appear in an edge list; callers union them back as
     * their own rep if needed). `edges0`'s first two columns are read as
     * the endpoints; self-loops are dropped. */
-  def connectedComponents(edges0: DataFrame): DataFrame =
-    run(edges0)._1
+  def connectedComponents(edges0: DataFrame): DataFrame = {
+    val spark = edges0.sparkSession
+    val canon = canonical(edges0)
+    val maxLocal =
+      spark.conf.get(LocalMaxEdgesConf, LocalMaxEdgesDefault.toString).toLong
+    if (canon.count() <= maxLocal) localSolve(canon) else contract(canon)._1
+  }
 
-  /** [[connectedComponents]] plus the number of alternations used —
-    * exposed so tests can pin the O(log n) convergence contract. */
-  def run(edges0: DataFrame): (DataFrame, Int) = {
+  /** The distributed contraction with the number of alternations used —
+    * exposed so tests can pin the O(log n) convergence contract (and the
+    * local-gate equivalence) regardless of input size. */
+  def run(edges0: DataFrame): (DataFrame, Int) = contract(canonical(edges0))
+
+  /** Canonical undirected edge list (u < v), deduped, lineage cut — the
+    * shared entry for both solve paths (the gate count and the local
+    * collect both read the checkpointed blocks, never the pair-mining
+    * lineage twice). */
+  private def canonical(edges0: DataFrame): DataFrame = {
     val cols = edges0.columns
-    // Canonical undirected edge (u < v), deduped.
-    var edges = edges0
+    edges0
       .select(col(cols(0)).cast("long").as("x"), col(cols(1)).cast("long").as("y"))
       .where(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("u"), greatest(col("x"), col("y")).as("v"))
       .distinct()
       .localCheckpoint()
+  }
+
+  /** Driver-local union-find over a measured-small canonical edge list:
+    * one collect, zero further jobs. Attaching the larger root under the
+    * smaller keeps every root the component minimum, so the labeling is
+    * exactly the contraction's (node, min-of-component) set. */
+  private def localSolve(canon: DataFrame): DataFrame = {
+    val spark = canon.sparkSession
+    val es = canon.collect()
+    val parent = new java.util.HashMap[Long, Long](es.length * 2)
+    def find(x: Long): Long = {
+      var r = x
+      while ({ val p = parent.getOrDefault(r, r); p != r && { r = p; true } }) ()
+      var c = x
+      while (c != r) { val p = parent.get(c); parent.put(c, r); c = p }
+      r
+    }
+    es.foreach { row =>
+      val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    val nodes = new java.util.TreeSet[java.lang.Long]()
+    es.foreach { row => nodes.add(row.getLong(0)); nodes.add(row.getLong(1)) }
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](nodes.size())
+    nodes.forEach { nd => out.add(org.apache.spark.sql.Row(nd.longValue(), find(nd))) }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("rep",
+        org.apache.spark.sql.types.LongType, nullable = true)))
+    spark.createDataFrame(out, schema)
+  }
+
+  /** The alternating star contraction over an already-canonical edge
+    * list — the 100 TB path. */
+  private def contract(canon: DataFrame): (DataFrame, Int) = {
+    var edges = canon
     var rounds = 0
     var stable = false
     while (!stable && rounds < MaxRounds) {

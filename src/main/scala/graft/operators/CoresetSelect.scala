@@ -38,6 +38,97 @@ object CoresetSelect {
     * @return (cid, step, vec_id, gain) in pick order — gain is the
     *         marginal facility-location objective the pick added. */
   def greedy(cand0: DataFrame, pairs0: DataFrame, r: Int): DataFrame = {
+    // Size gate for the driver-local solve (round 17, guide §1.2): the
+    // unrolled plan pays one eager coverage checkpoint per step plus the
+    // two entry pins — per-round JOB latency over rows the CALLER already
+    // bounded to cells·C². Below the gate both tables are collected once
+    // (bounded probes: at most max+1 rows read) and the identical
+    // all-Long greedy — order-free gain sums, (gain DESC, vec_id ASC)
+    // ties — replays on the driver; spec-pinned equal to the unrolled
+    // plan. Past the gate the plan form runs unchanged.
+    val spark = cand0.sparkSession
+    val maxLocal = spark.conf.get(LocalMaxPairsConf, LocalMaxPairsDefault.toString).toLong
+    if (maxLocal > 0 && maxLocal <= Int.MaxValue - 1) {
+      val pArr = pairs0.select(col("cid"), col("i"), col("j"), col("simw"))
+        .limit(maxLocal.toInt + 1).collect()
+      if (pArr.length <= maxLocal) {
+        val cArr = cand0.select(col("cid"), col("vec_id"))
+          .limit(maxLocal.toInt + 1).collect()
+        if (cArr.length <= maxLocal)
+          return localGreedy(spark,
+            cArr.map(x => (x.getLong(0), x.getLong(1))),
+            pArr.map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3))), r)
+      }
+    }
+    greedyDistributed(cand0, pairs0, r)
+  }
+
+  val LocalMaxPairsConf = "spark.graft.coreset.localMaxPairs"
+  val LocalMaxPairsDefault = 2000000L
+
+  /** Driver-local replay of the EXACT unrolled recurrence: per cell,
+    * step t picks the available candidate maximizing
+    * Σ_j max(simw − cov_j, 0) over its pair rows (self row included),
+    * ties (gain DESC, vec_id ASC); coverage then folds max(cov, simw)
+    * from the pick's pair rows. All Longs — sums order-free — so the
+    * pick sequence and gains are bit-identical to the plan form. */
+  private def localGreedy(spark: org.apache.spark.sql.SparkSession,
+                          cArr: Array[(Long, Long)],
+                          pArr: Array[(Long, Long, Long, Long)], r: Int): DataFrame = {
+    val byCell = cArr.groupBy(_._1)
+    val pairsByCell = pArr.groupBy(_._1)
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    byCell.keys.toSeq.sorted.foreach { cid =>
+      val cands = byCell(cid).map(_._2)
+      val ps = pairsByCell.getOrElse(cid, Array.empty[(Long, Long, Long, Long)])
+      // sim rows grouped by the candidate that would be picked/scored
+      val byI = ps.groupBy(_._2)
+      val cov = new java.util.HashMap[Long, Long]()
+      cands.foreach(j => cov.put(j, 0L))
+      val picked = new java.util.HashSet[Long]()
+      var t = 1
+      var stop = false
+      while (t <= r && !stop) {
+        var bestId = 0L; var bestGain = Long.MinValue; var any = false
+        cands.foreach { i =>
+          if (!picked.contains(i)) {
+            var g = 0L
+            byI.getOrElse(i, Array.empty[(Long, Long, Long, Long)]).foreach {
+              case (_, _, j, simw) =>
+                if (cov.containsKey(j)) g += math.max(simw - cov.get(j), 0L)
+            }
+            if (!any || g > bestGain || (g == bestGain && i < bestId)) {
+              bestId = i; bestGain = g; any = true
+            }
+          }
+        }
+        if (!any) stop = true
+        else {
+          out.add(org.apache.spark.sql.Row(cid, t, bestId, bestGain))
+          picked.add(bestId)
+          byI.getOrElse(bestId, Array.empty[(Long, Long, Long, Long)]).foreach {
+            case (_, _, j, simw) =>
+              if (cov.containsKey(j) && simw > cov.get(j)) cov.put(j, simw)
+          }
+          t += 1
+        }
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cid",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("step",
+        org.apache.spark.sql.types.IntegerType, nullable = true),
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("gain",
+        org.apache.spark.sql.types.LongType, nullable = true)))
+    spark.createDataFrame(out, schema)
+  }
+
+  /** The unrolled-into-the-plan form — the path past the size gate (and
+    * the spec's equivalence anchor for the local solve). */
+  def greedyDistributed(cand0: DataFrame, pairs0: DataFrame, r: Int): DataFrame = {
     val cand = cand0.localCheckpoint()
     val pairs = pairs0.localCheckpoint()
     var cov = cand.select(col("cid"), col("vec_id").as("j"), lit(0L).as("cov"))

@@ -56,6 +56,102 @@ object LabelPropagation {
   def run(nodes: DataFrame, edges: DataFrame, iters: Int,
           init: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1, "need at least one round")
+    // Size gate for the driver-local replay (round 17, guide §1.2): each
+    // synchronous round costs a join + two aggregations + a lineage cut —
+    // per-round JOB latency that dominates wall time when the graph is
+    // metadata-sized (LSH candidate graphs track the near-dup rate, not
+    // the corpus). Below the gate both tables are collected once
+    // (bounded: the probe reads at most max+1 rows, never a full count of
+    // a corpus-sized frame) and the identical integer vote — synchronous,
+    // self-inclusive, (count DESC, label ASC) — replays on the driver;
+    // spec-pinned equal to the distributed rounds. Past the gate the
+    // edge-shuffle rounds run unchanged — the 100 TB path. Defaults are
+    // driver-heap-sized; raise on a production driver via the confs.
+    val spark = nodes.sparkSession
+    val maxEdges =
+      spark.conf.get(LocalMaxEdgesConf, LocalMaxEdgesDefault.toString).toLong
+    val maxNodes =
+      spark.conf.get(LocalMaxNodesConf, LocalMaxNodesDefault.toString).toLong
+    if (maxEdges > 0 && maxNodes > 0 &&
+        maxEdges <= Int.MaxValue - 1 && maxNodes <= Int.MaxValue - 1) {
+      val eArr = edges.select(col("u"), col("v"))
+        .limit(maxEdges.toInt + 1).collect()
+      if (eArr.length <= maxEdges) {
+        val nArr = nodes.select(col("u")).limit(maxNodes.toInt + 1).collect()
+        if (nArr.length <= maxNodes)
+          return localRun(spark, nArr.map(_.getLong(0)),
+            eArr.map(r => (r.getLong(0), r.getLong(1))), iters, init)
+      }
+    }
+    runDistributed(nodes, edges, iters, init)
+  }
+
+  val LocalMaxEdgesConf = "spark.graft.lpa.localMaxEdges"
+  val LocalMaxEdgesDefault = 1000000L
+  val LocalMaxNodesConf = "spark.graft.lpa.localMaxNodes"
+  val LocalMaxNodesDefault = 1000000L
+
+  /** Driver-local replay of the EXACT distributed dataflow — the same
+    * vote multiset (each undirected edge delivers the neighbor's
+    * previous-round label, every labeled node adds its own), the same
+    * integer tie (count DESC, label ASC), the same warm-start coalesce.
+    * All-integer, so the labeling is bit-identical to the rounds. */
+  private def localRun(spark: org.apache.spark.sql.SparkSession,
+                       nodeArr: Array[Long], edgeArr: Array[(Long, Long)],
+                       iters: Int, init: Option[DataFrame]): DataFrame = {
+    var labels = new java.util.HashMap[Long, Long](nodeArr.length * 2)
+    init match {
+      case None => nodeArr.foreach(u => labels.put(u, u))
+      case Some(prev) =>
+        val p = new java.util.HashMap[Long, Long]()
+        prev.select(col("u"), col("label")).collect()
+          .foreach(r => p.put(r.getLong(0), r.getLong(1)))
+        nodeArr.foreach(u => labels.put(u, p.getOrDefault(u, u)))
+    }
+    val und = new Array[Long](edgeArr.length * 4) // (dst, src) both ways
+    var m = 0
+    edgeArr.foreach { case (u, v) =>
+      if (u != v) { und(m) = u; und(m + 1) = v; und(m + 2) = v; und(m + 3) = u; m += 4 }
+    }
+    for (_ <- 1 to iters) {
+      // votes(u)(label) -> count
+      val votes = new java.util.HashMap[Long, java.util.HashMap[Long, Long]]()
+      def add(u: Long, l: Long): Unit = {
+        val t = votes.computeIfAbsent(u, _ => new java.util.HashMap[Long, Long]())
+        t.merge(l, 1L, (a, b) => a + b)
+      }
+      var i = 0
+      while (i < m) {
+        val u = und(i); val v = und(i + 1)
+        if (labels.containsKey(v)) add(u, labels.get(v))
+        i += 2
+      }
+      labels.forEach((u, l) => add(u, l))
+      val next = new java.util.HashMap[Long, Long](votes.size() * 2)
+      votes.forEach { (u, t) =>
+        var bestL = 0L; var bestC = -1L
+        t.forEach { (l, c) =>
+          if (c > bestC || (c == bestC && l < bestL)) { bestL = l; bestC = c }
+        }
+        next.put(u, bestL)
+      }
+      labels = next
+    }
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](labels.size())
+    val sorted = new java.util.TreeMap[Long, Long](labels)
+    sorted.forEach((u, l) => out.add(org.apache.spark.sql.Row(u, l)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("u",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("label",
+        org.apache.spark.sql.types.LongType, nullable = true)))
+    spark.createDataFrame(out, schema)
+  }
+
+  /** The edge-shuffle rounds — the 100 TB path (and the spec's
+    * equivalence anchor for the local replay). */
+  def runDistributed(nodes: DataFrame, edges: DataFrame, iters: Int,
+                     init: Option[DataFrame] = None): DataFrame = {
     val nodesC = nodes.select(col("u")).cache()
     // drop self-loops BEFORE symmetrizing — filtering only the forward
     // orientation would let a reversed self-loop through as one extra vote

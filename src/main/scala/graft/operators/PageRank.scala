@@ -52,6 +52,88 @@ object PageRank {
           scale: Long = 1000000L, init: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1, "need at least one iteration")
     require(scale % 100L == 0L, "scale must be a multiple of 100 (exact teleport term)")
+    // Size gate for the driver-local replay (round 17, guide §1.2): every
+    // power iteration costs two joins, a scalar cross-join and a lineage
+    // cut — per-round JOB latency that dominates when the graph is
+    // metadata-sized (a domain graph is bounded by the eTLD+1 space, not
+    // the corpus). Below the gate both tables are collected once (bounded
+    // probes — at most max+1 rows read, never a full count of an unsized
+    // frame) and the identical floor-division integer update replays on
+    // the driver, bit-equal by the same argument the oracle replay rests
+    // on. Past the gate the edge-shuffle rounds run unchanged — the
+    // 100 TB path for corpus-sized graphs.
+    val spark = nodes.sparkSession
+    val maxEdges =
+      spark.conf.get(LocalMaxEdgesConf, LocalMaxEdgesDefault.toString).toLong
+    val maxNodes =
+      spark.conf.get(LocalMaxNodesConf, LocalMaxNodesDefault.toString).toLong
+    if (maxEdges > 0 && maxNodes > 0 &&
+        maxEdges <= Int.MaxValue - 1 && maxNodes <= Int.MaxValue - 1) {
+      val eArr = edges.select(col("u"), col("v"))
+        .limit(maxEdges.toInt + 1).collect()
+      if (eArr.length <= maxEdges) {
+        val nArr = nodes.select(col("u")).limit(maxNodes.toInt + 1).collect()
+        if (nArr.length <= maxNodes)
+          return localRun(spark, nArr.map(_.getLong(0)),
+            eArr.map(r => (r.getLong(0), r.getLong(1))), iters, scale, init)
+      }
+    }
+    runDistributed(nodes, edges, iters, scale, init)
+  }
+
+  val LocalMaxEdgesConf = "spark.graft.pr.localMaxEdges"
+  val LocalMaxEdgesDefault = 1000000L
+  val LocalMaxNodesConf = "spark.graft.pr.localMaxNodes"
+  val LocalMaxNodesDefault = 1000000L
+
+  /** Driver-local replay of the EXACT distributed update — floor
+    * division on non-negative longs everywhere, contributions only from
+    * ranked sources, dangling mass from ranked nodes with no out-edge,
+    * teleport term identical — so the fixpoint is bit-identical. */
+  private def localRun(spark: org.apache.spark.sql.SparkSession,
+                       nodeArr: Array[Long], edgeArr: Array[(Long, Long)],
+                       iters: Int, scale: Long, init: Option[DataFrame]): DataFrame = {
+    val od = new java.util.HashMap[Long, Long](edgeArr.length * 2)
+    edgeArr.foreach { case (u, _) => od.merge(u, 1L, (a, b) => a + b) }
+    var ranks = new java.util.HashMap[Long, Long](nodeArr.length * 2)
+    init match {
+      case None => nodeArr.foreach(u => ranks.put(u, scale))
+      case Some(prev) =>
+        val p = new java.util.HashMap[Long, Long]()
+        prev.select(col("u"), col("r")).collect()
+          .foreach(r => p.put(r.getLong(0), r.getLong(1)))
+        nodeArr.foreach(u => ranks.put(u, p.getOrDefault(u, scale)))
+    }
+    val n = nodeArr.length.toLong
+    val teleport = 15L * scale / 100L
+    for (_ <- 1 to iters) {
+      val inc = new java.util.HashMap[Long, Long](nodeArr.length * 2)
+      edgeArr.foreach { case (u, v) =>
+        if (ranks.containsKey(u)) inc.merge(v, ranks.get(u) / od.get(u), (a, b) => a + b)
+      }
+      var dang = 0L
+      ranks.forEach((u, r) => if (!od.containsKey(u)) dang += r)
+      val next = new java.util.HashMap[Long, Long](nodeArr.length * 2)
+      val dshare = dang / n
+      nodeArr.foreach { u =>
+        next.put(u, teleport + (85L * (inc.getOrDefault(u, 0L) + dshare)) / 100L)
+      }
+      ranks = next
+    }
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](nodeArr.length)
+    nodeArr.sorted.foreach(u => out.add(org.apache.spark.sql.Row(u, ranks.get(u))))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("u",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("r",
+        org.apache.spark.sql.types.LongType, nullable = true)))
+    spark.createDataFrame(out, schema)
+  }
+
+  /** The edge-shuffle power iterations — the 100 TB path (and the
+    * spec's equivalence anchor for the local replay). */
+  def runDistributed(nodes: DataFrame, edges: DataFrame, iters: Int,
+                     scale: Long = 1000000L, init: Option[DataFrame] = None): DataFrame = {
     // The graph is REUSED every round; without caching, a derived edge
     // list re-runs its full upstream (the 100×-probe finding: 500k-doc
     // scans × 17 = 12.7 s; cached, the loop touches only graph-sized

@@ -44,6 +44,23 @@ class ConnectedComponentsSpec extends SparkTestBase {
     realNodes.foreach(n => assert(got(n) == exp(n), s"node $n: got ${got(n)}, want ${exp(n)}"))
   }
 
+  test("the size-gated local union-find equals the distributed contraction") {
+    // Round 17: connectedComponents() takes a driver-local solve below
+    // the measured-edge-count gate; the labeling must be identical to the
+    // alternating contraction (run) on the same mixed fixture.
+    val chain = (0L until 50L).sliding(2).map(p => (p(0), p(1))).toSeq
+    val clique = (101L to 109L).map(i => (100L, i))
+    val pseudo = (0 until 120).map { i =>
+      ((i.toLong * 7919) % 400, (i.toLong * 104729 + 11) % 400)
+    }
+    val all = chain ++ clique ++ pseudo ++ Seq((7L, 7L), (3L, 2L), (2L, 3L))
+    val local = ConnectedComponents.connectedComponents(all.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = ConnectedComponents.run(all.toDF("a", "b"))._1
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local === dist)
+  }
+
   test("a 300-node path converges in O(log n) alternations, not O(n)") {
     val path = (1000L until 1300L).sliding(2).map(p => (p(0), p(1))).toSeq
     val (df, rounds) = ConnectedComponents.run(path.toDF("a", "b"))

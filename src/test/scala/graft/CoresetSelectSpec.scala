@@ -74,5 +74,13 @@ class CoresetSelectSpec extends SparkTestBase {
       assert(gains.zip(gains.tail).forall { case (a, b) => b <= a },
         s"cell $c gains $gains not non-increasing")
     }
+    // Round 17: the size-gated local solve must match the unrolled plan
+    // form row for row (schema included) on the same fixture.
+    val dist = CoresetSelect.greedyDistributed(cand, pairs, r = 4)
+    val local = CoresetSelect.greedy(cand, pairs, r = 4)
+    assert(local.schema.map(f => (f.name, f.dataType)) ===
+      dist.schema.map(f => (f.name, f.dataType)))
+    assert(local.as[(Long, Int, Long, Long)].collect().sorted.toSeq ===
+      dist.as[(Long, Int, Long, Long)].collect().sorted.toSeq)
   }
 }

@@ -65,6 +65,37 @@ class LabelPropagationSpec extends SparkTestBase {
     }
   }
 
+  test("the size-gated local replay equals the distributed rounds (warm start too)") {
+    // Round 17: run() takes a driver-local replay below the measured-size
+    // gate; the labeling must be bit-identical to the edge-shuffle rounds
+    // on every fixture class (bridged communities, path, star, bipartite
+    // squares), at several round counts, and under a warm-start init.
+    val graphs = Seq(
+      bridged,
+      (0L until 7L).sliding(2).map(s => (s(0), s(1))).toSeq,
+      (1L until 8L).map(i => (0L, i)),
+      Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (4L, 5L), (5L, 6L), (6L, 7L), (7L, 4L), (0L, 4L)))
+    for (g <- graphs; it <- Seq(1, 3)) {
+      val n = g.flatMap(e => Seq(e._1, e._2)).max + 1
+      val nodesDf = spark.range(n).select(col("id").as("u"))
+      val edgesDf = g.toDF("u", "v")
+      val local = LabelPropagation.run(nodesDf, edgesDf, it)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = LabelPropagation.runDistributed(nodesDf, edgesDf, it)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(local === dist, s"graph=$g iters=$it")
+    }
+    // warm start: seed two nodes with a foreign label and replay both paths
+    val init = Seq((0L, 9L), (3L, 9L)).toDF("u", "label")
+    val nodesDf = spark.range(6).select(col("id").as("u"))
+    val edgesDf = bridged.toDF("u", "v")
+    val localW = LabelPropagation.run(nodesDf, edgesDf, 2, Some(init))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val distW = LabelPropagation.runDistributed(nodesDf, edgesDf, 2, Some(init))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(localW === distW)
+  }
+
   test("self-inclusion damps the synchronous two-coloring oscillation") {
     // On the single edge 0-1 WITHOUT self votes labels would swap forever:
     // after any odd round {0->1, 1->0}, after even rounds back. With

@@ -25,6 +25,27 @@ class PageRankSpec extends SparkTestBase {
     assert(r === Map(0L -> 362500L, 1L -> 787500L, 2L -> 1637500L, 3L -> 1212500L))
   }
 
+  test("the size-gated local replay equals the distributed iterations (warm start too)") {
+    // Round 17: run() takes a driver-local replay below the measured-size
+    // gate; ranks must be bit-identical to the edge-shuffle rounds,
+    // including the dangling patch and a warm-start init.
+    val nodes = Seq(0L, 1L, 2L, 3L, 4L).toDF("u")
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 3L), (4L, 0L)).toDF("u", "v")
+    for (it <- Seq(1, 3, 8)) {
+      val local = PageRank.run(nodes, edges, it)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      val dist = PageRank.runDistributed(nodes, edges, it)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(local === dist, s"iters=$it")
+    }
+    val init = Seq((0L, 2000000L), (3L, 500000L)).toDF("u", "r")
+    val localW = PageRank.run(nodes, edges, 2, init = Some(init))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val distW = PageRank.runDistributed(nodes, edges, 2, init = Some(init))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(localW === distW)
+  }
+
   test("star-graph authority: the hub outranks every spoke") {
     // spokes all point at the hub; the hub links back to every spoke
     val nodes = (0L to 5L).toDF("u")
