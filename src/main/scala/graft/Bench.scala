@@ -93,6 +93,16 @@ object Bench {
         } catch { case e: Throwable =>
           Left(Option(e.getMessage).getOrElse(e.getClass.getName).takeWhile(_ != '\n').take(200))
         }
+      // Block hygiene BETWEEN queries (round 17, guide §5 "unpersist when
+      // done"): iterative queries leave localCheckpoint/cache blocks
+      // behind (nothing references them after the count), and across
+      // 151 queries × reps the storage pool otherwise drains only on GC
+      // pressure — cleanup storms then land INSIDE later queries' timed
+      // reps (the r16 artifact's qx83 at 293 s vs 0.23 s solo is partly
+      // this class). Runs outside every timed window; measurement
+      // methodology (count() action, rep discipline, min/max) unchanged.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       name -> res
     }
 

@@ -366,11 +366,141 @@ object GraphAnn {
           broadcast(base.agg(min("vec_id").as("vec_id"))))),
       beam, rounds, selfExclude)
 
+  /** Size gates for the driver-local beam replay (round 17, guide §1.2):
+    * each beam round is a graph join + vector join + broadcast + topk_by
+    * + lineage cut — per-round JOB latency that dominates when the
+    * CORPUS is metadata-sized. Below the gates the base vectors, graph
+    * and seeds are collected once (bounded probes) and the identical
+    * beam — long_dot in array order, the same CAST/sqrt cosine, cuts
+    * through the very same [[graft.functions.TopKBuffer]] — replays on
+    * the driver, bit-identical by construction (GraphAnnSpec pins
+    * equality against the distributed rounds). Past any gate the
+    * distributed rounds run unchanged — the 100 TB path, and the shape
+    * the 200k-asset door probes keep measuring (the default base gate
+    * sits below the probe corpus on purpose). */
+  val LocalMaxBaseConf = "spark.graft.graphann.localMaxBase"
+  val LocalMaxBaseDefault = 100000L
+  val LocalMaxEdgesConf = "spark.graft.graphann.localMaxEdges"
+  val LocalMaxEdgesDefault = 2000000L
+
   private def searchSeeded(graph: DataFrame, base: DataFrame,
                            queries: DataFrame, seeded0: DataFrame,
                            beam: Int, rounds: Int,
                            selfExclude: Boolean): DataFrame = {
     require(rounds >= 1 && beam >= 1)
+    val spark = graph.sparkSession
+    val maxBase = spark.conf.get(LocalMaxBaseConf, LocalMaxBaseDefault.toString).toLong
+    val maxEdges = spark.conf.get(LocalMaxEdgesConf, LocalMaxEdgesDefault.toString).toLong
+    if (maxBase > 0 && maxEdges > 0 &&
+        maxBase <= Int.MaxValue - 1 && maxEdges <= Int.MaxValue - 1) {
+      val bArr = base.select(col("vec_id"), col("iv"), col("n2"))
+        .limit(maxBase.toInt + 1).collect()
+      if (bArr.length <= maxBase) {
+        val gArr = graph.select(col("u"), col("v")).limit(maxEdges.toInt + 1).collect()
+        if (gArr.length <= maxEdges) {
+          val sArr = seeded0.select(col("qid"), col("vec_id"))
+            .limit(maxEdges.toInt + 1).collect()
+          if (sArr.length <= maxEdges) {
+            // every query carries at least its entry-fallback seed, so
+            // the query list is bounded by the seed gate that just passed
+            val qArr = queries.select(col("qid"), col("qiv"), col("qn2")).collect()
+            return localBeam(spark, bArr, gArr, sArr, qArr, beam, rounds, selfExclude)
+          }
+        }
+      }
+    }
+    searchSeededDistributed(graph, base, queries, seeded0, beam, rounds, selfExclude)
+  }
+
+  /** Driver-local replay of the EXACT distributed beam: same cosine
+    * (long_dot in array order, CAST to double, sqrt·sqrt denominator),
+    * same [[graft.functions.TopKBuffer]] cuts, same distinct-expand
+    * rounds, same self-exclusion epilogue. */
+  private def localBeam(spark: org.apache.spark.sql.SparkSession,
+                        bArr: Array[org.apache.spark.sql.Row],
+                        gArr: Array[org.apache.spark.sql.Row],
+                        sArr: Array[org.apache.spark.sql.Row],
+                        qArr: Array[org.apache.spark.sql.Row],
+                        beam: Int, rounds: Int, selfExclude: Boolean): DataFrame = {
+    val vecs = new java.util.HashMap[Long, (Array[Long], Long)](bArr.length * 2)
+    bArr.foreach { r =>
+      vecs.put(r.getLong(0), (r.getSeq[Long](1).toArray, r.getLong(2)))
+    }
+    val adj = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+    gArr.foreach { r =>
+      adj.computeIfAbsent(r.getLong(0),
+        _ => scala.collection.mutable.ArrayBuffer.empty[Long]) += r.getLong(1)
+    }
+    val seedsByQ = new java.util.HashMap[Long, java.util.LinkedHashSet[java.lang.Long]]()
+    sArr.foreach { r =>
+      seedsByQ.computeIfAbsent(r.getLong(0),
+        _ => new java.util.LinkedHashSet[java.lang.Long]()).add(r.getLong(1))
+    }
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    qArr.sortBy(_.getLong(0)).foreach { qr =>
+      val qid = qr.getLong(0)
+      val qiv = qr.getSeq[Long](1).toArray
+      val qn2 = qr.getLong(2)
+      def cosine(iv: Array[Long], n2: Long): Double = {
+        var dot = 0L; var i = 0
+        while (i < iv.length) { dot += iv(i) * qiv(i); i += 1 }
+        dot.toDouble / (math.sqrt(n2.toDouble) * math.sqrt(qn2.toDouble))
+      }
+      def cut(cands: java.util.LinkedHashSet[java.lang.Long]): graft.functions.TopKBuffer = {
+        val buf = new graft.functions.TopKBuffer(beam)
+        cands.forEach { vid =>
+          val ve = vecs.get(vid.longValue())
+          if (ve != null) buf.insert(cosine(ve._1, ve._2), vid.longValue())
+        }
+        buf
+      }
+      val seeds = seedsByQ.get(qid)
+      if (seeds != null) {
+        var buf = cut(seeds)
+        for (_ <- 1 to rounds) {
+          val expanded = new java.util.LinkedHashSet[java.lang.Long]()
+          var i = 0
+          while (i < buf.size) {
+            val u = buf.ids(i)
+            expanded.add(u)
+            val nb = adj.get(u)
+            if (nb != null) nb.foreach(v => expanded.add(v))
+            i += 1
+          }
+          buf = cut(expanded)
+        }
+        val fin = new graft.functions.TopKBuffer(beam)
+        var i = 0
+        while (i < buf.size) {
+          if (!selfExclude || buf.ids(i) != qid) fin.insert(buf.scores(i), buf.ids(i))
+          i += 1
+        }
+        i = 0
+        while (i < fin.size) {
+          out.add(org.apache.spark.sql.Row(qid, (i + 1).toLong, fin.ids(i), fin.scores(i)))
+          i += 1
+        }
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("qid",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("rk",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("cosine",
+        org.apache.spark.sql.types.DoubleType, nullable = true)))
+    spark.createDataFrame(out, schema)
+  }
+
+  /** The distributed beam rounds — the 100 TB path (and the spec's
+    * equivalence anchor for the local replay). */
+  private[graft] def searchSeededDistributed(
+      graph: DataFrame, base: DataFrame,
+      queries: DataFrame, seeded0: DataFrame,
+      beam: Int, rounds: Int,
+      selfExclude: Boolean): DataFrame = {
     val graphC = graph.select("u", "v").cache()
     val vecs = base.select(col("vec_id"), col("iv"), col("n2"))
     val qs = queries.select("qid", "qiv", "qn2")

@@ -201,6 +201,24 @@ class GraphAnnSpec extends SparkTestBase {
     assert(hits === brute.size, "full-coverage cells must recover every true top-1 here")
   }
 
+  test("the size-gated local beam equals the distributed rounds bit for bit") {
+    // Round 17: search() takes a driver-local beam replay below the
+    // measured-size gates; (qid, rk, vec_id, cosine) must be identical —
+    // cosine INCLUDED, to the last double bit — to the distributed
+    // rounds on the real sf0.001 corpus with LSH seeds.
+    val g = corpusGraph
+    val local = GraphAnn.search(g, base, queriesDf, lshSeeds, 0L, 4, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    val dist = GraphAnn.searchSeededDistributed(g, base, queriesDf,
+        lshSeeds.select(col("qid"), col("vec_id"))
+          .unionByName(queriesDf.select(col("qid")).withColumn("vec_id", lit(0L))),
+        beam = 4, rounds = 3, selfExclude = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(local.nonEmpty && local.toSeq === dist.toSeq)
+  }
+
   test("deterministic under repartitioning") {
     val g = corpusGraph
     val a = GraphAnn.search(g, base.repartition(7), queriesDf, lshSeeds, 0L, 4, 3)
