@@ -272,13 +272,10 @@ object IvfAnn {
     * [[sampledImiSeeds]] while the gate rows keep the oracle-replayed
     * hashed seed family. */
   def trainedImiCodebooksFrom(emb: DataFrame, seeds: DataFrame,
-                              iters: Int): DataFrame = {
-    val spark = emb.sparkSession
-    (1 to iters).foldLeft(seeds) { (books, _) =>
-      val step = QuantKernels.lloydIter(emb.select("vec_id", "iv"), books, "lvl", 32)
-      spark.createDataFrame(java.util.Arrays.asList(step.collect(): _*), step.schema)
-    }
-  }
+                              iters: Int): DataFrame =
+    // Size-gated shared train loop (round 17): driver-local replay below
+    // the gate, the per-iteration lloydIter fold past it — same math.
+    QuantKernels.trainLoop(emb.select("vec_id", "iv"), seeds, "lvl", 32, iters)
 
   def trainedImiCodebooks(emb: DataFrame, k: Long, iters: Int): DataFrame =
     // Both halves train in ONE joint Lloyd loop; since round 10 each
@@ -398,7 +395,21 @@ object IvfAnn {
     * documents). A LocalRelation is data, not code: ≤ K·64 longs ≈ 32 MB
     * at the cap, broadcast from there. The heavy side (emb) never leaves
     * the executors. */
-  def trainedCentroids(emb: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
+  def trainedCentroids(emb: DataFrame, seeds: DataFrame, iters: Int): DataFrame =
+    // Round 17: the 64-dim single-subspace case of the shared size-gated
+    // train loop — driver-local replay below the gate, lloydIter passes
+    // past it. Bit-identical to folding [[lloydStep]] (same argmax
+    // tie-break, same truncating mean, same empty-cluster keep;
+    // IvfAnnSpec pins the equality), which stays as the declarative
+    // reference spelling.
+    QuantKernels.trainLoop(emb.select("vec_id", "iv"),
+        seeds.withColumn("lvl", lit(0)), "lvl", 64, iters)
+      .select("cid", "cv")
+
+  /** The declarative [[lloydStep]] fold — the spec's equivalence anchor
+    * for [[trainedCentroids]]'s gated train loop. */
+  private[graft] def trainedCentroidsCrossJoin(emb: DataFrame, seeds: DataFrame,
+                                               iters: Int): DataFrame = {
     val spark = emb.sparkSession
     (1 to iters).foldLeft(seeds) { (c, _) =>
       val step = lloydStep(emb, c)

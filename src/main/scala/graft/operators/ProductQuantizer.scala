@@ -45,10 +45,10 @@ object ProductQuantizer {
     // (one mapPartitions pass) instead of the n·M·Ksub broadcast
     // crossJoin; bit-identical to [[booksNCrossJoin]]
     // (QuantKernelsSpec) and to M independent trainedCentroids loops.
-    val trained = (1 to 2).foldLeft(pqSeeds(spark, ksub)) { (books, _) =>
-      val step = QuantKernels.lloydIter(base.select("vec_id", "iv"), books, "sub", Dsub)
-      spark.createDataFrame(java.util.Arrays.asList(step.collect(): _*), step.schema)
-    }
+    // Size-gated shared train loop (round 17): driver-local replay below
+    // the gate, the per-iteration lloydIter fold past it — same math.
+    val trained = QuantKernels.trainLoop(
+      base.select("vec_id", "iv"), pqSeeds(spark, ksub), "sub", Dsub, iters = 2)
     trained.withColumn("cn2", expr("long_dot(cv, cv)"))
   }
 

@@ -32,6 +32,35 @@ class QuantKernelsSpec extends SparkTestBase {
     assert(kern == ref, "kernel-trained IMI codebooks diverged from the crossJoin spelling")
   }
 
+  test("size-gated local train loop == distributed lloydIter fold (forced past the gate)") {
+    // Round 17: trainLoop takes a driver-local replay below the gate
+    // (the path the kernel==crossJoin pins above now exercise); force
+    // the gate shut and pin the distributed fold against it, IMI and
+    // PQ shapes plus the 64-dim flat case.
+    val b = base
+    val k = IvfAnn.imiCentroidsFor(b.count())
+    val localImi = booksKey(IvfAnn.trainedImiCodebooks(b, k, iters = 2), "lvl")
+    val localPq = booksKey(ProductQuantizer.booksN(spark, b), "sub")
+    val kFlat = IvfAnn.kmeansCentroidsFor(b.count())
+    val localFlat = IvfAnn.trainedCentroids(b, IvfAnn.centroids(spark, kFlat), iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    try {
+      spark.conf.set(graft.operators.QuantKernels.LocalMaxVecsConf, "0")
+      assert(booksKey(IvfAnn.trainedImiCodebooks(b, k, iters = 2), "lvl") == localImi,
+        "IMI train loop: local path diverged from the distributed fold")
+      assert(booksKey(ProductQuantizer.booksN(spark, b), "sub") == localPq,
+        "PQ train loop: local path diverged from the distributed fold")
+      assert(IvfAnn.trainedCentroids(b, IvfAnn.centroids(spark, kFlat), iters = 2)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap == localFlat,
+        "flat train loop: local path diverged from the distributed fold")
+    } finally spark.conf.unset(graft.operators.QuantKernels.LocalMaxVecsConf)
+    // and the flat case against its declarative lloydStep reference
+    val ref = IvfAnn.trainedCentroidsCrossJoin(b, IvfAnn.centroids(spark, kFlat), iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(localFlat == ref,
+      "trainedCentroids gated loop diverged from the lloydStep fold")
+  }
+
   test("IMI L2 cell assignment: kernel == crossJoin (argmax + tie-break)") {
     val b = base
     val k = IvfAnn.imiCentroidsFor(b.count())
