@@ -54,10 +54,121 @@ object BpeTrainer {
     * prefix). Split pattern is a regex on the Spark side — escape it. */
   private def symsCol: Column = expr("filter(split(seq, '[|]'), s -> s != '')")
 
+  /** Size gate for the driver-local training replay (round 17, guide
+    * §1.2): every merge step is one vocabulary-sized Spark job (pair
+    * count + argmax collect), so a `steps`-merge training is `steps`
+    * sequential jobs over a LEXICON-bounded table. Below the gate the
+    * initial state (word, cnt, seq — built distributed, so character
+    * splitting semantics stay Spark's) is collected once and the merges
+    * replay on the driver: the identical '|'-fold rewrite, exact Long
+    * pair counts, and the tiebreak compared in UTF-8 BYTE order (what
+    * both Spark and the DuckDB oracle sort strings by — Java's UTF-16
+    * compareTo would diverge past the BMP). Past the gate the
+    * per-step loop runs unchanged. */
+  val LocalMaxWordsConf = "spark.graft.bpe.localMaxWords"
+  val LocalMaxWordsDefault = 2000000L
+
+  private def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   /** Train `steps` merges over a (word, cnt) frequency table. Returns the
     * learned merge list and the final vocabulary state (word, cnt, seq) —
     * the per-word tokenization under the learned vocabulary. */
   def train(wordFreq: DataFrame, steps: Int): (Seq[Merge], DataFrame) = {
+    val spark = wordFreq.sparkSession
+    val maxW = spark.conf.get(LocalMaxWordsConf, LocalMaxWordsDefault.toString).toLong
+    if (maxW > 0 && maxW <= Int.MaxValue - 1) {
+      val sArr = initState(wordFreq).select(col("word"), col("cnt"), col("seq"))
+        .limit(maxW.toInt + 1).collect()
+      if (sArr.length <= maxW) return trainLocal(spark, sArr, steps)
+    }
+    trainDistributed(wordFreq, steps)
+  }
+
+  /** Driver-local replay of the EXACT distributed loop over a collected
+    * (word, cnt, seq) state: same pair multiset, same Long counts, same
+    * (pc DESC, l ASC, r ASC) tiebreak in UTF-8 byte order, the same
+    * greedy '|'-fold rewrite. */
+  private def trainLocal(spark: org.apache.spark.sql.SparkSession,
+                         sArr: Array[org.apache.spark.sql.Row],
+                         steps: Int): (Seq[Merge], DataFrame) = {
+    val words = sArr.map(_.getString(0))
+    val cnts = sArr.map(_.getLong(1))
+    val seqs = sArr.map(_.getString(2))
+    val merges = Seq.newBuilder[Merge]
+    var step = 1
+    while (step <= steps) {
+      val pc = new java.util.HashMap[(String, String), Long]()
+      var w = 0
+      while (w < seqs.length) {
+        val syms = seqs(w).split("\\|").filter(_.nonEmpty)
+        var i = 0
+        while (i < syms.length - 1) {
+          pc.merge((syms(i), syms(i + 1)), cnts(w), (a, b) => a + b)
+          i += 1
+        }
+        w += 1
+      }
+      require(!pc.isEmpty, s"BPE step $step: no pairs left to merge")
+      var bl: String = null; var br: String = null; var bc = Long.MinValue
+      pc.forEach { (p, c) =>
+        if (c > bc ||
+          (c == bc && (utf8Less(p._1, bl) ||
+            (p._1 == bl && utf8Less(p._2, br))))) {
+          bl = p._1; br = p._2; bc = c
+        }
+      }
+      merges += Merge(step, bl, br, bc)
+      val tail = "|" + bl
+      w = 0
+      while (w < seqs.length) {
+        val syms = seqs(w).split("\\|").filter(_.nonEmpty)
+        val acc = new java.lang.StringBuilder()
+        var i = 0
+        while (i < syms.length) {
+          val x = syms(i)
+          val aLen = acc.length()
+          if (x == br && aLen >= tail.length &&
+              acc.substring(aLen - tail.length) == tail) {
+            acc.setLength(aLen - tail.length)
+            acc.append('|').append(bl).append(br)
+          } else acc.append('|').append(x)
+          i += 1
+        }
+        seqs(w) = acc.toString
+        w += 1
+      }
+      step += 1
+    }
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](words.length)
+    var i = 0
+    while (i < words.length) {
+      out.add(org.apache.spark.sql.Row(words(i), cnts(i), seqs(i)))
+      i += 1
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("word",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("cnt",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("seq",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    (merges.result(), spark.createDataFrame(out, schema))
+  }
+
+  /** The per-step distributed loop — the path past the size gate (and
+    * the spec's equivalence anchor for the local replay). */
+  def trainDistributed(wordFreq: DataFrame, steps: Int): (Seq[Merge], DataFrame) = {
     var state = initState(wordFreq)
     state.persist()
     // The previous parent state: unpersisted only AFTER the pair-count

@@ -3209,6 +3209,57 @@ object ExtQueries {
   def qx108(spark: SparkSession, dir: String): DataFrame = {
     val P = 2147483647L
     val (nodes, edges) = domainGraph(spark, dir)
+    // Size gate for the driver-local walk replay (round 17, guide §1.2):
+    // each of the 4 steps is a frontier join + argmin + lineage cut over
+    // a DOMAIN-bounded graph. Below the gate (bounded limit-probes, the
+    // CC/LPA/PageRank discipline) the walks replay on the driver with
+    // the identical integer hash argmin, stop rule and Horner signature
+    // — bit-equal by the same argument the oracle replay rests on (and
+    // hash-pinned by the qx108/qx112 gate rows). Past the gate the
+    // per-step loop below runs unchanged.
+    val maxLocal = spark.conf
+      .get("spark.graft.walks.localMaxEdges", "1000000").toLong
+    if (maxLocal > 0 && maxLocal <= Int.MaxValue - 1) {
+      val eArr = edges.select(col("u"), col("v")).limit(maxLocal.toInt + 1).collect()
+      if (eArr.length <= maxLocal) {
+        val nArr = nodes.select(col("u")).limit(maxLocal.toInt + 1).collect()
+        if (nArr.length <= maxLocal) {
+          val adj = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+          eArr.foreach { r =>
+            adj.computeIfAbsent(r.getLong(0),
+              _ => scala.collection.mutable.ArrayBuffer.empty[Long]) += r.getLong(1)
+          }
+          val out = new java.util.ArrayList[org.apache.spark.sql.Row]()
+          nArr.map(_.getLong(0)).sorted.foreach { start =>
+            var pos = start; var sig = start; var stopped = false
+            out.add(org.apache.spark.sql.Row(start, 0L, start, start))
+            var t = 1
+            while (t <= 4 && !stopped) {
+              val nb = adj.get(pos)
+              if (nb == null) stopped = true
+              else {
+                var bestV = 0L; var bestH = Long.MaxValue
+                nb.foreach { v =>
+                  val h = (pos * 1000003L + t.toLong * 8191L + v * 97L + 13L) % P
+                  if (h < bestH || (h == bestH && v < bestV)) { bestH = h; bestV = v }
+                }
+                pos = bestV
+                sig = (sig * 1009L + bestV) % P
+                out.add(org.apache.spark.sql.Row(start, t.toLong, pos, sig))
+              }
+              t += 1
+            }
+          }
+          val lt = org.apache.spark.sql.types.LongType
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("start", lt, nullable = true),
+            org.apache.spark.sql.types.StructField("step", lt, nullable = true),
+            org.apache.spark.sql.types.StructField("node", lt, nullable = true),
+            org.apache.spark.sql.types.StructField("sig", lt, nullable = true)))
+          return spark.createDataFrame(out, schema)
+        }
+      }
+    }
     val edgesC = edges.cache()
     var walks = nodes.select(col("u").as("start"), lit(0L).as("step"),
       col("u").as("node"), col("u").as("sig"), lit(false).as("stopped"))

@@ -31,6 +31,19 @@ class BpeSpec extends SparkTestBase {
     state.unpersist()
   }
 
+  test("bpe: the size-gated local replay equals the distributed step loop") {
+    // Round 17: train() replays the merge loop on the driver below the
+    // measured-vocab gate; merges (counts included) and the final state
+    // must equal the per-step distributed loop on a fixture with
+    // hierarchy, ties and overlapping runs.
+    val wf = freq("aaa" -> 2L, "aaaa" -> 1L, "abab" -> 3L, "cd" -> 3L,
+      "banana" -> 2L, "bandana" -> 1L)
+    val (lm, ls) = BpeTrainer.train(wf, steps = 4)
+    val (dm, ds) = BpeTrainer.trainDistributed(wf, steps = 4)
+    assert(lm === dm)
+    assert(seqsOf(ls) === seqsOf(ds))
+  }
+
   test("bpe: learned symbols feed later merges (hierarchy)") {
     // Classic corpus: est merges bottom-up through multi-char symbols.
     val (merges, state) = BpeTrainer.train(
