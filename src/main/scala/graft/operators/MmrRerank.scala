@@ -32,6 +32,99 @@ object MmrRerank {
     * @return (qid, step, vec_id, mmr), step 1..k in pick order; step 1
     *         is the plain top-1 (empty selected set ⇒ penalty 0). */
   def rerank(cand0: DataFrame, pairs0: DataFrame, k: Int, lambda: Double): DataFrame = {
+    // Size gate for the driver-local replay (round 17, guide §1.2): the
+    // unrolled plan re-references the pool k−1 times through anti-joins
+    // and bounded maxes — job latency over rows the caller already
+    // bounded to q·m². Below the gate (bounded limit-probes) both
+    // tables are collected once and the identical greedy replays on the
+    // driver: λ·rel − (1−λ)·pen in the same fixed parenthesization and
+    // the same IEEE ops, pen = max over picked (order-free), ties
+    // (mmr DESC, id ASC) — MmrRerankSpec pins local == plan form.
+    // Past the gate the unrolled plan runs unchanged.
+    val spark = cand0.sparkSession
+    val maxLocal = spark.conf.get(LocalMaxPairsConf, LocalMaxPairsDefault.toString).toLong
+    if (maxLocal > 0 && maxLocal <= Int.MaxValue - 1) {
+      val pArr = pairs0.select(col("qid"), col("va"), col("vb"), col("sim"))
+        .limit(maxLocal.toInt + 1).collect()
+      if (pArr.length <= maxLocal) {
+        val cArr = cand0.select(col("qid"), col("rk"), col("vec_id"), col("cosine"))
+          .limit(maxLocal.toInt + 1).collect()
+        if (cArr.length <= maxLocal) return localRerank(spark, cArr, pArr, k, lambda)
+      }
+    }
+    rerankDistributed(cand0, pairs0, k, lambda)
+  }
+
+  val LocalMaxPairsConf = "spark.graft.mmr.localMaxPairs"
+  val LocalMaxPairsDefault = 2000000L
+
+  /** Driver-local replay of the EXACT unrolled recurrence — see
+    * [[rerank]]'s gate note. A candidate with no pair row to any picked
+    * item is ineligible that step (the inner-join semantics). */
+  private def localRerank(spark: org.apache.spark.sql.SparkSession,
+                          cArr: Array[org.apache.spark.sql.Row],
+                          pArr: Array[org.apache.spark.sql.Row],
+                          k: Int, lambda: Double): DataFrame = {
+    val om = 1.0 - lambda
+    val byQ = cArr.groupBy(_.getLong(0))
+    val simByQ = pArr.groupBy(_.getLong(0))
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    byQ.keys.toSeq.sorted.foreach { qid =>
+      val cands = byQ(qid)
+      val sims = new java.util.HashMap[(Long, Long), java.lang.Double]()
+      simByQ.getOrElse(qid, Array.empty[org.apache.spark.sql.Row]).foreach { r =>
+        sims.put((r.getLong(1), r.getLong(2)), r.getDouble(3))
+      }
+      val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
+      cands.filter(_.getAs[Number](1).longValue == 1L).foreach { r =>
+        out.add(org.apache.spark.sql.Row(qid, 1, r.getLong(2),
+          lambda * r.getDouble(3)))
+        picked += r.getLong(2)
+      }
+      var t = 2
+      while (t <= k && picked.nonEmpty) {
+        var bestId = 0L; var bestMmr = 0.0; var any = false
+        cands.foreach { r =>
+          val id = r.getLong(2)
+          if (!picked.contains(id)) {
+            var pen = Double.NaN; var hasPen = false
+            picked.foreach { p =>
+              val s = sims.get((id, p))
+              if (s != null) {
+                if (!hasPen || s > pen) pen = s
+                hasPen = true
+              }
+            }
+            if (hasPen) {
+              val mmr = lambda * r.getDouble(3) - om * pen
+              if (!any || mmr > bestMmr || (mmr == bestMmr && id < bestId)) {
+                bestId = id; bestMmr = mmr; any = true
+              }
+            }
+          }
+        }
+        if (any) {
+          out.add(org.apache.spark.sql.Row(qid, t, bestId, bestMmr))
+          picked += bestId
+        }
+        t += 1
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("qid",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("step",
+        org.apache.spark.sql.types.IntegerType, nullable = true),
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("mmr",
+        org.apache.spark.sql.types.DoubleType, nullable = true)))
+    spark.createDataFrame(out, schema)
+  }
+
+  /** The unrolled-into-the-plan form — the path past the size gate (and
+    * the spec's equivalence anchor for the local replay). */
+  def rerankDistributed(cand0: DataFrame, pairs0: DataFrame, k: Int, lambda: Double): DataFrame = {
     // Cut lineage on both inputs (the PageRank/CC discipline): the
     // greedy references the pool k−1 times and the pairwise sims at
     // every step — without the checkpoint Spark re-derives whatever

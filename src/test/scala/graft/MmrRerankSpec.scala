@@ -42,6 +42,19 @@ class MmrRerankSpec extends SparkTestBase {
     assert(math.abs(out(3)._4 - (0.7 * 0.94 - 0.3 * 0.99)) < 1e-12)
   }
 
+  test("the size-gated local replay equals the unrolled plan form (mmr bits included)") {
+    // Round 17: rerank() replays the greedy on the driver below the
+    // measured-size gate; (qid, step, vec_id) AND the double mmr must be
+    // bit-identical to the plan form across λ values.
+    for (lam <- Seq(0.7, 0.3, 1.0)) {
+      val local = MmrRerank.rerank(cand, pairs, k = 4, lambda = lam)
+        .as[(Long, Int, Long, Double)].collect().sortBy(t => (t._1, t._2))
+      val dist = MmrRerank.rerankDistributed(cand, pairs, k = 4, lambda = lam)
+        .as[(Long, Int, Long, Double)].collect().sortBy(t => (t._1, t._2))
+      assert(local.nonEmpty && local.toSeq === dist.toSeq, s"lambda=$lam")
+    }
+  }
+
   test("λ = 1 degenerates to plain relevance order") {
     val out = MmrRerank.rerank(cand, pairs, k = 4, lambda = 1.0)
       .orderBy("step").as[(Long, Int, Long, Double)].collect()
