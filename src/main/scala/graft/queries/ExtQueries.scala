@@ -3748,12 +3748,19 @@ object ExtQueries {
   private[graft] def bm25Top20(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val words = docs.select(col("doc_id"), explode(expr(WORDS)).as("word"))
-    val qterms = words.where(col("doc_id") % 50 === 0 && col("doc_id") < 5000)
-      .select(col("doc_id").as("qid"), col("word")).distinct()
+    // One corpus EXPLODE, not four (round 17, guide §2.3 "shuffle fewer
+    // bytes" / §1.2 "don't compute things twice"): the doc length and the
+    // corpus totals are the SIZE of the word array (identical to counting
+    // the exploded rows — explode(WORDS) emits exactly size(WORDS) rows
+    // per doc), and the query lexicon explodes only the query-doc slice.
+    // Only the tf leg still explodes the full corpus; the broadcast
+    // lexical-lookup and topk_by shapes the plan pins keep are unchanged.
+    val qterms = docs.where(col("doc_id") % 50 === 0 && col("doc_id") < 5000)
+      .select(col("doc_id").as("qid"), explode(expr(WORDS)).as("word")).distinct()
     val terms = qterms.select("word").distinct()
-    val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val dl = docs.select(col("doc_id"), expr(s"size($WORDS)").cast("long").as("dl"))
     val stats = docs.agg(count(lit(1)).as("n"))
-      .crossJoin(words.agg(count(lit(1)).as("sumdl")))
+      .crossJoin(dl.agg(sum("dl").as("sumdl")))
     val tf = words.join(broadcast(terms), "word")
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
