@@ -101,6 +101,12 @@ object Bench {
       // reps (the r16 artifact's qx83 at 293 s vs 0.23 s solo is partly
       // this class). Runs outside every timed window; measurement
       // methodology (count() action, rep discipline, min/max) unchanged.
+      // INVARIANT (ADVICE r17): no DataFrame is memoized across queries —
+      // every query derives from parquet inside its own reps — so
+      // dropping localCheckpointed blocks (whose lineage is truncated and
+      // thus UNRECOVERABLE) is safe. Any future session-scoped
+      // checkpointed asset must instead snapshot getPersistentRDDs before
+      // the query and unpersist only ids created during it.
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       name -> res

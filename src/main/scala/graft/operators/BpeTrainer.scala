@@ -196,10 +196,16 @@ object BpeTrainer {
       val (l, r, pc) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
       merges += Merge(step, l, r, pc)
       val lLit = lit(l); val rLit = lit(r)
+      // The cut width must be in CODE POINTS: Spark's length()/substr()
+      // count code points, while Java's String.length counts UTF-16
+      // units — a merged symbol containing an astral character would
+      // otherwise cut one unit short (ADVICE r17; BpeSpec pins the
+      // astral case local == distributed).
+      val lCut = l.codePointCount(0, l.length) + 1
       val next = state.select(col("word"), col("cnt"),
         aggregate(symsCol, lit(""), (acc, x) =>
           when(acc.endsWith("|" + l) && (x === rLit),
-            concat(acc.substr(lit(1), length(acc) - lit(l.length + 1)), lit("|"), lLit, rLit))
+            concat(acc.substr(lit(1), length(acc) - lit(lCut)), lit("|"), lLit, rLit))
             .otherwise(concat(acc, lit("|"), x))).as("seq"))
       next.persist()
       parent = Some(state)

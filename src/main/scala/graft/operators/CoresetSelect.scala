@@ -92,12 +92,21 @@ object CoresetSelect {
         var bestId = 0L; var bestGain = Long.MinValue; var any = false
         cands.foreach { i =>
           if (!picked.contains(i)) {
-            var g = 0L
+            // INNER-JOIN mirror (ADVICE r17): a candidate is scoreable —
+            // hence pickable — only if at least one of its pair rows
+            // lands on a live cov key, exactly like the distributed
+            // pairs⋈cov join; a candidate with no such row produces no
+            // gains row there and must not be picked here either.
+            var g = 0L; var scoreable = false
             byI.getOrElse(i, Array.empty[(Long, Long, Long, Long)]).foreach {
               case (_, _, j, simw) =>
-                if (cov.containsKey(j)) g += math.max(simw - cov.get(j), 0L)
+                if (cov.containsKey(j)) {
+                  scoreable = true
+                  g += math.max(simw - cov.get(j), 0L)
+                }
             }
-            if (!any || g > bestGain || (g == bestGain && i < bestId)) {
+            if (scoreable &&
+                (!any || g > bestGain || (g == bestGain && i < bestId))) {
               bestId = i; bestGain = g; any = true
             }
           }
@@ -106,10 +115,18 @@ object CoresetSelect {
         else {
           out.add(org.apache.spark.sql.Row(cid, t, bestId, bestGain))
           picked.add(bestId)
+          // INNER-JOIN mirror (ADVICE r17): the distributed cov update
+          // joins cov ⋈ pick ⋈ pairs INNER on (cid, pi, j), so only cov
+          // keys hit by one of the pick's pair rows survive the step —
+          // under the documented "all ordered pairs incl. i=j" contract
+          // that is every key, but inputs violating it must degrade the
+          // same way on both paths. Rebuild cov from the hit keys only.
+          val nc = new java.util.HashMap[Long, Long]()
           byI.getOrElse(bestId, Array.empty[(Long, Long, Long, Long)]).foreach {
             case (_, _, j, simw) =>
-              if (cov.containsKey(j) && simw > cov.get(j)) cov.put(j, simw)
+              if (cov.containsKey(j)) nc.put(j, math.max(cov.get(j), simw))
           }
+          cov.clear(); cov.putAll(nc)
           t += 1
         }
       }

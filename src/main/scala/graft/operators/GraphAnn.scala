@@ -401,10 +401,15 @@ object GraphAnn {
           val sArr = seeded0.select(col("qid"), col("vec_id"))
             .limit(maxEdges.toInt + 1).collect()
           if (sArr.length <= maxEdges) {
-            // every query carries at least its entry-fallback seed, so
-            // the query list is bounded by the seed gate that just passed
-            val qArr = queries.select(col("qid"), col("qiv"), col("qn2")).collect()
-            return localBeam(spark, bArr, gArr, sArr, qArr, beam, rounds, selfExclude)
+            // searchEntryMin/search callers give every query an
+            // entry-fallback seed, so qArr is bounded by the seed gate
+            // that just passed — but a direct searchSeeded caller makes
+            // no such promise, so probe it with the same bounded limit
+            // (r17 verdict; over the limit → the distributed rounds).
+            val qArr = queries.select(col("qid"), col("qiv"), col("qn2"))
+              .limit(maxEdges.toInt + 1).collect()
+            if (qArr.length <= maxEdges)
+              return localBeam(spark, bArr, gArr, sArr, qArr, beam, rounds, selfExclude)
           }
         }
       }

@@ -50,6 +50,64 @@ object LogisticGD {
     * @return final micro-scaled weights w0..w{dims-1} */
   def train(feat: DataFrame, dims: Int, iters: Int, etaDen: Long = 2L): Array[Long] = {
     require(iters >= 1 && dims >= 1 && etaDen >= 1L)
+    // Size gate for the driver-local replay (round 18, guide §1.2): each
+    // GD round is one scan-and-all-reduce JOB whose latency dominates
+    // when the milli-feature table is small. Below the gate the features
+    // are collected once (bounded probe — at most max+1 rows read) and
+    // the identical update replays on the driver: z is the same
+    // left-to-right Long dot (order-free — no overflow by the scaladoc
+    // budget), σ̃ the same correctly-rounded IEEE ops in the same order,
+    // rq the same floor-quantization, and the gradient sums are exact
+    // Longs, so the weight trajectory is bit-identical (spec-pinned
+    // against [[trainDistributed]]). Past the gate the scan-per-round
+    // loop runs unchanged — the 100 TB path (features are corpus-sized).
+    val spark = feat.sparkSession
+    val maxLocal = spark.conf.get(LocalMaxRowsConf, LocalMaxRowsDefault.toString).toLong
+    if (maxLocal > 0 && maxLocal <= Int.MaxValue - 1) {
+      val cols = (0 until dims).map(j => col(s"x$j")) :+ col("y")
+      val rows = feat.select(cols: _*).limit(maxLocal.toInt + 1).collect()
+      if (rows.length <= maxLocal) return trainLocal(rows, dims, iters, etaDen)
+    }
+    trainDistributed(feat, dims, iters, etaDen)
+  }
+
+  val LocalMaxRowsConf = "spark.graft.gd.localMaxRows"
+  val LocalMaxRowsDefault = 2000000L
+
+  /** Driver-local replay of the EXACT distributed round: same Long
+    * margin, same rational sigmoid double ops, same milli quantization,
+    * same floor-division update — bit-identical weights. */
+  private def trainLocal(rows: Array[org.apache.spark.sql.Row], dims: Int,
+                         iters: Int, etaDen: Long): Array[Long] = {
+    val n = rows.length.toLong
+    require(n > 0, "empty feature table")
+    val xs = rows.map(r => Array.tabulate(dims)(j => r.getLong(j)))
+    val ys = rows.map(_.getLong(dims))
+    var w = Array.fill(dims)(0L)
+    for (_ <- 1 to iters) {
+      val g = new Array[Long](dims)
+      var i = 0
+      while (i < xs.length) {
+        val x = xs(i)
+        var zL = 0L
+        var j = 0
+        while (j < dims) { zL += w(j) * x(j); j += 1 }
+        val z = zL.toDouble / 1000000000.0
+        val p = 0.5 + z / (2.0 * (1.0 + math.abs(z)))
+        val rq = math.floor((p - ys(i).toDouble) * 1000.0 + 0.5).toLong
+        j = 0
+        while (j < dims) { g(j) += rq * x(j); j += 1 }
+        i += 1
+      }
+      w = Array.tabulate(dims)(j => w(j) - Math.floorDiv(g(j), etaDen * n))
+    }
+    w
+  }
+
+  /** The scan-per-round GD loop — the 100 TB path (and the spec's
+    * equivalence anchor for the local replay). */
+  private[graft] def trainDistributed(feat: DataFrame, dims: Int, iters: Int,
+                                      etaDen: Long): Array[Long] = {
     val f = feat.cache()
     val n = f.count() // one scalar, once (the PageRank discipline)
     require(n > 0, "empty feature table")

@@ -73,9 +73,18 @@ object PageRank {
         .limit(maxEdges.toInt + 1).collect()
       if (eArr.length <= maxEdges) {
         val nArr = nodes.select(col("u")).limit(maxNodes.toInt + 1).collect()
-        if (nArr.length <= maxNodes)
-          return localRun(spark, nArr.map(_.getLong(0)),
-            eArr.map(r => (r.getLong(0), r.getLong(1))), iters, scale, init)
+        if (nArr.length <= maxNodes) {
+          // The warm-start frame is caller-supplied — probe it with the
+          // same bounded limit as the node table instead of collecting
+          // it ungated inside the replay (r17 verdict; an over-limit
+          // init sends the whole run to the distributed rounds).
+          val initArr = init.map(_.select(col("u"), col("r"))
+            .limit(maxNodes.toInt + 1).collect())
+          if (initArr.forall(_.length <= maxNodes))
+            return localRun(spark, nArr.map(_.getLong(0)),
+              eArr.map(r => (r.getLong(0), r.getLong(1))), iters, scale,
+              initArr.map(_.map(r => (r.getLong(0), r.getLong(1)))))
+        }
       }
     }
     runDistributed(nodes, edges, iters, scale, init)
@@ -92,7 +101,8 @@ object PageRank {
     * teleport term identical — so the fixpoint is bit-identical. */
   private def localRun(spark: org.apache.spark.sql.SparkSession,
                        nodeArr: Array[Long], edgeArr: Array[(Long, Long)],
-                       iters: Int, scale: Long, init: Option[DataFrame]): DataFrame = {
+                       iters: Int, scale: Long,
+                       init: Option[Array[(Long, Long)]]): DataFrame = {
     val od = new java.util.HashMap[Long, Long](edgeArr.length * 2)
     edgeArr.foreach { case (u, _) => od.merge(u, 1L, (a, b) => a + b) }
     var ranks = new java.util.HashMap[Long, Long](nodeArr.length * 2)
@@ -100,8 +110,7 @@ object PageRank {
       case None => nodeArr.foreach(u => ranks.put(u, scale))
       case Some(prev) =>
         val p = new java.util.HashMap[Long, Long]()
-        prev.select(col("u"), col("r")).collect()
-          .foreach(r => p.put(r.getLong(0), r.getLong(1)))
+        prev.foreach { case (u, r) => p.put(u, r) }
         nodeArr.foreach(u => ranks.put(u, p.getOrDefault(u, scale)))
     }
     val n = nodeArr.length.toLong

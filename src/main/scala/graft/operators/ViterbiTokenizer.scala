@@ -88,6 +88,139 @@ object ViterbiTokenizer {
     acc
   }
 
+  // ------------------------------------------- driver-local replays
+  // Size gate (round 18, guide §1.2): the lexicon build is an
+  // explode+distinct+groupBy job chain and each segmentation table is
+  // its own kernel job — per-JOB latency that dominates when the
+  // DISTINCT-WORD table is metadata-sized (it is vocabulary-shaped at
+  // any corpus scale, but a caller who cannot bound it keeps the
+  // distributed spelling past the gate). The replays below reproduce
+  // the Spark derivations exactly: substrings/characters are cut by
+  // CODE POINTS (Spark's length/substring semantics — Java's UTF-16
+  // `substring` would diverge on astral characters, the BpeTrainer
+  // lesson), the DP itself is the very same [[segment]] Java function
+  // the mapPartitions kernel runs, and every count is an order-free
+  // integer sum.
+
+  val LocalMaxWordsConf = "spark.graft.viterbi.localMaxWords"
+  val LocalMaxWordsDefault = 2000000L
+
+  /** Driver-local replay of [[pieceVocab]]: distinct length-2..4
+    * code-point substrings per word, counted over distinct words. */
+  private[graft] def pieceVocabLocal(words: Iterable[String],
+                                     minWords: Long = 3L): Set[String] = {
+    val cnt = new java.util.HashMap[String, Long]()
+    words.foreach { w =>
+      val cps = w.codePoints().toArray
+      val seen = new java.util.HashSet[String]()
+      var l = 2
+      while (l <= MaxPiece) {
+        var i = 0
+        while (i + l <= cps.length) { seen.add(new String(cps, i, l)); i += 1 }
+        l += 1
+      }
+      seen.forEach(p => cnt.merge(p, 1L, (a, b) => a + b))
+    }
+    val out = Set.newBuilder[String]
+    cnt.forEach((p, c) => if (c >= minWords) out += p)
+    out.result()
+  }
+
+  /** Driver-local replay of the qx104 alphabet derivation (every
+    * single code point of every word). */
+  private[graft] def alphabetLocal(words: Iterable[String]): Set[String] = {
+    val out = new java.util.HashSet[String]()
+    words.foreach(_.codePoints().forEach(cp => out.add(new String(Character.toChars(cp)))))
+    import scala.jdk.CollectionConverters._
+    out.asScala.toSet
+  }
+
+  /** Driver-local replay of [[emRefine]]: the same hard-count fold
+    * (freq per chosen piece OCCURRENCE) and the same smoothed integer
+    * re-score — exact Longs, order-free. */
+  private[graft] def emRefineLocal(wordFreq: Iterable[(String, Long)],
+                                   scores: Map[String, Long]): Map[String, Long] = {
+    val cnt = new java.util.HashMap[String, Long]()
+    wordFreq.foreach { case (w, freq) =>
+      piecesOfScored(w, scores).foreach(p => cnt.merge(p, freq, (a, b) => a + b))
+    }
+    var total = 0L
+    cnt.forEach((_, c) => total += c)
+    val nv = scores.size.toLong
+    scores.keysIterator.map { p =>
+      val l = p.length.toLong
+      p -> (100L * l * l + (1000000L * (cnt.getOrDefault(p, 0L) + 1L)) / (total + nv))
+    }.toMap
+  }
+
+  /** The per-word (word, n_pieces, vit_score, vit_sig) table as a local
+    * relation — the gated twin of [[segments]]/[[segmentsScored]]'s
+    * kernel job, running the identical [[segmentScored]] per word. */
+  private[graft] def segTableLocal(spark: org.apache.spark.sql.SparkSession,
+                                   words: Iterable[String],
+                                   scores: Map[String, Long]): DataFrame = {
+    import spark.implicits._
+    words.iterator.map { w =>
+      val (np, sc, cs) = segmentScored(w, scores)
+      (w, np, sc, cs)
+    }.toSeq.toDF("word", "n_pieces", "vit_score", "vit_sig")
+  }
+
+  /** [[segments]] under the [[pieceVocab]] lexicon, with the size gate:
+    * below it the lexicon count and the DP run on the driver (bounded
+    * probe — at most max+1 distinct words read), bit-identical by the
+    * notes above; past it the explode/kernel spelling runs unchanged. */
+  def segmentsGated(words: DataFrame): DataFrame = {
+    val spark = words.sparkSession
+    val maxLocal =
+      spark.conf.get(LocalMaxWordsConf, LocalMaxWordsDefault.toString).toLong
+    if (maxLocal > 0 && maxLocal <= Int.MaxValue - 1) {
+      val wArr = words.select(col("word")).limit(maxLocal.toInt + 1).collect()
+      if (wArr.length <= maxLocal) {
+        val ws = wArr.map(_.getString(0))
+        val vocab = pieceVocabLocal(ws)
+        val spark2 = spark
+        import spark2.implicits._
+        return ws.iterator.map { w =>
+          val (np, sc, cs) = segment(w, vocab)
+          (w, np, sc, cs)
+        }.toSeq.toDF("word", "n_pieces", "vit_score", "vit_sig")
+      }
+    }
+    segments(words, pieceVocab(words))
+  }
+
+  /** The qx104 hard-EM seed+refined segmentation tables
+    * ((seed, refined) per-word DP tables) with the size gate: below it
+    * the vocab, alphabet, seed scores, E/M-step and both DPs replay on
+    * the driver from ONE bounded collect of the distinct-word frequency
+    * table; past it the original collect-vocab + kernel-job spelling
+    * runs unchanged (its M-step collect was already vocab-bounded). */
+  def emSegTables(wordFreq: DataFrame): (DataFrame, DataFrame) = {
+    val spark = wordFreq.sparkSession
+    val maxLocal =
+      spark.conf.get(LocalMaxWordsConf, LocalMaxWordsDefault.toString).toLong
+    if (maxLocal > 0 && maxLocal <= Int.MaxValue - 1) {
+      val wfArr = wordFreq.select(col("word"), col("freq"))
+        .limit(maxLocal.toInt + 1).collect()
+      if (wfArr.length <= maxLocal) {
+        val wf = wfArr.map(r => (r.getString(0), r.getLong(1)))
+        val ws = wf.map(_._1).toSeq
+        val s0 = initScores(pieceVocabLocal(ws), alphabetLocal(ws))
+        val s1 = emRefineLocal(wf, s0)
+        return (segTableLocal(spark, ws, s0), segTableLocal(spark, ws, s1))
+      }
+    }
+    val words = wordFreq.select("word")
+    val vocab = pieceVocab(words).collect().map(_.getString(0)).toSet
+    val alphabet = words.select(explode(expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))")).as("piece"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val s0 = initScores(vocab, alphabet)
+    val s1 = emRefine(wordFreq, s0)
+    (segmentsScored(words, s0), segmentsScored(words, s1))
+  }
+
   /** The substring lexicon: length-2..4 substrings present in ≥
     * `minWords` distinct words. `words` = one column `word`
     * (distinct). */

@@ -44,6 +44,22 @@ class BpeSpec extends SparkTestBase {
     assert(seqsOf(ls) === seqsOf(ds))
   }
 
+  test("bpe: astral (non-BMP) symbols merge identically local and distributed") {
+    // "𝕏" (U+1D54F) is two UTF-16 units but one code point. The merged
+    // symbol "𝕏y" must cut correctly out of the '|'-fold accumulator in
+    // BOTH spellings (ADVICE r17: Spark length/substr count code points,
+    // Java String.length counts UTF-16 units — the distributed cut width
+    // is now computed in code points). Repeats force a second-level
+    // merge THROUGH the astral symbol.
+    val wf = freq("𝕏y𝕏y" -> 5L, "𝕏yz" -> 3L, "a𝕏y" -> 2L)
+    val (lm, ls) = BpeTrainer.train(wf, steps = 3)
+    val (dm, ds) = BpeTrainer.trainDistributed(wf, steps = 3)
+    assert(lm === dm)
+    assert(seqsOf(ls) === seqsOf(ds))
+    assert(lm.exists(m => (m.left + m.right).contains("𝕏")),
+      "fixture must actually merge through the astral symbol")
+  }
+
   test("bpe: learned symbols feed later merges (hierarchy)") {
     // Classic corpus: est merges bottom-up through multi-char symbols.
     val (merges, state) = BpeTrainer.train(

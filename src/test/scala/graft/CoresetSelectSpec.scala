@@ -83,4 +83,23 @@ class CoresetSelectSpec extends SparkTestBase {
     assert(local.as[(Long, Int, Long, Long)].collect().sorted.toSeq ===
       dist.as[(Long, Int, Long, Long)].collect().sorted.toSeq)
   }
+
+  test("inputs violating the all-pairs contract degrade identically on both paths") {
+    // ADVICE r17: candidate 9 has NO pair rows at all — the distributed
+    // pairs⋈cov inner join never scores it, so it must never be picked;
+    // and candidate 1's pair rows cover only {1, 2}, so after picking 1
+    // the surviving cov keys shrink to {1, 2} on the distributed path
+    // (cov ⋈ pick ⋈ pairs is INNER). The local replay must mirror both.
+    val cand = Seq((1L, 1L), (1L, 2L), (1L, 3L), (1L, 9L)).toDF("cid", "vec_id")
+    val pairs = Seq(
+      (1L, 1L, 1L, SELF), (1L, 1L, 2L, 700000000L), (1L, 2L, 1L, 700000000L),
+      (1L, 2L, 2L, SELF), (1L, 3L, 3L, SELF), (1L, 3L, 1L, 100000000L)
+    ).toDF("cid", "i", "j", "simw")
+    val dist = CoresetSelect.greedyDistributed(cand, pairs, r = 4)
+      .as[(Long, Int, Long, Long)].collect().sorted.toSeq
+    val local = CoresetSelect.greedy(cand, pairs, r = 4)
+      .as[(Long, Int, Long, Long)].collect().sorted.toSeq
+    assert(local === dist)
+    assert(!local.exists(_._3 == 9L), "the pairless candidate must never be picked")
+  }
 }

@@ -53,6 +53,26 @@ class LogisticGDSpec extends SparkTestBase {
     }
   }
 
+  test("the size-gated local replay equals the distributed rounds (corpus features)") {
+    // Round 18: train() takes a driver-local replay below the row gate;
+    // weights must be bit-identical to the scan-per-round loop on the
+    // REAL feature chain, and forcing the gate off must reproduce them.
+    val feat = queries.ExtQueries
+      .logisticFeatures(spark, "/root/testdata/sf0.001").localCheckpoint()
+    val local = LogisticGD.train(feat, dims = 5, iters = 5, etaDen = 2L)
+    val dist = LogisticGD.trainDistributed(feat, dims = 5, iters = 5, etaDen = 2L)
+    assert(local.toSeq === dist.toSeq)
+    val prev = spark.conf.getOption(LogisticGD.LocalMaxRowsConf)
+    try {
+      spark.conf.set(LogisticGD.LocalMaxRowsConf, "0")
+      assert(LogisticGD.train(feat, dims = 5, iters = 5, etaDen = 2L).toSeq
+        === dist.toSeq)
+    } finally prev match {
+      case Some(v) => spark.conf.set(LogisticGD.LocalMaxRowsConf, v)
+      case None => spark.conf.unset(LogisticGD.LocalMaxRowsConf)
+    }
+  }
+
   test("deterministic under repartitioning (gradient sums are exact Longs)") {
     val a = LogisticGD.train(fixtureDf.repartition(7), dims = 3, iters = 4)
     val b = LogisticGD.train(fixtureDf.repartition(1), dims = 3, iters = 4)

@@ -184,14 +184,19 @@ class PlanShapeSpec extends SparkTestBase {
   test("qx45: the composed chain keeps both parents' pinned shapes") {
     // Composition must not silently undo the component pins: the decon
     // stage's bloom bit-test prescreen (qx32's shape) and the budget
-    // window sitting above the topk_by candidate prune (qx22's shape)
-    // both have to survive into the ONE composed physical plan.
+    // window sitting above the topk_by candidate prune (qx22's shape).
+    // Round 18: qx45 overlaps its decon-screen leg with the CC labeling
+    // (both eagerly checkpointed), so the prescreen pin moves to the
+    // screen leg's OWN plan — the subtree qx45 executes for that leg —
+    // while the budget-window pin stays on the composed plan.
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
-    val plan = sparkPlan("qx45_curation_decon")
-    assert(plan.collectFirst {
+    val legPlan = queries.ExtQueries.qx45DeconToks(spark, dir, 30L)
+      .queryExecution.sparkPlan
+    assert(legPlan.collectFirst {
       case j: BroadcastNestedLoopJoinExec
         if j.condition.exists(_.toString.contains("shiftright")) => j
-    }.nonEmpty, "bloom bit-test prescreen missing from the composed plan")
+    }.nonEmpty, "bloom bit-test prescreen missing from the decon-screen leg")
+    val plan = sparkPlan("qx45_curation_decon")
     val win = plan.collectFirst {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }.getOrElse(fail("qx45 plan has no budget window"))
@@ -528,9 +533,18 @@ class PlanShapeSpec extends SparkTestBase {
       "qx102's epilogue must reference only checkpointed labels")
   }
 
-  test("qx103: the serving scan is pruned to the feature inputs") {
-    val read = scans("qx103_logistic_distill").map(_.requiredSchema.fieldNames.toSet)
-    assert(read.nonEmpty && read.forall(s => s.subsetOf(Set("text", "source"))),
-      s"the distilled scorer needs text + source only, saw $read")
+  test("qx103: the feature scan is pruned to the feature inputs") {
+    // Round 18: qx103/qx114 pin the feature frame with a localCheckpoint
+    // (one corpus pass for train gate + serving), so the composed plan
+    // has no file scan any more — the pruning pin moves to the feature
+    // frame itself, which is the chain that actually reads parquet.
+    val read = queries.ExtQueries.logisticFeatures(spark, dir)
+      .queryExecution.sparkPlan
+      .collect { case f: FileSourceScanExec => f }
+      .map(_.requiredSchema.fieldNames.toSet)
+    assert(read.nonEmpty && read.forall(s => s.subsetOf(Set("doc_id", "text", "source"))),
+      s"the feature frame needs doc_id + text + source only, saw $read")
+    assert(scans("qx103_logistic_distill").isEmpty,
+      "qx103's serving plan must run off the checkpointed features")
   }
 }
