@@ -96,6 +96,13 @@ object ProductQuantizer {
     QuantKernels.encode(base.select("vec_id", "iv"),
       booksN.select("cid", "sub", "cv"), "sub", Dsub)
 
+  /** [[packed]] with the cell column riding the kernel pass — the
+    * residual system's coded corpus (vec_id, cell, codes) with no
+    * join-back (round 18; bit-identical to packed ⋈ cell, spec-pinned). */
+  def packedWithCell(base: DataFrame, booksN: DataFrame): DataFrame =
+    QuantKernels.encodeWithCell(base.select("vec_id", "cell", "iv"),
+      booksN.select("cid", "sub", "cv"), "sub", Dsub)
+
   /** The declarative spelling of [[packed]], kept as the spec
     * reference the kernel is pinned against. */
   private[graft] def packedCrossJoin(base: DataFrame, booksN: DataFrame): DataFrame = {

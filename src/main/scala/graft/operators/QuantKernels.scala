@@ -98,6 +98,31 @@ object QuantKernels {
       }.toDF("vec_id", "codes")
   }
 
+  /** [[encode]] with a pass-through cell column: emb(vec_id, cell, iv)
+    * → (vec_id, cell, codes) in the SAME kernel pass. Replaces the
+    * encode-then-join-cell-back spelling — a corpus-sized shuffle join
+    * on vec_id whose right side was a SECOND run of the residual
+    * kernel — with zero joins (round 18, guide §2.1 "remove shuffles
+    * outright"; QuantKernelsSpec pins it against packed ⋈ cell). */
+  def encodeWithCell(emb: DataFrame, books: DataFrame, subCol: String,
+                     dsub: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(collectBooks(books, subCol, dsub))
+    emb.select(col("vec_id"), col("cell"), col("iv"))
+      .as[(Long, Long, Array[Long])]
+      .mapPartitions { it =>
+        val b = bc.value
+        val nSub = b.cents.length
+        it.map { case (id, cell, iv) =>
+          val codes = new Array[Long](nSub)
+          var s = 0
+          while (s < nSub) { codes(s) = bestCid(iv, b, s).toLong; s += 1 }
+          (id, cell, codes)
+        }
+      }.toDF("vec_id", "cell", "codes")
+  }
+
   /** Fused IMI assignment + residual: per vector, the per-level argmax
     * cell AND ivr = iv − concat(center₀, center₁) in the SAME pass —
     * replaces assign-then-join (two corpus-sized shuffle joins against

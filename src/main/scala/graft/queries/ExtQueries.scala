@@ -554,11 +554,18 @@ object ExtQueries {
     val k = IvfAnn.imiCentroidsFor(base.count())
     val tBooks = IvfAnn.trainedImiCodebooks(base, k, iters = 2)
     // Fused assign+residual kernel: one corpus pass, no cell join
-    // (QuantKernelsSpec pins it against the join spelling).
+    // (QuantKernelsSpec pins it against the join spelling). The
+    // residual table is REUSED — PQ training reads it (bounded probe
+    // below the gate, iters scans past it) and the packing pass reads
+    // it again — so materialize it ONCE (round 18, guide §5 "persist
+    // exactly the reused thing"): un-pinned, each reference re-ran the
+    // whole assign+residual kernel and its upstream integerization.
     val resBase = QuantKernels.encodeResidual(base.select("vec_id", "iv"), tBooks, k)
+      .localCheckpoint()
     val rBooks = ProductQuantizer.booksN(spark, resBase.select("vec_id", "iv"))
-    val rCodes = ProductQuantizer.packed(resBase.select("vec_id", "iv"), rBooks)
-      .join(resBase.select("vec_id", "cell"), "vec_id")
+    // cell rides the packing kernel — the corpus-sized join-back on
+    // vec_id is gone (round 18, guide §2.1; packedWithCell's note).
+    val rCodes = ProductQuantizer.packedWithCell(resBase, rBooks)
     (IvfadcAssets(tBooks, rBooks, rCodes, base), k)
   }
 
@@ -3790,20 +3797,28 @@ object ExtQueries {
     // the groups are unchanged) — the corpus-sized tf⋈dl join and its
     // separate tokenization pass drop from the plan — and the corpus
     // totals (n, Σdl) fold in ONE scan instead of a crossJoin of two
-    // single-agg scans. greatest(size, 0) keeps the "identical to
-    // counting exploded rows" claim even for null/empty text (size of a
-    // null array is -1; explode of it emits nothing — ADVICE r17). The
-    // query lexicon explodes only the query-doc slice; the broadcast
-    // lexical-lookup and topk_by shapes the plan pins keep are unchanged.
+    // single-agg scans. The word ARRAY is materialized once per doc (ws)
+    // so the non-codegen lambda tokenization feeds size() AND the
+    // generator from ONE evaluation — putting size($WORDS) directly in
+    // the explode projection evaluated the filter(split(...)) lambda
+    // TWICE per doc and measured 1.4× slower on this very query
+    // (CollapseProject refuses to inline a non-cheap expr referenced
+    // twice, which is exactly the behavior this spelling leans on).
+    // greatest(size, 0) keeps the "identical to counting exploded rows"
+    // claim even for null/empty text (size of a null array is -1;
+    // explode of it emits nothing — ADVICE r17). The query lexicon
+    // explodes only the query-doc slice; the broadcast lexical-lookup
+    // and topk_by shapes the plan pins keep are unchanged.
     val qterms = docs.where(col("doc_id") % 50 === 0 && col("doc_id") < 5000)
       .select(col("doc_id").as("qid"), explode(expr(WORDS)).as("word")).distinct()
     val terms = qterms.select("word").distinct()
     val stats = docs.agg(count(lit(1)).as("n"),
       sum(expr(s"CAST(greatest(size($WORDS), 0) AS BIGINT)")).as("sumdl"))
     val tf = docs
+      .select(col("doc_id"), expr(WORDS).as("ws"))
       .select(col("doc_id"),
-        expr(s"CAST(greatest(size($WORDS), 0) AS BIGINT)").as("dl"),
-        explode(expr(WORDS)).as("word"))
+        expr("CAST(greatest(size(ws), 0) AS BIGINT)").as("dl"),
+        explode(col("ws")).as("word"))
       .join(broadcast(terms), "word")
       .groupBy("doc_id", "dl", "word").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))

@@ -117,4 +117,22 @@ class QuantKernelsSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
     assert(kern == ref, "kernel encode diverged from the crossJoin spelling")
   }
+
+  test("packedWithCell == packed joined back to the cell table (round 18)") {
+    // The fused pass-through replaces the encode-then-join-cell-back
+    // spelling in the IVFADC build; codes AND cell must both survive
+    // bit-identical on the real residual table.
+    val b = base
+    val k = IvfAnn.imiCentroidsFor(b.count())
+    val tBooks = IvfAnn.trainedImiCodebooks(b, k, iters = 2)
+    val res = graft.operators.QuantKernels.encodeResidual(b, tBooks, k)
+      .localCheckpoint()
+    val books = ProductQuantizer.booksN(spark, res.select("vec_id", "iv"))
+    val fused = ProductQuantizer.packedWithCell(res, books).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2).toSeq))).toMap
+    val ref = ProductQuantizer.packed(res.select("vec_id", "iv"), books)
+      .join(res.select("vec_id", "cell"), "vec_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getSeq[Long](1).toSeq))).toMap
+    assert(fused == ref, "fused cell pass-through diverged from the join spelling")
+  }
 }
