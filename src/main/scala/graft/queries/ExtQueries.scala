@@ -3814,7 +3814,21 @@ object ExtQueries {
     val terms = qterms.select("word").distinct()
     val stats = docs.agg(count(lit(1)).as("n"),
       sum(expr(s"CAST(greatest(size($WORDS), 0) AS BIGINT)")).as("sumdl"))
-    val tf = docs
+    // The tf BRANCH is partitioned by doc_id BEFORE the explode (round
+    // 18, guide §2.2/§2.4): every word of a doc — and therefore every
+    // (qid, doc) pair group and every per-qid topk bucket downstream —
+    // is partition-local, so the (qid, doc_id) score sum and the final
+    // topk_by both COMPLETE in their partial (map-side) phase. Under
+    // the previous (doc_id, dl, word)-keyed tf exchange a doc's words
+    // spread over |words| partitions and the pair aggregation's partial
+    // phase barely compressed: the (qid, doc_id) exchange carried
+    // millions of partial rows (measured 3.1 → 2.0 s solo on this very
+    // leg, every hybrid row inherits it). At 100 TB the trade reads:
+    // one corpus-bytes exchange here vs a pairs exchange that scales
+    // with |postings ∩ query lexicon| × queries — and on a doc-bucketed
+    // production layout this repartition vanishes entirely while the
+    // pair/topk locality keeps holding.
+    val tf = docs.repartition(col("doc_id"))
       .select(col("doc_id"), expr(WORDS).as("ws"))
       .select(col("doc_id"),
         expr("CAST(greatest(size(ws), 0) AS BIGINT)").as("dl"),
