@@ -227,6 +227,30 @@ object IvfAnn {
           (lit(2L) * expr("long_dot(slice(qiv, 1 + 32 * lvl, 32), cv)") - col("cn2"))
             .as("dot")), k, perLevel)
 
+  /** [[imiProbeCellsL2]] carrying each crossed cell's probe DEPTH —
+    * pmax = max(level-0 rank, level-1 rank), so the perLevel = p probe
+    * set is exactly `pmax <= p` (the per-level rankings nest: rank
+    * under the same (dot DESC, cid ASC) order truncated at a smaller p
+    * is a prefix). One probe pass serves a whole BUDGET CURVE of
+    * nested probe sets (qx124). */
+  def imiProbeCellsL2Ranked(queries: DataFrame, books: DataFrame, k: Long,
+                            perLevel: Int): DataFrame = {
+    val byQL = Window.partitionBy("qid", "lvl")
+      .orderBy(col("dot").desc, col("cid").asc)
+    val ranked = queries.select(col("qid"), col("qiv"))
+      .crossJoin(broadcast(books.withColumn("cn2", expr("long_dot(cv, cv)"))))
+      .select(col("qid"), col("lvl"), col("cid"),
+        (lit(2L) * expr("long_dot(slice(qiv, 1 + 32 * lvl, 32), cv)") - col("cn2"))
+          .as("dot"))
+      .withColumn("pr", row_number().over(byQL))
+      .where(col("pr") <= perLevel)
+    ranked.where(col("lvl") === 0).select(col("qid"), col("cid").as("c0"), col("pr").as("p0"))
+      .join(ranked.where(col("lvl") === 1)
+        .select(col("qid"), col("cid").as("c1"), col("pr").as("p1")), "qid")
+      .select(col("qid"), (col("c0") * k + col("c1")).as("cell"),
+        greatest(col("p0"), col("p1")).as("pmax"))
+  }
+
   /** TRAINED IMI codebooks: each 32-dim half refined by `iters` Lloyd
     * steps over ITS half of the corpus — the per-level twin of
     * [[trainedCentroids]], closing the gap the clustered-recall fixture

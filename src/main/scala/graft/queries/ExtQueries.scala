@@ -1095,23 +1095,56 @@ object ExtQueries {
     * occupancy, refine ∝ C) and each audit joins two 5·|q|-row lists —
     * metadata-sized at any corpus scale. */
   def qx124(spark: SparkSession, dir: String): DataFrame = {
-    val (a, k) = ivfadcAssets(spark, dir)
-    // Encode the corpus ONCE for the four budget serves: the coded
-    // corpus was re-derived (encodeResidual + packed, two corpus
-    // passes) by EVERY leg's lazy lineage — one build, four re-encodes.
-    // The checkpointed code table is what "shared assets" in the
-    // scaladoc was always supposed to mean (guide §5: persist exactly
-    // the reused intermediate).
-    val codes = a.codes.localCheckpoint()
-    val q = a.base.where(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("n2").as("qn2"))
-    def serve(perLevel: Int, c: Int): () => DataFrame = () =>
-      ivfadcServe(q, a.books, a.pqBooks, codes, a.base, k, topk = 5,
-          perLevel = perLevel, refineC = c)
+    // ONE probe + ONE compressed-domain ADC scan for the whole curve
+    // (round 18, guide §5/§3): the four budgets' probe sets NEST
+    // (perLevel = p is exactly pmax <= p of the ranked perLevel-3
+    // probe — IvfAnnSpec pins the nesting) and the per-(qid, cell)
+    // LUTs — and therefore every candidate's adc value — are
+    // budget-independent, so the four serves' ADC passes were scoring
+    // the same candidates 1+4+4+9 cell-sets' worth of times. One
+    // pmax-tagged ADC table at the union budget feeds each budget's
+    // OWN refine (`pmax <= p` is bit-exactly that budget's candidate
+    // multiset; the refine cut and exact-cosine rescore are per-budget
+    // as before). The serve spelling the production path uses
+    // (ivfadcServe) is untouched — qx44/qx79b/qx122 still pin it; this
+    // row's oracle replays the same arithmetic unchanged. The whole
+    // build + ADC spine lives in a lazy val evaluated INSIDE the
+    // budget thunks, so it overlaps the brute leg (§2.6) — the first
+    // budget thread builds it, the rest block on the same value.
+    // The corpus is encoded ONCE for the four budget serves (the
+    // checkpointed code table — guide §5 "persist exactly the reused
+    // intermediate"); before round 17 every leg's lazy lineage re-ran
+    // encodeResidual + packed.
+    lazy val spine: (DataFrame, DataFrame, DataFrame) = {
+      val (a, k) = ivfadcAssets(spark, dir)
+      val codes = a.codes.localCheckpoint()
+      val q = a.base.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("n2").as("qn2"))
+      val qCellsAll = IvfAnn.imiProbeCellsL2Ranked(q, a.books, k, perLevel = 3)
+        .localCheckpoint()
+      val qRes = residualizedWith(a.books, k)(
+        q.select(col("qid").as("vec_id"), col("qiv").as("iv")),
+        qCellsAll.select(col("qid").as("vec_id"), col("cell")))
+        .select(col("vec_id").as("qid"), col("cell"), col("ivr").as("qiv"),
+          expr("long_dot(ivr, ivr)").as("qrn2"))
+      val rLuts = ProductQuantizer.lutsKeyed(qRes, a.pqBooks, Seq("qid", "cell"))
+        .join(qRes.select("qid", "cell", "qrn2"), Seq("qid", "cell"))
+        .join(qCellsAll, Seq("qid", "cell"))
+      val adc = codes.join(broadcast(rLuts), Seq("cell"))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          (expr("pq_adc(lutarr, codes)") + col("qrn2")).as("adc"), col("pmax"))
+        .localCheckpoint() // four budget refines read it
+      (adc, a.base, q)
+    }
+    def budget(p: Int, c: Int): () => DataFrame = () => {
+      val (adc, base, q) = spine
+      pqRefine(adc.where(col("pmax") <= p).drop("pmax"), base, q, 5, c)
         .select(col("qid"), col("vec_id")).localCheckpoint()
+    }
     val legs = concurrently(
       () => qx2(spark, dir).select(col("qid"), col("vec_id")).localCheckpoint(),
-      serve(1, 32), serve(2, 32), serve(2, 256), serve(3, 256))
+      budget(1, 32), budget(2, 32), budget(2, 256), budget(3, 256))
     val brute = legs(0)
     def leg(name: String, served: DataFrame): DataFrame =
       recallAuditK(brute, served, 5)

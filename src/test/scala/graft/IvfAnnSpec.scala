@@ -216,4 +216,27 @@ class IvfAnnSpec extends SparkTestBase {
     assert(trainedCost < seedCost,
       s"training did not reduce quantization cost: $trainedCost >= $seedCost")
   }
+
+  test("ranked probe: pmax <= p is exactly the perLevel = p probe set (budget nesting)") {
+    // qx124's one-ADC-pass restructure rests on this: the perLevel-3
+    // ranked probe filtered to pmax <= p must be bit-identical to the
+    // plain perLevel-p probe, for every p on the curve.
+    def corpus(n: Long) = spark.range(n).select(
+      col("id").as("vec_id"),
+      expr("transform(sequence(0, 63), d -> " +
+        "CAST(pmod(xxhash64(id * 64 + d), 2000001) - 1000000 AS BIGINT))").as("iv"))
+    val n = 2048L
+    val k = IvfAnn.imiCentroidsFor(n)
+    val books = IvfAnn.imiCodebooks(spark, k)
+    val q = corpus(n).where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("iv").as("qiv"))
+    val ranked = IvfAnn.imiProbeCellsL2Ranked(q, books, k, perLevel = 3).cache()
+    for (p <- Seq(1, 2, 3)) {
+      val fromRanked = ranked.where(col("pmax") <= p).select("qid", "cell")
+      val plain = IvfAnn.imiProbeCellsL2(q, books, k, perLevel = p)
+      assert(fromRanked.exceptAll(plain).isEmpty && plain.exceptAll(fromRanked).isEmpty,
+        s"perLevel=$p: ranked probe set diverges from the plain probe")
+    }
+    ranked.unpersist()
+  }
 }
