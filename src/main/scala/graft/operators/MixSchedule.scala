@@ -64,32 +64,47 @@ object MixSchedule {
     val maxRow = langs.agg(max("alloc")).head
     if (maxRow.isNullAt(0))
       return spark.range(0).select(lit("").as("lang"), col("id").as("j"),
-        col("id").as("d"), col("id").as("pos"))
+        col("id").as("d"), col("id").as("pos"),
+        col("id").as("gap"))
     val maxAlloc = maxRow.getLong(0)
+    // pos — and therefore the previous token's pos, and the GAP between
+    // them — is a pure closed form of (lang, j, language table), so the
+    // gap rides the same scan-local projection: evaluate the fold at
+    // d(j) and at d(j−1), subtract (round 18, guide §2.1 — the audit's
+    // lag window was the one place the B-row schedule got exchanged AND
+    // sorted per language; B is corpus-token-sized, so at 100 TB that
+    // window was the schedule family's only corpus-scale sort. NULL at
+    // j = 1 replicates lag()'s first-row semantics exactly).
+    val POS_AT = (dcol: String) =>
+      s"""aggregate(la, 0L, (acc, a) ->
+         |  acc + CASE WHEN $dcol < a.idx THEN 0L
+         |             ELSE least(a.alloc, greatest(0L,
+         |               ((($dcol - a.idx) div ll + 1) * a.alloc - 1) div bb))
+         |        END)""".stripMargin
     spark.range(1, maxAlloc + 1).toDF("j")
       .join(broadcast(langs.select("lang", "idx", "alloc")), col("j") <= col("alloc"))
       .join(broadcast(langArr))
       .withColumn("d", expr("(j * bb div alloc) * ll + idx"))
-      .withColumn("pos", expr(
-        """aggregate(la, 0L, (acc, a) ->
-          |  acc + CASE WHEN d < a.idx THEN 0L
-          |             ELSE least(a.alloc, greatest(0L,
-          |               (((d - a.idx) div ll + 1) * a.alloc - 1) div bb))
-          |        END)""".stripMargin))
-      .select(col("lang"), col("j"), col("d"), col("pos"))
+      .withColumn("dprev", expr("((j - 1) * bb div alloc) * ll + idx"))
+      .withColumn("pos", expr(POS_AT("d")))
+      .withColumn("gap",
+        when(col("j") === 1L, lit(null).cast("long"))
+          .otherwise(col("pos") - expr(POS_AT("dprev"))))
+      .select(col("lang"), col("j"), col("d"), col("pos"), col("gap"))
   }
 
   /** Per-language schedule audit: slot count, extremes, Σ pos (pins the
     * full position multiset together with max/min gap — stride
-    * scheduling's smoothness guarantee made measurable). */
-  def audit(sched: DataFrame): DataFrame = {
-    val byLang = Window.partitionBy("lang").orderBy("j")
+    * scheduling's smoothness guarantee made measurable). The gap column
+    * arrives scan-local from [[schedule]]'s closed form (it equals
+    * pos − lag(pos) over (lang, j) — MixScheduleSpec pins that — so the
+    * audit is one map-side-combinable aggregate, no corpus-scale window
+    * sort). */
+  def audit(sched: DataFrame): DataFrame =
     sched
-      .withColumn("gap", col("pos") - lag("pos", 1).over(byLang))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_slots"),
         min("pos").as("first_pos"), max("pos").as("last_pos"),
         sum("pos").as("sum_pos"),
         max("gap").as("max_gap"), min("gap").as("min_gap"))
-  }
 }

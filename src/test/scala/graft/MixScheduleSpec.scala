@@ -44,6 +44,19 @@ class MixScheduleSpec extends SparkTestBase {
     }
   }
 
+  test("closed-form gap equals lag(pos) over (lang, j) — the audit's window, scan-local") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val s = MixSchedule.schedule(
+      Seq(("a", 7L), ("b", 19L), ("c", 3L), ("d", 1L)).toDF("lang", "alloc"))
+    val lagged = s.withColumn("gap_w",
+      col("pos") - lag("pos", 1).over(Window.partitionBy("lang").orderBy("j")))
+    val bad = lagged.where(
+      (col("gap").isNull =!= col("gap_w").isNull) ||
+        (col("gap").isNotNull && col("gap") =!= col("gap_w"))).count()
+    assert(bad == 0L, "closed-form gap diverges from the lag-window definition")
+  }
+
   test("the schedule plan has no global sort; sorts/shuffles touch only the language table") {
     import spark.implicits._
     val plan = MixSchedule.schedule(Seq(("a", 5L), ("b", 3L)).toDF("lang", "alloc"))
