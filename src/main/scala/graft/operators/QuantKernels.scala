@@ -155,6 +155,49 @@ object QuantKernels {
       }.toDF("vec_id", "cell", "iv")
   }
 
+  /** Per-(query, probed cell) residual ADC tables as ONE kernel pass —
+    * the serving-side twin of [[encodeResidual]] (round 18): input
+    * (qid, cell, qiv = the query's residual, qrn2), output
+    * (qid, cell, qrn2, lutarr) with lutarr(sub·K + code) =
+    * ‖c‖² − 2·qiv_sub·c — the [[graft.operators.ProductQuantizer.lutsKeyed]]
+    * arithmetic verbatim (each entry independent; the dot accumulates
+    * ascending j in exact Longs), in the same (sub, code) order
+    * array_sort produced. Replaces, per serve: the queries×cells ×
+    * M·Ksub crossJoin + collect_list + per-group array_sort AND the
+    * qrn2 join-back that re-ran the whole qRes residualization subtree
+    * a second time. QuantKernelsSpec pins kernel == declarative ⋈ qrn2
+    * bit-for-bit. */
+  def servingLuts(qres: DataFrame, books: DataFrame, subCol: String = "sub",
+                  dsub: Int = 8): DataFrame = {
+    val spark = qres.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(collectBooks(books, subCol, dsub))
+    qres.select(col("qid"), col("cell"), col("qiv"), col("qrn2"))
+      .as[(Long, Long, Array[Long], Long)]
+      .mapPartitions { it =>
+        val b = bc.value
+        val nSub = b.cents.length; val d = b.dsub
+        it.map { case (qid, cell, qiv, qrn2) =>
+          val k = b.cents(0).length
+          val lut = new Array[Long](nSub * k)
+          var s = 0
+          while (s < nSub) {
+            val cents = b.cents(s); val cn2 = b.cn2(s); val off = s * d
+            var c = 0
+            while (c < k) {
+              val cv = cents(c)
+              var dot = 0L; var j = 0
+              while (j < d) { dot += qiv(off + j) * cv(j); j += 1 }
+              lut(s * k + c) = cn2(c) - 2L * dot
+              c += 1
+            }
+            s += 1
+          }
+          (qid, cell, qrn2, lut)
+        }
+      }.toDF("qid", "cell", "qrn2", "lutarr")
+  }
+
   /** Exhaustive ADC scan with per-partition exact pruning — the qx42
     * hot path as one mapPartitions pass: each task scores its slice of
     * the coded corpus against EVERY query's broadcast LUT (8 lookups +

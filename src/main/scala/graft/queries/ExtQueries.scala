@@ -607,8 +607,12 @@ object ExtQueries {
       qCells.withColumnRenamed("qid", "vec_id"))
       .select(col("vec_id").as("qid"), col("cell"), col("ivr").as("qiv"),
         expr("long_dot(ivr, ivr)").as("qrn2"))
-    val rLuts = ProductQuantizer.lutsKeyed(qRes, rBooks, Seq("qid", "cell"))
-      .join(qRes.select("qid", "cell", "qrn2"), Seq("qid", "cell"))
+    // One kernel pass builds every (query, cell) LUT with qrn2 riding
+    // along (round 18, guide §1.2/§4): the declarative spelling paid a
+    // queries×cells × M·Ksub crossJoin + per-group array_sort AND a
+    // qrn2 join-back whose right side re-ran the whole qRes
+    // residualization subtree (QuantKernelsSpec pins bit-equality).
+    val rLuts = QuantKernels.servingLuts(qRes, rBooks)
     // The (cell) join IS the candidate generation: each probed cell's
     // broadcast LUT row meets exactly its members' code rows.
     val adc = rCodes.join(broadcast(rLuts), Seq("cell"))
@@ -1127,8 +1131,7 @@ object ExtQueries {
         qCellsAll.select(col("qid").as("vec_id"), col("cell")))
         .select(col("vec_id").as("qid"), col("cell"), col("ivr").as("qiv"),
           expr("long_dot(ivr, ivr)").as("qrn2"))
-      val rLuts = ProductQuantizer.lutsKeyed(qRes, a.pqBooks, Seq("qid", "cell"))
-        .join(qRes.select("qid", "cell", "qrn2"), Seq("qid", "cell"))
+      val rLuts = QuantKernels.servingLuts(qRes, a.pqBooks)
         .join(qCellsAll, Seq("qid", "cell"))
       val adc = codes.join(broadcast(rLuts), Seq("cell"))
         .where(col("vec_id") =!= col("qid"))

@@ -135,4 +135,31 @@ class QuantKernelsSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> ((r.getLong(2), r.getSeq[Long](1).toSeq))).toMap
     assert(fused == ref, "fused cell pass-through diverged from the join spelling")
   }
+
+  test("servingLuts == lutsKeyed joined back to qrn2 (round 18, the serve's LUT kernel)") {
+    // The serving-side twin of the encode kernels: per (query, probed
+    // cell), the packed ADC table AND the riding qrn2 must be
+    // bit-identical to the declarative crossJoin + array_sort spelling
+    // plus its qrn2 join-back, on real residualized queries.
+    val b = base
+    val k = IvfAnn.imiCentroidsFor(b.count())
+    val tBooks = IvfAnn.trainedImiCodebooks(b, k, iters = 2)
+    val res = graft.operators.QuantKernels.encodeResidual(b, tBooks, k)
+      .localCheckpoint()
+    val books = ProductQuantizer.booksN(spark, res.select("vec_id", "iv"))
+    // Queries = every 5th vector's residual against its OWN cell plus a
+    // second probed cell (cell+1 mod k²) — exercises multi-cell keys.
+    val qres = res.where(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("qid"), col("cell"), col("iv").as("qiv"))
+      .withColumn("cell", explode(array(col("cell"), pmod(col("cell") + 1, lit(k * k)))))
+      .withColumn("qrn2", expr("long_dot(qiv, qiv)"))
+      .localCheckpoint()
+    def keyed(df: DataFrame) = df.select("qid", "cell", "qrn2", "lutarr").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getSeq[Long](3).toSeq)))
+      .toMap
+    val kern = keyed(graft.operators.QuantKernels.servingLuts(qres, books))
+    val ref = keyed(ProductQuantizer.lutsKeyed(qres, books, Seq("qid", "cell"))
+      .join(qres.select("qid", "cell", "qrn2"), Seq("qid", "cell")))
+    assert(kern == ref, "servingLuts kernel diverged from the declarative LUT spelling")
+  }
 }
